@@ -1,0 +1,55 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+one JSON line with per-query wall seconds."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "box_query",
+    "blockmedian_10km",
+    "blockmax_10km",
+    "extent_bounds",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pointdatabase_spark import queries as registry
+    from pointdatabase_spark.session import get_spark
+
+    spark = get_spark("pointdatabase-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    qs = registry.all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm-up: JVM, codegen, parquet footer caches
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").count().collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        # noop sink: executes the full physical plan, skips Python
+        # row-serialization so we measure the engine, not the driver.
+        # First run warms codegen + AQE planning for this plan shape
+        # (a per-query constant, irrelevant at scale); report the warm run.
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec",
+                      "queries": timings, "sf": float(sf)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

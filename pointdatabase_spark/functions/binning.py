@@ -1,0 +1,61 @@
+"""Spatial binning expressions.
+
+The reference uses two distinct binning conventions (SURVEY §2.8 F2):
+
+1. **index bins** — ``round(x/Δ)*Δ`` giving the *center* of the bin as a
+   coordinate value (reference ``geo_index.py:76,386``). Used for the
+   spatial index / partition layout and crossover candidate search.
+2. **aggregation cells** — ``floor((x-x0)/Δ)`` giving an integer *cell
+   index* (reference ``pt_blockmedian.py:21-22``, ``blockmax.py:13-14``).
+   Used by blockmedian / blockmax.
+
+Both are plain column expressions so they stay inside WholeStageCodegen
+and — when used on partition columns — drive Catalyst partition pruning.
+
+NumPy ``np.round`` rounds half-to-even; Spark's ``round`` is HALF_UP.
+For bin centers the inputs are continuous coordinates, where the measure
+of exact half-multiples is zero, so we use ``round`` (HALF_EVEN matters
+only for adversarial inputs; ``bin_center_half_even`` is provided for
+bit parity when needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def bin_center(col: Column | str, delta: float) -> Column:
+    """Reference index-bin convention: round(x/Δ)*Δ (bin center coord)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.round(c / F.lit(float(delta)), 0) * F.lit(float(delta))).cast("double")
+
+
+def bin_center_half_even(col: Column | str, delta: float) -> Column:
+    """Bit-parity variant of :func:`bin_center` using banker's rounding
+    (NumPy ``np.round`` semantics, reference geo_index.py:76)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.bround(c / F.lit(float(delta)), 0) * F.lit(float(delta))).cast("double")
+
+
+def cell_index(col: Column | str, delta: float, origin: float = 0.0) -> Column:
+    """Reference aggregation-cell convention: floor((x - x0)/Δ) as int
+    (pt_blockmedian.py:21-22)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor((c - F.lit(float(origin))) / F.lit(float(delta))).cast("long")
+
+
+def bin_key(bin_x: Column | str, bin_y: Column | str) -> Column:
+    """String key '{x}_{y}' (reference geo_index.py:84). Kept for
+    API familiarity; the engine itself keeps two numeric columns —
+    strings defeat min/max pruning."""
+    bx = F.col(bin_x) if isinstance(bin_x, str) else bin_x
+    by = F.col(bin_y) if isinstance(bin_y, str) else bin_y
+    return F.concat_ws("_", bx.cast("long"), by.cast("long"))
+
+
+def neighbor_offsets(pad: int = 1) -> list[tuple[int, int]]:
+    """(dx, dy) offsets of the (2·pad+1)² bin neighborhood — the
+    reference's ``pad_bins`` / ``dilate_bins`` dilation
+    (geo_index.py:591-603, xover_search.py:12-21)."""
+    return [(dx, dy) for dx in range(-pad, pad + 1) for dy in range(-pad, pad + 1)]

@@ -1,0 +1,179 @@
+"""Spatial query + aggregation operators.
+
+Replaces the reference's geo_index query path (query_xy_box /
+query_xy, geo_index.py:344-475) and the gridded aggregations
+(pt_blockmedian.py, blockmax.py) with declarative DataFrame plans:
+
+- box_query     → range predicate; on partition columns it becomes
+                  Catalyst partition pruning (the whole point of the
+                  reference's index dissolves into the storage layout).
+- bins_query    → bin-membership probe (query_xy, geo_index.py:387-395)
+                  via isin / broadcast semi-join.
+- pad_bins      → 3×3 (or (2p+1)²) dilation via a tiny exploded offset
+                  frame (pad_bins, geo_index.py:591-603).
+- strict_bin_filter → post-read exact re-filter (geo_index.py:443-456).
+- blockmedian   → exact median-by-z with the reference's tie rule
+                  (pt_blockmedian.py:37-57): odd count → the single
+                  middle z-sorted row; even → mean of the two middle
+                  rows (averaging x and y too). NOT percentile_approx.
+- blockmax      → argmax row per cell via max_by (blockmax.py:26-30).
+- extent        → min/max bounds (geo_index.py:516-523).
+
+All operators are single-shuffle (one groupBy on the cell key) or
+shuffle-free (filters), and every predicate is a codegen-able column
+expression so parquet row-group skipping applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pointdatabase_spark.functions.binning import bin_center, cell_index, neighbor_offsets
+
+
+def box_predicate(xr: tuple[float, float], yr: tuple[float, float],
+                  x: str = "x", y: str = "y") -> Column:
+    """Conjunctive box predicate (reference geo_index.py:344-349)."""
+    return (F.col(x).between(float(xr[0]), float(xr[1]))
+            & F.col(y).between(float(yr[0]), float(yr[1])))
+
+
+def box_query(df: DataFrame, xr: tuple[float, float], yr: tuple[float, float],
+              x: str = "x", y: str = "y", fields: list[str] | None = None) -> DataFrame:
+    """Spatial box query with column projection.
+
+    On a bin-partitioned dataset pass x='bin_x', y='bin_y' to get pure
+    partition pruning; on raw coordinates Parquet min/max stats still
+    skip row groups when data was written sorted by bin.
+    """
+    out = df.where(box_predicate(xr, yr, x=x, y=y))
+    return out.select(*fields) if fields else out
+
+
+def bins_query(df: DataFrame, bins: list[tuple[float, float]],
+               bin_x: str = "bin_x", bin_y: str = "bin_y") -> DataFrame:
+    """Probe a set of bin centers (reference query_xy). For small bin
+    lists this compiles to an In predicate on partition columns →
+    partition pruning; large lists should use a broadcast semi-join
+    (see bins_semi_join)."""
+    if not bins:
+        return df.limit(0)
+    pred = F.struct(F.col(bin_x), F.col(bin_y)).isin(
+        [F.struct(F.lit(float(bx)), F.lit(float(by))) for bx, by in bins])
+    return df.where(pred)
+
+
+def bins_semi_join(df: DataFrame, bins_df: DataFrame,
+                   bin_x: str = "bin_x", bin_y: str = "bin_y") -> DataFrame:
+    """Bin membership as a broadcast LEFT SEMI join — the scalable form
+    of the reference's index intersect (geo_index.py:351-361). Spark's
+    dynamic partition pruning turns this into partition skipping when
+    the bin columns are partition columns."""
+    return df.join(F.broadcast(bins_df.select(bin_x, bin_y).distinct()),
+                   on=[bin_x, bin_y], how="left_semi")
+
+
+def pad_bins(bins_df: DataFrame, delta: tuple[float, float], pad: int = 1,
+             bin_x: str = "bin_x", bin_y: str = "bin_y") -> DataFrame:
+    """Dilate a bin set by a (2·pad+1)² neighborhood (reference
+    pad_bins geo_index.py:591-603 / dilate_bins xover_search.py:12-21).
+
+    Implemented as explode over a constant offset array — a narrow
+    transformation on a (small) bin frame, no shuffle; dedup at the end.
+    """
+    offs = F.array(*[
+        F.struct(F.lit(dx * float(delta[0])).alias("ox"),
+                 F.lit(dy * float(delta[1])).alias("oy"))
+        for dx, dy in neighbor_offsets(pad)
+    ])
+    return (bins_df
+            .withColumn("_o", F.explode(offs))
+            .select((F.col(bin_x) + F.col("_o.ox")).alias(bin_x),
+                    (F.col(bin_y) + F.col("_o.oy")).alias(bin_y))
+            .distinct())
+
+
+def strict_bin_filter(df: DataFrame, bins_df: DataFrame, delta: tuple[float, float],
+                      x: str = "x", y: str = "y") -> DataFrame:
+    """Keep only rows whose rounded bin is in the queried bin set —
+    the reference's exact post-filter (geo_index.py:443-456)."""
+    keyed = df.withColumn("_bx", bin_center(x, delta[0])).withColumn(
+        "_by", bin_center(y, delta[1]))
+    bins = F.broadcast(
+        bins_df.select(F.col("bin_x").alias("_bx"), F.col("bin_y").alias("_by")).distinct())
+    return keyed.join(bins, on=["_bx", "_by"], how="left_semi").drop("_bx", "_by")
+
+
+def with_bins(df: DataFrame, delta: tuple[float, float],
+              x: str = "x", y: str = "y",
+              bin_x: str = "bin_x", bin_y: str = "bin_y") -> DataFrame:
+    """Attach index-bin center columns (round convention)."""
+    return (df.withColumn(bin_x, bin_center(x, delta[0]))
+              .withColumn(bin_y, bin_center(y, delta[1])))
+
+
+def blockmedian(df: DataFrame, delta: float, xy0: tuple[float, float] = (0.0, 0.0),
+                x: str = "x", y: str = "y", z: str = "z",
+                order_col: str | None = None,
+                extra_aggs: list[Column] | None = None) -> DataFrame:
+    """Exact per-cell median-by-z (reference pt_blockmedian.py:9-64).
+
+    Semantics: grid with floor((c-x0)/Δ); within each cell sort rows by
+    z (stable — tie-broken by `order_col` when given, mirroring the
+    reference's stable argsort over original row order); odd count →
+    the middle row's (x, y, z); even → the mean of the two middle rows,
+    averaging x and y as well (pt_blockmedian.py:40-47).
+
+    Plan shape: single hash-partition shuffle on the cell key, then a
+    window sort within each cell and a partial-aggregated groupBy —
+    both run in the same exchange, so this is one shuffle total.
+    percentile_approx is deliberately NOT used: the tie rule is part of
+    the operator contract.
+    """
+    cx = cell_index(x, delta, xy0[0]).alias("cell_x")
+    cy = cell_index(y, delta, xy0[1]).alias("cell_y")
+    d = df.where(F.col(z).isNotNull() & ~F.isnan(z)).select(
+        cx, cy, F.col(x).alias("_x"), F.col(y).alias("_y"), F.col(z).alias("_z"),
+        *([F.col(order_col).alias("_ord")] if order_col else []))
+    order = [F.col("_z")] + ([F.col("_ord")] if order_col else [])
+    w = Window.partitionBy("cell_x", "cell_y").orderBy(*order)
+    # same partitioning+ordering for both functions → a single WindowExec
+    # (one shuffle, one sort); the full-partition count uses an explicit
+    # unbounded frame over the ordered window.
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = d.select(
+        "cell_x", "cell_y", "_x", "_y", "_z",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"))
+    # middle one (odd) or middle two (even): rn in [floor((n+1)/2), floor(n/2)+1]
+    mid = ranked.where(
+        (F.col("_rn") >= F.floor((F.col("_n") + 1) / 2))
+        & (F.col("_rn") <= F.floor(F.col("_n") / 2) + 1))
+    return (mid.groupBy("cell_x", "cell_y")
+            .agg(F.avg("_x").alias(x), F.avg("_y").alias(y), F.avg("_z").alias(z),
+                 F.max("_n").alias("n_in_cell"),
+                 *(extra_aggs or [])))
+
+
+def blockmax(df: DataFrame, delta: float, xy0: tuple[float, float] = (0.0, 0.0),
+             x: str = "x", y: str = "y", z: str = "z") -> DataFrame:
+    """Per-cell argmax row (reference blockmax.py:10-31): keep the
+    (x, y, z) of the row with maximal z in each floor-gridded cell.
+    One shuffle; map-side partial max_by combine."""
+    d = df.where(F.col(z).isNotNull() & ~F.isnan(z))
+    return (d.groupBy(cell_index(x, delta, xy0[0]).alias("cell_x"),
+                      cell_index(y, delta, xy0[1]).alias("cell_y"))
+            .agg(F.max_by(F.struct(F.col(x).alias("x"), F.col(y).alias("y"),
+                                   F.col(z).alias("z")), F.col(z)).alias("_m"),
+                 F.count(F.lit(1)).alias("n_in_cell"))
+            .select("cell_x", "cell_y",
+                    F.col("_m.x").alias(x), F.col("_m.y").alias(y),
+                    F.col("_m.z").alias(z), "n_in_cell"))
+
+
+def extent(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Bounds of a point set (reference geo_index.py:516-523). Parquet
+    aggregate pushdown answers this from footer stats when possible."""
+    return df.agg(F.min(x).alias("x_min"), F.max(x).alias("x_max"),
+                  F.min(y).alias("y_min"), F.max(y).alias("y_max"))

@@ -1,0 +1,65 @@
+"""Deterministic synthetic point-cloud derivation from the driver's
+TPC-H-ish tables (TESTDATA.md).
+
+The engine's spatial operators act on (x, y, z, track…) point tables
+(FIXTURES.md §1). The correctness harness, however, runs on the shared
+synthetic star schema with a DuckDB oracle. Bridge: derive an
+ATL06-shaped point table from ``lineitem`` using **pure integer
+arithmetic** (exact in both engines, no float divergence), expressed
+once as a SQL fragment that is valid in BOTH Spark SQL and DuckDB.
+
+Columns (FIXTURES.md §1 analogy):
+  row_id     unique id, also the stable sort tiebreaker
+  x, y       projected coords in meters, ±100 km (integer-derived)
+  h          height value (l_extendedprice — parquet doubles, exact)
+  sigma      positive spread (l_quantity)
+  t          along-track time (integer-derived, unique per row)
+  rgt/cycle/beam_pair/lr   track identity key
+  quality    0..9 (0 ≈ the reference's atl06_quality_summary==1 "bad")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# Valid in both Spark SQL and DuckDB. Integer ops only (except the two
+# parquet-native doubles), so both engines produce bit-identical values.
+SYN_POINTS_SQL = """
+SELECT
+  l_orderkey * 10 + l_linenumber                                        AS row_id,
+  CAST((l_partkey * 7919 + l_suppkey * 104729) % 200001 - 100000 AS DOUBLE) AS x,
+  CAST((l_orderkey * 48271 + l_linenumber * 9973) % 200001 - 100000 AS DOUBLE) AS y,
+  l_extendedprice                                                       AS h,
+  l_quantity                                                            AS sigma,
+  CAST(l_orderkey * 7 + l_linenumber AS DOUBLE)                         AS t,
+  CAST(l_partkey % 100 AS INT)                                          AS rgt,
+  CAST(l_suppkey % 4 + 1 AS INT)                                        AS cycle,
+  CAST(l_linenumber % 3 + 1 AS INT)                                     AS beam_pair,
+  CAST(l_orderkey % 2 AS INT)                                           AS lr,
+  CAST(l_partkey % 10 AS INT)                                           AS quality
+FROM lineitem
+"""
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    tables: tuple[str, ...] = TABLES) -> None:
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def syn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic point table, as a DataFrame."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SYN_POINTS_SQL)
+
+
+def syn_points_cte(alias: str = "pts") -> str:
+    """DuckDB-side CTE prefix producing the identical table."""
+    return f"WITH {alias} AS ({SYN_POINTS_SQL})"

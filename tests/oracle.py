@@ -1,0 +1,53 @@
+"""DuckDB oracle comparison helper — mirrors the driver's t2 check:
+row count + schema + order-insensitive value comparison."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from pointdatabase_spark.testkit import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _values_close(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
+    got = spark_df.toPandas()
+    exp = con.execute(sql).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    g, e = _canon(got), _canon(exp)
+    for col in g.columns:
+        gv, ev = g[col].tolist(), e[col].tolist()
+        bad = [i for i, (a, b) in enumerate(zip(gv, ev)) if not _values_close(a, b)]
+        assert not bad, (
+            f"{name}: column {col} mismatch at rows {bad[:5]}: "
+            f"{[(gv[i], ev[i]) for i in bad[:3]]}")
