@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pointdatabase_spark import testkit
-from pointdatabase_spark.operators import spatial
+from pointdatabase_spark.operators import filters, setops, spatial, tracks, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
@@ -168,3 +168,312 @@ FROM pts
 @query("extent_bounds", oracle=_EXTENT_ORACLE)
 def extent_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial.extent(testkit.syn_points(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# P9/W2 seg-difference filter — lag/lead consistency window
+# (ATL06_filters.py:29-51). Pure IEEE +/*/abs → exact cross-engine match.
+# --------------------------------------------------------------------------
+
+_TRACK = ["cycle", "rgt", "beam_pair", "lr"]
+# (t, h) is a unique key of lineitem at every sf — deterministic window order
+_TRACK_W = "PARTITION BY cycle, rgt, beam_pair, lr ORDER BY t, h"
+
+_SEGDIFF_ORACLE = testkit.syn_points_cte() + f"""
+, d AS (
+  SELECT row_id, h, slope,
+         lead(h) OVER ({_TRACK_W}) AS h_next,
+         lag(h)  OVER ({_TRACK_W}) AS h_prev,
+         count(*) OVER (PARTITION BY cycle, rgt, beam_pair, lr) AS n
+  FROM pts)
+SELECT row_id,
+       (n < 3) OR
+       (greatest(coalesce(abs(h + 20.0 * slope - h_next), 0.0),
+                 coalesce(abs(h_prev - (h - 20.0 * slope)), 0.0)) < 2.0)
+       AS seg_diff_ok
+FROM d
+"""
+
+
+@query("seg_difference_filter", oracle=_SEGDIFF_ORACLE)
+def seg_difference_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    out = filters.seg_difference_mask(pts, _TRACK, ["t", "h"], h="h", slope="slope",
+                                      tol=2.0, d_at=20.0)
+    return out.select("row_id", "seg_diff_ok")
+
+
+# --------------------------------------------------------------------------
+# W1 rss_along_track_dh / W3 min_along_track_dh (ATL06_data.py:356-382).
+# --------------------------------------------------------------------------
+
+_MISFIT_CTE = testkit.syn_points_cte() + f"""
+, d AS (
+  SELECT row_id, h, slope, t,
+         h - slope * (t - lag(t)  OVER ({_TRACK_W})) - lag(h)  OVER ({_TRACK_W}) AS prev_m,
+         h - slope * (t - lead(t) OVER ({_TRACK_W})) - lead(h) OVER ({_TRACK_W}) AS next_m
+  FROM pts)
+"""
+
+_RSS_ORACLE = _MISFIT_CTE + """
+SELECT row_id,
+       sqrt(coalesce(prev_m * prev_m, 0.0) + coalesce(next_m * next_m, 0.0))
+       AS rss_along_track_dh
+FROM d
+"""
+
+
+@query("window_rss_along_track", oracle=_RSS_ORACLE)
+def window_rss_along_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    out = windows.rss_along_track_dh(pts, _TRACK, ["t", "h"], h="h", x="t", slope="slope")
+    return out.select("row_id", "rss_along_track_dh")
+
+
+_MIN_ORACLE = _MISFIT_CTE + """
+SELECT row_id,
+       CASE WHEN prev_m IS NULL THEN abs(next_m)
+            WHEN next_m IS NULL THEN abs(prev_m)
+            WHEN abs(prev_m) < abs(next_m) THEN abs(prev_m)
+            ELSE abs(next_m) END AS min_along_track_dh
+FROM d
+"""
+
+
+@query("window_min_along_track", oracle=_MIN_ORACLE)
+def window_min_along_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    out = windows.min_along_track_dh(pts, _TRACK, ["t", "h"], h="h", x="t", slope="slope")
+    return out.select("row_id", "min_along_track_dh")
+
+
+# --------------------------------------------------------------------------
+# P7 quality summary + P11 NULL-out, all three application modes
+# (ATL06_filters.py:53-70, ATL06_tiles.py:65-66).
+# --------------------------------------------------------------------------
+
+_QUAL_ORACLE = testkit.syn_points_cte() + """
+, d AS (
+  SELECT row_id, h,
+         (sigma / 50.0 < 1) AND (sigma / 40.0 < 1) AND (quality / 100.0 < 0.02)
+         AS good
+  FROM pts)
+SELECT row_id, good AS valid,
+       CASE WHEN good THEN h END AS h_masked
+FROM d
+"""
+
+
+@query("quality_filter_modes", oracle=_QUAL_ORACLE)
+def quality_filter_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (testkit.syn_points(spark, sf_dir)
+           .withColumn("h_robust_sprd", F.col("sigma") / 50.0)
+           .withColumn("h_li_sigma", F.col("sigma") / 40.0)
+           .withColumn("snr_significance", F.col("quality") / 100.0)
+           .withColumn("h_masked", F.col("h")))
+    mask = filters.quality_summary_mask()
+    out = filters.with_mask(pts, mask, "valid")
+    out = filters.null_out(out, F.col("valid"), "h_masked")
+    return out.select("row_id", "valid", "h_masked")
+
+
+# --------------------------------------------------------------------------
+# P8 photon-density + P10 FPB glitch filters (subset mode).
+# --------------------------------------------------------------------------
+
+_DENSITY_ORACLE = testkit.syn_points_cte() + """
+SELECT row_id
+FROM pts
+WHERE sigma / (quality + 1.0) >
+      (CASE WHEN lr = 1 THEN 4.0 ELSE 1.0 END)
+"""
+
+
+@query("ph_density_filter", oracle=_DENSITY_ORACLE)
+def ph_density_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (testkit.syn_points(spark, sf_dir)
+           .withColumn("w_win", F.col("quality") + F.lit(1.0))
+           .withColumn("beam_type",
+                       F.when(F.col("lr") == 1, "strong").otherwise("weak")))
+    mask = filters.ph_density_mask(n_fit_photons="sigma",
+                                   w_surface_window_final="w_win",
+                                   beam_type="beam_type")
+    return filters.subset(pts, mask).select("row_id")
+
+
+_FPB_ORACLE = testkit.syn_points_cte() + """
+SELECT row_id FROM pts WHERE sigma <= quality * 4.0
+"""
+
+
+@query("fpb_glitch_filter", oracle=_FPB_ORACLE)
+def fpb_glitch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir).withColumn(
+        "fpb_n_corr", F.col("quality") * F.lit(4.0))
+    mask = filters.fpb_glitch_mask(n_fit_photons="sigma", fpb_n_corr="fpb_n_corr")
+    return filters.subset(pts, mask).select("row_id")
+
+
+# --------------------------------------------------------------------------
+# A5 track reconstruction summary (ATL06_tiles.py:142-160).
+# --------------------------------------------------------------------------
+
+_TRACKSUM_ORACLE = testkit.syn_points_cte() + """
+SELECT cycle, rgt, beam_pair, lr,
+       COUNT(*) AS n_rows, MIN(t) AS t_min, MAX(t) AS t_max
+FROM pts
+GROUP BY cycle, rgt, beam_pair, lr
+"""
+
+
+@query("track_summary", oracle=_TRACKSUM_ORACLE)
+def track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    return tracks.track_summary(pts, _TRACK, order_col="t")
+
+
+# --------------------------------------------------------------------------
+# A4 pair collapse (ATL06_pair.py:10-25): mean coords/time,
+# dh_dy_sigma = sqrt(Σσ²)/|Δy|. x/y/t/σ are integer-valued doubles →
+# exact sums; h is rounded identically on both sides.
+# --------------------------------------------------------------------------
+
+_PAIR_ORACLE = testkit.syn_points_cte() + """
+SELECT rgt, cycle, beam_pair,
+       AVG(x) AS x, AVG(y) AS y, AVG(t) AS delta_time,
+       ROUND(AVG(h), 6) AS h_mean,
+       CASE WHEN MAX(y) <> MIN(y)
+            THEN sqrt(SUM(sigma * sigma)) / abs(MAX(y) - MIN(y)) END
+         AS dh_dy_sigma,
+       COUNT(*) AS n_beams
+FROM pts
+GROUP BY rgt, cycle, beam_pair
+"""
+
+
+@query("pair_collapse", oracle=_PAIR_ORACLE)
+def pair_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    out = tracks.pair_collapse(pts, ["rgt", "cycle", "beam_pair"],
+                               x_atc="x", y_atc="y", h="h", h_sigma="sigma",
+                               delta_time="t")
+    return out.withColumn("h_mean", F.round(F.col("h_mean"), 6))
+
+
+# --------------------------------------------------------------------------
+# U1 unionByName concat with missing-column NULL fill
+# (point_data.from_list, point_data.py:182-204).
+# --------------------------------------------------------------------------
+
+_UNION_ORACLE = testkit.syn_points_both_cte() + """
+SELECT row_id, x, y, h, sigma, 'li' AS src FROM pts
+UNION ALL
+SELECT row_id, x, y, h, CAST(NULL AS DOUBLE) AS sigma, 'ev' AS src FROM pts2
+"""
+
+
+@query("union_by_name", oracle=_UNION_ORACLE)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = testkit.syn_points(spark, sf_dir).select(
+        "row_id", "x", "y", "h", "sigma").withColumn("src", F.lit("li"))
+    b = testkit.syn_points2(spark, sf_dir).select(
+        "row_id", "x", "y", "h").withColumn("src", F.lit("ev"))
+    return setops.concat([a, b])
+
+
+# --------------------------------------------------------------------------
+# J1/J2 bin semi-join + J6 anti-join + U2/U3 key ops on 10-km index bins
+# (geo_index.intersect / from_list, round-bin convention).
+# --------------------------------------------------------------------------
+
+_BIN_CTE = testkit.syn_points_both_cte() + """
+, b1 AS (SELECT row_id, round(x / 10000) * 10000 AS bin_x,
+                round(y / 10000) * 10000 AS bin_y FROM pts)
+, b2 AS (SELECT DISTINCT round(x / 10000) * 10000 AS bin_x,
+                round(y / 10000) * 10000 AS bin_y FROM pts2)
+"""
+
+_SEMI_ORACLE = _BIN_CTE + """
+SELECT row_id FROM b1
+WHERE EXISTS (SELECT 1 FROM b2 WHERE b2.bin_x = b1.bin_x AND b2.bin_y = b1.bin_y)
+"""
+
+
+@query("bin_semi_join", oracle=_SEMI_ORACLE)
+def bin_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = spatial.with_bins(testkit.syn_points(spark, sf_dir), (10000.0, 10000.0))
+    b = spatial.with_bins(testkit.syn_points2(spark, sf_dir), (10000.0, 10000.0))
+    return setops.semi_join(a, b, ["bin_x", "bin_y"]).select("row_id")
+
+
+_ANTI_ORACLE = _BIN_CTE + """
+SELECT row_id FROM b1
+WHERE NOT EXISTS (SELECT 1 FROM b2 WHERE b2.bin_x = b1.bin_x AND b2.bin_y = b1.bin_y)
+"""
+
+
+@query("bin_anti_join", oracle=_ANTI_ORACLE)
+def bin_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = spatial.with_bins(testkit.syn_points(spark, sf_dir), (10000.0, 10000.0))
+    b = spatial.with_bins(testkit.syn_points2(spark, sf_dir), (10000.0, 10000.0))
+    return setops.anti_join(a, b, ["bin_x", "bin_y"]).select("row_id")
+
+
+_INTERSECT_ORACLE = _BIN_CTE + """
+SELECT bin_x, bin_y FROM b1 INTERSECT SELECT bin_x, bin_y FROM b2
+"""
+
+
+@query("bin_key_intersect", oracle=_INTERSECT_ORACLE)
+def bin_key_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = spatial.with_bins(testkit.syn_points(spark, sf_dir), (10000.0, 10000.0))
+    b = spatial.with_bins(testkit.syn_points2(spark, sf_dir), (10000.0, 10000.0))
+    return setops.key_intersect(a, b, ["bin_x", "bin_y"])
+
+
+# --------------------------------------------------------------------------
+# Pad dilation (geo_index.pad_bins / dilate_bins): 3×3 bin neighborhood.
+# --------------------------------------------------------------------------
+
+_PAD_ORACLE = testkit.syn_points_cte() + """
+, b AS (SELECT DISTINCT round(x / 10000) * 10000 AS bin_x,
+                        round(y / 10000) * 10000 AS bin_y
+        FROM pts
+        WHERE x BETWEEN -20000 AND 20000 AND y BETWEEN -20000 AND 20000)
+SELECT DISTINCT b.bin_x + ox.o AS bin_x, b.bin_y + oy.o AS bin_y
+FROM b
+CROSS JOIN (VALUES (-10000.0), (0.0), (10000.0)) ox(o)
+CROSS JOIN (VALUES (-10000.0), (0.0), (10000.0)) oy(o)
+"""
+
+
+@query("pad_dilation", oracle=_PAD_ORACLE)
+def pad_dilation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    core = spatial.box_query(pts, (-20000.0, 20000.0), (-20000.0, 20000.0))
+    bins = spatial.with_bins(core, (10000.0, 10000.0)).select(
+        "bin_x", "bin_y").distinct()
+    return spatial.pad_bins(bins, (10000.0, 10000.0), pad=1)
+
+
+# --------------------------------------------------------------------------
+# O5 nearest-point top-1 (IndexPicker argmin; orderBy(dist).limit(1)).
+# --------------------------------------------------------------------------
+
+_NEAREST_ORACLE = testkit.syn_points_cte() + """
+SELECT row_id, x, y,
+       (x - 12345.0) * (x - 12345.0) + (y + 54321.0) * (y + 54321.0) AS dist2
+FROM pts
+ORDER BY dist2, row_id
+LIMIT 1
+"""
+
+
+@query("nearest_point", oracle=_NEAREST_ORACLE)
+def nearest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    dist2 = ((F.col("x") - 12345.0) * (F.col("x") - 12345.0)
+             + (F.col("y") + 54321.0) * (F.col("y") + 54321.0))
+    return (pts.withColumn("dist2", dist2)
+            .orderBy("dist2", "row_id").limit(1)
+            .select("row_id", "x", "y", "dist2"))

@@ -33,6 +33,13 @@ _DEFAULTS = {
     # not ANSI runtime errors, for oracle parity with DuckDB.
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # the driver's events table carries TIMESTAMP(NANOS) parquet
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The UI's in-memory job history measurably degrades repeated local
+    # runs (observed 0.7s → 7s on identical plans); the engine is
+    # headless — re-enable via extra_conf when debugging.
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
@@ -44,7 +51,9 @@ def get_spark(app_name: str = "pointdatabase-spark", master: str | None = None,
     builder = builder.master(master or f"local[{cpus}]")
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = cpus
-    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    # 16g is ample for local sf0.1 work; an oversized heap (48g) showed
+    # multi-second first-touch/GC stalls on identical repeated plans.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEM", "16g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

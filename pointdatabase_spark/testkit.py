@@ -39,12 +39,27 @@ SELECT
   CAST(l_suppkey % 4 + 1 AS INT)                                        AS cycle,
   CAST(l_linenumber % 3 + 1 AS INT)                                     AS beam_pair,
   CAST(l_orderkey % 2 AS INT)                                           AS lr,
-  CAST(l_partkey % 10 AS INT)                                           AS quality
+  CAST(l_partkey % 10 AS INT)                                           AS quality,
+  CAST((l_partkey % 41) - 20 AS DOUBLE) / 100.0                         AS slope
 FROM lineitem
+"""
+
+# Second point source (events-derived) for union / semi / anti joins.
+SYN_POINTS2_SQL = """
+SELECT
+  event_id                                                              AS row_id,
+  CAST((user_id * 7919 + event_id * 104729) % 200001 - 100000 AS DOUBLE) AS x,
+  CAST((event_id * 48271 + user_id * 9973) % 200001 - 100000 AS DOUBLE)  AS y,
+  value                                                                 AS h
+FROM events
 """
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default; read it as long (ns since epoch). ts_micros() converts.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -60,6 +75,16 @@ def syn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SYN_POINTS_SQL)
 
 
+def syn_points2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second (events-derived) synthetic point table."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(SYN_POINTS2_SQL)
+
+
 def syn_points_cte(alias: str = "pts") -> str:
     """DuckDB-side CTE prefix producing the identical table."""
     return f"WITH {alias} AS ({SYN_POINTS_SQL})"
+
+
+def syn_points_both_cte() -> str:
+    return f"WITH pts AS ({SYN_POINTS_SQL}), pts2 AS ({SYN_POINTS2_SQL})"
