@@ -477,3 +477,129 @@ def nearest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pts.withColumn("dist2", dist2)
             .orderBy("dist2", "row_id").limit(1)
             .select("row_id", "x", "y", "dist2"))
+
+
+# --------------------------------------------------------------------------
+# S10/S11/S7/S8 tile-store pipeline: write bin-partitioned parquet, read
+# back through the pruned box-query path; result must equal a direct
+# filter (the reference's index build + query_xy_box roundtrip §3.1-3.2).
+# --------------------------------------------------------------------------
+
+_TILE_ORACLE = testkit.syn_points_cte() + """
+SELECT row_id, x, y, h
+FROM pts
+WHERE x BETWEEN -35000 AND 42000 AND y BETWEEN -90000 AND -10000
+"""
+
+
+@query("tile_store_box_query", oracle=_TILE_ORACLE)
+def tile_store_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pointdatabase_spark.sources import tile_store
+    path = f"/tmp/pdb_tiles_{os.path.basename(sf_dir.rstrip('/'))}"
+    pts = testkit.syn_points(spark, sf_dir)
+    tile_store.write_tiles(pts, path, order_cols=["t"])
+    return tile_store.query_box(spark, path, (-35000.0, 42000.0),
+                                (-90000.0, -10000.0),
+                                fields=["row_id", "x", "y", "h"])
+
+
+# --------------------------------------------------------------------------
+# A3 bin catalog (geo_index.from_xy bookkeeping, FIXTURES §2).
+# --------------------------------------------------------------------------
+
+_CATALOG_ORACLE = testkit.syn_points_cte() + """
+SELECT round(x / 10000) * 10000 AS bin_x,
+       round(y / 10000) * 10000 AS bin_y,
+       COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max,
+       MIN(t) AS t_min, MAX(t) AS t_max
+FROM pts
+GROUP BY bin_x, bin_y
+"""
+
+
+@query("bin_catalog", oracle=_CATALOG_ORACLE)
+def bin_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.sources import tile_store
+    pts = spatial.with_bins(testkit.syn_points(spark, sf_dir),
+                            (10000.0, 10000.0))
+    return tile_store.bin_catalog(pts, order_col="t")
+
+
+# --------------------------------------------------------------------------
+# F5 time conversions (matlab datenum / decimal year) + F3 bin-key
+# encode/decode roundtrip. Pure arithmetic — exact.
+# --------------------------------------------------------------------------
+
+_TIMES_ORACLE = testkit.syn_points_cte() + """
+SELECT row_id,
+       737061.0 + t / 86400.0 AS matlab_atlas,
+       730486.0 + t / 86400.0 AS matlab_j2k,
+       ((730486.0 + t / 86400.0) - 730486.0) / 365.25 + 2000.0 AS dec_year,
+       CAST(round(x / 10000) * 10000 AS BIGINT) || '_' ||
+       CAST(round(y / 10000) * 10000 AS BIGINT) AS bin_key,
+       CAST((l_partkey >> 2) & 7 AS BIGINT) AS bits_2_3
+FROM (SELECT p.*, l.l_partkey
+      FROM pts p JOIN lineitem l
+        ON l.l_orderkey * 10 + l.l_linenumber = p.row_id
+       AND l.l_extendedprice = p.h)
+"""
+
+
+@query("scalar_time_bits_keys", oracle=_TIMES_ORACLE)
+def scalar_time_bits_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.functions import binning, bits, timeconv
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    pts = testkit.syn_points(spark, sf_dir).join(
+        li.select((F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("row_id"),
+                  F.col("l_extendedprice").alias("h"), "l_partkey"),
+        on=["row_id", "h"])
+    matlab = timeconv.delta_t_to_matlab("t")
+    return pts.select(
+        "row_id",
+        timeconv.atlas_delta_time_to_matlab("t").alias("matlab_atlas"),
+        matlab.alias("matlab_j2k"),
+        timeconv.matlab_to_year(matlab).alias("dec_year"),
+        binning.bin_key(binning.bin_center("x", 10000.0),
+                        binning.bin_center("y", 10000.0)).alias("bin_key"),
+        bits.ibits("l_partkey", 2, 3).alias("bits_2_3"))
+
+
+# --------------------------------------------------------------------------
+# F4 date-from-filename → Matlab datenum / decimal year (WV_date.py).
+# Filenames synthesized from o_orderdate; the extraction + datenum
+# arithmetic is the operator under test.
+# --------------------------------------------------------------------------
+
+_WVDATE_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey,
+         'WV01_' || strftime(o_orderdate, '%Y%m%d') || '_seg1.tif' AS fname
+  FROM orders)
+SELECT o_orderkey,
+       CAST(date_diff('day', DATE '0001-01-01', d) + 367 AS DOUBLE) AS matlab_day,
+       2000.0 + date_diff('day', DATE '2000-01-01', d) / 365.25 AS dec_year
+FROM (SELECT o_orderkey,
+             make_date(CAST(regexp_extract(fname, '_(\\d\\d\\d\\d)(\\d\\d)(\\d\\d)_', 1) AS INT),
+                       CAST(regexp_extract(fname, '_(\\d\\d\\d\\d)(\\d\\d)(\\d\\d)_', 2) AS INT),
+                       CAST(regexp_extract(fname, '_(\\d\\d\\d\\d)(\\d\\d)(\\d\\d)_', 3) AS INT)) AS d,
+             o_orderkey
+      FROM f)
+"""
+
+
+@query("date_from_filename", oracle=_WVDATE_ORACLE)
+def date_from_filename_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.functions import timeconv
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        "o_orderkey",
+        F.concat(F.lit("WV01_"), F.date_format("o_orderdate", "yyyyMMdd"),
+                 F.lit("_seg1.tif")).alias("fname"))
+    d = timeconv.date_from_filename("fname", pattern=r"_(\d\d\d\d)(\d\d)(\d\d)_")
+    return f.select("o_orderkey",
+                    timeconv.date_to_matlab(d).alias("matlab_day"),
+                    timeconv.date_to_decimal_year(d).alias("dec_year"))

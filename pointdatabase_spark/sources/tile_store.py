@@ -1,0 +1,145 @@
+"""Bin-partitioned Parquet tile store — the Spark-native replacement for
+the reference's entire geo_index + tile-file machinery (SURVEY §1.4,
+§2.1 S7/S8/S10/S11/S12; geo_index.py, ATL06_tiles.py:30-140).
+
+Layout contract:
+  <root>/tile_x=<meters>/tile_y=<meters>/part-*.parquet
+with rows inside each file sorted by (bin_x, bin_y, <order cols>) —
+exactly the reference's per-bin groups sorted by (bin, time)
+(ATL06_tiles.py:81-98), re-expressed so that:
+
+- a box query on tile columns = Catalyst partition pruning (no file
+  even opened outside the box);
+- a box query on bin columns = Parquet row-group skipping (min/max
+  stats are tight because of the write-time sort);
+- the reference's "index files", "offset runs", "run coalescing" and
+  "hierarchical index of indices" all dissolve: the directory layout
+  IS the index, and a union view over per-cycle roots gives the
+  hierarchy (Catalyst prunes partitions across unions).
+
+At 100 TB: tiles are the unit of parallel write (repartition by tile
+key spreads executors), bins the unit of scan skipping. Default sizes
+follow production settings: 10 km bins, 100 km tiles
+(index_AA_ATL06.py:37, ATL06_tiles.py:278-279).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pointdatabase_spark.functions.binning import bin_center
+
+DEFAULT_BIN = (10_000.0, 10_000.0)
+DEFAULT_TILE = (100_000.0, 100_000.0)
+
+
+def with_tile_bins(df: DataFrame, bin_delta=DEFAULT_BIN, tile_delta=DEFAULT_TILE,
+                   x: str = "x", y: str = "y") -> DataFrame:
+    """Attach bin (round-convention center, geo_index.py:76) and tile
+    (floor-convention corner, ATL06_tiles.py:41-52) key columns.
+    Tile keys are long meters — partition values must be integral."""
+    return (df
+            .withColumn("bin_x", bin_center(x, bin_delta[0]))
+            .withColumn("bin_y", bin_center(y, bin_delta[1]))
+            .withColumn("tile_x",
+                        (F.floor(F.col(x) / tile_delta[0]) * int(tile_delta[0])).cast("long"))
+            .withColumn("tile_y",
+                        (F.floor(F.col(y) / tile_delta[1]) * int(tile_delta[1])).cast("long")))
+
+
+def write_tiles(df: DataFrame, path: str, bin_delta=DEFAULT_BIN,
+                tile_delta=DEFAULT_TILE, x: str = "x", y: str = "y",
+                order_cols: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """Materialize a point set as the partitioned tile store
+    (make_tile write loop, ATL06_tiles.py:99-106, as ONE Spark job).
+
+    repartition by tile key → each tile written by one task (no tiny
+    files); sortWithinPartitions by (bin, time) → tight Parquet
+    min/max stats for bin pruning. ``partitionOverwriteMode=dynamic``
+    makes per-tile recompute idempotent (the reference's queue re-runs).
+    """
+    order_cols = order_cols if order_cols is not None else ["delta_time"]
+    keyed = with_tile_bins(df, bin_delta, tile_delta, x=x, y=y)
+    (keyed
+     .repartition("tile_x", "tile_y")
+     .sortWithinPartitions("bin_x", "bin_y", *order_cols)
+     .write
+     .mode(mode)
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("tile_x", "tile_y")
+     .parquet(path))
+
+
+def read_tiles(spark: SparkSession, path: str) -> DataFrame:
+    """Open the tile store (read_tile, ATL06_tiles.py:109-140 — but
+    lazily over the whole store; Catalyst prunes)."""
+    return spark.read.parquet(path)
+
+
+def query_box(spark: SparkSession, path: str, xr: tuple[float, float],
+              yr: tuple[float, float], bin_delta=DEFAULT_BIN,
+              tile_delta=DEFAULT_TILE, fields: list[str] | None = None,
+              strict: bool = True) -> DataFrame:
+    """The reference's canonical read path (query_xy_box,
+    geo_index.py:387-475) as one declarative plan:
+
+    1. tile predicate  → partition pruning (directories skipped)
+    2. bin predicate   → Parquet row-group skipping via sorted stats
+    3. strict residual → exact x/y box filter (geo_index strict re-filter)
+    4. projection      → Parquet column pruning
+    """
+    df = read_tiles(spark, path)
+    # tiles overlapping the box (floor corners)
+    tx0 = _floor_mult(xr[0], tile_delta[0])
+    tx1 = _floor_mult(xr[1], tile_delta[0])
+    ty0 = _floor_mult(yr[0], tile_delta[1])
+    ty1 = _floor_mult(yr[1], tile_delta[1])
+    df = df.where(F.col("tile_x").between(tx0, tx1)
+                  & F.col("tile_y").between(ty0, ty1))
+    # bins whose centers could hold points in the box (round convention
+    # → a bin centered at c covers [c-Δ/2, c+Δ/2])
+    df = df.where(F.col("bin_x").between(xr[0] - bin_delta[0] / 2,
+                                         xr[1] + bin_delta[0] / 2)
+                  & F.col("bin_y").between(yr[0] - bin_delta[1] / 2,
+                                           yr[1] + bin_delta[1] / 2))
+    if strict:
+        df = df.where(F.col("x").between(*xr) & F.col("y").between(*yr))
+    return df.select(*fields) if fields else df
+
+
+def query_bins(spark: SparkSession, path: str,
+               bins: list[tuple[float, float]], pad: int = 0,
+               bin_delta=DEFAULT_BIN) -> DataFrame:
+    """Bin-membership probe (query_xy geo_index.py:384-395) with
+    optional neighborhood dilation (pad_bins geo_index.py:591-603)."""
+    if pad:
+        dil = set()
+        for bx, by in bins:
+            for dx in range(-pad, pad + 1):
+                for dy in range(-pad, pad + 1):
+                    dil.add((bx + dx * bin_delta[0], by + dy * bin_delta[1]))
+        bins = sorted(dil)
+    df = read_tiles(spark, path)
+    pred = F.struct(F.col("bin_x"), F.col("bin_y")).isin(
+        [F.struct(F.lit(float(bx)), F.lit(float(by))) for bx, by in bins])
+    return df.where(pred)
+
+
+def bin_catalog(df: DataFrame, order_col: str | None = None) -> DataFrame:
+    """The optional geo_bins catalog (SURVEY §2.4 A3, FIXTURES §2):
+    per-bin bookkeeping the reference stored as index entries
+    (geo_index.from_xy, geo_index.py:76-94). One groupBy, pushdown-
+    friendly aggregates only."""
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max")]
+    if order_col:
+        aggs += [F.min(order_col).alias("t_min"), F.max(order_col).alias("t_max")]
+    return df.groupBy("bin_x", "bin_y").agg(*aggs)
+
+
+def _floor_mult(v: float, delta: float) -> int:
+    import math
+    return int(math.floor(v / delta) * delta)
