@@ -170,18 +170,21 @@ def _crossings_chunked(P, Q):
 
 def _plane_fit(x4, y4, h4):
     """calc_slope's 4×4 system (cross_ATL06_tile.py:116-123): solve
-    [dx, dy, 1_a, 1_b] · m = h for the crossover-local plane. lstsq for
-    robustness to degenerate geometry."""
-    G = np.zeros((4, 4))
-    G[:, 0] = x4 - x4.mean()
-    G[:, 1] = y4 - y4.mean()
-    G[:, 2] = [1, 1, 0, 0]
-    G[:, 3] = [0, 0, 1, 1]
-    try:
-        m, *_ = np.linalg.lstsq(G, h4, rcond=None)
-        return float(m[0]), float(m[1])
-    except np.linalg.LinAlgError:
+    [dx, dy, 1_a, 1_b] · m = h for the crossover-local plane.
+
+    Closed form: subtracting the two equations within each track
+    eliminates the per-track intercepts, leaving a 2×2 system in
+    (slope_x, slope_y) solved by Cramer's rule — algebraically identical
+    to the reference's lstsq on the (nonsingular) 4×4, and exactly
+    reproducible in the SQL oracle. Singular geometry (the two
+    point-pair chords parallel) → NaN.
+    """
+    a1, b1, r1 = x4[0] - x4[1], y4[0] - y4[1], h4[0] - h4[1]
+    a2, b2, r2 = x4[2] - x4[3], y4[2] - y4[3], h4[2] - h4[3]
+    det = a1 * b2 - a2 * b1
+    if det == 0:
         return float("nan"), float("nan")
+    return float((r1 * b2 - r2 * b1) / det), float((a1 * r2 - a2 * r1) / det)
 
 
 def _refine_pair(pdf: pd.DataFrame) -> pd.DataFrame:

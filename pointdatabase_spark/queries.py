@@ -603,3 +603,60 @@ def date_from_filename_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("o_orderkey",
                     timeconv.date_to_matlab(d).alias("matlab_day"),
                     timeconv.date_to_decimal_year(d).alias("dec_year"))
+
+
+# --------------------------------------------------------------------------
+# J3/J4/J7/A6/A7 crossover analysis end-to-end (SURVEY §3.3) on the
+# synthetic straight-line track table (16 tracks, 64 h×v crossings).
+# Oracle: exact all-pairs segment intersection in SQL, mirroring the
+# kernel's arithmetic term-for-term (integer-valued inputs make every
+# double op bit-identical across engines).
+# --------------------------------------------------------------------------
+
+_XOVER_ORACLE = testkit.syn_tracks_cte() + """
+, seg AS (
+  SELECT CAST(rgt AS VARCHAR) AS tid, t, x, y, h,
+         lead(x) OVER w AS x2, lead(y) OVER w AS y2,
+         lead(h) OVER w AS h2, lead(t) OVER w AS t2
+  FROM tr WINDOW w AS (PARTITION BY rgt ORDER BY t)
+), cand AS (
+  SELECT a.tid AS tid_a, b.tid AS tid_b,
+         a.x AS ax, a.y AS ay, a.h AS ah, a.t AS ta1,
+         a.x2 AS ax2, a.y2 AS ay2, a.h2 AS ah2, a.t2 AS ta2,
+         b.x AS bx, b.y AS by, b.h AS bh, b.t AS tb1,
+         b.x2 AS bx2, b.y2 AS by2, b.h2 AS bh2, b.t2 AS tb2,
+         (a.x2 - a.x) AS dpx, (a.y2 - a.y) AS dpy,
+         (b.x2 - b.x) AS dqx, (b.y2 - b.y) AS dqy,
+         (a.x - b.x) AS d0x, (a.y - b.y) AS d0y
+  FROM seg a JOIN seg b ON a.tid < b.tid
+  WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL
+), sol AS (
+  SELECT *,
+         -(d0x * dqy - d0y * dqx) / (dpx * dqy - dpy * dqx) AS la,
+         -(d0x * dpy - d0y * dpx) / (dpx * dqy - dpy * dqx) AS lb
+  FROM cand
+  WHERE dpx * dqy - dpy * dqx <> 0
+)
+SELECT tid_a, tid_b,
+       ax + la * dpx AS x, ay + la * dpy AS y,
+       la AS l_a, lb AS l_b,
+       ta1 * (1 - la) + ta2 * la AS t_a,
+       tb1 * (1 - lb) + tb2 * lb AS t_b,
+       ah * (1 - la) + ah2 * la AS h_a,
+       bh * (1 - lb) + bh2 * lb AS h_b,
+       ((ah - ah2) * (by - by2) - (bh - bh2) * (ay - ay2))
+         / ((ax - ax2) * (by - by2) - (bx - bx2) * (ay - ay2)) AS slope_x,
+       ((ax - ax2) * (bh - bh2) - (bx - bx2) * (ah - ah2))
+         / ((ax - ax2) * (by - by2) - (bx - bx2) * (ay - ay2)) AS slope_y,
+       (bh * (1 - lb) + bh2 * lb) - (ah * (1 - la) + ah2 * la) AS delta_h,
+       ((ah * (1 - la) + ah2 * la) + (bh * (1 - lb) + bh2 * lb)) / 2 AS bar_h
+FROM sol
+WHERE la >= 0 AND la < 1 AND lb >= 0 AND lb < 1
+"""
+
+
+@query("crossover_analysis", oracle=_XOVER_ORACLE)
+def crossover_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import crossover
+    tr = testkit.syn_tracks(spark, sf_dir)
+    return crossover.crossovers(tr, ["rgt"], delta_coarse=1000.0)

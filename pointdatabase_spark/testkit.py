@@ -44,6 +44,46 @@ SELECT
 FROM lineitem
 """
 
+# Synthetic *track* table for the crossover pipeline: 16 straight-line
+# tracks derived from `part` (8 roughly-horizontal, 8 roughly-vertical,
+# small integer drift slopes), so every h×v pair crosses exactly once
+# (64 crossovers) and every coordinate/height is integer-valued —
+# segment-intersection arithmetic is then bit-identical between Spark's
+# NumPy kernel and the DuckDB oracle. `p_partkey <= 2000` pins the same
+# track set at every scale factor.
+SYN_TRACKS_SQL = """
+SELECT
+  CAST(p_partkey % 16 AS INT)                                   AS rgt,
+  1                                                             AS cycle,
+  CAST((p_partkey - p_partkey % 16) / 16 AS DOUBLE)             AS t,
+  CAST(CASE WHEN p_partkey % 16 < 8
+       THEN ((p_partkey - p_partkey % 16) / 16 - 62) * 400
+       ELSE (p_partkey % 16 - 12) * 6000 + 500
+            + ((p_partkey - p_partkey % 16) / 16 - 62) * (p_partkey % 16 - 4) * 5
+       END AS DOUBLE)                                           AS x,
+  CAST(CASE WHEN p_partkey % 16 < 8
+       THEN (p_partkey % 16 - 4) * 6000 + 300
+            + ((p_partkey - p_partkey % 16) / 16 - 62) * (p_partkey % 16 + 2) * 7
+       ELSE ((p_partkey - p_partkey % 16) / 16 - 62) * 400
+       END AS DOUBLE)                                           AS y,
+  CAST(1000 + (p_partkey % 16) * 100
+       + (p_partkey - p_partkey % 16) / 16 * 3 AS DOUBLE)       AS h
+FROM part
+WHERE p_partkey <= 2000
+"""
+
+
+def syn_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic straight-line track table, as a DataFrame."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(SYN_TRACKS_SQL)
+
+
+def syn_tracks_cte(alias: str = "tr") -> str:
+    """DuckDB-side CTE prefix producing the identical track table."""
+    return f"WITH {alias} AS ({SYN_TRACKS_SQL})"
+
+
 # Second point source (events-derived) for union / semi / anti joins.
 SYN_POINTS2_SQL = """
 SELECT
