@@ -1,0 +1,135 @@
+"""Text-analysis column functions for large-scale training-data
+pipelines (language-ID, quality scoring, token counting, document
+fingerprinting) — all pure built-in expressions (whole-stage codegen,
+no Python UDFs), so they vectorize JVM-side and scale to 100 TB of
+documents with zero serialization overhead.
+
+Each feature is defined ONCE as a pair of expression templates —
+``SPARK`` (Spark SQL) and ``DUCK`` (DuckDB SQL) — kept side by side so
+the correctness oracle provably computes the identical arithmetic.
+Differences are confined to engine spelling (``size``/``len``,
+``filter``/``list_filter``, 1-based ``element_at`` vs DuckDB's 1-based
+``[i]``, regexp_replace 'g' flag).
+
+Hashing is md5-based everywhere (both engines ship bit-identical md5);
+integer digests come from hex prefixes, kept ≤ 48 bits so every
+arithmetic step is exact in BIGINT/DOUBLE on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# English function-word markers for the stopword-ratio features. The
+# synthetic corpus is a shared word-soup, so the *heuristic* is what is
+# under test, not classifier accuracy.
+STOPWORDS_EN = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+# ---------------------------------------------------------------------------
+# Feature templates: name -> (spark_sql_template, duckdb_sql_template).
+# `{c}` is the text column. Templates mirror each other term for term.
+# ---------------------------------------------------------------------------
+
+_TOK_S = "split({c}, '\\\\s+')"
+_TOK_D = "string_split_regex({c}, '\\s+')"
+
+FEATURES: dict[str, tuple[str, str]] = {
+    # --- token counting ---------------------------------------------------
+    "n_chars_calc": ("CAST(length({c}) AS BIGINT)", "length({c})"),
+    "n_tokens": (f"CAST(size({_TOK_S}) AS BIGINT)", f"len({_TOK_D})"),
+    "n_distinct_tokens": (f"CAST(size(array_distinct({_TOK_S})) AS BIGINT)",
+                          f"len(list_distinct({_TOK_D}))"),
+    # BPE-ish subword count: ≤4-letter chunks + digits + symbol bytes.
+    "n_tokens_bpe": (
+        "CAST(size(regexp_extract_all(lower({c}), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\\\s]', 0)) AS BIGINT)",
+        "len(regexp_extract_all(lower({c}), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]'))"),
+    "mean_token_len": (
+        f"CAST(length(regexp_replace({{c}}, '\\\\s', '')) AS DOUBLE) / size({_TOK_S})",
+        f"CAST(length(regexp_replace({{c}}, '\\s', '', 'g')) AS DOUBLE) / len({_TOK_D})"),
+    # --- quality features -------------------------------------------------
+    "stop_ratio": (
+        f"CAST(size(filter({_TOK_S}, t -> t IN ({_STOPLIST}))) AS DOUBLE) / size({_TOK_S})",
+        f"CAST(len(list_filter({_TOK_D}, t -> t IN ({_STOPLIST}))) AS DOUBLE) / len({_TOK_D})"),
+    "punct_ratio": (
+        "CAST(length(regexp_replace({c}, '[^.,!?;:]', '')) AS DOUBLE) / length({c})",
+        "CAST(length(regexp_replace({c}, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length({c})"),
+    "alpha_ratio": (
+        "CAST(length(regexp_replace({c}, '[^A-Za-z]', '')) AS DOUBLE) / length({c})",
+        "CAST(length(regexp_replace({c}, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length({c})"),
+    # --- fingerprints -----------------------------------------------------
+    # 48-bit md5-prefix digest (exact in BIGINT both sides).
+    "fp48": (
+        "CAST(conv(substr(md5({c}), 1, 12), 16, 10) AS BIGINT)",
+        "CAST(list_sum(list_transform(range(6), i ->"
+        " (strpos('0123456789abcdef', substr(md5({c}), CAST(i + 1 AS INT), 1)) - 1)"
+        " * 16.0 ** (5 - i))) AS BIGINT) * 16777216"
+        " + CAST(list_sum(list_transform(range(6), i ->"
+        " (strpos('0123456789abcdef', substr(md5({c}), CAST(i + 7 AS INT), 1)) - 1)"
+        " * 16.0 ** (5 - i))) AS BIGINT)"),
+    # Rabin-style rolling hash over the token stream, base 31 mod 2^31-1;
+    # per-token digest = 24-bit md5 prefix (every step exact in 64-bit).
+    "rolling_fp": (
+        f"aggregate({_TOK_S}, 0L, (acc, t) ->"
+        " (acc * 31 + CAST(conv(substr(md5(t), 1, 6), 16, 10) AS BIGINT))"
+        " % 2147483647)",
+        f"list_reduce([CAST(0 AS BIGINT)] || list_transform({_TOK_D}, t ->"
+        " CAST(CAST(list_sum(list_transform(range(6), i ->"
+        " (strpos('0123456789abcdef', substr(md5(t), CAST(i + 1 AS INT), 1)) - 1)"
+        " * 16.0 ** (5 - i))) AS BIGINT) AS BIGINT)),"
+        " (acc, t) -> (acc * 31 + t) % 2147483647)"),
+    # min-shingle fingerprint: lexicographic min md5 over word 3-grams.
+    "min_shingle_md5": (
+        f"array_min(transform(sequence(1, size({_TOK_S}) - 2), i ->"
+        f" md5(concat_ws(' ', element_at({_TOK_S}, i),"
+        f" element_at({_TOK_S}, i + 1), element_at({_TOK_S}, i + 2)))))",
+        f"list_min(list_transform(range(1, len({_TOK_D}) - 1), i ->"
+        f" md5({_TOK_D}[i] || ' ' || {_TOK_D}[i + 1] || ' ' || {_TOK_D}[i + 2])))"),
+}
+
+# Derived features expressed over base features (same formula both sides).
+_QUALITY_TMPL = ("least(1.0D, {n_tokens} / 100.0) * 0.4"
+                 " + least(1.0D, {stop_ratio} * 8.0) * 0.3"
+                 " + (1.0 - least(1.0D, {punct_ratio} * 10.0)) * 0.3")
+_LANG_TMPL = "CASE WHEN {stop_ratio} >= 0.04 THEN 'en' ELSE 'und' END"
+
+
+def _render(name: str, col: str, engine: int) -> str:
+    return FEATURES[name][engine].format(c=col)
+
+
+def spark_expr(name: str, col: str) -> Column:
+    """Spark Column for a named text feature over text column `col`."""
+    return F.expr(_render(name, col, 0))
+
+
+def duckdb_expr(name: str, col: str) -> str:
+    """DuckDB SQL fragment computing the identical feature."""
+    return _render(name, col, 1)
+
+
+def _quality(engine: int, col: str) -> str:
+    t = _QUALITY_TMPL.replace("1.0D", "1.0") if engine else _QUALITY_TMPL
+    return t.format(n_tokens=_render("n_tokens", col, engine),
+                    stop_ratio=_render("stop_ratio", col, engine),
+                    punct_ratio=_render("punct_ratio", col, engine))
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality score (length / stopword / punctuation)."""
+    return F.expr(_quality(0, col))
+
+
+def quality_score_sql(col: str) -> str:
+    return _quality(1, col)
+
+
+def language_id(col: str) -> Column:
+    """Stopword-ratio language heuristic → 'en' / 'und'."""
+    return F.expr(_LANG_TMPL.format(stop_ratio=_render("stop_ratio", col, 0)))
+
+
+def language_id_sql(col: str) -> str:
+    return _LANG_TMPL.format(stop_ratio=_render("stop_ratio", col, 1))

@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+
+Spark-first design notes (100 TB shape):
+
+- **Signatures are per-row expressions** (no UDFs, no shuffle): shingle
+  sets, MinHash arrays, and SimHash integers are computed inside
+  whole-stage codegen via array lambdas. The only shuffles are the
+  LSH band-bucket self-join and the final distinct — exactly the
+  shuffles the algorithm requires.
+- **The band join carries keys, not documents.** Only (id, band-key)
+  pairs shuffle (a few dozen bytes/row at any document size); shingle
+  sets are re-joined only for the *candidate* pairs that survive
+  banding, so the expensive payload never fans out 9×.
+- **Skew**: identical boilerplate docs make hot band keys. AQE skew
+  join handles moderate cases; for pathological corpora, cap bucket
+  size with a count-filter on band keys before the join (the classic
+  "drop mega-clusters, they're exact dups anyway" trick).
+
+All hashing is md5-based so the DuckDB correctness oracle reproduces
+results bit-for-bit (see queries.py). Capability extends the reference
+engine's file-identity dedup (geo_index.py:129-156) to content-level
+near-dup at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 32-bit integer digest from an md5 hex prefix — exact in BIGINT.
+_H32 = "CAST(conv(substr(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def shingle_expr(tok_col: str, n: int = 3) -> str:
+    """Distinct word n-gram array over a token-array column (1-based
+    element_at keeps parity with DuckDB list indexing)."""
+    parts = ", ".join(f"element_at({tok_col}, i + {k})" for k in range(n))
+    return (f"CASE WHEN size({tok_col}) >= {n} THEN "
+            f"array_distinct(transform(sequence(1, size({tok_col}) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts}))) "
+            f"ELSE array() END")
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), r"\s+").alias("t"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by full-content hash: one row per
+    duplicated fingerprint with the survivor id and copy count."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") >= 2))
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, s) with s = distinct word n-gram set — the near-dup unit."""
+    return (_tokens(df, id_col, text_col)
+            .select("id", F.expr(shingle_expr("t", n)).alias("s"))
+            .where(F.size("s") > 0))
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """MinHash signature array per doc: hash family k = md5 seeded by
+    the hash index; min taken lexicographically over fixed-width hex
+    (equivalent to numeric min of the 128-bit digest). Pure per-row
+    expression — computed map-side, no shuffle."""
+    return sh.withColumn("mh", F.expr(
+        f"transform(sequence(0, {n_hashes - 1}), k -> "
+        "array_min(transform(s, x -> md5(concat(CAST(k AS STRING), '|', x)))))"))
+
+
+def lsh_band_keys(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Explode each signature into `bands` bucket keys of `rows`
+    minhashes each. Docs sharing any bucket key become candidates."""
+    band_arr = (f"transform(sequence(0, {bands - 1}), j -> "
+                f"md5(concat(CAST(j AS STRING), '|', "
+                + ", ".join(f"element_at(mh, j * {rows} + {k + 1})"
+                            for k in range(rows)) + ")))")
+    return sig.select("id", F.explode(F.expr(band_arr)).alias("bkey"))
+
+
+def jaccard_verify(cand: DataFrame, sh: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only."""
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (cand
+            .join(sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa")),
+                  "id_a")
+            .join(sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb")),
+                  "id_b")
+            .withColumn("inter", inter)
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.size("sa") + F.size("sb") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    n_hashes: int = 8, bands: int = 4,
+                    threshold: float = 0.5) -> DataFrame:
+    """MinHash → LSH banding → exact-Jaccard verification."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    band = lsh_band_keys(minhash_signatures(sh, n_hashes),
+                         bands, n_hashes // bands)
+    a, b = band.alias("a"), band.alias("b")
+    cand = (a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    return jaccard_verify(cand, sh, threshold)
+
+
+def simhash_expr(bits: int = 32) -> str:
+    """SimHash over a BIGINT token-hash array column `hs`: per bit,
+    sign of the +1/−1 vote sum across the hash set. shiftleft on a
+    BIGINT one avoids 32-bit overflow at high bit positions."""
+    return (f"aggregate(sequence(0, {bits - 1}), 0L, (acc, k) -> acc + "
+            "CASE WHEN aggregate(hs, 0L, (a, h) -> a + "
+            "CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+            "THEN shiftleft(CAST(1 AS BIGINT), k) ELSE 0 END)")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32, n: int = 3) -> DataFrame:
+    """SimHash over word n-gram shingles (n-grams, not unigrams — a
+    shared-vocabulary corpus makes unigram votes collapse to near-equal
+    signatures; shingles keep unrelated docs far apart in hamming
+    space)."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    hs = "transform(s, x -> " + _H32.format(s="x") + ")"
+    return (sh.withColumn("hs", F.expr(hs))
+            .select("id", F.expr(simhash_expr(bits)).alias("simhash")))
+
+
+def simhash_neardup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", bits: int = 32, n: int = 3,
+                    bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: byte-band blocking (4 bands of 8 bits on
+    a 32-bit signature — pigeonhole guarantees recall for hamming ≤ 3),
+    then exact hamming filter on the candidates."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sim = simhash(df, id_col, text_col, bits, n)
+    band = sim.select(
+        "id", "simhash",
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), j -> "
+            f"struct(j AS bid, shiftright(simhash, j * {width}) & {mask} AS key))"
+        )).alias("b")
+    ).select("id", "simhash", F.col("b.bid").alias("bid"),
+             F.col("b.key").alias("key"))
+    a, b = band.alias("a"), band.alias("b")
+    return (a.join(b, (F.col("a.bid") == F.col("b.bid"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
+                    .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 2, threshold: float = 0.2) -> DataFrame:
+    """All-pairs exact n-gram Jaccard within blocking groups (e.g. same
+    language). Blocking bounds the quadratic term; at scale the blocked
+    self-join shuffles on the group key and AQE splits skewed groups."""
+    sh = (df.select(F.col(id_col).alias("id"), *group_cols,
+                    F.split(F.col(text_col), r"\s+").alias("t"))
+          .select("id", *group_cols,
+                  F.expr(shingle_expr("t", n)).alias("s"))
+          .where(F.size("s") > 0))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    on = (F.col("a.id") < F.col("b.id"))
+    for g in group_cols:
+        on = on & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    return (a.join(b, on)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    (inter / (F.size(F.col("a.s")) + F.size(F.col("b.s"))
+                              - inter)).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

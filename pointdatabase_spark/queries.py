@@ -660,3 +660,184 @@ def crossover_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import crossover
     tr = testkit.syn_tracks(spark, sf_dir)
     return crossover.crossovers(tr, ["rgt"], delta_coarse=1000.0)
+
+
+# --------------------------------------------------------------------------
+# Training-data-pipeline text analysis over `documents` (token counting,
+# quality scoring, language-ID heuristic, fingerprints). All pure
+# built-in expressions (functions/text.py) — JVM-side, codegen'd — with
+# DuckDB oracles rendered from the SAME templates.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.functions import text as _text  # noqa: E402
+
+_TOKSTATS_ORACLE = f"""
+SELECT doc_id,
+       {_text.duckdb_expr('n_chars_calc', 'text')}     AS n_chars_calc,
+       {_text.duckdb_expr('n_tokens', 'text')}         AS n_tokens,
+       {_text.duckdb_expr('n_tokens_bpe', 'text')}     AS n_tokens_bpe,
+       {_text.duckdb_expr('n_distinct_tokens', 'text')} AS n_distinct_tokens,
+       {_text.duckdb_expr('mean_token_len', 'text')}   AS mean_token_len
+FROM documents
+"""
+
+
+@query("text_token_stats", oracle=_TOKSTATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _text.spark_expr("n_chars_calc", "text").alias("n_chars_calc"),
+        _text.spark_expr("n_tokens", "text").alias("n_tokens"),
+        _text.spark_expr("n_tokens_bpe", "text").alias("n_tokens_bpe"),
+        _text.spark_expr("n_distinct_tokens", "text").alias("n_distinct_tokens"),
+        _text.spark_expr("mean_token_len", "text").alias("mean_token_len"))
+
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id, lang,
+       {_text.duckdb_expr('stop_ratio', 'text')}  AS stop_ratio,
+       {_text.duckdb_expr('punct_ratio', 'text')} AS punct_ratio,
+       {_text.duckdb_expr('alpha_ratio', 'text')} AS alpha_ratio,
+       {_text.quality_score_sql('text')}          AS quality,
+       {_text.language_id_sql('text')}            AS lang_pred
+FROM documents
+"""
+
+
+@query("text_quality_language", oracle=_QUALITY_ORACLE)
+def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang",
+        _text.spark_expr("stop_ratio", "text").alias("stop_ratio"),
+        _text.spark_expr("punct_ratio", "text").alias("punct_ratio"),
+        _text.spark_expr("alpha_ratio", "text").alias("alpha_ratio"),
+        _text.quality_score("text").alias("quality"),
+        _text.language_id("text").alias("lang_pred"))
+
+
+_FPRINT_ORACLE = f"""
+SELECT doc_id,
+       {_text.duckdb_expr('fp48', 'text')}            AS fp48,
+       {_text.duckdb_expr('rolling_fp', 'text')}      AS rolling_fp,
+       {_text.duckdb_expr('min_shingle_md5', 'text')} AS min_shingle_md5
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=_FPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _text.spark_expr("fp48", "text").alias("fp48"),
+        _text.spark_expr("rolling_fp", "text").alias("rolling_fp"),
+        _text.spark_expr("min_shingle_md5", "text").alias("min_shingle_md5"))
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (training-data pipeline): exact, MinHash+LSH, SimHash,
+# n-gram Jaccard — on the dedup corpus with planted exact/near dups.
+# Oracles mirror the md5-based hashing term for term.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import dedup as _dedup  # noqa: E402
+
+_EXACT_DEDUP_ORACLE = testkit.syn_corpus_cte() + """
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+@query("exact_dedup", oracle=_EXACT_DEDUP_ORACLE)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(testkit.syn_corpus(spark, sf_dir))
+
+
+_MINHASH_ORACLE = testkit.syn_corpus_cte() + r"""
+, tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
+sh AS (
+  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+  FROM tok),
+sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
+sig AS (
+  SELECT id, list_transform(range(8), k ->
+         list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || '|' || x)))) AS mh
+  FROM sh2),
+band AS (
+  SELECT id, md5(CAST(j AS VARCHAR) || '|' ||
+         mh[CAST(j * 2 + 1 AS INT)] || mh[CAST(j * 2 + 2 AS INT)]) AS bkey
+  FROM sig, (SELECT unnest(range(4)) AS j) _j),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band a JOIN band b ON a.bkey = b.bkey AND a.id < b.id)
+SELECT id_a, id_b,
+       len(list_intersect(sa.s, sb.s))
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+FROM cand JOIN sh2 sa ON sa.id = cand.id_a JOIN sh2 sb ON sb.id = cand.id_b
+WHERE len(list_intersect(sa.s, sb.s))
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+"""
+
+
+@query("minhash_lsh_neardup", oracle=_MINHASH_ORACLE)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_neardup(testkit.syn_corpus(spark, sf_dir))
+
+
+_SIMHASH_ORACLE = testkit.syn_corpus_cte() + r"""
+, tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
+sh AS (
+  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+  FROM tok),
+th AS (SELECT id, list_transform(s, x ->
+         CAST(list_sum(list_transform(range(8), i ->
+           (strpos('0123456789abcdef', substr(md5(x), CAST(i + 1 AS INT), 1)) - 1)
+           * 16.0 ** (7 - i))) AS BIGINT)) AS hs
+       FROM sh WHERE len(s) > 0),
+sim AS (SELECT id, CAST(list_sum(list_transform(range(32), k ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+                 CASE WHEN (h >> CAST(k AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM th),
+band AS (
+  SELECT id, simhash, CAST(j AS INT) AS bid,
+         (simhash >> CAST(j * 8 AS INT)) & 255 AS key
+  FROM sim, (SELECT unnest(range(4)) AS j) _j),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM band a JOIN band b
+    ON a.bid = b.bid AND a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
+@query("simhash_neardup", oracle=_SIMHASH_ORACLE)
+def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_neardup(testkit.syn_corpus(spark, sf_dir))
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+WITH tok AS (SELECT doc_id AS id, lang,
+                    string_split_regex(text, '\s+') AS t FROM documents),
+sh AS (SELECT id, lang, list_distinct(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i + 1])) AS s
+       FROM tok),
+sh2 AS (SELECT id, lang, s FROM sh WHERE len(s) > 0)
+SELECT a.id AS id_a, b.id AS id_b,
+       len(list_intersect(a.s, b.s))
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh2 a JOIN sh2 b ON a.lang = b.lang AND a.id < b.id
+WHERE len(list_intersect(a.s, b.s))
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+"""
+
+
+@query("ngram_jaccard_neardup", oracle=_NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _dedup.ngram_jaccard_pairs(docs, ["lang"], n=2, threshold=0.2)

@@ -84,6 +84,31 @@ def syn_tracks_cte(alias: str = "tr") -> str:
     return f"WITH {alias} AS ({SYN_TRACKS_SQL})"
 
 
+# Dedup corpus: base documents plus planted exact duplicates (every
+# 7th doc re-ingested under a new id) and near-duplicates (every 11th
+# doc truncated by 15 chars). Pure substr/concat → identical in both
+# engines.
+SYN_CORPUS_SQL = """
+SELECT doc_id, lang, source, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, lang, source, text
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, lang, source,
+       substr(text, 1, length(text) - 15) AS text
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def syn_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(SYN_CORPUS_SQL)
+
+
+def syn_corpus_cte(alias: str = "corpus") -> str:
+    return f"WITH {alias} AS ({SYN_CORPUS_SQL})"
+
+
 # Second point source (events-derived) for union / semi / anti joins.
 SYN_POINTS2_SQL = """
 SELECT
