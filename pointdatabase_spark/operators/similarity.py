@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>) —
+brute-force cosine top-k baseline and a random-hyperplane LSH-bucketed
+ANN scale path.
+
+Scale design (100 TB / billions of vectors):
+
+- **Brute force** is the correctness baseline: a broadcast join of the
+  (small) query set against the corpus — one corpus scan, no shuffle of
+  the corpus, per-partition top-k then a tiny global top-k merge
+  (Spark's Window + row_number under AQE does partial ranking
+  map-side).
+- **LSH path**: each vector gets a b-bit signed-random-projection
+  bucket computed map-side as a pure expression (the hyperplane matrix
+  is a broadcast literal). Candidates are vectors in the *same bucket*
+  as a query — the join key is the bucket id, so the corpus shuffles
+  once by bucket (or is written bucketed-by-bucket up front) and each
+  query probes ~1/2^b of the data. Recall/cost trades by b; multiple
+  hash tables = union over t independent plane sets.
+- All arithmetic is CAST-to-double, sequential accumulation, so the
+  DuckDB oracle reproduces every value bit-for-bit.
+
+The hyperplane weights derive from md5 (available identically in
+Python's hashlib, Spark, and DuckDB): w[p][i] =
+(int(md5(f"{p}_{i}")[:8], 16) % 2001 - 1000) / 1000.0.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic signed-random-projection matrix (md5-derived)."""
+    return [[(_h32(f"{p}_{i}") % 2001 - 1000) / 1000.0 for i in range(dim)]
+            for p in range(n_planes)]
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential double-precision dot product of two float arrays —
+    term-for-term reproducible in the oracle."""
+    return (f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0D, (acc, v) -> acc + v)")
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return (f"{dot_expr(a, b)} / (sqrt({dot_expr(a, a)})"
+            f" * sqrt({dot_expr(b, b)}))")
+
+
+def plane_dot_expr(vec: str, plane: list[float]) -> str:
+    """Dot of a float-array column with a literal plane (sequential)."""
+    lit = "array(" + ", ".join(f"{w}D" for w in plane) + ")"
+    return dot_expr(vec, lit)
+
+
+def bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    """b-bit SRP bucket id: bit p set iff plane_p · v > 0."""
+    bits = " + ".join(
+        f"(CASE WHEN {plane_dot_expr(vec, pl)} > 0D THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes))
+    return f"CAST({bits} AS BIGINT)"
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id: str = "q_id") -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+    `queries` must be small (it is broadcast)."""
+    from pyspark.sql.window import Window
+    q = queries.select(F.col(id_col).alias(q_id),
+                       F.col(vec_col).alias("_qv"))
+    joined = (corpus.select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("_cv"))
+              .join(F.broadcast(q))
+              .withColumn("cos", F.expr(cosine_expr("_qv", "_cv"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (joined.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(q_id, "vec_id", "cos", "rank"))
+
+
+def with_bucket(df: DataFrame, planes: list[list[float]],
+                vec_col: str = "embedding",
+                out: str = "bucket") -> DataFrame:
+    return df.withColumn(out, F.expr(bucket_expr(vec_col, planes)))
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                 planes: list[list[float]],
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id: str = "q_id") -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket;
+    exact cosine ranking within the bucket. The corpus-side bucket is
+    a map-side expression — the only shuffle is the bucket-key join."""
+    from pyspark.sql.window import Window
+    c = with_bucket(corpus.select(F.col(id_col).alias("vec_id"),
+                                  F.col(vec_col).alias("_cv")),
+                    planes, "_cv")
+    q = with_bucket(queries.select(F.col(id_col).alias(q_id),
+                                   F.col(vec_col).alias("_qv")),
+                    planes, "_qv")
+    joined = (c.join(F.broadcast(q), "bucket")
+              .withColumn("cos", F.expr(cosine_expr("_qv", "_cv"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (joined.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(q_id, "vec_id", "bucket", "cos", "rank"))
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold: float,
+                         planes: list[list[float]] | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs. With `planes`, candidate pairs
+    are bucket-blocked (scalable); without, all-pairs (small corpora /
+    oracle parity)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if planes is not None:
+        base = with_bucket(base, planes, "v")
+        a, b = base.alias("a"), base.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & \
+               (F.col("a.id") < F.col("b.id"))
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+    return (a.join(b, cond)
+            .withColumn("cos", F.expr(cosine_expr("a.v", "b.v")))
+            .where(F.col("cos") >= threshold)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), "cos"))

@@ -841,3 +841,252 @@ WHERE len(list_intersect(a.s, b.s))
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _dedup.ngram_jaccard_pairs(docs, ["lang"], n=2, threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings` (array<float>): brute-force
+# cosine top-k, SRP-LSH bucketed ANN, and cosine near-dup pairs.
+# Oracles rebuild the identical sequential double arithmetic (and the
+# identical md5-derived hyperplanes) in DuckDB SQL.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import similarity as _sim  # noqa: E402
+
+_DIM = 64
+_PLANES = _sim.hyperplanes(6, _DIM)
+
+
+def _duck_dot(a: str, b: str, dim: int = _DIM) -> str:
+    """list_reduce from a prepended 0 — same order as Spark aggregate."""
+    return (f"list_reduce([CAST(0 AS DOUBLE)] || list_transform(range({dim}),"
+            f" i -> CAST({a}[i + 1] AS DOUBLE) * CAST({b}[i + 1] AS DOUBLE)),"
+            " (x, y) -> x + y)")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (f"{_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)})"
+            f" * sqrt({_duck_dot(b, b)}))")
+
+
+def _duck_plane_dot(vec: str, plane: list[float]) -> str:
+    """Left-assoc explicit sum == sequential fold from 0."""
+    terms = " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * CAST({w} AS DOUBLE)"
+        for i, w in enumerate(plane))
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def _duck_bucket(vec: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_duck_plane_dot(vec, pl)} > CAST(0 AS DOUBLE)"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(_PLANES))
+    return f"CAST({bits} AS BIGINT)"
+
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+j AS (SELECT q.q_id, e.vec_id, {_duck_cos('q.qv', 'e.embedding')} AS cos
+      FROM embeddings e, q),
+r AS (SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      FROM j)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 10
+"""
+
+
+@query("cosine_topk", oracle=_COSINE_TOPK_ORACLE)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+_LSH_ANN_ORACLE = f"""
+WITH c AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, bucket
+      FROM c WHERE vec_id < 5),
+j AS (SELECT q.q_id, c.vec_id, c.bucket,
+             {_duck_cos('q.qv', 'c.embedding')} AS cos
+      FROM c JOIN q ON c.bucket = q.bucket),
+r AS (SELECT q_id, vec_id, bucket, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      FROM j)
+SELECT q_id, vec_id, bucket, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+@query("lsh_ann_topk", oracle=_LSH_ANN_ORACLE)
+def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
+                             planes=_PLANES)
+
+
+_EMB_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_duck_cos('a.embedding', 'b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.4
+"""
+
+
+@query("embedding_cosine_neardup", oracle=_EMB_NEARDUP_ORACLE)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# J5/P12 raster-lookup join + mask test: broadcast synthetic grid,
+# pandas-UDF bilinear interp; oracle re-derives the grid from its
+# formula and mirrors the interpolation arithmetic step for step.
+# --------------------------------------------------------------------------
+
+_G = dict(x0=-100000.0, y0=-100000.0, d=2000.0, n=101)
+_ZF = "CAST(({i} * 37 + {j} * 91) % 199 AS DOUBLE)"
+_MF = "CASE WHEN ({i} + {j}) % 3 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+
+
+def _duck_bilinear(zf: str) -> str:
+    corners = {
+        "z00": zf.format(i="i0", j="j0"),
+        "z10": zf.format(i="(i0 + 1)", j="j0"),
+        "z01": zf.format(i="i0", j="(j0 + 1)"),
+        "z11": zf.format(i="(i0 + 1)", j="(j0 + 1)"),
+    }
+    return ("{z00} * (1.0 - fx) * (1.0 - fy) + {z10} * fx * (1.0 - fy)"
+            " + {z01} * (1.0 - fx) * fy + {z11} * fx * fy"
+            ).format(**corners)
+
+
+_RASTER_ORACLE = testkit.syn_points_cte() + f"""
+, g AS (
+  SELECT row_id, x, y,
+         (x - ({_G['x0']})) / {_G['d']} AS gx,
+         (y - ({_G['y0']})) / {_G['d']} AS gy
+  FROM pts),
+c AS (
+  SELECT row_id, x, y, gx, gy,
+         least(greatest(floor(gx), 0.0), {_G['n'] - 2}.0) AS i0d,
+         least(greatest(floor(gy), 0.0), {_G['n'] - 2}.0) AS j0d
+  FROM g),
+f AS (
+  SELECT row_id, x, y, gx - i0d AS fx, gy - j0d AS fy,
+         CAST(i0d AS BIGINT) AS i0, CAST(j0d AS BIGINT) AS j0
+  FROM c)
+SELECT row_id, x, y,
+       {_duck_bilinear(_ZF)} AS z_interp,
+       abs({_duck_bilinear(_MF)} - 1.0) < 0.01 AS grounded
+FROM f
+"""
+
+
+@query("raster_interp_join", oracle=_RASTER_ORACLE)
+def raster_interp_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import raster
+    g = _G
+    zg = raster.grid_from_formula(g["x0"], g["y0"], g["d"], g["d"],
+                                  g["n"], g["n"],
+                                  lambda ii, jj: (ii * 37 + jj * 91) % 199)
+    mg = raster.grid_from_formula(g["x0"], g["y0"], g["d"], g["d"],
+                                  g["n"], g["n"],
+                                  lambda ii, jj: (ii + jj) % 3 == 0)
+    pts = testkit.syn_points(spark, sf_dir).select("row_id", "x", "y")
+    return raster.mask_test(raster.interp_join(pts, zg), mg)
+
+
+# --------------------------------------------------------------------------
+# A7 at scale: per-bin OLS plane fit via exact-integer normal equations
+# (operators/fit.py) — the distributed generalization of calc_slope.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import fit as _fit  # noqa: E402
+
+_PLANE_Z = "CAST(sigma AS BIGINT) * 3 + row_id % 97"
+
+_PLANE_ORACLE = _fit.oracle_sql(testkit.syn_points_cte(), 10000.0,
+                                z_expr=_PLANE_Z)
+
+
+@query("plane_fit_10km", oracle=_PLANE_ORACLE)
+def plane_fit_10km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (testkit.syn_points(spark, sf_dir)
+           .withColumn("z", F.expr(_PLANE_Z)))
+    return _fit.plane_fit_by_bin(pts, 10000.0)
+
+
+# --------------------------------------------------------------------------
+# O3 offset-run coalescing (geo_index.py:410-429) — window run-merge.
+# --------------------------------------------------------------------------
+
+_RUNS_SQL = """
+SELECT DISTINCT CAST(l_suppkey % 10 AS BIGINT) AS file_id,
+       CAST((l_orderkey % 500) * 12 AS BIGINT) AS run_start,
+       CAST((l_orderkey % 500) * 12 + l_quantity AS BIGINT) AS run_end
+FROM lineitem
+"""
+
+_COALESCE_ORACLE = f"WITH runs AS ({_RUNS_SQL})" + """
+, m AS (
+  SELECT file_id, run_start, run_end,
+         max(run_end) OVER (PARTITION BY file_id ORDER BY run_start, run_end
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM runs),
+fl AS (SELECT *, CASE WHEN prev_max IS NULL OR run_start > prev_max + 1
+                      THEN 1 ELSE 0 END AS nf FROM m),
+r AS (SELECT *, SUM(nf) OVER (PARTITION BY file_id ORDER BY run_start, run_end
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid FROM fl)
+SELECT file_id, MIN(run_start) AS run_start, MAX(run_end) AS run_end,
+       COUNT(*) AS n_merged
+FROM r GROUP BY file_id, rid
+"""
+
+
+@query("run_coalescing", oracle=_COALESCE_ORACLE)
+def run_coalescing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import runs as _runs
+    testkit.load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    return _runs.coalesce_runs(spark.sql(_RUNS_SQL), ["file_id"])
+
+
+# --------------------------------------------------------------------------
+# F1 CRS transform: lat/lon → EPSG:3413 polar stereographic x/y via the
+# pure-NumPy pandas UDF (functions/crs.py). numpy and DuckDB libm trig
+# differ in the last ulp (~1e-9 m), so both sides round to 1 mm; the
+# synthetic inputs are deterministic and verified straddle-free.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.functions import crs as _crs  # noqa: E402
+
+_LATLON_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS row_id,
+       CAST(60 AS DOUBLE) + CAST(l_partkey % 3000 AS DOUBLE) / CAST(100 AS DOUBLE) AS lat,
+       CAST(-180 AS DOUBLE) + CAST(l_orderkey % 36000 AS DOUBLE) / CAST(100 AS DOUBLE) AS lon
+FROM lineitem
+"""
+
+_CRS_X, _CRS_Y = _crs.oracle_sql_exprs(1, lat="lat", lon="lon")
+
+_CRS_ORACLE = f"""
+WITH ll AS ({_LATLON_SQL})
+SELECT row_id, lat, lon,
+       round({_CRS_X}, 3) AS x_ps,
+       round({_CRS_Y}, 3) AS y_ps
+FROM ll
+"""
+
+
+@query("crs_polar_stereo", oracle=_CRS_ORACLE)
+def crs_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    testkit.load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    ll = spark.sql(_LATLON_SQL)
+    x, y = _crs.stereo_xy_columns("lat", "lon", hemisphere=1)
+    return ll.select("row_id", "lat", "lon",
+                     F.round(x, 3).alias("x_ps"),
+                     F.round(y, 3).alias("y_ps"))

@@ -1,0 +1,108 @@
+"""Semantic unit tests for the extension operators (dedup, similarity,
+raster, fit, runs, crs) — known-value checks that complement the
+oracle-diff harness."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pointdatabase_spark.functions import crs
+from pointdatabase_spark.operators import dedup, fit, raster, runs, similarity
+
+
+def test_polar_stereo_known_points():
+    # Projection origin: the pole maps to (0, 0); the central meridian
+    # at any latitude maps to x = 0, y < 0 (north).
+    x, y = crs.polar_stereo_forward(np.array([90.0]), np.array([12.0]), 1)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    x, y = crs.polar_stereo_forward(np.array([70.0]), np.array([-45.0]), 1)
+    assert abs(x[0]) < 1e-6 and y[0] < -2e6
+    # At the true-scale latitude the radius matches the defining
+    # constant rho_f * t(phi_ts) — scale factor 1 by construction.
+    rho_f, _ = crs.stereo_constants(1)
+    assert math.isclose(-y[0], rho_f * crs._t_scalar(70 * crs._D2R),
+                        rel_tol=1e-12)
+    # South: Amundsen-Scott (-90) maps to origin in EPSG:3031.
+    x, y = crs.polar_stereo_forward(np.array([-90.0]), np.array([0.0]), -1)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+
+
+def test_bilinear_interp_nodes_and_midpoints():
+    g = raster.grid_from_formula(0.0, 0.0, 1.0, 1.0, 4, 4,
+                                 lambda i, j: i + 10.0 * j)
+    xs = np.array([0.0, 2.0, 0.5, 1.5])
+    ys = np.array([0.0, 1.0, 0.5, 2.5])
+    z = raster._bilinear(g.z, g.x0, g.y0, g.dx, g.dy, xs, ys)
+    # exact at nodes; bilinear of a linear field is exact everywhere
+    assert np.allclose(z, xs + 10.0 * ys)
+
+
+def test_plane_fit_recovers_exact_plane(spark):
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 1000, 200)
+    y = rng.randint(0, 1000, 200)
+    z = 3 * x + 5 * y + 17
+    df = spark.createDataFrame(pd.DataFrame(
+        {"x": x.astype(float), "y": y.astype(float), "z": z.astype(float)}))
+    out = fit.plane_fit_by_bin(df, 1000.0).toPandas()
+    assert len(out) == 1
+    assert math.isclose(out.slope_x[0], 3.0, rel_tol=1e-9)
+    assert math.isclose(out.slope_y[0], 5.0, rel_tol=1e-9)
+
+
+def test_run_coalescing_hand_case(spark):
+    rows = [(1, 0, 5), (1, 6, 8), (1, 10, 12), (1, 11, 20), (2, 0, 1)]
+    df = spark.createDataFrame(rows, "file_id long, run_start long, run_end long")
+    out = (runs.coalesce_runs(df, ["file_id"])
+           .orderBy("file_id", "run_start").toPandas())
+    # [0,5]+[6,8] touch (6 <= 5+1) → merge; [10,12]+[11,20] overlap → merge
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, 0, 8, 2), (1, 10, 20, 2), (2, 0, 1, 1)]
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(30), "embedding": list(map(list, vecs))}))
+    out = similarity.cosine_topk(df, df.where("vec_id < 3"), k=2).toPandas()
+    top1 = out[out["rank"] == 1]
+    assert (top1.vec_id.values == top1.q_id.values).all()
+    assert np.allclose(top1.cos.values, 1.0)
+
+
+def test_exact_dedup_finds_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb cc"), (3, "dd ee ff"), (4, "zz")],
+        "doc_id long, text string")
+    out = dedup.exact_dedup(df).toPandas()
+    assert len(out) == 1
+    assert out.keep_id[0] == 1 and out.n_copies[0] == 2
+
+
+def test_minhash_neardup_identical_docs(spark):
+    base = "w%d " * 30
+    t1 = " ".join(f"w{i}" for i in range(30))
+    t2 = t1  # identical
+    t3 = " ".join(f"v{i}" for i in range(30))  # disjoint
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)],
+                               "doc_id long, text string")
+    out = dedup.minhash_neardup(df).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    assert out[out.id_a == 1].jaccard.iloc[0] == 1.0
+
+
+def test_simhash_identical_zero_hamming(spark):
+    t1 = " ".join(f"w{i}" for i in range(40))
+    t3 = " ".join(f"v{i}" for i in range(40))
+    df = spark.createDataFrame([(1, t1), (2, t1), (3, t3)],
+                               "doc_id long, text string")
+    out = dedup.simhash_neardup(df).toPandas()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.itertuples()}
+    assert pairs.get((1, 2)) == 0
