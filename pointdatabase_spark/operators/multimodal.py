@@ -1,0 +1,84 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines: opaque `binary` payload columns with typed metadata, and a
+decode / feature-extract stage over `mapInPandas`.
+
+The Spark-side architecture is the real thing and fully tested:
+
+- payloads travel as BinaryType columns (Arrow `binary`), so executors
+  stream them in columnar batches without base64 inflation;
+- decode runs in `mapInPandas` — per-batch Python with access to every
+  column, the right shape for codec work (one batch ≈ one GPU/codec
+  call), unlike a scalar UDF which would re-enter per column;
+- batch size is controlled by `spark.sql.execution.arrow.maxRecordsPerBatch`
+  so a 100 MB-per-row video table can cap memory per task;
+- downstream metadata (width/height/frames) is plain columns →
+  predicate pushdown works on it after the decoded table is persisted.
+
+The actual codec step is STUBBED: this container has no image/audio
+libraries (no PIL/cv2/ffmpeg). `decoder="real"` raises
+NotImplementedError at the exact integration point; the default
+deterministic fake derives metadata from the payload bytes themselves
+(length + md5), which keeps the full pipeline testable end-to-end and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = ("doc_id bigint, media_type string, byte_len bigint, "
+                 "width bigint, height bigint, n_frames bigint, fp string")
+
+
+def attach_payload(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Simulate a multimodal lake row: binary payload + modality tag.
+    (In production the payload arrives from the object store; here it
+    is the utf-8 text bytes, which keeps an SQL oracle possible.)"""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+         .when(F.col(id_col) % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"))
+
+
+def _fake_decode_row(payload: bytes, media_type: str) -> tuple:
+    """Deterministic stand-in for the codec: metadata from the bytes."""
+    n = len(payload)
+    width = 64 + n % 192
+    height = 64 + (n * 7) % 128
+    if media_type == "video":
+        frames = 1 + n % 24
+    elif media_type == "audio":
+        frames = 1 + n % 16
+    else:
+        frames = 1
+    return n, width, height, frames, hashlib.md5(payload).hexdigest()
+
+
+def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode/feature-extract stage over binary payloads."""
+    if decoder == "real":  # pragma: no cover - integration point
+        raise NotImplementedError(
+            "real decode needs PIL/cv2/soundfile/ffmpeg — not shipped "
+            "in this container; wire them in here (per-batch loop "
+            "below stays identical).")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            meta = [_fake_decode_row(p, m)
+                    for p, m in zip(b["payload"], b["media_type"])]
+            out = pd.DataFrame(
+                meta, columns=["byte_len", "width", "height",
+                               "n_frames", "fp"])
+            out.insert(0, "media_type", b["media_type"].values)
+            out.insert(0, "doc_id", b["doc_id"].values)
+            yield out
+
+    return df.mapInPandas(_decode, schema=DECODE_SCHEMA)

@@ -1090,3 +1090,89 @@ def crs_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ll.select("row_id", "lat", "lon",
                      F.round(x, 3).alias("x_ps"),
                      F.round(y, 3).alias("y_ps"))
+
+
+# --------------------------------------------------------------------------
+# Streaming (§7.8 extension): watermarked tumbling-window counts over
+# `events` via Structured Streaming (availableNow), materialized to a
+# parquet sink and read back. Oracle = batch aggregation with the
+# watermark cutoff applied explicitly (windows newer than
+# max(event_time) − delay are withheld by append mode).
+# --------------------------------------------------------------------------
+
+_STREAM_ORACLE = """
+WITH ev AS (SELECT ts, event_type, value FROM events),
+m AS (SELECT MAX(ts) AS max_ts FROM ev),
+w AS (SELECT date_trunc('day', ts) AS ws, event_type,
+             COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+      FROM ev GROUP BY 1, 2)
+SELECT strftime(ws, '%Y-%m-%d') AS window_day, event_type, n_events, sum_value
+FROM w, m
+WHERE ws + INTERVAL 1 DAY <= max_ts - INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_window_counts", oracle=_STREAM_ORACLE)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.streaming import ingest as _ingest
+    out = _ingest.run_windowed_counts_availablenow(
+        spark, sf_dir, window="1 day", delay="1 hour")
+    return out.select(F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+                      "event_type", "n_events",
+                      F.round("sum_value", 6).alias("sum_value"))
+
+
+# --------------------------------------------------------------------------
+# JSON scalar extraction over `events.props` (F-extension; the
+# reference has no JSON, but a training pipeline does).
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_extract_agg", oracle=_JSON_ORACLE)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = testkit.load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(F.get_json_object("props", "$.k").cast("long"))
+                 .alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: binary payload column → mapInPandas decode stub
+# (operators/multimodal.py). Oracle recomputes the deterministic fake
+# metadata from the text bytes in SQL.
+# --------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         md5(text) AS fp
+  FROM documents)
+SELECT doc_id, media_type, n AS byte_len,
+       64 + n % 192 AS width,
+       64 + (n * 7) % 128 AS height,
+       CASE WHEN media_type = 'video' THEN 1 + n % 24
+            WHEN media_type = 'audio' THEN 1 + n % 16
+            ELSE 1 END AS n_frames,
+       fp
+FROM p
+"""
+
+
+@query("multimodal_decode", oracle=_MULTIMODAL_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _mm.decode_media(_mm.attach_payload(docs))

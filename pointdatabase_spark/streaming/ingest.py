@@ -1,0 +1,94 @@
+"""Structured Streaming ingest — the Spark upgrade of the reference's
+batch re-index queue (run_tile_updates:6-24, SURVEY §2.9: the reference
+has no streaming; this is the §7.8 extension for continuous pipelines).
+
+Two surfaces:
+
+- **File-source ingest** (`ingest_availablenow`): new files appearing
+  in a landing directory stream into the bin-partitioned store with
+  exactly-once file tracking (checkpointed source offsets). The
+  `availableNow` trigger drains everything present then stops — the
+  same incremental semantics as the reference's per-cycle queue, minus
+  the hand-rolled bookkeeping. At scale this runs continuously
+  (`processingTime` trigger) with the same code.
+
+- **Watermarked windowed aggregation** (`windowed_counts`): tumbling
+  event-time windows with late-data tolerance. Append mode emits a
+  window only once the watermark passes its end — deterministic,
+  replayable output. Note the inherent semantics: windows newer than
+  `max(event_time) − delay` at stream end are withheld (they would
+  still be mutable if the stream resumed); the correctness oracle
+  applies the same cutoff.
+
+State scale: windowed counts keep one row of state per (window, key) —
+bounded by watermark expiry, so a 1000-executor deployment holds state
+proportional to the *active* window span only.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ingest_availablenow(spark: SparkSession, src_glob_dir: str,
+                        glob: str, schema, dst: str, checkpoint: str,
+                        transform=None, partition_by: list[str] | None = None
+                        ) -> None:
+    """Drain all files matching `glob` under `src_glob_dir` into a
+    parquet dataset at `dst`, applying `transform(df)` if given."""
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", glob)
+           .parquet(src_glob_dir))
+    if transform is not None:
+        src = transform(src)
+    writer = (src.writeStream.format("parquet")
+              .option("path", dst)
+              .option("checkpointLocation", checkpoint)
+              .trigger(availableNow=True))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.start().awaitTermination()
+
+
+def windowed_counts(events: DataFrame, time_col: str, window: str,
+                    delay: str, keys: list[str]) -> DataFrame:
+    """Watermarked tumbling-window count/sum aggregation (streaming
+    DataFrame in, streaming DataFrame out)."""
+    return (events
+            .withWatermark(time_col, delay)
+            .groupBy(F.window(F.col(time_col), window).alias("w"), *keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), *keys,
+                    "n_events", "sum_value"))
+
+
+def run_windowed_counts_availablenow(spark: SparkSession, sf_dir: str,
+                                     window: str = "1 day",
+                                     delay: str = "1 hour") -> DataFrame:
+    """End-to-end: stream `events` parquet through a watermarked
+    tumbling-window aggregation into a parquet sink (append mode),
+    then return the materialized result."""
+    run_id = uuid.uuid4().hex[:8]
+    dst = f"/tmp/pdb_stream_out_{run_id}"
+    ckpt = f"/tmp/pdb_stream_ckpt_{run_id}"
+    # events.ts is TIMESTAMP(NANOS) parquet → read as long ns (the same
+    # convention as testkit.load_table), then rebuild a timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           .withColumn("event_time",
+                       F.expr("timestamp_micros(ts DIV 1000)")))
+    agg = windowed_counts(src, "event_time", window, delay, ["event_type"])
+    (agg.writeStream.format("parquet")
+     .option("path", dst)
+     .option("checkpointLocation", ckpt)
+     .outputMode("append")
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+    return spark.read.parquet(dst)
