@@ -22,6 +22,18 @@ HEADLINE = [
     "pair_collapse",
     "bin_semi_join",
     "union_by_name",
+    "crossover_analysis",
+    "plane_fit_10km",
+    "run_coalescing",
+    "raster_interp_join",
+    "crs_polar_stereo",
+    "text_token_stats",
+    "exact_dedup",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "multimodal_decode",
 ]
 
 

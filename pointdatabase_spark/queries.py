@@ -755,6 +755,21 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.exact_dedup(testkit.syn_corpus(spark, sf_dir))
 
 
+from pointdatabase_spark.operators.dedup import P31 as _P31, seed_params as _seed_params  # noqa: E402
+
+_MH_SEEDS = _seed_params(8)
+_MH_MINS = ",\n         ".join(
+    f"MIN(({a} * h + {b}) % {_P31}) AS mh{k}"
+    for k, (a, b) in enumerate(_MH_SEEDS))
+_MH_BANDS = "\n  UNION ALL\n  ".join(
+    f"SELECT id, '{j}' || '|' || CAST(mh{j * 2} AS VARCHAR) || '|' ||"
+    f" CAST(mh{j * 2 + 1} AS VARCHAR) AS bkey FROM sig"
+    for j in range(4))
+
+_DUCK_H32 = ("CAST(list_sum(list_transform(range(8), i ->"
+             " (strpos('0123456789abcdef', substr(md5(x), CAST(i + 1 AS INT), 1)) - 1)"
+             " * 16.0 ** (7 - i))) AS BIGINT)")
+
 _MINHASH_ORACLE = testkit.syn_corpus_cte() + r"""
 , tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
 sh AS (
@@ -762,14 +777,14 @@ sh AS (
          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
   FROM tok),
 sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
-sig AS (
-  SELECT id, list_transform(range(8), k ->
-         list_min(list_transform(s, x -> md5(CAST(k AS VARCHAR) || '|' || x)))) AS mh
-  FROM sh2),
+""" + f"""
+ex AS (SELECT id, {_DUCK_H32} % {_P31} AS h
+       FROM (SELECT id, unnest(s) AS x FROM sh2)),
+sig AS (SELECT id,
+         {_MH_MINS}
+        FROM ex GROUP BY id),
 band AS (
-  SELECT id, md5(CAST(j AS VARCHAR) || '|' ||
-         mh[CAST(j * 2 + 1 AS INT)] || mh[CAST(j * 2 + 2 AS INT)]) AS bkey
-  FROM sig, (SELECT unnest(range(4)) AS j) _j),
+  {_MH_BANDS}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM band a JOIN band b ON a.bkey = b.bkey AND a.id < b.id)
@@ -787,22 +802,26 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_neardup(testkit.syn_corpus(spark, sf_dir))
 
 
+_SH_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+    for k in range(32))
+_SH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(32))
+
 _SIMHASH_ORACLE = testkit.syn_corpus_cte() + r"""
 , tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
 sh AS (
   SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
   FROM tok),
-th AS (SELECT id, list_transform(s, x ->
-         CAST(list_sum(list_transform(range(8), i ->
-           (strpos('0123456789abcdef', substr(md5(x), CAST(i + 1 AS INT), 1)) - 1)
-           * 16.0 ** (7 - i))) AS BIGINT)) AS hs
-       FROM sh WHERE len(s) > 0),
-sim AS (SELECT id, CAST(list_sum(list_transform(range(32), k ->
-          CASE WHEN list_sum(list_transform(hs, h ->
-                 CASE WHEN (h >> CAST(k AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-          THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
-        FROM th),
+sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
+""" + f"""
+ex AS (SELECT id, {_DUCK_H32} AS h
+       FROM (SELECT id, unnest(s) AS x FROM sh2)),
+v AS (SELECT id,
+         {_SH_VOTES}
+      FROM ex GROUP BY id),
+sim AS (SELECT id, CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash FROM v),
 band AS (
   SELECT id, simhash, CAST(j AS INT) AS bid,
          (simhash >> CAST(j * 8 AS INT)) & 255 AS key

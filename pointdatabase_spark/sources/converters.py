@@ -1,0 +1,136 @@
+"""Source converters (S1-S3): HDF5 point files → tidy Parquet.
+
+The reference reads science HDF5 directly per query (point_data.py:
+87-133, ATL06_data.py:82-206, qfit_data.py:60-97). The Spark engine
+instead runs a ONE-TIME conversion job per arriving file — HDF5 is a
+poor scan format for distributed engines (no row-group pruning, no
+column statistics), Parquet is the native one; after conversion every
+downstream query gets pushdown/pruning for free (SURVEY §2.1 S1-S3).
+
+Structure:
+
+- the *transform* layer (field-dict flattening, N×2 beam-pair →
+  tidy rows with an `LR` column, `_FillValue`→NULL, derived columns
+  `BP`/`spot`/`rgt`/`cycle_number`) is pure and fully tested — it
+  operates on any Mapping[str, np.ndarray];
+- the *I/O* layer (opening .h5) needs h5py, which this container does
+  not ship, and is gated behind an import guard: `convert_atl06(...)`
+  raises NotImplementedError with the integration point documented.
+
+Reference parity notes:
+- fill→NaN: ATL06_data.py:124-131,174-179 (we map to NULL per the §1.2
+  NULL-vs-NaN decision);
+- LR/BP materialized as columns: ATL06_data.py:138-144 (proves the
+  tidy layout is semantically sufficient);
+- spot number from beam/orientation: constant-per-file metadata,
+  carried as a plain column;
+- sigma_geo_r default 0.03: ATL06_data.py ctor default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# Mirrors the reference's default field_dict (ATL06_data.py:71-80):
+# group None = land_ice_segments root.
+ATL06_FIELD_DICT: dict[str | None, list[str]] = {
+    None: ["latitude", "longitude", "h_li", "h_li_sigma",
+           "atl06_quality_summary", "segment_id", "delta_time"],
+    "ground_track": ["x_atc", "y_atc", "seg_azimuth"],
+    "fit_statistics": ["dh_fit_dx", "dh_fit_dy", "h_robust_sprd",
+                       "snr_significance", "n_fit_photons",
+                       "w_surface_window_final"],
+}
+
+PAIRS = ("gt1", "gt2", "gt3")
+
+
+def flatten_field_dict(field_dict: Mapping[str | None, list[str]]
+                       ) -> list[tuple[str, str]]:
+    """(h5-subpath, column-name) pairs; group hierarchy flattens into a
+    single namespace exactly like point_data.py:44-49."""
+    out = []
+    for group, fields in field_dict.items():
+        for f in fields:
+            out.append((f if group is None else f"{group}/{f}", f))
+    return out
+
+
+def beam_pair_frame(data: Mapping[str, np.ndarray], pair_num: int,
+                    field_dict: Mapping[str | None, list[str]]
+                    | None = None,
+                    fill_value: float = -9999.0) -> pd.DataFrame:
+    """Tidy rows for one beam pair from a flat {path: array} mapping
+    with keys like 'gt1l/h_li'. The N×2 left/right structure becomes a
+    long layout with LR ∈ {0, 1} and BP = pair number — the reference's
+    own materialized columns (ATL06_data.py:138-144)."""
+    field_dict = field_dict or ATL06_FIELD_DICT
+    frames = []
+    for lr, side in enumerate("lr"):
+        beam = f"gt{pair_num}{side}"
+        cols: dict[str, np.ndarray] = {}
+        n = None
+        for path, name in flatten_field_dict(field_dict):
+            arr = data.get(f"{beam}/{path}")
+            if arr is not None:
+                arr = np.asarray(arr, dtype=np.float64)
+                # fill → NaN (→ NULL at Spark ingest), ATL06_data.py:174-179
+                arr = np.where(arr == fill_value, np.nan, arr)
+                n = len(arr)
+            cols[name] = arr
+        if n is None:
+            continue
+        for name, arr in cols.items():
+            if arr is None:  # absent field → all-NULL (point_data.py:123-130)
+                cols[name] = np.full(n, np.nan)
+        f = pd.DataFrame(cols)
+        f["BP"] = pair_num
+        f["LR"] = lr
+        frames.append(f)
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)
+
+
+def atl06_frame(data: Mapping[str, np.ndarray], rgt: int,
+                cycle_number: int,
+                field_dict: Mapping[str | None, list[str]] | None = None
+                ) -> pd.DataFrame:
+    """All three beam pairs + per-file derived columns."""
+    frames = [beam_pair_frame(data, p, field_dict) for p in (1, 2, 3)]
+    out = pd.concat([f for f in frames if len(f)], ignore_index=True)
+    out["rgt"] = rgt
+    out["cycle_number"] = cycle_number
+    out["sigma_geo_r"] = 0.03  # ATL06_data.py ctor default
+    return out
+
+
+def ingest_frame(spark: SparkSession, frame: pd.DataFrame,
+                 source_file: str) -> DataFrame:
+    """pandas → Spark with NaN→NULL and provenance column."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(frame)
+    for c, t in df.dtypes:
+        if t == "double":
+            df = df.withColumn(
+                c, F.when(F.isnan(F.col(c)), None).otherwise(F.col(c)))
+    return df.withColumn("source_file", F.lit(source_file))
+
+
+def convert_atl06(spark: SparkSession, h5_path: str, out_path: str,
+                  rgt: int, cycle_number: int) -> None:
+    """S2 converter job: official ATL06 H5 → tidy Parquet."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "ATL06 HDF5 conversion needs h5py (not shipped in this "
+            "container). Wire it here: data = {f'{beam}/{path}': "
+            "h5[f'{beam}/land_ice_segments/{path}'][...] ...} then "
+            "ingest_frame(spark, atl06_frame(data, rgt, cycle), "
+            "h5_path).write.parquet(out_path).") from exc
+    raise NotImplementedError  # pragma: no cover

@@ -1,0 +1,93 @@
+"""Physical-plan assertions (SCALE.md): pushdown, pruning, broadcast,
+and JVM-only hot paths. These guard the properties that make the plans
+survive a 100-TB scale-up, not just produce correct rows."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from pointdatabase_spark import testkit
+from pointdatabase_spark.operators import dedup, similarity, spatial
+from pointdatabase_spark.sources import tile_store
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_box_query_pushes_filters_and_prunes_columns(spark):
+    pts = testkit.syn_points(spark, SF_SMOKE)
+    # on a raw parquet scan the residual x/y predicate can't push (they
+    # are computed), but the column pruning must reach the reader.
+    df = spatial.box_query(pts, (-50000.0, 25000.0), (-10000.0, 80000.0),
+                           fields=["row_id", "x", "y", "h"])
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    # only the 5 source columns needed survive into the scan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_shipdate" not in read
+
+
+def test_tile_store_query_uses_partition_pruning(spark, tmp_path):
+    pts = testkit.syn_points(spark, SF_SMOKE)
+    path = str(tmp_path / "tiles")
+    tile_store.write_tiles(pts, path, order_cols=["t"])
+    df = tile_store.query_box(spark, path, (-35000.0, 42000.0),
+                              (-90000.0, -10000.0),
+                              fields=["row_id", "x", "y", "h"])
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "tile_x" in pf and "tile_y" in pf
+    # and the parquet column filter is pushed
+    assert "PushedFilters" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    emb = testkit.load_table(spark, SF_SMOKE, "embeddings")
+    df = similarity.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    plan = _plan(df, "simple")
+    assert "Broadcast" in plan  # query side broadcast, corpus not shuffled
+
+
+def test_text_and_minhash_signatures_are_jvm_only(spark):
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    sig = dedup.minhash_signatures(dedup.shingle_sets(docs))
+    plan = _plan(sig, "simple")
+    assert "Python" not in plan  # pure expression pipeline, codegen'd
+    from pointdatabase_spark.functions import text
+    feats = docs.select(text.spark_expr("n_tokens", "text"),
+                        text.quality_score("text"))
+    plan2 = _plan(feats, "simple")
+    assert "Python" not in plan2
+    assert "*(" in plan2  # whole-stage codegen marker
+
+
+def test_raster_and_crs_plans_have_no_exchange(spark):
+    from pointdatabase_spark.functions import crs
+    from pointdatabase_spark.operators import raster
+    pts = testkit.syn_points(spark, SF_SMOKE).select("row_id", "x", "y")
+    g = raster.grid_from_formula(-100000.0, -100000.0, 2000.0, 2000.0,
+                                 101, 101, lambda i, j: i + j)
+    plan = _plan(raster.interp_join(pts, g), "simple")
+    assert "Exchange" not in plan  # narrow map, no shuffle
+    ll = pts.withColumn("lat", F.lit(70.0)).withColumn("lon", F.lit(0.0))
+    x, y = crs.stereo_xy_columns("lat", "lon")
+    assert "Exchange" not in _plan(ll.select(x.alias("x")), "simple")
+
+
+def test_q1_is_codegen_with_partial_agg(spark):
+    from pointdatabase_spark.queries import q1_pricing_summary
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final (map combine)
+    df.collect()  # AQE finalizes the plan only on execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # whole-stage codegen spans
