@@ -54,6 +54,23 @@ def bin_key(bin_x: Column | str, bin_y: Column | str) -> Column:
     return F.concat_ws("_", bx.cast("long"), by.cast("long"))
 
 
+def radial_angular_key(bin_x_units: Column | str,
+                       bin_y_units: Column | str) -> Column:
+    """O1 — the reference's stable bin ordering (geo_index.py:80-83):
+    ``sqrt(bx² + by²) + (atan2(bx, by) + π)/2/π`` over bin *units*
+    (round(x/Δ)). Radial shells first, angle within a shell — only
+    needed when reproducing reference index key order (not semantic)."""
+    import math
+    bx = F.col(bin_x_units) if isinstance(bin_x_units, str) else bin_x_units
+    by = F.col(bin_y_units) if isinstance(bin_y_units, str) else bin_y_units
+    # −0.0 flips atan2 across the ±π branch cut; normalize explicitly
+    # (a CASE, not `+0.0`, so no optimizer may fold it away).
+    bx = F.when(bx == 0, F.lit(0.0)).otherwise(bx)
+    by = F.when(by == 0, F.lit(0.0)).otherwise(by)
+    return (F.sqrt(bx * bx + by * by)
+            + (F.atan2(bx, by) + F.lit(math.pi)) / 2 / F.lit(math.pi))
+
+
 def neighbor_offsets(pad: int = 1) -> list[tuple[int, int]]:
     """(dx, dy) offsets of the (2·pad+1)² bin neighborhood — the
     reference's ``pad_bins`` / ``dilate_bins`` dilation

@@ -61,7 +61,17 @@ def build_tiles(sources: list[DataFrame], path: str,
 
 
 def append_cycle(df: DataFrame, path: str, **kwargs) -> None:
-    """Incremental per-cycle append: dynamic partition overwrite
-    rewrites only the tiles the new cycle touches (the reference's
-    queue-driven tile update, run_tile_updates:6-24)."""
+    """Incremental per-cycle append: new rows add files to the tiles
+    they touch; untouched tile directories are not rewritten (the
+    arrival half of the reference's queue-driven update,
+    run_tile_updates:6-24)."""
+    tile_store.write_tiles(df, path, mode="append", **kwargs)
+
+
+def recompute_tiles(df: DataFrame, path: str, **kwargs) -> None:
+    """Idempotent re-materialization of affected tiles: `df` must hold
+    the FULL recomputed content of the tiles it covers; dynamic
+    partition overwrite replaces exactly those tile directories and no
+    others (the re-run half of the reference's queue flow — crashed or
+    re-queued tiles are simply re-made, cross_ATL06_tile.py:89-99)."""
     tile_store.write_tiles(df, path, mode="overwrite", **kwargs)

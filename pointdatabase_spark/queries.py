@@ -1195,3 +1195,40 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import multimodal as _mm
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _mm.decode_media(_mm.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# O1 radial+angular bin ordering (geo_index.py:80-83): the reference's
+# stable index key order. Rank-only output — the key mixes sqrt/atan2
+# whose last-ulp varies by libm, but adjacent keys differ macroscopically
+# so the ORDER is engine-stable.
+# --------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+_BIN_ORDER_ORACLE = testkit.syn_points_cte() + f"""
+, b0 AS (SELECT DISTINCT round(x / 10000) AS bx0, round(y / 10000) AS by0 FROM pts),
+b AS (SELECT CASE WHEN bx0 = 0 THEN 0.0 ELSE bx0 END AS bx,
+             CASE WHEN by0 = 0 THEN 0.0 ELSE by0 END AS by FROM b0)
+SELECT CAST(bx * 10000 AS BIGINT) AS bin_x, CAST(by * 10000 AS BIGINT) AS bin_y,
+       CAST(row_number() OVER (ORDER BY
+            round(sqrt(bx * bx + by * by)
+                  + (atan2(bx, by) + {_math.pi!r}) / 2 / {_math.pi!r}, 6),
+            bx, by) AS BIGINT) AS ord_rank
+FROM b
+"""
+
+
+@query("radial_bin_ordering", oracle=_BIN_ORDER_ORACLE)
+def radial_bin_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from pointdatabase_spark.functions import binning
+    pts = testkit.syn_points(spark, sf_dir)
+    b = (pts.select(F.round(F.col("x") / 10000, 0).alias("bx"),
+                    F.round(F.col("y") / 10000, 0).alias("by"))
+         .distinct())
+    w = Window.orderBy(F.round(binning.radial_angular_key("bx", "by"), 6),
+                       "bx", "by")
+    return b.select((F.col("bx") * 10000).cast("long").alias("bin_x"),
+                    (F.col("by") * 10000).cast("long").alias("bin_y"),
+                    F.row_number().over(w).cast("long").alias("ord_rank"))

@@ -76,3 +76,55 @@ def test_incremental_append_rewrites_only_touched_tiles(spark, store):
     assert before == after  # same tile dirs (tile_x=0 existed already)
     got = tile_store.read_tiles(spark, PATH).where(F.col("row_id") == 99999999)
     assert got.count() == 1
+
+
+def test_append_cycle_incremental_and_union_hierarchy(spark, tmp_path):
+    """§3.2 incremental ingest + the 'index of cycles' hierarchy as a
+    union view (SURVEY §1.4.3): per-cycle appends only rewrite touched
+    tiles; a union over per-cycle stores still partition-prunes."""
+    import pandas as pd
+    from pointdatabase_spark.plans import tile_build
+
+    def mk(cycle, xs):
+        return spark.createDataFrame(pd.DataFrame({
+            "x": [float(v) for v in xs],
+            "y": [float(v) for v in xs],
+            "t": [float(cycle * 100 + i) for i in range(len(xs))],
+            "cycle": [cycle] * len(xs)}))
+
+    store = str(tmp_path / "store")
+    # cycle 1 covers two tiles; cycle 2 lands in ONE of them
+    tile_store.write_tiles(mk(1, [5000, 15000, 105000]), store,
+                           order_cols=["t"])
+    before = {str(p) for p in (tmp_path / "store").glob("tile_x=*/tile_y=*/*.parquet")}
+    tile_build.append_cycle(mk(2, [6000]), store, order_cols=["t"])
+    after = {str(p) for p in (tmp_path / "store").glob("tile_x=*/tile_y=*/*.parquet")}
+    # dynamic overwrite: untouched tile keeps its original files
+    untouched = [p for p in before if "tile_x=100000" in p]
+    assert untouched and all(p in after for p in untouched)
+    out = tile_store.read_tiles(spark, store)
+    assert out.count() == 4
+    assert out.where("cycle = 2").count() == 1
+
+    # recompute: dynamic overwrite replaces ONLY the covered tile
+    tile_build.recompute_tiles(mk(3, [4000]), store, order_cols=["t"])
+    out = tile_store.read_tiles(spark, store)
+    assert out.where("tile_x = 0").count() == 1      # tile (0,0) replaced
+    assert out.where("tile_x = 100000").count() == 1  # other tile intact
+
+    # hierarchy: separate per-cycle roots + union view, box query prunes
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    tile_store.write_tiles(mk(1, [5000, 105000]), c1, order_cols=["t"])
+    tile_store.write_tiles(mk(2, [7000, 115000]), c2, order_cols=["t"])
+    union = tile_store.read_tiles(spark, c1).unionByName(
+        tile_store.read_tiles(spark, c2))
+    hit = union.where((F.col("tile_x") == 0) & (F.col("tile_y") == 0))
+    assert hit.count() == 2  # one per cycle, pruned to tile (0,0)
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hit.explain("formatted")
+    plan = buf.getvalue()
+    # both sides of the union carry partition filters
+    assert plan.count("PartitionFilters: [isnotnull(tile_x") == 2
