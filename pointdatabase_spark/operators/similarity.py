@@ -55,6 +55,16 @@ def cosine_expr(a: str, b: str) -> str:
             f" * sqrt({dot_expr(b, b)}))")
 
 
+def norm_expr(a: str) -> str:
+    """sqrt of the sequential self-dot — precomputed once per vector
+    (map-side, before any join) it yields the same double as the
+    per-pair sqrt(dot(a,a)) inside cosine_expr, so cosines computed as
+    dot/(norm_a*norm_b) are bit-identical to the oracle's per-pair
+    formula while evaluating each self-dot once instead of once per
+    candidate pair (the higher-order-function dot is the hot path)."""
+    return f"sqrt({dot_expr(a, a)})"
+
+
 def plane_dot_expr(vec: str, plane: list[float]) -> str:
     """Dot of a float-array column with a literal plane (sequential)."""
     lit = "array(" + ", ".join(f"{w}D" for w in plane) + ")"
@@ -75,12 +85,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
     """Exact top-k by cosine for each query vector (brute force).
     `queries` must be small (it is broadcast)."""
     from pyspark.sql.window import Window
-    q = queries.select(F.col(id_col).alias(q_id),
-                       F.col(vec_col).alias("_qv"))
+    q = (queries.select(F.col(id_col).alias(q_id),
+                        F.col(vec_col).alias("_qv"))
+         .withColumn("_qn", F.expr(norm_expr("_qv"))))
     joined = (corpus.select(F.col(id_col).alias("vec_id"),
                             F.col(vec_col).alias("_cv"))
+              .withColumn("_cn", F.expr(norm_expr("_cv")))
               .join(F.broadcast(q))
-              .withColumn("cos", F.expr(cosine_expr("_qv", "_cv"))))
+              .withColumn("cos", F.expr(dot_expr("_qv", "_cv"))
+                          / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
     return (joined.withColumn("rank",
                               F.row_number().over(w).cast("long"))
@@ -104,12 +117,15 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
     from pyspark.sql.window import Window
     c = with_bucket(corpus.select(F.col(id_col).alias("vec_id"),
                                   F.col(vec_col).alias("_cv")),
-                    planes, "_cv")
+                    planes, "_cv").withColumn(
+        "_cn", F.expr(norm_expr("_cv")))
     q = with_bucket(queries.select(F.col(id_col).alias(q_id),
                                    F.col(vec_col).alias("_qv")),
-                    planes, "_qv")
+                    planes, "_qv").withColumn(
+        "_qn", F.expr(norm_expr("_qv")))
     joined = (c.join(F.broadcast(q), "bucket")
-              .withColumn("cos", F.expr(cosine_expr("_qv", "_cv"))))
+              .withColumn("cos", F.expr(dot_expr("_qv", "_cv"))
+                          / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
     return (joined.withColumn("rank",
                               F.row_number().over(w).cast("long"))
@@ -124,7 +140,8 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
     """Embedding near-duplicate pairs. With `planes`, candidate pairs
     are bucket-blocked (scalable); without, all-pairs (small corpora /
     oracle parity)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .withColumn("n", F.expr(norm_expr("v"))))
     if planes is not None:
         base = with_bucket(base, planes, "v")
         a, b = base.alias("a"), base.alias("b")
@@ -134,7 +151,8 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
         a, b = base.alias("a"), base.alias("b")
         cond = F.col("a.id") < F.col("b.id")
     return (a.join(b, cond)
-            .withColumn("cos", F.expr(cosine_expr("a.v", "b.v")))
+            .withColumn("cos", F.expr(dot_expr("a.v", "b.v"))
+                        / (F.col("a.n") * F.col("b.n")))
             .where(F.col("cos") >= threshold)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"), "cos"))
