@@ -94,6 +94,59 @@ def _bilinear(grid_z: np.ndarray, x0: float, y0: float, dx: float,
             + z01 * (1 - fx) * fy + z11 * fx * fy)
 
 
+def grid_to_points(spark: SparkSession, grid: Grid,
+                   bounds: tuple[tuple[float, float],
+                                 tuple[float, float]] | None = None,
+                   skip: int = 1,
+                   nodata: float | None = None) -> DataFrame:
+    """S4 raster→points explode (read_DEM.py:52-64, ``asPoints=True``):
+    meshgrid the axes, ravel z, keep every ``skip``-th cell in each
+    axis, window to ``bounds`` = ((x_min, x_max), (y_min, y_max)), and
+    map ``nodata`` to NULL (the engine's missing-value convention,
+    SURVEY §1.2; read_DEM.py:40-41 maps it to NaN).
+
+    Distributed shape: one Spark task per band of raster rows —
+    ``spark.range(ny)`` drives a ``mapInPandas`` that emits that row's
+    points from the broadcast grid. The explode is a narrow map (no
+    shuffle); bounds/skip are applied inside the generator so the
+    output never materializes dropped cells. A continent-scale DEM
+    would swap the broadcast for per-chunk file reads in the same
+    generator; the plan shape (range → narrow map) is unchanged."""
+    bc = spark.sparkContext.broadcast(
+        (grid.z, grid.x0, grid.y0, grid.dx, grid.dy))
+    step = int(skip)
+    bnds = bounds
+
+    def gen(batches):
+        z, x0, y0, dx, dy = bc.value
+        _, nx = z.shape
+        ii = np.arange(0, nx, step, dtype=np.int64)
+        xs = x0 + ii * dx
+        keep = np.ones(len(ii), dtype=bool)
+        if bnds is not None:
+            keep = (xs >= bnds[0][0]) & (xs <= bnds[0][1])
+        for pdf in batches:
+            for j in pdf["id"].to_numpy(np.int64):
+                if j % step:
+                    continue
+                y = y0 + j * dy
+                if bnds is not None and not (bnds[1][0] <= y <= bnds[1][1]):
+                    continue
+                yield pd.DataFrame({
+                    "i": ii[keep], "j": j, "x": xs[keep], "y": y,
+                    "z": z[j, ii[keep]].astype(np.float64)})
+
+    n_tasks = max(1, min(grid.ny, spark.sparkContext.defaultParallelism))
+    pts = (spark.range(0, grid.ny, numPartitions=n_tasks)
+           .mapInPandas(gen, "i bigint, j bigint, x double, y double,"
+                        " z double"))
+    if nodata is not None:
+        pts = pts.withColumn(
+            "z", F.when(F.col("z") == F.lit(float(nodata)),
+                        F.lit(None)).otherwise(F.col("z")))
+    return pts
+
+
 def interp_column(spark: SparkSession, grid: Grid,
                   x: str = "x", y: str = "y") -> Column:
     """Column evaluating `grid` at (x, y) via a broadcast + pandas UDF."""

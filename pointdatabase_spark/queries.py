@@ -1019,6 +1019,45 @@ def raster_interp_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S4 raster→points explode (read_DEM.py:52-64 asPoints=True): decimate
+# by `skip`, window to bounds, nodata→NULL. The oracle rebuilds the
+# same grid from its integer formula with a range() cross join —
+# x0 + i*d and the z formula are exact in doubles, so values hash-match.
+# --------------------------------------------------------------------------
+
+_DEM_BOUNDS = ((-60000.0, 40000.0), (-50000.0, 90000.0))
+
+_DEMPTS_ORACLE = f"""
+WITH ij AS (
+  SELECT CAST(i.range AS BIGINT) AS i, CAST(j.range AS BIGINT) AS j
+  FROM range(0, {_G['n']}) i, range(0, {_G['n']}) j),
+p AS (
+  SELECT i, j,
+         ({_G['x0']}) + i * {_G['d']} AS x,
+         ({_G['y0']}) + j * {_G['d']} AS y,
+         {_ZF.format(i='i', j='j')} AS zr
+  FROM ij
+  WHERE i % 3 = 0 AND j % 3 = 0)
+SELECT i, j, x, y,
+       CASE WHEN zr = 0.0 THEN NULL ELSE zr END AS z
+FROM p
+WHERE x >= {_DEM_BOUNDS[0][0]} AND x <= {_DEM_BOUNDS[0][1]}
+  AND y >= {_DEM_BOUNDS[1][0]} AND y <= {_DEM_BOUNDS[1][1]}
+"""
+
+
+@query("dem_as_points", oracle=_DEMPTS_ORACLE)
+def dem_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import raster
+    g = _G
+    zg = raster.grid_from_formula(g["x0"], g["y0"], g["d"], g["d"],
+                                  g["n"], g["n"],
+                                  lambda ii, jj: (ii * 37 + jj * 91) % 199)
+    return raster.grid_to_points(spark, zg, bounds=_DEM_BOUNDS, skip=3,
+                                 nodata=0.0)
+
+
+# --------------------------------------------------------------------------
 # A7 at scale: per-bin OLS plane fit via exact-integer normal equations
 # (operators/fit.py) — the distributed generalization of calc_slope.
 # --------------------------------------------------------------------------

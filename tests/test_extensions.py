@@ -41,6 +41,23 @@ def test_bilinear_interp_nodes_and_midpoints():
     assert np.allclose(z, xs + 10.0 * ys)
 
 
+def test_grid_to_points_explode_skip_bounds_nodata(spark):
+    # 5x6 grid, z = i + 10*j; skip=2, bounds cut one x column and one
+    # y row, nodata (z == 2) becomes NULL (read_DEM.py:52-64 semantics).
+    g = raster.grid_from_formula(100.0, 200.0, 10.0, 10.0, 5, 6,
+                                 lambda i, j: (i + 10.0 * j))
+    pts = raster.grid_to_points(spark, g, bounds=((100.0, 125.0),
+                                                  (200.0, 245.0)),
+                                skip=2, nodata=2.0)
+    rows = {(r.i, r.j): r for r in pts.collect()}
+    # i in {0,2} (4 -> x=140 out of bounds), j in {0,2,4}
+    assert set(rows) == {(i, j) for i in (0, 2) for j in (0, 2, 4)}
+    for (i, j), r in rows.items():
+        assert r.x == 100.0 + 10.0 * i and r.y == 200.0 + 10.0 * j
+        expect = i + 10.0 * j
+        assert r.z is None if expect == 2.0 else r.z == expect
+
+
 def test_plane_fit_recovers_exact_plane(spark):
     rng = np.random.RandomState(7)
     x = rng.randint(0, 1000, 200)
