@@ -82,3 +82,73 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
             yield out
 
     return df.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("doc_id bigint, media_type string, width bigint, "
+                 "height bigint, out_w bigint, out_h bigint, fp string")
+
+
+def resize_media(df: DataFrame, max_w: int, max_h: int,
+                 decoder: str = "fake") -> DataFrame:
+    """Resize stage over decoded media: caps each payload at
+    (max_w, max_h) preserving nothing fancy — the real transform is a
+    codec call at the marked integration point; the fake derives the
+    output dims + a new fingerprint deterministically so the stage is
+    oracle-checkable. Input is `decode_media` output; narrow map, no
+    shuffle — at 100 TB this pipelines with the decode stage inside one
+    task."""
+    if decoder == "real":  # pragma: no cover - integration point
+        raise NotImplementedError(
+            "real resize needs PIL/cv2 — wire in here; the per-batch "
+            "loop below stays identical.")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_w = b["width"].clip(upper=max_w)
+            out_h = b["height"].clip(upper=max_h)
+            fp = [hashlib.md5(f"{f}:{w}x{h}".encode()).hexdigest()
+                  for f, w, h in zip(b["fp"], out_w, out_h)]
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"], "media_type": b["media_type"],
+                "width": b["width"], "height": b["height"],
+                "out_w": out_w, "out_h": out_h, "fp": fp})
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_fp string"
+
+
+def sample_frames(df: DataFrame, step: int,
+                  decoder: str = "fake") -> DataFrame:
+    """Frame-sampling stage: one video row → one row per kept frame
+    (every ``step``-th of its n_frames) — the UDTF shape, expressed as
+    `mapInPandas` emitting more rows than it consumes. The fake keeps
+    the reference frame count rule (n_frames = 1 + byte_len % 24) and
+    fingerprints each frame from (payload text, index); a real extractor
+    replaces the fingerprint with the decoded frame bytes at the marked
+    point. Narrow map: the explode happens inside the task, so row
+    blowup never shuffles."""
+    if decoder == "real":  # pragma: no cover - integration point
+        raise NotImplementedError(
+            "real frame extraction needs ffmpeg/cv2 — wire in here.")
+    step_ = int(step)
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, fps = [], [], []
+            for doc_id, payload, mt in zip(b["doc_id"], b["payload"],
+                                           b["media_type"]):
+                if mt != "video":
+                    continue
+                text = bytes(payload).decode("utf-8")
+                n_frames = 1 + len(payload) % 24
+                for k in range(0, n_frames, step_):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    fps.append(hashlib.md5(
+                        f"{text}:{k}".encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_fp": fps})
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -1236,6 +1236,61 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.decode_media(_mm.attach_payload(docs))
 
 
+_RESIZE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         md5(text) AS fp0
+  FROM documents),
+d AS (
+  SELECT doc_id, media_type,
+         64 + n % 192 AS width, 64 + (n * 7) % 128 AS height, fp0
+  FROM p)
+SELECT doc_id, media_type, width, height,
+       least(width, 128) AS out_w, least(height, 96) AS out_h,
+       md5(fp0 || ':' || CAST(least(width, 128) AS VARCHAR) || 'x'
+           || CAST(least(height, 96) AS VARCHAR)) AS fp
+FROM d
+"""
+
+
+@query("multimodal_resize", oracle=_RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _mm.resize_media(
+        _mm.decode_media(_mm.attach_payload(docs)), max_w=128, max_h=96)
+
+
+_FRAMES_ORACLE = """
+WITH p AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents),
+v AS (SELECT doc_id, text, 1 + n % 24 AS n_frames
+      FROM p WHERE media_type = 'video'),
+e AS (SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, 3)) AS k
+      FROM v)
+SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+       md5(text || ':' || CAST(k AS VARCHAR)) AS frame_fp
+FROM e
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _mm.sample_frames(_mm.attach_payload(docs), step=3)
+
+
 # --------------------------------------------------------------------------
 # O1 radial+angular bin ordering (geo_index.py:80-83): the reference's
 # stable index key order. Rank-only output — the key mixes sqrt/atan2
