@@ -33,6 +33,7 @@ HEADLINE = [
     "simhash_neardup",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "multimodal_decode",
 ]
 

@@ -133,6 +133,78 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select(q_id, "vec_id", "bucket", "cos", "rank"))
 
 
+def centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """Deterministic IVF coarse-quantizer centroids (md5-derived, same
+    recipe as `hyperplanes`). A production build would k-means a sample
+    instead; the assignment/probe plan below is identical either way."""
+    return [[(_h32(f"c{c}_{i}") % 2001 - 1000) / 1000.0
+             for i in range(dim)]
+            for c in range(n_centroids)]
+
+
+def _cell_scores(vec: str, cents: list[list[float]]) -> str:
+    """Per-centroid distance scores d_k = ||c_k||^2 - 2 * v.c_k
+    (||v||^2 is constant per row and cancels in the argmin). ||c_k||^2
+    is a Python-summed literal embedded identically in the oracle."""
+    terms = []
+    for ck in cents:
+        ck2 = 0.0
+        for w in ck:
+            ck2 += w * w
+        terms.append(f"({ck2!r}D - 2.0D * {plane_dot_expr(vec, ck)})")
+    return "array(" + ", ".join(terms) + ")"
+
+
+def cell_expr(vec: str, cents: list[list[float]]) -> str:
+    """IVF cell id: argmin over centroid distances (first-index ties —
+    exact-double equality, deterministic in both engines)."""
+    arr = _cell_scores(vec, cents)
+    return (f"CAST(array_position({arr}, array_min({arr})) AS BIGINT)"
+            " - 1")
+
+
+def probe_cells_expr(vec: str, cents: list[list[float]],
+                     nprobe: int) -> str:
+    """The query's `nprobe` nearest cells, nearest first: sort
+    (score, idx) structs — score ties break on idx — and project idx."""
+    arr = _cell_scores(vec, cents)
+    structs = (f"transform({arr}, (s, i) ->"
+               " struct(s AS s, CAST(i AS BIGINT) AS i))")
+    return (f"transform(slice(array_sort({structs}), 1, {int(nprobe)}),"
+            " p -> p.i)")
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                 cents: list[list[float]], nprobe: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id: str = "q_id") -> DataFrame:
+    """IVF approximate top-k: corpus vectors are assigned to their
+    nearest coarse centroid map-side (a pure expression over a literal
+    centroid table — no shuffle, and at rest the corpus would be
+    written bucketed/partitioned by `cell`); each query probes its
+    `nprobe` nearest cells and reranks candidates by exact cosine.
+    The only shuffle is the cell-key join (broadcast here: queries are
+    small); recall/cost trades by n_centroids and nprobe."""
+    from pyspark.sql.window import Window
+    c = (corpus.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("_cv"))
+         .withColumn("cell", F.expr(cell_expr("_cv", cents)))
+         .withColumn("_cn", F.expr(norm_expr("_cv"))))
+    q = (queries.select(F.col(id_col).alias(q_id),
+                        F.col(vec_col).alias("_qv"))
+         .withColumn("cell", F.explode(
+             F.expr(probe_cells_expr("_qv", cents, nprobe))))
+         .withColumn("_qn", F.expr(norm_expr("_qv"))))
+    joined = (c.join(F.broadcast(q), "cell")
+              .withColumn("cos", F.expr(dot_expr("_qv", "_cv"))
+                          / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (joined.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(q_id, "vec_id", "cell", "cos", "rank"))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          planes: list[list[float]] | None = None,
                          id_col: str = "vec_id",

@@ -945,6 +945,59 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              planes=_PLANES)
 
 
+# IVF ANN: deterministic coarse centroids, argmin cell assignment,
+# nprobe=2 multi-probe on the query side, exact-cosine rerank.
+_CENTS = _sim.centroids(8, _DIM)
+
+
+def _duck_cell_scores(vec: str) -> str:
+    terms = []
+    for ck in _CENTS:
+        ck2 = 0.0
+        for w in ck:
+            ck2 += w * w
+        terms.append(f"(CAST({ck2!r} AS DOUBLE) - CAST(2.0 AS DOUBLE)"
+                     f" * {_duck_plane_dot(vec, ck)})")
+    return "[" + ", ".join(terms) + "]"
+
+
+def _duck_cell(vec: str) -> str:
+    sc = _duck_cell_scores(vec)
+    return (f"CAST(list_position({sc}, list_aggregate({sc}, 'min'))"
+            " AS BIGINT) - 1")
+
+
+def _duck_probe_cells(vec: str, nprobe: int) -> str:
+    sc = _duck_cell_scores(vec)
+    return (f"list_transform(list_slice(list_sort(list_zip({sc},"
+            f" range(0, {len(_CENTS)}))), 1, {nprobe}),"
+            " p -> CAST(p[2] AS BIGINT))")
+
+
+_IVF_ANN_ORACLE = f"""
+WITH c AS (SELECT vec_id, embedding, {_duck_cell('embedding')} AS cell
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv,
+             unnest({_duck_probe_cells('embedding', 2)}) AS cell
+      FROM embeddings WHERE vec_id < 5),
+j AS (SELECT q.q_id, c.vec_id, c.cell,
+             {_duck_cos('q.qv', 'c.embedding')} AS cos
+      FROM c JOIN q ON c.cell = q.cell),
+r AS (SELECT q_id, vec_id, cell, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      FROM j)
+SELECT q_id, vec_id, cell, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+@query("ivf_ann_topk", oracle=_IVF_ANN_ORACLE)
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.ivf_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
+                             cents=_CENTS, nprobe=2)
+
+
 _EMB_NEARDUP_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_duck_cos('a.embedding', 'b.embedding')} AS cos
@@ -1082,13 +1135,13 @@ def plane_fit_10km(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _RUNS_SQL = """
-SELECT DISTINCT CAST(l_suppkey % 10 AS BIGINT) AS file_id,
+SELECT CAST(l_suppkey % 10 AS BIGINT) AS file_id,
        CAST((l_orderkey % 500) * 12 AS BIGINT) AS run_start,
        CAST((l_orderkey % 500) * 12 + l_quantity AS BIGINT) AS run_end
 FROM lineitem
 """
 
-_COALESCE_ORACLE = f"WITH runs AS ({_RUNS_SQL})" + """
+_COALESCE_ORACLE = f"WITH runs AS (SELECT DISTINCT * FROM ({_RUNS_SQL}))" + """
 , m AS (
   SELECT file_id, run_start, run_end,
          max(run_end) OVER (PARTITION BY file_id ORDER BY run_start, run_end
@@ -1109,7 +1162,13 @@ def run_coalescing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import runs as _runs
     testkit.load_table(spark, sf_dir, "lineitem") \
         .createOrReplaceTempView("lineitem")
-    return _runs.coalesce_runs(spark.sql(_RUNS_SQL), ["file_id"])
+    # One shuffle total: hash-partition by file_id up front —
+    # HashPartitioning(file_id) satisfies the dedup's clustering on
+    # (file_id, start, end) AND the window/groupBy inside
+    # coalesce_runs, so dedup, window and final agg all reuse it.
+    base = (spark.sql(_RUNS_SQL).repartition("file_id")
+            .dropDuplicates(["file_id", "run_start", "run_end"]))
+    return _runs.coalesce_runs(base, ["file_id"])
 
 
 # --------------------------------------------------------------------------
