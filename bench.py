@@ -35,6 +35,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "multimodal_decode",
+    "event_sessionization",
 ]
 
 

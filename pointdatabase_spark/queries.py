@@ -1240,6 +1240,68 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Gap-based sessionization (streaming/sessions.py): the batch window
+# path carries the full oracle; the stateful applyInPandasWithState
+# path has deterministic availableNow semantics (in-batch-closed
+# sessions always emit; each key's final open session emits iff the
+# final watermark passed its end+gap timeout) — mirrored in SQL.
+# --------------------------------------------------------------------------
+
+_SESS_GAP_US = 6 * 3600 * 1000000  # 6 h
+_SESS_DELAY_MS = 3600 * 1000       # 1 h watermark delay
+
+_SESS_CORE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+l AS (SELECT user_id, tus, value,
+             lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+      FROM e),
+f AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > {_SESS_GAP_US}
+                     THEN 1 ELSE 0 END AS nf FROM l),
+g AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY tus
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f),
+s AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+             MIN(tus) AS session_start, MAX(tus) AS session_end,
+             COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+      FROM g GROUP BY user_id, sid)
+"""
+
+_SESSION_ORACLE = _SESS_CORE + """
+SELECT user_id, session_id, session_start, session_end,
+       n_events, sum_value
+FROM s
+"""
+
+
+@query("event_sessionization", oracle=_SESSION_ORACLE)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.streaming import sessions as _sess
+    ev = (testkit.load_table(spark, sf_dir, "events")
+          .select("user_id", F.expr("ts DIV 1000").alias("tus"), "value"))
+    return _sess.sessionize(ev, _SESS_GAP_US)
+
+
+_STREAM_SESSION_ORACLE = _SESS_CORE + f"""
+, mk AS (SELECT user_id, MAX(session_id) AS last_sid
+         FROM s GROUP BY user_id),
+m AS (SELECT MAX(tus) AS mx FROM e)
+SELECT s.user_id, s.session_start, s.session_end,
+       s.n_events, s.sum_value
+FROM s JOIN mk ON s.user_id = mk.user_id, m
+WHERE s.session_id < mk.last_sid
+   OR (s.session_end // 1000 + {_SESS_GAP_US // 1000})
+      < (m.mx // 1000 - {_SESS_DELAY_MS})
+"""
+
+
+@query("streaming_sessionization", oracle=_STREAM_SESSION_ORACLE)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.streaming import sessions as _sess
+    return _sess.run_sessionize_stateful_availablenow(
+        spark, sf_dir, _SESS_GAP_US, delay="1 hour")
+
+
+# --------------------------------------------------------------------------
 # JSON scalar extraction over `events.props` (F-extension; the
 # reference has no JSON, but a training pipeline does).
 # --------------------------------------------------------------------------

@@ -34,6 +34,30 @@ def test_ingest_availablenow_incremental(spark, tmp_path):
     assert sorted(r.row_id for r in out.collect()) == [1, 2, 3, 4, 5]
 
 
+def test_stateful_sessionization_withholds_open_sessions(spark):
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.streaming import sessions as S
+    GAP = 6 * 3600 * 1000000
+    sf = "/root/testdata/sf0.001"
+    ev = (testkit.load_table(spark, sf, "events")
+          .select("user_id", F.expr("ts DIV 1000").alias("tus"), "value"))
+    batch = S.sessionize(ev, GAP).toPandas()
+    closed = S.run_sessionize_stateful_availablenow(spark, sf, GAP).toPandas()
+    # every emitted session agrees with the batch result exactly
+    b = batch.set_index(["user_id", "session_start"])
+    c = closed.set_index(["user_id", "session_start"])
+    j = c.join(b, how="left", rsuffix="_b")
+    assert j["session_end_b"].notna().all()
+    assert (j["session_end"] == j["session_end_b"]).all()
+    assert (j["n_events"] == j["n_events_b"]).all()
+    # withheld = each user's final session still open at the watermark
+    withheld = b.index.difference(c.index)
+    last = batch.loc[batch.groupby("user_id")["session_id"].idxmax()]
+    assert set(map(tuple, withheld)) <= set(
+        zip(last.user_id, last.session_start))
+
+
 def test_windowed_counts_watermark_cutoff(spark):
     out = ingest.run_windowed_counts_availablenow(
         spark, "/root/testdata/sf0.001").toPandas()
