@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis): engine operators vs pure-Python
+implementations of the reference-cited semantics, on adversarial
+random inputs (ties, overlaps, duplicates) that fixed fixtures miss.
+
+Each example runs a real local Spark job, so example counts are kept
+small — the point is the semantic edge cases, not volume.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pointdatabase_spark.operators import runs as runs_op
+from pointdatabase_spark.operators import spatial
+from pointdatabase_spark.streaming import sessions as sessions_op
+
+_SETTINGS = dict(max_examples=6, deadline=None,
+                 suppress_health_check=list(HealthCheck))
+
+
+# -------------------------------------------------------------------
+# O3 run coalescing vs the reference merge rule (geo_index.py:410-429):
+# sort runs by start, merge when start <= prev_end + 1 (cumulative max).
+# -------------------------------------------------------------------
+
+runs_lists = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 15)),
+    min_size=1, max_size=25)
+
+
+def _ref_merge(triples):
+    byf = defaultdict(set)
+    for f, s, ln in triples:
+        byf[f].add((s, s + ln))
+    out = []
+    for f, rs in byf.items():
+        rs = sorted(rs)
+        cs, ce, n = rs[0][0], rs[0][1], 1
+        for s, e in rs[1:]:
+            if s <= ce + 1:
+                ce = max(ce, e)
+                n += 1
+            else:
+                out.append((f, cs, ce, n))
+                cs, ce, n = s, e, 1
+        out.append((f, cs, ce, n))
+    return sorted(out)
+
+
+@settings(**_SETTINGS)
+@given(runs_lists)
+def test_coalesce_runs_matches_reference_merge(spark, triples):
+    rows = sorted({(f, s, s + ln) for f, s, ln in triples})
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["file_id", "run_start", "run_end"]))
+    got = sorted((r.file_id, r.run_start, r.run_end, r.n_merged)
+                 for r in runs_op.coalesce_runs(df, ["file_id"]).collect())
+    assert got == _ref_merge(triples)
+
+
+# -------------------------------------------------------------------
+# A1 blockmedian vs the reference tie rule (pt_blockmedian.py:37-57):
+# per floor-cell, z-sorted (stable by input order); odd → middle row,
+# even → mean of the two middle rows (x and y averaged too).
+# Small-integer z values force heavy ties.
+# -------------------------------------------------------------------
+
+points = st.lists(
+    st.tuples(st.integers(-9, 9), st.integers(-9, 9), st.integers(0, 3)),
+    min_size=1, max_size=40)
+
+
+def _ref_blockmedian(rows, delta):
+    cells = defaultdict(list)
+    for rid, (x, y, z) in enumerate(rows):
+        cells[(math.floor(x / delta), math.floor(y / delta))].append(
+            (z, rid, x, y))
+    out = []
+    for (cx, cy), rs in cells.items():
+        rs.sort()  # by z, then input row id — the stable argsort
+        n = len(rs)
+        if n % 2:
+            z, _, x, y = rs[n // 2]
+            out.append((cx, cy, float(x), float(y), float(z)))
+        else:
+            a, b = rs[n // 2 - 1], rs[n // 2]
+            out.append((cx, cy, (a[2] + b[2]) / 2.0,
+                        (a[3] + b[3]) / 2.0, (a[0] + b[0]) / 2.0))
+    return sorted(out)
+
+
+@settings(**_SETTINGS)
+@given(points)
+def test_blockmedian_matches_reference_tie_rule(spark, rows):
+    pdf = pd.DataFrame(
+        [(float(x), float(y), float(z), i)
+         for i, (x, y, z) in enumerate(rows)],
+        columns=["x", "y", "z", "row_id"])
+    df = spark.createDataFrame(pdf)
+    got = sorted(
+        (r.cell_x, r.cell_y, r.x, r.y, r.z)
+        for r in spatial.blockmedian(df, 5.0, order_col="row_id").collect())
+    exp = _ref_blockmedian(rows, 5.0)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g[:2] == e[:2]
+        assert all(math.isclose(a, b, abs_tol=1e-12)
+                   for a, b in zip(g[2:], e[2:]))
+
+
+# -------------------------------------------------------------------
+# Sessionization vs a direct single-pass implementation.
+# -------------------------------------------------------------------
+
+events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+    min_size=1, max_size=40)
+
+
+def _ref_sessions(evts, gap):
+    byu = defaultdict(list)
+    for u, t in evts:
+        byu[u].append(t)
+    out = []
+    for u, ts in byu.items():
+        ts.sort()
+        sid, start, last, n = 1, ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > gap:
+                out.append((u, sid, start, last, n))
+                sid += 1
+                start, n = t, 0
+            last = t
+            n += 1
+        out.append((u, sid, start, last, n))
+    return sorted(out)
+
+
+@settings(**_SETTINGS)
+@given(events)
+def test_sessionize_matches_reference(spark, evts):
+    df = spark.createDataFrame(
+        pd.DataFrame([(u, t, 1.0) for u, t in evts],
+                     columns=["user_id", "tus", "value"]))
+    got = sorted((r.user_id, r.session_id, r.session_start,
+                  r.session_end, r.n_events)
+                 for r in sessions_op.sessionize(df, 50).collect())
+    assert got == _ref_sessions(evts, 50)
