@@ -144,6 +144,7 @@ def blockmedian(df: DataFrame, delta: float, xy0: tuple[float, float] = (0.0, 0.
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = d.select(
         "cell_x", "cell_y", "_x", "_y", "_z",
+        *(["_ord"] if order_col else []),
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(w_all).alias("_n"))
     # middle one (odd) or middle two (even): rn in [floor((n+1)/2), floor(n/2)+1]

@@ -131,6 +131,40 @@ def blockmedian_10km(spark: SparkSession, sf_dir: str) -> DataFrame:
                                order_col="row_id")
 
 
+# A1 `return_index` variant (pt_blockmedian.py:48-56): also report the
+# source rows that produced each cell's median — the two bracketing
+# row ids (equal when the cell count is odd). Realized through the
+# operator's extra_aggs hook over the middle rows.
+
+_BM_INDEX_ORACLE = testkit.syn_points_cte() + """
+, d AS (
+  SELECT CAST(floor(x / 10000) AS BIGINT) AS cell_x,
+         CAST(floor(y / 10000) AS BIGINT) AS cell_y,
+         x, y, h, row_id,
+         row_number() OVER (PARTITION BY floor(x / 10000), floor(y / 10000)
+                            ORDER BY h, row_id) AS rn,
+         count(*)    OVER (PARTITION BY floor(x / 10000), floor(y / 10000)) AS n
+  FROM pts)
+SELECT cell_x, cell_y,
+       AVG(h) AS h,
+       MIN(row_id) AS ind0, MAX(row_id) AS ind1,
+       CAST(MAX(n) AS BIGINT) AS n_in_cell
+FROM d
+WHERE rn >= floor((n + 1) / 2) AND rn <= floor(n / 2) + 1
+GROUP BY cell_x, cell_y
+"""
+
+
+@query("blockmedian_index", oracle=_BM_INDEX_ORACLE)
+def blockmedian_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    return spatial.blockmedian(
+        pts, delta=10000.0, x="x", y="y", z="h", order_col="row_id",
+        extra_aggs=[F.min("_ord").alias("ind0"),
+                    F.max("_ord").alias("ind1")],
+    ).select("cell_x", "cell_y", "h", "ind0", "ind1", "n_in_cell")
+
+
 # --------------------------------------------------------------------------
 # A2 blockmax — argmax row per cell (blockmax.py:10-31). The z used is
 # made unique (h + row_id·1e-6, exact in IEEE double) so the argmax is
