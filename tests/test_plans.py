@@ -83,6 +83,27 @@ def test_raster_and_crs_plans_have_no_exchange(spark):
     assert "Exchange" not in _plan(ll.select(x.alias("x")), "simple")
 
 
+def test_single_exchange_pipelines(spark):
+    # run coalescing and batch sessionization each claim ONE shuffle:
+    # an up-front hash partition on the group key satisfies the dedup/
+    # window/groupBy distributions downstream (SCALE.md rows).
+    from pointdatabase_spark.queries import (event_sessionization,
+                                             run_coalescing)
+    for q in (run_coalescing, event_sessionization):
+        plan = _plan(q(spark, SF_SMOKE), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, q.__name__
+
+
+def test_multimodal_stages_have_no_exchange(spark):
+    from pointdatabase_spark.operators import multimodal as mm
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    staged = mm.sample_frames(mm.attach_payload(docs), step=3)
+    assert "Exchange" not in _plan(staged, "simple")
+    resized = mm.resize_media(mm.decode_media(mm.attach_payload(docs)),
+                              max_w=128, max_h=96)
+    assert "Exchange" not in _plan(resized, "simple")
+
+
 def test_q1_is_codegen_with_partial_agg(spark):
     from pointdatabase_spark.queries import q1_pricing_summary
     df = q1_pricing_summary(spark, SF_SMOKE)
