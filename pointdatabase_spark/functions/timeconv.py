@@ -72,5 +72,12 @@ def days_j2k(date_col: Column | str, rel_time_s: Column | str) -> Column:
 
 def ts_micros(ns_long: Column | str) -> Column:
     """Nanosecond-long epoch (the events table read with nanosAsLong)
-    → TIMESTAMP (microsecond precision)."""
-    return F.timestamp_micros((_c(ns_long) / F.lit(1000)).cast("long"))
+    → TIMESTAMP (microsecond precision). Exact integer division:
+    epoch nanoseconds (~1.7e18) exceed double's 2^53 exact range
+    (ulp ≈ 256 ns there), so a float divide can drift by ±1 µs.
+    Subtracting the remainder keeps everything in long/decimal
+    arithmetic — identical to the `ts DIV 1000` used by the
+    streaming/session paths."""
+    c = _c(ns_long).cast("long")
+    exact = (c - (c % F.lit(1000))).cast("decimal(38,0)") / F.lit(1000)
+    return F.timestamp_micros(exact.cast("long"))

@@ -42,10 +42,16 @@ def _doubles() -> dict[str, str]:
 
 def slope_exprs() -> tuple[str, str]:
     """(slope_x, slope_y) formula strings over columns named like
-    _SUMS — identical text is used by the engine and the oracle."""
+    _SUMS — identical text is used by the engine and the oracle.
+
+    The determinant is wrapped in NULLIF(det, 0): a degenerate cell
+    (all x or all y identical, or collinear points) has a singular
+    normal matrix, and both Spark (ANSI mode) and DuckDB must yield
+    NULL slopes there rather than raise DIVIDE_BY_ZERO. NULLIF parses
+    identically in both dialects, so the expression DAGs stay equal."""
     d = _doubles()
-    return (f"{DET_B.format(**d)} / {DET.format(**d)}",
-            f"{DET_C.format(**d)} / {DET.format(**d)}")
+    return (f"{DET_B.format(**d)} / NULLIF({DET.format(**d)}, 0)",
+            f"{DET_C.format(**d)} / NULLIF({DET.format(**d)}, 0)")
 
 
 def plane_fit_by_bin(df: DataFrame, delta: float, x: str = "x",

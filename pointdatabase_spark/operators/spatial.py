@@ -116,14 +116,24 @@ def with_bins(df: DataFrame, delta: tuple[float, float],
 def blockmedian(df: DataFrame, delta: float, xy0: tuple[float, float] = (0.0, 0.0),
                 x: str = "x", y: str = "y", z: str = "z",
                 order_col: str | None = None,
-                extra_aggs: list[Column] | None = None) -> DataFrame:
+                extra_aggs: list[Column] | None = None,
+                tie_rule: str = "reference") -> DataFrame:
     """Exact per-cell median-by-z (reference pt_blockmedian.py:9-64).
 
     Semantics: grid with floor((c-x0)/Δ); within each cell sort rows by
     z (stable — tie-broken by `order_col` when given, mirroring the
-    reference's stable argsort over original row order); odd count →
-    the middle row's (x, y, z); even → the mean of the two middle rows,
-    averaging x and y as well (pt_blockmedian.py:40-47).
+    reference's stable argsort over original row order); even count →
+    the mean of the two middle rows, averaging x and y as well
+    (pt_blockmedian.py:40-47). Odd count is governed by ``tie_rule``:
+
+    - ``"reference"`` (default): bit-parity with pt_blockmedian.py:39,51
+      — the reference computes ``iM = max(n/2 - 1, 0)`` and truncates,
+      selecting 0-based index ``int(n/2 - 1)``, ONE BELOW the true
+      middle for every odd cell of 3+ rows (n=3 returns the minimum-z
+      row). That off-by-one is upstream behavior, so it is the default.
+    - ``"true_median"``: the statistically-correct middle row
+      (0-based index ``(n-1)/2``) — a conscious fix of the upstream
+      quirk, for users who want an actual median.
 
     Plan shape: single hash-partition shuffle on the cell key, then a
     window sort within each cell and a partial-aggregated groupBy —
@@ -131,6 +141,8 @@ def blockmedian(df: DataFrame, delta: float, xy0: tuple[float, float] = (0.0, 0.
     percentile_approx is deliberately NOT used: the tie rule is part of
     the operator contract.
     """
+    if tie_rule not in ("reference", "true_median"):
+        raise ValueError(f"unknown tie_rule: {tie_rule!r}")
     cx = cell_index(x, delta, xy0[0]).alias("cell_x")
     cy = cell_index(y, delta, xy0[1]).alias("cell_y")
     d = df.where(F.col(z).isNotNull() & ~F.isnan(z)).select(
@@ -147,10 +159,16 @@ def blockmedian(df: DataFrame, delta: float, xy0: tuple[float, float] = (0.0, 0.
         *(["_ord"] if order_col else []),
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(w_all).alias("_n"))
-    # middle one (odd) or middle two (even): rn in [floor((n+1)/2), floor(n/2)+1]
-    mid = ranked.where(
-        (F.col("_rn") >= F.floor((F.col("_n") + 1) / 2))
-        & (F.col("_rn") <= F.floor(F.col("_n") / 2) + 1))
+    rn, n = F.col("_rn"), F.col("_n")
+    # even count → middle two ranks [n/2, n/2+1] under either rule
+    even_mid = (rn >= F.floor(n / 2)) & (rn <= F.floor(n / 2) + 1)
+    if tie_rule == "reference":
+        # odd → 1-based rank greatest(floor(n/2), 1): the reference's
+        # lower-middle int(n/2-1) (n=1 degenerates to the single row)
+        odd_mid = rn == F.greatest(F.floor(n / 2), F.lit(1))
+    else:
+        odd_mid = rn == F.floor((n + 1) / 2)
+    mid = ranked.where(F.when(n % 2 == 0, even_mid).otherwise(odd_mid))
     return (mid.groupBy("cell_x", "cell_y")
             .agg(F.avg("_x").alias(x), F.avg("_y").alias(y), F.avg("_z").alias(z),
                  F.max("_n").alias("n_in_cell"),

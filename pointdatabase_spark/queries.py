@@ -119,7 +119,9 @@ SELECT cell_x, cell_y,
        AVG(x) AS x, AVG(y) AS y, AVG(h) AS h,
        CAST(MAX(n) AS BIGINT) AS n_in_cell
 FROM d
-WHERE rn >= floor((n + 1) / 2) AND rn <= floor(n / 2) + 1
+WHERE CASE WHEN n % 2 = 0
+           THEN rn >= floor(n / 2) AND rn <= floor(n / 2) + 1
+           ELSE rn = greatest(floor(n / 2), 1) END
 GROUP BY cell_x, cell_y
 """
 
@@ -150,7 +152,9 @@ SELECT cell_x, cell_y,
        MIN(row_id) AS ind0, MAX(row_id) AS ind1,
        CAST(MAX(n) AS BIGINT) AS n_in_cell
 FROM d
-WHERE rn >= floor((n + 1) / 2) AND rn <= floor(n / 2) + 1
+WHERE CASE WHEN n % 2 = 0
+           THEN rn >= floor(n / 2) AND rn <= floor(n / 2) + 1
+           ELSE rn = greatest(floor(n / 2), 1) END
 GROUP BY cell_x, cell_y
 """
 
@@ -453,8 +457,13 @@ def bin_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setops.anti_join(a, b, ["bin_x", "bin_y"]).select("row_id")
 
 
+# Bin keys are emitted as BIGINT meters: DuckDB's round(DOUBLE)
+# preserves -0.0 while Spark's HALF_UP round yields +0.0, so the
+# origin bin would hash differently as a double. CAST(x AS BIGINT)
+# collapses both signed zeros to 0 in both engines.
 _INTERSECT_ORACLE = _BIN_CTE + """
-SELECT bin_x, bin_y FROM b1 INTERSECT SELECT bin_x, bin_y FROM b2
+SELECT CAST(bin_x AS BIGINT) AS bin_x, CAST(bin_y AS BIGINT) AS bin_y
+FROM (SELECT bin_x, bin_y FROM b1 INTERSECT SELECT bin_x, bin_y FROM b2)
 """
 
 
@@ -462,7 +471,9 @@ SELECT bin_x, bin_y FROM b1 INTERSECT SELECT bin_x, bin_y FROM b2
 def bin_key_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = spatial.with_bins(testkit.syn_points(spark, sf_dir), (10000.0, 10000.0))
     b = spatial.with_bins(testkit.syn_points2(spark, sf_dir), (10000.0, 10000.0))
-    return setops.key_intersect(a, b, ["bin_x", "bin_y"])
+    return setops.key_intersect(a, b, ["bin_x", "bin_y"]).select(
+        F.col("bin_x").cast("long").alias("bin_x"),
+        F.col("bin_y").cast("long").alias("bin_y"))
 
 
 # --------------------------------------------------------------------------
@@ -543,9 +554,10 @@ def tile_store_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3 bin catalog (geo_index.from_xy bookkeeping, FIXTURES §2).
 # --------------------------------------------------------------------------
 
+# BIGINT bin keys for the same -0.0 reason as bin_key_intersect.
 _CATALOG_ORACLE = testkit.syn_points_cte() + """
-SELECT round(x / 10000) * 10000 AS bin_x,
-       round(y / 10000) * 10000 AS bin_y,
+SELECT CAST(round(x / 10000) * 10000 AS BIGINT) AS bin_x,
+       CAST(round(y / 10000) * 10000 AS BIGINT) AS bin_y,
        COUNT(*) AS n_rows,
        MIN(x) AS x_min, MAX(x) AS x_max,
        MIN(y) AS y_min, MAX(y) AS y_max,
@@ -560,7 +572,9 @@ def bin_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.sources import tile_store
     pts = spatial.with_bins(testkit.syn_points(spark, sf_dir),
                             (10000.0, 10000.0))
-    return tile_store.bin_catalog(pts, order_col="t")
+    return (tile_store.bin_catalog(pts, order_col="t")
+            .withColumn("bin_x", F.col("bin_x").cast("long"))
+            .withColumn("bin_y", F.col("bin_y").cast("long")))
 
 
 # --------------------------------------------------------------------------
@@ -1207,9 +1221,15 @@ def run_coalescing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # F1 CRS transform: lat/lon → EPSG:3413 polar stereographic x/y via the
-# pure-NumPy pandas UDF (functions/crs.py). numpy and DuckDB libm trig
-# differ in the last ulp (~1e-9 m), so both sides round to 1 mm; the
-# synthetic inputs are deterministic and verified straddle-free.
+# pure-NumPy pandas UDF (functions/crs.py). NumPy and DuckDB libm trig
+# differ in the last ulp (~1.4e-9 m measured); the hash-compared output
+# is quantized to integer meters, where the minimum distance of any
+# value to a rounding boundary is ≥6.7e-7 m across sf0.001/0.01/0.1 —
+# a ≥470× straddle margin, asserted by tests/test_properties.py
+# (test_crs_round_straddle_margin). Sub-mm agreement between the two
+# engines is itself asserted there with an explicit tolerance, which is
+# the right tool for continuous values (round-then-hash at mm grain is
+# not: at sf0.01 one value sits 6e-10 m from a mm boundary).
 # --------------------------------------------------------------------------
 
 from pointdatabase_spark.functions import crs as _crs  # noqa: E402
@@ -1226,8 +1246,8 @@ _CRS_X, _CRS_Y = _crs.oracle_sql_exprs(1, lat="lat", lon="lon")
 _CRS_ORACLE = f"""
 WITH ll AS ({_LATLON_SQL})
 SELECT row_id, lat, lon,
-       round({_CRS_X}, 3) AS x_ps,
-       round({_CRS_Y}, 3) AS y_ps
+       CAST(round({_CRS_X}, 0) AS BIGINT) AS x_ps_m,
+       CAST(round({_CRS_Y}, 0) AS BIGINT) AS y_ps_m
 FROM ll
 """
 
@@ -1239,8 +1259,8 @@ def crs_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll = spark.sql(_LATLON_SQL)
     x, y = _crs.stereo_xy_columns("lat", "lon", hemisphere=1)
     return ll.select("row_id", "lat", "lon",
-                     F.round(x, 3).alias("x_ps"),
-                     F.round(y, 3).alias("y_ps"))
+                     F.round(x, 0).cast("long").alias("x_ps_m"),
+                     F.round(y, 0).cast("long").alias("y_ps_m"))
 
 
 # --------------------------------------------------------------------------

@@ -85,7 +85,9 @@ def _ref_blockmedian(rows, delta):
         rs.sort()  # by z, then input row id — the stable argsort
         n = len(rs)
         if n % 2:
-            z, _, x, y = rs[n // 2]
+            # reference odd rule (pt_blockmedian.py:39,51): int(n/2-1),
+            # clamped at 0 — one BELOW the true middle for n >= 3
+            z, _, x, y = rs[max(n // 2 - 1, 0)]
             out.append((cx, cy, float(x), float(y), float(z)))
         else:
             a, b = rs[n // 2 - 1], rs[n // 2]
@@ -151,3 +153,44 @@ def test_sessionize_matches_reference(spark, evts):
                   r.session_end, r.n_events)
                  for r in sessions_op.sessionize(df, 50).collect())
     assert got == _ref_sessions(evts, 50)
+
+
+# -------------------------------------------------------------------
+# F1 CRS transform: cross-engine agreement and round-straddle margin.
+# The declared crs_polar_stereo query hash-compares integer-meter
+# output; these assertions justify that quantization (queries.py
+# comment) — values stay far from meter rounding boundaries relative
+# to the NumPy-vs-DuckDB libm ulp spread, and raw agreement is sub-mm.
+# -------------------------------------------------------------------
+
+
+def test_crs_round_straddle_margin():
+    import duckdb
+    import numpy as np
+    from pointdatabase_spark.functions import crs
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')")
+        ll = con.execute("""
+            SELECT CAST(60 AS DOUBLE) + CAST(l_partkey % 3000 AS DOUBLE) / 100 AS lat,
+                   CAST(-180 AS DOUBLE) + CAST(l_orderkey % 36000 AS DOUBLE) / 100 AS lon
+            FROM lineitem""").fetchnumpy()
+        xs, ys = crs.polar_stereo_forward(ll["lat"], ll["lon"], 1)
+        xe, ye = crs.oracle_sql_exprs(1)
+        d = con.execute(f"""
+            WITH ll AS (
+              SELECT CAST(60 AS DOUBLE) + CAST(l_partkey % 3000 AS DOUBLE) / 100 AS lat,
+                     CAST(-180 AS DOUBLE) + CAST(l_orderkey % 36000 AS DOUBLE) / 100 AS lon
+              FROM lineitem)
+            SELECT {xe} AS x, {ye} AS y FROM ll""").fetchnumpy()
+        spread = max(np.abs(xs - d["x"]).max(), np.abs(ys - d["y"]).max())
+        # sub-mm cross-engine agreement on the raw doubles
+        assert spread < 1e-6, spread
+        # integer-meter margin: no value within 100x the ulp spread of
+        # a 0.5 m rounding boundary (so round-then-hash cannot straddle)
+        for v in (xs, ys):
+            margin = np.abs(v - np.floor(v) - 0.5).min()
+            assert margin > 100 * max(spread, 1e-9), (sf_dir, margin)
