@@ -75,9 +75,13 @@ def ts_micros(ns_long: Column | str) -> Column:
     → TIMESTAMP (microsecond precision). Exact integer division:
     epoch nanoseconds (~1.7e18) exceed double's 2^53 exact range
     (ulp ≈ 256 ns there), so a float divide can drift by ±1 µs.
-    Subtracting the remainder keeps everything in long/decimal
-    arithmetic — identical to the `ts DIV 1000` used by the
-    streaming/session paths."""
-    c = _c(ns_long).cast("long")
+    `DIV` stays in pure long arithmetic (exact for non-negative epoch
+    ns) — the same `ts DIV 1000` the streaming/session paths use.
+    A Column argument falls back to exact decimal division (`DIV` has
+    no Column-API equivalent; remainder-subtraction keeps the decimal
+    quotient integral so the long cast is exact)."""
+    if isinstance(ns_long, str):
+        return F.expr(f"timestamp_micros({ns_long} DIV 1000)")
+    c = ns_long.cast("long")
     exact = (c - (c % F.lit(1000))).cast("decimal(38,0)") / F.lit(1000)
     return F.timestamp_micros(exact.cast("long"))

@@ -133,6 +133,37 @@ def blockmedian_10km(spark: SparkSession, sf_dir: str) -> DataFrame:
                                order_col="row_id")
 
 
+# A1 true-median opt-out (operators/spatial.py tie_rule="true_median"):
+# the statistically-correct odd rule — 0-based middle (n-1)/2 — pinned
+# so both documented rules have oracle coverage.
+
+_BM_TRUE_ORACLE = testkit.syn_points_cte() + """
+, d AS (
+  SELECT CAST(floor(x / 10000) AS BIGINT) AS cell_x,
+         CAST(floor(y / 10000) AS BIGINT) AS cell_y,
+         x, y, h,
+         row_number() OVER (PARTITION BY floor(x / 10000), floor(y / 10000)
+                            ORDER BY h, row_id) AS rn,
+         count(*)    OVER (PARTITION BY floor(x / 10000), floor(y / 10000)) AS n
+  FROM pts)
+SELECT cell_x, cell_y,
+       AVG(x) AS x, AVG(y) AS y, AVG(h) AS h,
+       CAST(MAX(n) AS BIGINT) AS n_in_cell
+FROM d
+WHERE CASE WHEN n % 2 = 0
+           THEN rn >= floor(n / 2) AND rn <= floor(n / 2) + 1
+           ELSE rn = floor((n + 1) / 2) END
+GROUP BY cell_x, cell_y
+"""
+
+
+@query("blockmedian_true_median", oracle=_BM_TRUE_ORACLE)
+def blockmedian_true_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    return spatial.blockmedian(pts, delta=10000.0, x="x", y="y", z="h",
+                               order_col="row_id", tie_rule="true_median")
+
+
 # A1 `return_index` variant (pt_blockmedian.py:48-56): also report the
 # source rows that produced each cell's median — the two bracketing
 # row ids (equal when the cell count is odd). Realized through the

@@ -75,7 +75,7 @@ points = st.lists(
     min_size=1, max_size=40)
 
 
-def _ref_blockmedian(rows, delta):
+def _ref_blockmedian(rows, delta, tie_rule="reference"):
     cells = defaultdict(list)
     for rid, (x, y, z) in enumerate(rows):
         cells[(math.floor(x / delta), math.floor(y / delta))].append(
@@ -85,9 +85,13 @@ def _ref_blockmedian(rows, delta):
         rs.sort()  # by z, then input row id — the stable argsort
         n = len(rs)
         if n % 2:
-            # reference odd rule (pt_blockmedian.py:39,51): int(n/2-1),
-            # clamped at 0 — one BELOW the true middle for n >= 3
-            z, _, x, y = rs[max(n // 2 - 1, 0)]
+            if tie_rule == "reference":
+                # reference odd rule (pt_blockmedian.py:39,51): int(n/2-1),
+                # clamped at 0 — one BELOW the true middle for n >= 3
+                z, _, x, y = rs[max(n // 2 - 1, 0)]
+            else:
+                # true middle: 0-based index (n-1)/2
+                z, _, x, y = rs[(n - 1) // 2]
             out.append((cx, cy, float(x), float(y), float(z)))
         else:
             a, b = rs[n // 2 - 1], rs[n // 2]
@@ -96,9 +100,7 @@ def _ref_blockmedian(rows, delta):
     return sorted(out)
 
 
-@settings(**_SETTINGS)
-@given(points)
-def test_blockmedian_matches_reference_tie_rule(spark, rows):
+def _check_blockmedian(spark, rows, tie_rule):
     pdf = pd.DataFrame(
         [(float(x), float(y), float(z), i)
          for i, (x, y, z) in enumerate(rows)],
@@ -106,13 +108,38 @@ def test_blockmedian_matches_reference_tie_rule(spark, rows):
     df = spark.createDataFrame(pdf)
     got = sorted(
         (r.cell_x, r.cell_y, r.x, r.y, r.z)
-        for r in spatial.blockmedian(df, 5.0, order_col="row_id").collect())
-    exp = _ref_blockmedian(rows, 5.0)
+        for r in spatial.blockmedian(df, 5.0, order_col="row_id",
+                                     tie_rule=tie_rule).collect())
+    exp = _ref_blockmedian(rows, 5.0, tie_rule)
     assert len(got) == len(exp)
     for g, e in zip(got, exp):
         assert g[:2] == e[:2]
         assert all(math.isclose(a, b, abs_tol=1e-12)
                    for a, b in zip(g[2:], e[2:]))
+
+
+@settings(**_SETTINGS)
+@given(points)
+def test_blockmedian_matches_reference_tie_rule(spark, rows):
+    _check_blockmedian(spark, rows, "reference")
+
+
+@settings(**_SETTINGS)
+@given(points)
+def test_blockmedian_true_median_tie_rule(spark, rows):
+    _check_blockmedian(spark, rows, "true_median")
+
+
+def test_blockmedian_rules_diverge_on_odd_cells(spark):
+    """n=3 cell: reference rule returns the MINIMUM-z row (the upstream
+    quirk), true_median the actual middle row."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [1.0, 1.0, 1.0], "y": [1.0, 1.0, 1.0],
+                      "z": [10.0, 20.0, 30.0], "row_id": [0, 1, 2]}))
+    ref = spatial.blockmedian(df, 5.0, order_col="row_id").collect()[0]
+    tru = spatial.blockmedian(df, 5.0, order_col="row_id",
+                              tie_rule="true_median").collect()[0]
+    assert ref.z == 10.0 and tru.z == 20.0
 
 
 # -------------------------------------------------------------------
@@ -169,7 +196,8 @@ def test_crs_round_straddle_margin():
     import numpy as np
     from pointdatabase_spark.functions import crs
 
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW lineitem AS SELECT * FROM "
