@@ -13,9 +13,15 @@ Spark-first design notes (100 TB shape):
   sets are re-joined only for the *candidate* pairs that survive
   banding, so the expensive payload never fans out 9×.
 - **Skew**: identical boilerplate docs make hot band keys. AQE skew
-  join handles moderate cases; for pathological corpora, cap bucket
-  size with a count-filter on band keys before the join (the classic
-  "drop mega-clusters, they're exact dups anyway" trick).
+  join handles moderate cases; for pathological corpora pass
+  ``max_bucket`` to :func:`minhash_neardup` — band keys with more
+  than ``max_bucket`` members are dropped before the self-join (the
+  classic "skip mega-clusters, they're exact dups anyway" trick: a
+  k-member bucket would emit k² candidate pairs, and buckets that
+  hot are boilerplate/identical content that the O(n)
+  :func:`exact_dedup` pass already collapses). The hot-key set is
+  tiny by construction (≤ corpus/max_bucket keys), so the exclusion
+  is a broadcast anti-join — no extra shuffle of the band table.
 
 All hashing is md5-based so the DuckDB correctness oracle reproduces
 results bit-for-bit (see queries.py). Capability extends the reference
@@ -122,14 +128,38 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame,
             .select("id_a", "id_b", "jaccard"))
 
 
+def drop_mega_buckets(band: DataFrame, max_bucket: int) -> DataFrame:
+    """Remove band keys whose bucket exceeds ``max_bucket`` members.
+
+    The count aggregate map-combines, and the resulting hot-key set
+    has at most |band|/max_bucket rows, so the exclusion broadcasts —
+    the band table itself is never shuffled by the cap."""
+    hot = (band.groupBy("bkey")
+           .agg(F.count(F.lit(1)).alias("_bn"))
+           .where(F.col("_bn") > max_bucket)
+           .select("bkey"))
+    return band.join(F.broadcast(hot), "bkey", "left_anti")
+
+
 def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3,
                     n_hashes: int = 8, bands: int = 4,
-                    threshold: float = 0.5) -> DataFrame:
-    """MinHash → LSH banding → exact-Jaccard verification."""
+                    threshold: float = 0.5,
+                    max_bucket: int | None = None) -> DataFrame:
+    """MinHash → LSH banding → exact-Jaccard verification.
+
+    ``max_bucket`` caps the LSH bucket size: a band key shared by k
+    documents contributes ~k²/2 candidate pairs, so one mega-cluster
+    (boilerplate, templated spam, mass-duplicated text) turns the
+    bucketed join quadratic. Keys above the cap are excluded before
+    the self-join; their members are exact/near-identical content
+    that the linear ``exact_dedup`` pass collapses instead. Default
+    None preserves the uncapped (exhaustive) pairing."""
     sh = shingle_sets(df, id_col, text_col, n).persist()
     band = lsh_band_keys(minhash_signatures(sh, n_hashes),
                          bands, n_hashes // bands)
+    if max_bucket is not None:
+        band = drop_mega_buckets(band, max_bucket)
     a, b = band.alias("a"), band.alias("b")
     cand = (a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
                    & (F.col("a.id") < F.col("b.id")))

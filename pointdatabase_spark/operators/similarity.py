@@ -36,10 +36,22 @@ def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic signed-random-projection matrix (md5-derived)."""
-    return [[(_h32(f"{p}_{i}") % 2001 - 1000) / 1000.0 for i in range(dim)]
+def hyperplanes(n_planes: int, dim: int, salt: str = "") -> list[list[float]]:
+    """Deterministic signed-random-projection matrix (md5-derived).
+    `salt` yields an independent family — the per-table planes of
+    multi-table LSH (empty salt reproduces the original table)."""
+    return [[(_h32(f"{salt}{p}_{i}") % 2001 - 1000) / 1000.0
+             for i in range(dim)]
             for p in range(n_planes)]
+
+
+def plane_tables(n_tables: int, n_planes: int, dim: int
+                 ) -> list[list[list[float]]]:
+    """t independent hyperplane sets (table 0 = the unsalted single-
+    table family, so multi-table candidates are a superset of the
+    single-table ones by construction)."""
+    return [hyperplanes(n_planes, dim, salt="" if t == 0 else f"T{t}_")
+            for t in range(n_tables)]
 
 
 def dot_expr(a: str, b: str) -> str:
@@ -131,6 +143,60 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
                               F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= k)
             .select(q_id, "vec_id", "bucket", "cos", "rank"))
+
+
+def multi_bucket_entries(vec: str,
+                         plane_sets: list[list[list[float]]]) -> str:
+    """array<struct<tid,bucket>> of per-table SRP bucket ids — the
+    explode source for multi-table LSH keys (all map-side)."""
+    entries = ", ".join(
+        f"struct({t} AS tid, {bucket_expr(vec, ps)} AS bucket)"
+        for t, ps in enumerate(plane_sets))
+    return f"array({entries})"
+
+
+def lsh_ann_topk_multi(corpus: DataFrame, queries: DataFrame, k: int,
+                       plane_sets: list[list[list[float]]],
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       q_id: str = "q_id") -> DataFrame:
+    """Multi-table SRP-LSH top-k: OR-amplification over t independent
+    hyperplane tables — a candidate shares ANY table's bucket with the
+    query, so recall rises as 1-(1-p)^t per near neighbor while each
+    table keeps the same cheap bucket width.
+
+    Plan shape (100 TB lens): every per-table bucket id is a map-side
+    expression; the corpus explodes to t (vec_id, tid, bucket) keys,
+    joins the broadcast query table map-side (no corpus shuffle), and
+    only (q_id, vec_id, cos) survives into the candidate-dedup
+    exchange — the duplicate-across-tables collapse happens AFTER the
+    cosine is computed map-side, so vectors never shuffle and the
+    only exchanges are the tiny candidate distinct + top-k window."""
+    from pyspark.sql.window import Window
+    c = (corpus.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("_cv"))
+         .withColumn("_cn", F.expr(norm_expr("_cv")))
+         .withColumn("_tb", F.explode(
+             F.expr(multi_bucket_entries("_cv", plane_sets))))
+         .select("vec_id", "_cv", "_cn",
+                 F.col("_tb.tid").alias("tid"),
+                 F.col("_tb.bucket").alias("bucket")))
+    q = (queries.select(F.col(id_col).alias(q_id),
+                        F.col(vec_col).alias("_qv"))
+         .withColumn("_qn", F.expr(norm_expr("_qv")))
+         .withColumn("_tb", F.explode(
+             F.expr(multi_bucket_entries("_qv", plane_sets))))
+         .select(q_id, "_qv", "_qn",
+                 F.col("_tb.tid").alias("tid"),
+                 F.col("_tb.bucket").alias("bucket")))
+    cand = (c.join(F.broadcast(q), ["tid", "bucket"])
+            .withColumn("cos", F.expr(dot_expr("_qv", "_cv"))
+                        / (F.col("_qn") * F.col("_cn")))
+            .select(q_id, "vec_id", "cos")
+            .distinct())
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(q_id, "vec_id", "cos", "rank"))
 
 
 def centroids(n_centroids: int, dim: int) -> list[list[float]]:

@@ -585,7 +585,8 @@ def tile_store_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3 bin catalog (geo_index.from_xy bookkeeping, FIXTURES §2).
 # --------------------------------------------------------------------------
 
-# BIGINT bin keys for the same -0.0 reason as bin_key_intersect.
+# Layout bin keys are BIGINT meters natively (tile_store.with_tile_bins)
+# — no query-side cast needed; signed zero cannot exist in an integer key.
 _CATALOG_ORACLE = testkit.syn_points_cte() + """
 SELECT CAST(round(x / 10000) * 10000 AS BIGINT) AS bin_x,
        CAST(round(y / 10000) * 10000 AS BIGINT) AS bin_y,
@@ -601,11 +602,8 @@ GROUP BY bin_x, bin_y
 @query("bin_catalog", oracle=_CATALOG_ORACLE)
 def bin_catalog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.sources import tile_store
-    pts = spatial.with_bins(testkit.syn_points(spark, sf_dir),
-                            (10000.0, 10000.0))
-    return (tile_store.bin_catalog(pts, order_col="t")
-            .withColumn("bin_x", F.col("bin_x").cast("long"))
-            .withColumn("bin_y", F.col("bin_y").cast("long")))
+    keyed = tile_store.with_tile_bins(testkit.syn_points(spark, sf_dir))
+    return tile_store.bin_catalog(keyed, order_col="t")
 
 
 # --------------------------------------------------------------------------
@@ -849,7 +847,18 @@ _DUCK_H32 = ("CAST(list_sum(list_transform(range(8), i ->"
              " (strpos('0123456789abcdef', substr(md5(x), CAST(i + 1 AS INT), 1)) - 1)"
              " * 16.0 ** (7 - i))) AS BIGINT)")
 
-_MINHASH_ORACLE = testkit.syn_corpus_cte() + r"""
+def _minhash_oracle_sql(corpus_cte: str, cap: int | None = None) -> str:
+    """MinHash-LSH oracle over a corpus CTE; with `cap`, band keys
+    whose bucket exceeds it are excluded before the self-join — the
+    exact mirror of dedup.drop_mega_buckets."""
+    cand_src = "band"
+    capped = ""
+    if cap is not None:
+        capped = (f",\nband2 AS (SELECT * FROM band WHERE bkey NOT IN"
+                  f" (SELECT bkey FROM band GROUP BY bkey"
+                  f" HAVING count(*) > {int(cap)}))")
+        cand_src = "band2"
+    return corpus_cte + r"""
 , tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
 sh AS (
   SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
@@ -863,10 +872,10 @@ sig AS (SELECT id,
          {_MH_MINS}
         FROM ex GROUP BY id),
 band AS (
-  {_MH_BANDS}),
+  {_MH_BANDS}){capped},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM band a JOIN band b ON a.bkey = b.bkey AND a.id < b.id)
+  FROM {cand_src} a JOIN {cand_src} b ON a.bkey = b.bkey AND a.id < b.id)
 SELECT id_a, id_b,
        len(list_intersect(sa.s, sb.s))
          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
@@ -876,9 +885,26 @@ WHERE len(list_intersect(sa.s, sb.s))
 """
 
 
+_MINHASH_ORACLE = _minhash_oracle_sql(testkit.syn_corpus_cte())
+
+
 @query("minhash_lsh_neardup", oracle=_MINHASH_ORACLE)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_neardup(testkit.syn_corpus(spark, sf_dir))
+
+
+# Mega-bucket cap on the skewed corpus (40-copy planted cluster): the
+# cap drops the cluster's band keys before the self-join, so candidate
+# generation stays near-linear; the cluster's members are exact dups
+# that exact_dedup collapses via the O(n) path instead.
+_MINHASH_CAPPED_ORACLE = _minhash_oracle_sql(
+    testkit.syn_skew_corpus_cte(), cap=8)
+
+
+@query("minhash_lsh_capped", oracle=_MINHASH_CAPPED_ORACLE)
+def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_neardup(testkit.syn_skew_corpus(spark, sf_dir),
+                                  max_bucket=8)
 
 
 _SH_VOTES = ",\n         ".join(
@@ -974,11 +1000,11 @@ def _duck_plane_dot(vec: str, plane: list[float]) -> str:
     return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
-def _duck_bucket(vec: str) -> str:
+def _duck_bucket(vec: str, planes: list[list[float]] = _PLANES) -> str:
     bits = " + ".join(
         f"(CASE WHEN {_duck_plane_dot(vec, pl)} > CAST(0 AS DOUBLE)"
         f" THEN {1 << p} ELSE 0 END)"
-        for p, pl in enumerate(_PLANES))
+        for p, pl in enumerate(planes))
     return f"CAST({bits} AS BIGINT)"
 
 
@@ -1022,6 +1048,41 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = testkit.load_table(spark, sf_dir, "embeddings")
     return _sim.lsh_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
                              planes=_PLANES)
+
+
+# Multi-table SRP-LSH (OR-amplification over 2 independent md5-derived
+# plane tables; table 0 = the single-table planes, so candidates are a
+# strict superset — the recall property is pytest-asserted in
+# tests/test_extensions.py).
+_PLANE_TABLES = _sim.plane_tables(2, 6, _DIM)
+
+_LSH_MULTI_ORACLE = f"""
+WITH cb AS (
+  SELECT vec_id, embedding, 0 AS tid,
+         {_duck_bucket('embedding', _PLANE_TABLES[0])} AS bucket
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS tid,
+         {_duck_bucket('embedding', _PLANE_TABLES[1])} AS bucket
+  FROM embeddings),
+qb AS (SELECT vec_id AS q_id, embedding AS qv, tid, bucket
+       FROM cb WHERE vec_id < 5),
+j AS (SELECT DISTINCT qb.q_id, cb.vec_id,
+             {_duck_cos('qb.qv', 'cb.embedding')} AS cos
+      FROM cb JOIN qb ON cb.tid = qb.tid AND cb.bucket = qb.bucket),
+r AS (SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      FROM j)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+@query("lsh_ann_multitable", oracle=_LSH_MULTI_ORACLE)
+def lsh_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.lsh_ann_topk_multi(emb, emb.where(F.col("vec_id") < 5),
+                                   k=5, plane_sets=_PLANE_TABLES)
 
 
 # IVF ANN: deterministic coarse centroids, argmin cell assignment,

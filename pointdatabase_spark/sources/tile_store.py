@@ -28,20 +28,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pointdatabase_spark.functions.binning import bin_center
-
 DEFAULT_BIN = (10_000.0, 10_000.0)
 DEFAULT_TILE = (100_000.0, 100_000.0)
+
+
+def _long_bin(col: str, delta: float) -> F.Column:
+    """Round-convention bin center as BIGINT meters: round(x/Δ) is an
+    exact small integer in double, the long cast and integer multiply
+    are exact — and signed zero cannot exist in an integer type, so the
+    layout never stores a -0.0 grouping key (the round-2 footgun)."""
+    if not float(delta).is_integer():
+        raise ValueError(
+            f"tile-store bin delta must be integral meters, got {delta}")
+    return (F.round(F.col(col) / F.lit(float(delta)), 0).cast("long")
+            * F.lit(int(delta)))
 
 
 def with_tile_bins(df: DataFrame, bin_delta=DEFAULT_BIN, tile_delta=DEFAULT_TILE,
                    x: str = "x", y: str = "y") -> DataFrame:
     """Attach bin (round-convention center, geo_index.py:76) and tile
     (floor-convention corner, ATL06_tiles.py:41-52) key columns.
-    Tile keys are long meters — partition values must be integral."""
+    Both are BIGINT meters: partition values must be integral, and
+    integer bin keys give exact grouping/equality semantics (no ±0.0
+    class, tighter Parquet min/max stats than doubles). The double
+    bin-center helper (functions/binning.bin_center) remains for
+    strict-filter coordinate math."""
     return (df
-            .withColumn("bin_x", bin_center(x, bin_delta[0]))
-            .withColumn("bin_y", bin_center(y, bin_delta[1]))
+            .withColumn("bin_x", _long_bin(x, bin_delta[0]))
+            .withColumn("bin_y", _long_bin(y, bin_delta[1]))
             .withColumn("tile_x",
                         (F.floor(F.col(x) / tile_delta[0]) * int(tile_delta[0])).cast("long"))
             .withColumn("tile_y",
@@ -122,8 +136,10 @@ def query_bins(spark: SparkSession, path: str,
                     dil.add((bx + dx * bin_delta[0], by + dy * bin_delta[1]))
         bins = sorted(dil)
     df = read_tiles(spark, path)
+    # layout bin keys are BIGINT meters (with_tile_bins)
     pred = F.struct(F.col("bin_x"), F.col("bin_y")).isin(
-        [F.struct(F.lit(float(bx)), F.lit(float(by))) for bx, by in bins])
+        [F.struct(F.lit(int(bx)).cast("long"), F.lit(int(by)).cast("long"))
+         for bx, by in bins])
     return df.where(pred)
 
 

@@ -109,6 +109,28 @@ def syn_corpus_cte(alias: str = "corpus") -> str:
     return f"WITH {alias} AS ({SYN_CORPUS_SQL})"
 
 
+# Skewed corpus: the dedup corpus plus a planted mega-cluster — 40
+# verbatim copies of doc 1 under fresh ids (comma join is valid in
+# both Spark SQL and DuckDB). Every LSH band key of that text gets a
+# 40+-member bucket, which is the pathology the mega-bucket cap
+# (operators/dedup.py drop_mega_buckets) exists for.
+SYN_SKEW_CORPUS_SQL = SYN_CORPUS_SQL + """
+UNION ALL
+SELECT 300000 + c.doc_id AS doc_id, m.lang, m.source, m.text
+FROM (SELECT lang, source, text FROM documents WHERE doc_id = 1) m,
+     (SELECT doc_id FROM documents WHERE doc_id < 40) c
+"""
+
+
+def syn_skew_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(SYN_SKEW_CORPUS_SQL)
+
+
+def syn_skew_corpus_cte(alias: str = "corpus") -> str:
+    return f"WITH {alias} AS ({SYN_SKEW_CORPUS_SQL})"
+
+
 # Second point source (events-derived) for union / semi / anti joins.
 SYN_POINTS2_SQL = """
 SELECT

@@ -92,6 +92,33 @@ def test_cosine_topk_self_is_rank1(spark):
     assert np.allclose(top1.cos.values, 1.0)
 
 
+def test_multitable_lsh_recall_at_least_single_table(spark):
+    """OR-amplification: multi-table candidates are a superset of
+    table-0's, so top-k recall vs brute force can only improve."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(120),
+                      "embedding": list(map(list, vecs))}))
+    qdf = df.where("vec_id < 4")
+    k = 8
+    tables = similarity.plane_tables(3, 8, 16)
+
+    def retrieved(out):
+        return {(r.q_id, r.vec_id) for r in out.collect()}
+
+    truth = retrieved(similarity.cosine_topk(df, qdf, k=k))
+    single = retrieved(similarity.lsh_ann_topk(df, qdf, k=k,
+                                               planes=tables[0]))
+    multi = retrieved(similarity.lsh_ann_topk_multi(df, qdf, k=k,
+                                                    plane_sets=tables))
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    # the bucketed paths actually prune (not accidental brute force)
+    assert len(single) <= len(truth) and len(multi) <= 4 * k
+
+
 def test_exact_dedup_finds_planted(spark):
     df = spark.createDataFrame(
         [(1, "aa bb cc"), (2, "aa bb cc"), (3, "dd ee ff"), (4, "zz")],
@@ -113,6 +140,31 @@ def test_minhash_neardup_identical_docs(spark):
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
     assert out[out.id_a == 1].jaccard.iloc[0] == 1.0
+
+
+def test_minhash_mega_bucket_cap_bounds_candidates(spark):
+    """One 300-copy document must not quadratically explode the LSH
+    candidate join: with max_bucket the mega-cluster's band keys are
+    dropped (its members are exact dups for the linear path), while a
+    planted genuine near-dup pair outside the cluster survives."""
+    near_a = " ".join(f"w{i}" for i in range(30))
+    near_b = " ".join(f"w{i}" for i in range(28))  # truncated → near-dup
+    rows = [(i, "mega " * 25) for i in range(300)]
+    rows += [(1001, near_a), (1002, near_b),
+             (1003, " ".join(f"v{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_neardup(df, max_bucket=8)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1001, 1002) in pairs            # recall outside the cluster
+    assert all(a > 1000 and b > 1000 for a, b in pairs)  # cluster dropped
+    # ~45k mega pairs would exist uncapped; capped output is tiny
+    assert len(pairs) < 10
+
+    # the cap's hot-key exclusion must be a broadcast anti-join (the
+    # band table is not reshuffled by the cap)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
 def test_simhash_identical_zero_hamming(spark):
