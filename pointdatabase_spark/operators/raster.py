@@ -94,6 +94,56 @@ def _bilinear(grid_z: np.ndarray, x0: float, y0: float, dx: float,
             + z01 * (1 - fx) * fy + z11 * fx * fy)
 
 
+def _cubic_weights(f):
+    """Catmull-Rom / Keys (a = -0.5) cubic-convolution weights for the
+    4-tap stencil at offsets (-1, 0, +1, +2), fraction f in [0, 1).
+    Horner forms are written EXACTLY as the SQL oracle writes them so
+    both engines execute the same IEEE op sequence."""
+    w_m1 = ((-0.5 * f + 1.0) * f - 0.5) * f
+    w_0 = (1.5 * f - 2.5) * f * f + 1.0
+    w_p1 = ((-1.5 * f + 2.0) * f + 0.5) * f
+    w_p2 = (0.5 * f - 0.5) * f * f
+    return w_m1, w_0, w_p1, w_p2
+
+
+def _cubic(grid_z: np.ndarray, x0: float, y0: float, dx: float,
+           dy: float, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized bicubic (cubic-convolution) interpolation over the
+    4×4 neighborhood, edge-clamped to keep the stencil in-grid.
+
+    This is the engine's "spline" interpolation variant — the Spark
+    re-expression of reference ``mapData.interp``'s spline path
+    (mapData.py:245-260, scipy RectBivariateSpline). The reference
+    fits a *global* tensor-product B-spline; a global spline solve
+    neither distributes nor SQL-mirrors, so the engine uses the
+    standard local cubic-convolution kernel (Keys a=-0.5 — GDAL's
+    "cubicspline"-family resampler): C¹-continuous, reproduces
+    degree-1 fields exactly, and each output value depends on a fixed
+    4×4 stencil, so the operator stays a narrow broadcast map at any
+    scale. Separable row-then-column evaluation in a fixed order,
+    mirrored term-for-term by the SQL oracle."""
+    ny, nx = grid_z.shape
+    gx = (xs - x0) / dx
+    gy = (ys - y0) / dy
+    i0 = np.clip(np.floor(gx), 1, nx - 3)
+    j0 = np.clip(np.floor(gy), 1, ny - 3)
+    fx = gx - i0
+    fy = gy - j0
+    i0 = i0.astype(np.int64)
+    j0 = j0.astype(np.int64)
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
+    rows = []
+    for m in (-1, 0, 1, 2):
+        row = (grid_z[j0 + m, i0 - 1] * wx[0]
+               + grid_z[j0 + m, i0] * wx[1]
+               + grid_z[j0 + m, i0 + 1] * wx[2]
+               + grid_z[j0 + m, i0 + 2] * wx[3])
+        rows.append(row)
+    return (rows[0] * wy[0] + rows[1] * wy[1]
+            + rows[2] * wy[2] + rows[3] * wy[3])
+
+
 def grid_to_points(spark: SparkSession, grid: Grid,
                    bounds: tuple[tuple[float, float],
                                  tuple[float, float]] | None = None,
@@ -147,26 +197,38 @@ def grid_to_points(spark: SparkSession, grid: Grid,
     return pts
 
 
+_KERNELS = {"bilinear": _bilinear, "spline": _cubic, "cubic": _cubic}
+
+
 def interp_column(spark: SparkSession, grid: Grid,
-                  x: str = "x", y: str = "y") -> Column:
-    """Column evaluating `grid` at (x, y) via a broadcast + pandas UDF."""
+                  x: str = "x", y: str = "y",
+                  kind: str = "bilinear") -> Column:
+    """Column evaluating `grid` at (x, y) via a broadcast + pandas UDF.
+    ``kind``: "bilinear" (mapData.interp kx=ky=1 path) or
+    "spline"/"cubic" (the spline path, mapData.py:245-260, as local
+    cubic convolution — see :func:`_cubic`)."""
+    if kind not in _KERNELS:
+        raise ValueError(f"unknown interp kind: {kind!r}")
+    kernel = _KERNELS[kind]
     bc = spark.sparkContext.broadcast(
         (grid.z, grid.x0, grid.y0, grid.dx, grid.dy))
 
     @F.pandas_udf("double")
     def _interp(xs: pd.Series, ys: pd.Series) -> pd.Series:
         z, x0, y0, dx, dy = bc.value
-        return pd.Series(_bilinear(z, x0, y0, dx, dy,
-                                   xs.to_numpy(np.float64),
-                                   ys.to_numpy(np.float64)))
+        return pd.Series(kernel(z, x0, y0, dx, dy,
+                                xs.to_numpy(np.float64),
+                                ys.to_numpy(np.float64)))
 
     return _interp(F.col(x), F.col(y))
 
 
 def interp_join(df: DataFrame, grid: Grid, out: str = "z_interp",
-                x: str = "x", y: str = "y") -> DataFrame:
+                x: str = "x", y: str = "y",
+                kind: str = "bilinear") -> DataFrame:
     """J5: append the interpolated raster value to every point row."""
-    return df.withColumn(out, interp_column(df.sparkSession, grid, x, y))
+    return df.withColumn(out, interp_column(df.sparkSession, grid, x, y,
+                                            kind=kind))
 
 
 def mask_test(df: DataFrame, mask_grid: Grid, out: str = "grounded",

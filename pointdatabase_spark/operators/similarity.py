@@ -201,11 +201,50 @@ def lsh_ann_topk_multi(corpus: DataFrame, queries: DataFrame, k: int,
 
 def centroids(n_centroids: int, dim: int) -> list[list[float]]:
     """Deterministic IVF coarse-quantizer centroids (md5-derived, same
-    recipe as `hyperplanes`). A production build would k-means a sample
-    instead; the assignment/probe plan below is identical either way."""
+    recipe as `hyperplanes`) — the oracle-reproducible path. For
+    data-adaptive centroids use :func:`train_centroids`; the
+    assignment/probe plan is identical either way."""
     return [[(_h32(f"c{c}_{i}") % 2001 - 1000) / 1000.0
              for i in range(dim)]
             for c in range(n_centroids)]
+
+
+def train_centroids(df: DataFrame, n_centroids: int, n_iter: int = 5,
+                    sample_n: int = 2000, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """IVF coarse-quantizer trainer: Lloyd k-means on a deterministic
+    hash-ordered sample.
+
+    Scale shape: the sample is `orderBy(md5(id)) LIMIT sample_n`,
+    which Spark executes as TakeOrderedAndProject — per-partition
+    partial top-N then one driver merge, NO full shuffle — so the
+    "collect" is bounded at sample_n×dim doubles regardless of corpus
+    size (the standard IVF recipe: train on a sample, assign the full
+    corpus map-side). md5 ordering makes the sample a deterministic
+    pseudo-random draw: independent of physical partitioning/file
+    order, reproducible across runs, no RNG seed plumbing. Init is
+    the first k sample rows in hash order; empty clusters keep their
+    previous centroid. The returned literal table drops into
+    :func:`ivf_ann_topk` exactly like :func:`centroids` — the probe
+    plan is unchanged (plan-asserted in tests)."""
+    import numpy as np
+    rows = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(int(sample_n)).collect())
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"sample of {len(rows)} rows cannot seed {n_centroids} "
+            "centroids; lower n_centroids or raise sample_n")
+    x = np.array([[float(w) for w in r.v] for r in rows], dtype=np.float64)
+    cents = x[:n_centroids].copy()
+    for _ in range(int(n_iter)):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(w) for w in c] for c in cents]
 
 
 def _cell_scores(vec: str, cents: list[list[float]]) -> str:

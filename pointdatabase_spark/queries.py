@@ -1211,6 +1211,66 @@ def raster_interp_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.mask_test(raster.interp_join(pts, zg), mg)
 
 
+# J5 spline variant (mapData.interp spline path, mapData.py:245-260):
+# local cubic convolution (Keys a=-0.5). The oracle mirrors the NumPy
+# kernel's separable row-then-column evaluation and Horner-form weights
+# term for term (operators/raster.py _cubic).
+
+
+def _duck_cubic(zf: str) -> str:
+    def row(m: str) -> str:
+        j = f"(j0 + {m})" if m != "0" else "j0"
+        return (f"({zf.format(i='(i0 - 1)', j=j)} * wxm1"
+                f" + {zf.format(i='i0', j=j)} * wx0"
+                f" + {zf.format(i='(i0 + 1)', j=j)} * wx1"
+                f" + {zf.format(i='(i0 + 2)', j=j)} * wx2)")
+    return (f"{row('-1')} * wym1 + {row('0')} * wy0"
+            f" + {row('1')} * wy1 + {row('2')} * wy2")
+
+
+_SPLINE_ORACLE = testkit.syn_points_cte() + f"""
+, g AS (
+  SELECT row_id, x, y,
+         (x - ({_G['x0']})) / {_G['d']} AS gx,
+         (y - ({_G['y0']})) / {_G['d']} AS gy
+  FROM pts),
+c AS (
+  SELECT row_id, x, y, gx, gy,
+         least(greatest(floor(gx), 1.0), {_G['n'] - 3}.0) AS i0d,
+         least(greatest(floor(gy), 1.0), {_G['n'] - 3}.0) AS j0d
+  FROM g),
+f AS (
+  SELECT row_id, x, y, gx - i0d AS fx, gy - j0d AS fy,
+         CAST(i0d AS BIGINT) AS i0, CAST(j0d AS BIGINT) AS j0
+  FROM c),
+w AS (
+  SELECT row_id, x, y, i0, j0,
+         ((-0.5 * fx + 1.0) * fx - 0.5) * fx AS wxm1,
+         (1.5 * fx - 2.5) * fx * fx + 1.0 AS wx0,
+         ((-1.5 * fx + 2.0) * fx + 0.5) * fx AS wx1,
+         (0.5 * fx - 0.5) * fx * fx AS wx2,
+         ((-0.5 * fy + 1.0) * fy - 0.5) * fy AS wym1,
+         (1.5 * fy - 2.5) * fy * fy + 1.0 AS wy0,
+         ((-1.5 * fy + 2.0) * fy + 0.5) * fy AS wy1,
+         (0.5 * fy - 0.5) * fy * fy AS wy2
+  FROM f)
+SELECT row_id, x, y,
+       {_duck_cubic(_ZF)} AS z_spline
+FROM w
+"""
+
+
+@query("raster_interp_spline", oracle=_SPLINE_ORACLE)
+def raster_interp_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import raster
+    g = _G
+    zg = raster.grid_from_formula(g["x0"], g["y0"], g["d"], g["d"],
+                                  g["n"], g["n"],
+                                  lambda ii, jj: (ii * 37 + jj * 91) % 199)
+    pts = testkit.syn_points(spark, sf_dir).select("row_id", "x", "y")
+    return raster.interp_join(pts, zg, out="z_spline", kind="spline")
+
+
 # --------------------------------------------------------------------------
 # S4 raster→points explode (read_DEM.py:52-64 asPoints=True): decimate
 # by `skip`, window to bounds, nodata→NULL. The oracle rebuilds the

@@ -134,3 +134,90 @@ def convert_atl06(spark: SparkSession, h5_path: str, out_path: str,
             "ingest_frame(spark, atl06_frame(data, rgt, cycle), "
             "h5_path).write.parquet(out_path).") from exc
     raise NotImplementedError  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# S3 Qfit/ATM converter transform layer (qfit_data.py:16-97). The
+# reference reads TWO HDF5 layouts, selected by `waveform_format`
+# (qfit_data.py:20-26):
+#   plain:    {None: [latitude, longitude, elevation],
+#              instrument_parameters: [azimuth, rel_time]}
+#   waveform: {footprint: [latitude, longitude, elevation],
+#              time: [seconds_of_day]}
+# and derives days_J2K differently (qfit_data.py:70-74, 95-96):
+#   plain:    t0 = full filename timestamp (date + HMS) as fractional
+#             days since 2000-01-01; days_J2K = rel_time/86400 + t0
+#   waveform: t0 = filename DATE only; days_J2K =
+#             (date - 2000-01-01).days + seconds_of_day/86400
+# ---------------------------------------------------------------------------
+
+QFIT_FIELD_DICT: dict[str | None, list[str]] = {
+    None: ["latitude", "longitude", "elevation"],
+    "instrument_parameters": ["azimuth", "rel_time"],
+}
+
+QFIT_WAVEFORM_FIELD_DICT: dict[str | None, list[str]] = {
+    "footprint": ["latitude", "longitude", "elevation"],
+    "time": ["seconds_of_day"],
+}
+
+_QFIT_TIME_RE = r"ATM1B.*_(\d\d\d\d)(\d\d)(\d\d)_(\d\d)(\d\d)(\d\d)"
+
+
+def qfit_filename_time(filename: str) -> tuple[int, int, int, int, int, int]:
+    """(Y, M, D, h, m, s) from an ATM1B filename (qfit_data.py:64-65)."""
+    import re
+    m = re.search(_QFIT_TIME_RE, filename)
+    if m is None:
+        raise ValueError(f"no ATM1B timestamp in filename: {filename!r}")
+    return tuple(int(m.group(i + 1)) for i in range(6))  # type: ignore
+
+
+def qfit_frame(data: Mapping[str, np.ndarray], filename: str,
+               waveform_format: bool = False) -> pd.DataFrame:
+    """Tidy rows for one Qfit granule from a flat {h5-path: array}
+    mapping, covering both reference layouts. Column names are the
+    flattened field names; `days_J2K` is the derived `__calc_internal__`
+    field (qfit_data.py:27-28)."""
+    from datetime import date, datetime
+
+    field_dict = (QFIT_WAVEFORM_FIELD_DICT if waveform_format
+                  else QFIT_FIELD_DICT)
+    cols: dict[str, np.ndarray] = {}
+    n = 0
+    for path, name in flatten_field_dict(field_dict):
+        arr = data.get(path)
+        if arr is not None:
+            cols[name] = np.asarray(arr, dtype=np.float64)
+            n = len(cols[name])
+    for path, name in flatten_field_dict(field_dict):
+        if name not in cols:  # absent field → all-NULL column
+            cols[name] = np.full(n, np.nan)
+    y, mo, d, hh, mm, ss = qfit_filename_time(filename)
+    if waveform_format:
+        # date-only origin + in-day seconds (qfit_data.py:71, 95-96)
+        day0 = (date(y, mo, d) - date(2000, 1, 1)).days
+        cols["days_J2K"] = day0 + cols["seconds_of_day"] / 24.0 / 3600.0
+    else:
+        # full timestamp origin + relative seconds (qfit_data.py:73-74,
+        # 89-93)
+        t0 = datetime(y, mo, d, hh, mm, ss) - datetime(2000, 1, 1)
+        t0 = t0.days + t0.seconds / 24.0 / 3600.0
+        cols["days_J2K"] = cols["rel_time"] / 24.0 / 3600.0 + t0
+    return pd.DataFrame(cols)
+
+
+def convert_qfit(spark: SparkSession, h5_path: str, out_path: str,
+                 waveform_format: bool = False) -> None:
+    """S3 converter job: ATM Qfit H5 → tidy Parquet (either layout)."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "Qfit HDF5 conversion needs h5py (not shipped in this "
+            "container). Wire it here: data = {path: h5[path][...] for "
+            "path in flatten_field_dict(QFIT_WAVEFORM_FIELD_DICT if "
+            "waveform_format else QFIT_FIELD_DICT) paths} then "
+            "ingest_frame(spark, qfit_frame(data, h5_path, "
+            "waveform_format), h5_path).write.parquet(out_path).") from exc
+    raise NotImplementedError  # pragma: no cover

@@ -50,3 +50,61 @@ def test_flatten_field_dict_paths():
     flat = converters.flatten_field_dict(
         {None: ["a"], "g": ["b", "c"]})
     assert flat == [("a", "a"), ("g/b", "b"), ("g/c", "c")]
+
+
+_QFIT_NAME = "ILATM1B_20140401_123045.ATM4BT4.h5"
+# reference regex needs the ATM1B token and _YYYYMMDD_HHMMSS_
+
+
+def test_qfit_plain_layout_days_j2k():
+    n = 4
+    data = {
+        "latitude": np.arange(n) + 70.0,
+        "longitude": np.arange(n) - 50.0,
+        "elevation": np.arange(n) * 2.0,
+        "instrument_parameters/azimuth": np.arange(n) * 90.0,
+        "instrument_parameters/rel_time": np.array([0.0, 1.0, 2.0, 3.0]),
+    }
+    f = converters.qfit_frame(data, _QFIT_NAME, waveform_format=False)
+    assert list(f.columns) == ["latitude", "longitude", "elevation",
+                               "azimuth", "rel_time", "days_J2K"]
+    # t0 = 2014-04-01 12:30:45 minus 2000-01-01, fractional days
+    from datetime import datetime
+    t0 = datetime(2014, 4, 1, 12, 30, 45) - datetime(2000, 1, 1)
+    t0 = t0.days + t0.seconds / 86400.0
+    assert np.allclose(f.days_J2K, data[
+        "instrument_parameters/rel_time"] / 86400.0 + t0)
+
+
+def test_qfit_waveform_layout_days_j2k():
+    n = 3
+    data = {
+        "footprint/latitude": np.arange(n) + 70.0,
+        "footprint/longitude": np.arange(n) - 50.0,
+        "footprint/elevation": np.arange(n) * 2.0,
+        "time/seconds_of_day": np.array([3600.0, 7200.0, 10800.0]),
+    }
+    f = converters.qfit_frame(data, _QFIT_NAME, waveform_format=True)
+    assert list(f.columns) == ["latitude", "longitude", "elevation",
+                               "seconds_of_day", "days_J2K"]
+    # waveform t0 is the DATE only — HMS in the filename is ignored
+    from datetime import date
+    day0 = (date(2014, 4, 1) - date(2000, 1, 1)).days
+    assert np.allclose(f.days_J2K,
+                       day0 + data["time/seconds_of_day"] / 86400.0)
+
+
+def test_qfit_filename_time_rejects_garbage():
+    import pytest
+    with pytest.raises(ValueError):
+        converters.qfit_filename_time("notes.txt")
+
+
+def test_h5_gates_raise_documented_notimplemented(spark):
+    """The import-gated I/O layers must fail with an actionable message
+    naming the integration point (h5py absent in this container)."""
+    import pytest
+    with pytest.raises(NotImplementedError, match="h5py"):
+        converters.convert_atl06(spark, "/x.h5", "/tmp/o", 1, 1)
+    with pytest.raises(NotImplementedError, match="h5py"):
+        converters.convert_qfit(spark, "/x.h5", "/tmp/o")

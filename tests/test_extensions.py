@@ -41,6 +41,35 @@ def test_bilinear_interp_nodes_and_midpoints():
     assert np.allclose(z, xs + 10.0 * ys)
 
 
+def test_cubic_interp_exact_on_linear_fields_and_nodes():
+    # cubic convolution reproduces degree-1 fields exactly (weights sum
+    # to 1 with first moment f) and interpolates nodes exactly
+    g = raster.grid_from_formula(0.0, 0.0, 1.0, 1.0, 8, 8,
+                                 lambda i, j: 2.0 + 3.0 * i - 5.0 * j)
+    xs = np.array([2.0, 3.25, 4.5, 1.0])
+    ys = np.array([3.0, 2.75, 1.5, 6.0])
+    z = raster._cubic(g.z, g.x0, g.y0, g.dx, g.dy, xs, ys)
+    assert np.allclose(z, 2.0 + 3.0 * xs - 5.0 * ys, atol=1e-12)
+    # on a curved field, cubic differs from bilinear at cell centers
+    # (higher-order kernel actually engaged)
+    gq = raster.grid_from_formula(0.0, 0.0, 1.0, 1.0, 8, 8,
+                                  lambda i, j: (i * i + j * j).astype(float)
+                                  if hasattr(i, "astype") else i * i + j * j)
+    xm = np.array([3.5])
+    ym = np.array([3.5])
+    zb = raster._bilinear(gq.z, 0.0, 0.0, 1.0, 1.0, xm, ym)
+    zc = raster._cubic(gq.z, 0.0, 0.0, 1.0, 1.0, xm, ym)
+    assert abs(zb[0] - zc[0]) > 1e-3
+
+
+def test_interp_join_spline_kind(spark):
+    g = raster.grid_from_formula(0.0, 0.0, 1.0, 1.0, 8, 8,
+                                 lambda i, j: 1.0 * i + 2.0 * j)
+    df = spark.createDataFrame(pd.DataFrame({"x": [2.5], "y": [3.5]}))
+    out = raster.interp_join(df, g, kind="spline").collect()
+    assert math.isclose(out[0].z_interp, 2.5 + 7.0, abs_tol=1e-12)
+
+
 def test_grid_to_points_explode_skip_bounds_nodata(spark):
     # 5x6 grid, z = i + 10*j; skip=2, bounds cut one x column and one
     # y row, nodata (z == 2) becomes NULL (read_DEM.py:52-64 semantics).
@@ -117,6 +146,38 @@ def test_multitable_lsh_recall_at_least_single_table(spark):
     assert recall_multi >= recall_single
     # the bucketed paths actually prune (not accidental brute force)
     assert len(single) <= len(truth) and len(multi) <= 4 * k
+
+
+def test_ivf_trained_centroids_same_plan_shape(spark):
+    """k-means-trained centroids drop into ivf_ann_topk as literals:
+    the probe plan (exchange count, broadcast join) must be identical
+    to the md5-centroid path, and self-queries still rank themselves
+    first (a vector's own cell is its nearest, hence always probed)."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(80, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(80),
+                      "embedding": list(map(list, vecs))}))
+    qdf = df.where("vec_id < 3")
+
+    trained = similarity.train_centroids(df, n_centroids=4, sample_n=60)
+    assert len(trained) == 4 and len(trained[0]) == 8
+    # deterministic: retraining yields the identical centroids
+    assert trained == similarity.train_centroids(df, n_centroids=4,
+                                                 sample_n=60)
+
+    lit_cents = similarity.centroids(4, 8)
+    out_t = similarity.ivf_ann_topk(df, qdf, k=3, cents=trained, nprobe=2)
+    out_l = similarity.ivf_ann_topk(df, qdf, k=3, cents=lit_cents, nprobe=2)
+
+    def shape(df_):
+        plan = df_._jdf.queryExecution().executedPlan().toString()
+        return (plan.count("Exchange"), plan.count("BroadcastHashJoin"))
+
+    assert shape(out_t) == shape(out_l)
+    top1 = out_t.where("rank = 1").toPandas()
+    assert (top1.vec_id.values == top1.q_id.values).all()
+    assert np.allclose(top1.cos.values, 1.0)
 
 
 def test_exact_dedup_finds_planted(spark):
