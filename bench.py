@@ -1,42 +1,43 @@
-"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: run EVERY declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-one JSON line with per-query wall seconds."""
+ONE JSON line with per-query wall seconds.
+
+Covering the full registry (not a hand-picked headline subset) makes
+sub-second regressions visible round-over-round: pass a previous
+bench JSON via $SPARK_GRAFT_BENCH_PREV (default: the newest
+BENCH_r*.json in the repo root) and a per-query ratio table is
+printed to stderr."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "box_query",
-    "blockmedian_10km",
-    "blockmax_10km",
-    "extent_bounds",
-    "seg_difference_filter",
-    "window_rss_along_track",
-    "pair_collapse",
-    "bin_semi_join",
-    "union_by_name",
-    "crossover_analysis",
-    "plane_fit_10km",
-    "run_coalescing",
-    "raster_interp_join",
-    "crs_polar_stereo",
-    "text_token_stats",
-    "exact_dedup",
-    "minhash_lsh_neardup",
-    "simhash_neardup",
-    "cosine_topk",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "multimodal_decode",
-    "event_sessionization",
-]
+
+def _load_prev() -> tuple[str, dict[str, float]]:
+    path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if not path:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if not cands:
+            return "", {}
+        path = max(cands, key=lambda p: int(
+            re.search(r"BENCH_r(\d+)", p).group(1)))
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        # the driver's BENCH_r{N}.json wraps our line under "parsed"
+        if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]
+        return path, doc.get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return path, {}
 
 
 def main() -> None:
@@ -47,7 +48,7 @@ def main() -> None:
     spark = get_spark("pointdatabase-bench")
     spark.sparkContext.setLogLevel("WARN")
     qs = registry.all_queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = sorted(qs)
 
     # warm-up: JVM, codegen, parquet footer caches
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -69,10 +70,29 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    prev_path, prev = _load_prev()
+    if prev:
+        print(f"-- vs {os.path.basename(prev_path)} --", file=sys.stderr)
+        for name in names:
+            now = timings[name]
+            old = prev.get(name)
+            ratio = f"{now / old:5.2f}x" if old else "  new "
+            olds = f"{old:7.3f}" if old else "      -"
+            print(f"{name:32s} {olds} -> {now:7.3f}  {ratio}",
+                  file=sys.stderr)
+        both = [n for n in names if n in prev]
+        if both:
+            tot_old = sum(prev[n] for n in both)
+            tot_new = sum(timings[n] for n in both)
+            print(f"{'TOTAL (shared queries)':32s} {tot_old:7.3f} -> "
+                  f"{tot_new:7.3f}  {tot_new / tot_old:5.2f}x",
+                  file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({"metric": "headline_total", "value": total, "unit": "sec",
-                      "queries": timings, "sf": float(sf)}))
+    print(json.dumps({"metric": "headline_total", "value": total,
+                      "unit": "sec", "queries": timings, "sf": float(sf)}))
     spark.stop()
 
 

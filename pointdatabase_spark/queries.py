@@ -945,19 +945,26 @@ def simhash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_neardup(testkit.syn_corpus(spark, sf_dir))
 
 
+# Mirrors the engine's inverted-index shape: md5-hashed distinct
+# shingles, intersection = shared-hash count (operators/dedup.py
+# ngram_jaccard_pairs).
 _NGRAM_JACCARD_ORACLE = r"""
 WITH tok AS (SELECT doc_id AS id, lang,
                     string_split_regex(text, '\s+') AS t FROM documents),
-sh AS (SELECT id, lang, list_distinct(list_transform(range(1, len(t)),
-              i -> t[i] || ' ' || t[i + 1])) AS s
-       FROM tok),
-sh2 AS (SELECT id, lang, s FROM sh WHERE len(s) > 0)
+shs AS (SELECT id, lang, list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS ss
+        FROM tok),
+sh2 AS (SELECT id, lang, ss FROM shs WHERE len(ss) > 0),
+""" + f"""
+sh AS (SELECT id, lang,
+              list_distinct(list_transform(ss, x -> {_DUCK_H32})) AS s
+       FROM sh2),
+ex AS (SELECT id, lang, len(s) AS nsh, unnest(s) AS h FROM sh)
 SELECT a.id AS id_a, b.id AS id_b,
-       len(list_intersect(a.s, b.s))
-         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-FROM sh2 a JOIN sh2 b ON a.lang = b.lang AND a.id < b.id
-WHERE len(list_intersect(a.s, b.s))
-        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+       count(*) / (a.nsh + b.nsh - count(*)) AS jaccard
+FROM ex a JOIN ex b ON a.lang = b.lang AND a.h = b.h AND a.id < b.id
+GROUP BY a.id, b.id, a.nsh, b.nsh
+HAVING count(*) / (a.nsh + b.nsh - count(*)) >= 0.2
 """
 
 
@@ -1150,6 +1157,27 @@ WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.4
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = testkit.load_table(spark, sf_dir, "embeddings")
     return _sim.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+# The SRP-bucket-blocked variant — the 100-TB path (candidates only
+# within a bucket, so the quadratic term is per-bucket, not corpus²).
+# Exact all-pairs above stays as the small-corpus correctness baseline.
+_EMB_NEARDUP_BLOCKED_ORACLE = f"""
+WITH c AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_duck_cos('a.embedding', 'b.embedding')} AS cos
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.4
+"""
+
+
+@query("embedding_cosine_neardup_blocked",
+       oracle=_EMB_NEARDUP_BLOCKED_ORACLE)
+def embedding_cosine_neardup_blocked(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.cosine_neardup_pairs(emb, threshold=0.4, planes=_PLANES)
 
 
 # --------------------------------------------------------------------------
