@@ -220,6 +220,69 @@ def simhash_neardup(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("hamming") <= max_hamming))
 
 
+def duplicate_clusters(pairs: DataFrame, hops: int = 3) -> DataFrame:
+    """Resolve near-dup PAIRS into cluster labels: bounded min-label
+    propagation over the pair graph — ``hops`` rounds of
+    lbl(u) ← min(lbl(u), min over neighbors' lbl).
+
+    A dedup pipeline needs clusters, not pairs (pick one survivor per
+    duplicate group). Exact-dup groups are cliques (diameter 1) and
+    LSH near-dup clusters are near-cliques, so a small fixed hop count
+    reaches the true component min in practice; bounded hops keep the
+    operator deterministic AND SQL-expressible for the oracle (full
+    convergence = iterate-until-fixpoint, the standard distributed
+    connected-components loop; each round is the same join+agg).
+
+    Scale shape: per round, one join of labels to the (doubled) edge
+    list plus a min aggregate — both shuffle on node id, so AQE reuses
+    the partitioning; labels are persisted per round (the frame feeds
+    the next round twice — without it, lineage recompute doubles per
+    hop). Rows: O(nodes + edges), never corpus².
+
+    Returns (doc_id, cluster_id); only documents appearing in a pair
+    are present (singletons keep themselves — left-join in
+    :func:`dedup_survivors`)."""
+    pairs = pairs.select("id_a", "id_b").persist()
+    ids = (pairs.select(F.col("id_a").alias("id"))
+           .unionByName(pairs.select(F.col("id_b").alias("id")))
+           .distinct())
+    edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                       F.col("id_a").alias("v"))))
+    lbl = ids.withColumn("lbl", F.col("id"))
+    for _ in range(int(hops)):
+        # the label frame appears on both sides of the edge join;
+        # dataset aliases keep the self-join unambiguous
+        lbl = (edges.alias("e")
+               .join(lbl.alias("l"), F.col("e.u") == F.col("l.id"))
+               .join(lbl.alias("r"), F.col("e.v") == F.col("r.id"))
+               .groupBy(F.col("l.id").alias("id"), F.col("l.lbl").alias("lbl"))
+               .agg(F.min(F.col("r.lbl")).alias("m"))
+               .select("id", F.least("lbl", "m").alias("lbl"))
+               .persist())
+    return lbl.select(F.col("id").alias("doc_id"),
+                      F.col("lbl").alias("cluster_id"))
+
+
+def dedup_survivors(df: DataFrame, clusters: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document dedup verdict: cluster id (own id when unpaired)
+    and a survivor flag — the minimum id of each cluster survives, the
+    rest are drops. `clusters` is small relative to the corpus (only
+    near-dup members), so the join broadcasts."""
+    c = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+    keep = (c.groupBy("cluster_id")
+            .agg(F.min(id_col).alias("survivor_id")))
+    out = (df.join(F.broadcast(c), id_col, "left")
+           .withColumn("cluster_id",
+                       F.coalesce("cluster_id", F.col(id_col))))
+    return (out.join(F.broadcast(keep), "cluster_id", "left")
+            .withColumn("is_survivor",
+                        F.coalesce(F.col(id_col) == F.col("survivor_id"),
+                                   F.lit(True)))
+            .drop("survivor_id"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 2, threshold: float = 0.2) -> DataFrame:

@@ -847,10 +847,12 @@ _DUCK_H32 = ("CAST(list_sum(list_transform(range(8), i ->"
              " (strpos('0123456789abcdef', substr(md5(x), CAST(i + 1 AS INT), 1)) - 1)"
              " * 16.0 ** (7 - i))) AS BIGINT)")
 
-def _minhash_oracle_sql(corpus_cte: str, cap: int | None = None) -> str:
+def _minhash_oracle_sql(corpus_cte: str, cap: int | None = None,
+                        tail: str | None = None) -> str:
     """MinHash-LSH oracle over a corpus CTE; with `cap`, band keys
     whose bucket exceeds it are excluded before the self-join — the
-    exact mirror of dedup.drop_mega_buckets."""
+    exact mirror of dedup.drop_mega_buckets. With `tail`, the pair
+    select becomes a ``pairs`` CTE and `tail` is the final query."""
     cand_src = "band"
     capped = ""
     if cap is not None:
@@ -858,7 +860,7 @@ def _minhash_oracle_sql(corpus_cte: str, cap: int | None = None) -> str:
                   f" (SELECT bkey FROM band GROUP BY bkey"
                   f" HAVING count(*) > {int(cap)}))")
         cand_src = "band2"
-    return corpus_cte + r"""
+    prefix = corpus_cte + r"""
 , tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
 sh AS (
   SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
@@ -876,13 +878,17 @@ band AS (
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM {cand_src} a JOIN {cand_src} b ON a.bkey = b.bkey AND a.id < b.id)
-SELECT id_a, id_b,
+"""
+    pair_sel = """SELECT id_a, id_b,
        len(list_intersect(sa.s, sb.s))
          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
 FROM cand JOIN sh2 sa ON sa.id = cand.id_a JOIN sh2 sb ON sb.id = cand.id_b
 WHERE len(list_intersect(sa.s, sb.s))
         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
 """
+    if tail is None:
+        return prefix + pair_sel
+    return prefix + ", pairs AS (\n" + pair_sel + ")\n" + tail
 
 
 _MINHASH_ORACLE = _minhash_oracle_sql(testkit.syn_corpus_cte())
@@ -905,6 +911,48 @@ _MINHASH_CAPPED_ORACLE = _minhash_oracle_sql(
 def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_neardup(testkit.syn_skew_corpus(spark, sf_dir),
                                   max_bucket=8)
+
+
+# Pair → cluster → survivor resolution: 3 hops of min-label propagation
+# over the minhash near-dup pair graph, then one survivor per cluster.
+# The oracle runs the identical 3 bounded rounds (l1/l2/l3 CTEs), so the
+# two engines agree by construction regardless of convergence; the
+# cluster property test asserts 3 hops reaches the true component min
+# on the planted corpus.
+_CLUSTER_TAIL = """
+, nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+l0 AS (SELECT id, id AS lbl FROM nodes),
+l1 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l0 n JOIN edges e ON n.id = e.u JOIN l0 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+l2 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l1 n JOIN edges e ON n.id = e.u JOIN l1 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+l3 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l2 n JOIN edges e ON n.id = e.u JOIN l2 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+keep AS (SELECT lbl AS cid, MIN(id) AS survivor_id FROM l3 GROUP BY lbl)
+SELECT c.doc_id,
+       COALESCE(l.lbl, c.doc_id)                  AS cluster_id,
+       COALESCE(c.doc_id = k.survivor_id, TRUE)   AS is_survivor
+FROM corpus c
+LEFT JOIN l3 l ON l.id = c.doc_id
+LEFT JOIN keep k ON k.cid = l.lbl
+"""
+
+_CLUSTER_ORACLE = _minhash_oracle_sql(testkit.syn_corpus_cte(),
+                                      tail=_CLUSTER_TAIL)
+
+
+@query("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    pairs = _dedup.minhash_neardup(corpus)
+    clusters = _dedup.duplicate_clusters(pairs, hops=3)
+    return (_dedup.dedup_survivors(corpus, clusters)
+            .select("doc_id", "cluster_id", "is_survivor"))
 
 
 _SH_VOTES = ",\n         ".join(

@@ -228,6 +228,45 @@ def test_minhash_mega_bucket_cap_bounds_candidates(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_duplicate_clusters_and_survivors(spark):
+    """Pair graph → cluster labels → one survivor per cluster. The
+    chain 10-11-12-13 needs multi-hop propagation (13 is 3 edges from
+    the min), the clique {1,2,3} needs one; singletons (99) keep
+    themselves and survive."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3),          # clique
+         (10, 11), (11, 12), (12, 13)],   # chain, diameter 3
+        "id_a long, id_b long")
+    cl = {r.doc_id: r.cluster_id
+          for r in dedup.duplicate_clusters(pairs, hops=3).collect()}
+    assert cl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 13, 99)], "doc_id long")
+    out = dedup.dedup_survivors(
+        docs, dedup.duplicate_clusters(pairs, hops=3)).toPandas()
+    surv = set(out[out.is_survivor].doc_id)
+    assert surv == {1, 10, 99}
+    assert out[out.doc_id == 99].cluster_id.iloc[0] == 99
+
+
+def test_cluster_hops_reach_component_min_on_corpus(spark):
+    """On the planted syn_corpus the near-dup graph is a union of
+    near-cliques: 3 bounded hops must equal full convergence (what the
+    declared dedup_clusters query's agree-by-construction oracle can't
+    itself prove)."""
+    from pointdatabase_spark import testkit
+    from tests.conftest import SF_SMOKE
+    pairs = dedup.minhash_neardup(
+        testkit.syn_corpus(spark, SF_SMOKE)).select("id_a", "id_b")
+    l3 = dedup.duplicate_clusters(pairs, hops=3)
+    l5 = dedup.duplicate_clusters(pairs, hops=5)
+    diff = (l3.withColumnRenamed("cluster_id", "c3")
+            .join(l5.withColumnRenamed("cluster_id", "c5"), "doc_id")
+            .where(F.col("c3") != F.col("c5")))
+    assert diff.count() == 0
+
+
 def test_simhash_identical_zero_hamming(spark):
     t1 = " ".join(f"w{i}" for i in range(40))
     t3 = " ".join(f"v{i}" for i in range(40))

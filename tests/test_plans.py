@@ -104,6 +104,37 @@ def test_multimodal_stages_have_no_exchange(spark):
     assert "Exchange" not in _plan(resized, "simple")
 
 
+def test_spline_interp_has_no_exchange(spark):
+    from pointdatabase_spark.operators import raster
+    pts = testkit.syn_points(spark, SF_SMOKE).select("row_id", "x", "y")
+    g = raster.grid_from_formula(-100000.0, -100000.0, 2000.0, 2000.0,
+                                 101, 101, lambda i, j: i + j)
+    plan = _plan(raster.interp_join(pts, g, kind="spline"), "simple")
+    assert "Exchange" not in plan  # broadcast grid, narrow map
+
+
+def test_multitable_lsh_buckets_are_jvm_and_queries_broadcast(spark):
+    emb = testkit.load_table(spark, SF_SMOKE, "embeddings")
+    tables = similarity.plane_tables(2, 6, 64)
+    df = similarity.lsh_ann_topk_multi(emb, emb.where(F.col("vec_id") < 3),
+                                       k=5, plane_sets=tables)
+    plan = _plan(df, "simple")
+    assert "Python" not in plan      # bucket ids are pure expressions
+    assert "Broadcast" in plan       # query side broadcast
+    # corpus shuffles only for candidate-dedup + window top-k, never
+    # with vector payloads: exchanges carry (tid/bucket)-joined keys
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ngram_jaccard_is_single_agg_exchange_jvm_only(spark):
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    df = dedup.ngram_jaccard_pairs(docs, ["lang"], n=2, threshold=0.2)
+    plan = _plan(df, "simple")
+    assert "Python" not in plan  # hashed postings are pure expressions
+    # posting self-join + pair-count aggregate; no per-pair set ops
+    assert "array_intersect" not in plan
+
+
 def test_q1_is_codegen_with_partial_agg(spark):
     from pointdatabase_spark.queries import q1_pricing_summary
     df = q1_pricing_summary(spark, SF_SMOKE)
