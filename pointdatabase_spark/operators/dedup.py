@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.partitioning import spread
+
 # 32-bit integer digest from an md5 hex prefix — exact in BIGINT.
 _H32 = "CAST(conv(substr(md5({s}), 1, 8), 16, 10) AS BIGINT)"
 
@@ -65,7 +67,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, s) with s = distinct word n-gram set — the near-dup unit."""
+    """(id, s) with s = distinct word n-gram set — the near-dup unit.
+    (No `spread` here: minhash/simhash consumers shuffle by id right
+    after, so a widening exchange is measured pure overhead.)"""
     return (_tokens(df, id_col, text_col)
             .select("id", F.expr(shingle_expr("t", n)).alias("s"))
             .where(F.size("s") > 0))
@@ -304,8 +308,8 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
     similarity. Exact all-pairs Jaccard at low thresholds is
     intrinsically heavy at corpus scale — this operator pins exact
     semantics; minhash_neardup is the scale path."""
-    sh = (df.select(F.col(id_col).alias("id"), *group_cols,
-                    F.split(F.col(text_col), r"\s+").alias("t"))
+    sh = (spread(df).select(F.col(id_col).alias("id"), *group_cols,
+                            F.split(F.col(text_col), r"\s+").alias("t"))
           .select("id", *group_cols,
                   F.expr(shingle_expr("t", n)).alias("ss"))
           .where(F.size("ss") > 0)

@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.partitioning import spread
+
 
 def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
@@ -95,13 +97,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 q_id: str = "q_id") -> DataFrame:
     """Exact top-k by cosine for each query vector (brute force).
-    `queries` must be small (it is broadcast)."""
+    `queries` must be small (it is broadcast). The corpus never
+    shuffles by key — `spread` only widens a narrower-than-cores scan
+    so the per-pair dot fold uses every slot."""
     from pyspark.sql.window import Window
     q = (queries.select(F.col(id_col).alias(q_id),
                         F.col(vec_col).alias("_qv"))
          .withColumn("_qn", F.expr(norm_expr("_qv"))))
-    joined = (corpus.select(F.col(id_col).alias("vec_id"),
-                            F.col(vec_col).alias("_cv"))
+    joined = (spread(corpus.select(F.col(id_col).alias("vec_id"),
+                                   F.col(vec_col).alias("_cv")))
               .withColumn("_cn", F.expr(norm_expr("_cv")))
               .join(F.broadcast(q))
               .withColumn("cos", F.expr(dot_expr("_qv", "_cv"))
@@ -127,8 +131,8 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
     exact cosine ranking within the bucket. The corpus-side bucket is
     a map-side expression — the only shuffle is the bucket-key join."""
     from pyspark.sql.window import Window
-    c = with_bucket(corpus.select(F.col(id_col).alias("vec_id"),
-                                  F.col(vec_col).alias("_cv")),
+    c = with_bucket(spread(corpus.select(F.col(id_col).alias("vec_id"),
+                                         F.col(vec_col).alias("_cv"))),
                     planes, "_cv").withColumn(
         "_cn", F.expr(norm_expr("_cv")))
     q = with_bucket(queries.select(F.col(id_col).alias(q_id),
@@ -172,8 +176,8 @@ def lsh_ann_topk_multi(corpus: DataFrame, queries: DataFrame, k: int,
     cosine is computed map-side, so vectors never shuffle and the
     only exchanges are the tiny candidate distinct + top-k window."""
     from pyspark.sql.window import Window
-    c = (corpus.select(F.col(id_col).alias("vec_id"),
-                       F.col(vec_col).alias("_cv"))
+    c = (spread(corpus.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("_cv")))
          .withColumn("_cn", F.expr(norm_expr("_cv")))
          .withColumn("_tb", F.explode(
              F.expr(multi_bucket_entries("_cv", plane_sets))))
@@ -291,8 +295,8 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
     The only shuffle is the cell-key join (broadcast here: queries are
     small); recall/cost trades by n_centroids and nprobe."""
     from pyspark.sql.window import Window
-    c = (corpus.select(F.col(id_col).alias("vec_id"),
-                       F.col(vec_col).alias("_cv"))
+    c = (spread(corpus.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).alias("_cv")))
          .withColumn("cell", F.expr(cell_expr("_cv", cents)))
          .withColumn("_cn", F.expr(norm_expr("_cv"))))
     q = (queries.select(F.col(id_col).alias(q_id),
@@ -316,8 +320,10 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          vec_col: str = "embedding") -> DataFrame:
     """Embedding near-duplicate pairs. With `planes`, candidate pairs
     are bucket-blocked (scalable); without, all-pairs (small corpora /
-    oracle parity)."""
-    base = (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    oracle parity). `spread` widens the probe side so the nested-loop
+    pair sweep uses every core even from a one-file scan."""
+    base = (spread(df.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("v")))
             .withColumn("n", F.expr(norm_expr("v"))))
     if planes is not None:
         base = with_bucket(base, planes, "v")

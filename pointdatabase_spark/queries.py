@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from pointdatabase_spark import testkit
 from pointdatabase_spark.operators import filters, setops, spatial, tracks, windows
+from pointdatabase_spark.partitioning import spread as _spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
@@ -761,7 +762,8 @@ FROM documents
 
 @query("text_token_stats", oracle=_TOKSTATS_ORACLE)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = testkit.load_table(spark, sf_dir, "documents")
+    # per-doc tokenize folds are CPU-bound: widen the one-file scan
+    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         _text.spark_expr("n_chars_calc", "text").alias("n_chars_calc"),
@@ -784,7 +786,7 @@ FROM documents
 
 @query("text_quality_language", oracle=_QUALITY_ORACLE)
 def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = testkit.load_table(spark, sf_dir, "documents")
+    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "lang",
         _text.spark_expr("stop_ratio", "text").alias("stop_ratio"),
@@ -805,7 +807,7 @@ FROM documents
 
 @query("doc_fingerprint", oracle=_FPRINT_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = testkit.load_table(spark, sf_dir, "documents")
+    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         _text.spark_expr("fp48", "text").alias("fp48"),
