@@ -237,3 +237,99 @@ def mask_test(df: DataFrame, mask_grid: Grid, out: str = "grounded",
     (cross_ATL06_tile.py:112-115)."""
     interp = interp_column(df.sparkSession, mask_grid, x, y)
     return df.withColumn(out, F.abs(interp - F.lit(1.0)) < F.lit(tol))
+
+
+# --------------------------------------------------------------------------
+# F7: normalize / colormap (reference mapData.py:179-195). The reference
+# rescales the raster z band affinely from range z0 to range z1 with
+# optional clamping (`normalize`) and maps the [0,1] result through a
+# matplotlib colormap (`toRGB`, caxis defaulting to the band min/max).
+# Re-expression: both are pure arithmetic, so they are rendered as SQL
+# text valid in BOTH Spark SQL and DuckDB (the oracle runs the same
+# string) — codegen'd, no UDF, no shuffle; the caxis default needs one
+# global min/max aggregate broadcast back over the rows.
+# --------------------------------------------------------------------------
+
+# 8 anchor stops of matplotlib's viridis (public domain values); the
+# LUT is nearest-stop (ListedColormap semantics: idx = floor(x*N),
+# clamped), rendered as a CASE chain so the identical text runs in
+# both engines.
+VIRIDIS8 = [
+    (0.267004, 0.004874, 0.329415),
+    (0.275191, 0.194905, 0.496005),
+    (0.212395, 0.359683, 0.551710),
+    (0.153364, 0.497000, 0.557724),
+    (0.122312, 0.633153, 0.530398),
+    (0.288921, 0.758394, 0.428426),
+    (0.626579, 0.854645, 0.223353),
+    (0.993248, 0.906157, 0.143936),
+]
+
+
+def normalize_sql(col: str, z0: tuple[float, float] = (0.0, 255.0),
+                  z1: tuple[float, float] = (0.0, 1.0),
+                  truncate: bool = True) -> str:
+    """Affine rescale of `col` from range z0 to range z1, clamped to
+    z1 when `truncate` (mapData.py:179-185). NULL stays NULL (both
+    engines' least/greatest would otherwise swallow it)."""
+    a0, a1 = float(z0[0]), float(z0[1])
+    b0, b1 = float(z1[0]), float(z1[1])
+    body = f"(({col}) - {a0!r}) / ({a1!r} - {a0!r}) * ({b1!r} - {b0!r}) + {b0!r}"
+    if truncate:
+        lo, hi = min(b0, b1), max(b0, b1)
+        body = f"least(greatest({body}, {lo!r}), {hi!r})"
+    return f"CASE WHEN ({col}) IS NULL THEN NULL ELSE {body} END"
+
+
+def lut_channel_sql(xn: str, lut: list[tuple[float, float, float]],
+                    channel: int) -> str:
+    """Nearest-stop LUT pick for one RGB channel over a normalized
+    [0,1] column: idx = floor(xn*N) clamped to N-1 — matplotlib
+    ListedColormap indexing (mapData.py:187-195). CASE-chain text is
+    dialect-free, so the oracle runs the same string."""
+    n = len(lut)
+    idx = f"least({n - 1}, CAST(floor(({xn}) * {n}) AS INT))"
+    # CAST(... AS DOUBLE): a bare decimal literal is DECIMAL in Spark
+    # but DOUBLE in DuckDB — the cast (valid in both) pins the type
+    arms = " ".join(
+        f"WHEN {i} THEN CAST({lut[i][channel]!r} AS DOUBLE)"
+        for i in range(n))
+    return f"CASE {idx} {arms} END"
+
+
+def normalize_column(col: str, z0: tuple[float, float] = (0.0, 255.0),
+                     z1: tuple[float, float] = (0.0, 1.0),
+                     truncate: bool = True) -> Column:
+    return F.expr(normalize_sql(col, z0, z1, truncate))
+
+
+def to_rgb(df: DataFrame, col: str,
+           lut: list[tuple[float, float, float]] | None = None,
+           caxis: tuple[float, float] | None = None,
+           out_prefix: str = "") -> DataFrame:
+    """F7 toRGB: normalize `col` to [0,1] over `caxis` (default: the
+    global min/max, via a 1-row aggregate broadcast back over the
+    rows — the Spark shape of the reference's z.min()/z.max()) and
+    append nearest-stop LUT channels r/g/b plus an alpha flag that
+    zeroes non-finite input (mapData.py:163-177 add_alpha_band)."""
+    lut = lut or VIRIDIS8
+    if caxis is None:
+        bounds = df.agg(F.min(col).alias("_cmin"), F.max(col).alias("_cmax"))
+        df = df.crossJoin(F.broadcast(bounds))
+        # caxis bounds are columns, not floats — render the affine
+        # rescale manually (normalize_sql repr()s literal bounds)
+        xn = (f"CASE WHEN ({col}) IS NULL THEN NULL ELSE "
+              f"least(greatest((({col}) - _cmin) / (_cmax - _cmin)"
+              f" * (1.0 - 0.0) + 0.0, 0.0), 1.0) END")
+    else:
+        xn = normalize_sql(col, caxis)
+    p = out_prefix
+    out = (df.withColumn(f"{p}zn", F.expr(xn))
+           .withColumn(f"{p}r", F.expr(lut_channel_sql(f"{p}zn", lut, 0)))
+           .withColumn(f"{p}g", F.expr(lut_channel_sql(f"{p}zn", lut, 1)))
+           .withColumn(f"{p}b", F.expr(lut_channel_sql(f"{p}zn", lut, 2)))
+           .withColumn(f"{p}alpha", F.expr(
+               f"CASE WHEN ({col}) IS NULL THEN 0.0D "
+               f"WHEN isnan(CAST(({col}) AS DOUBLE)) THEN 0.0D "
+               f"ELSE 1.0D END")))
+    return out.drop("_cmin", "_cmax") if caxis is None else out

@@ -1389,6 +1389,58 @@ def dem_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F7 normalize/colormap (mapData.py:179-195): affine rescale over the
+# global caxis + nearest-stop viridis LUT + non-finite alpha. All pure
+# shared-text SQL (operators/raster.py normalize/to_rgb) — the oracle
+# renders the identical CASE-chain strings, so values hash-match.
+# --------------------------------------------------------------------------
+
+def _rgb_oracle() -> str:
+    from pointdatabase_spark.operators import raster as _r
+    zn = ("CASE WHEN (z) IS NULL THEN NULL ELSE "
+          "least(greatest(((z) - cmin) / (cmax - cmin)"
+          " * (1.0 - 0.0) + 0.0, 0.0), 1.0) END")
+    return f"""
+WITH ij AS (
+  SELECT CAST(i.range AS BIGINT) AS i, CAST(j.range AS BIGINT) AS j
+  FROM range(0, {_G['n']}) i, range(0, {_G['n']}) j),
+p AS (
+  SELECT i, j,
+         ({_G['x0']}) + i * {_G['d']} AS x,
+         ({_G['y0']}) + j * {_G['d']} AS y,
+         {_ZF.format(i='i', j='j')} AS zr
+  FROM ij
+  WHERE i % 3 = 0 AND j % 3 = 0),
+d AS (
+  SELECT i, j, x, y, CASE WHEN zr = 0.0 THEN NULL ELSE zr END AS z
+  FROM p
+  WHERE x >= {_DEM_BOUNDS[0][0]} AND x <= {_DEM_BOUNDS[0][1]}
+    AND y >= {_DEM_BOUNDS[1][0]} AND y <= {_DEM_BOUNDS[1][1]}),
+c AS (SELECT min(z) AS cmin, max(z) AS cmax FROM d),
+n AS (SELECT i, j, x, y, z, {zn} AS zn FROM d, c)
+SELECT i, j, x, y, z, zn,
+       {_r.lut_channel_sql('zn', _r.VIRIDIS8, 0)} AS r,
+       {_r.lut_channel_sql('zn', _r.VIRIDIS8, 1)} AS g,
+       {_r.lut_channel_sql('zn', _r.VIRIDIS8, 2)} AS b,
+       CASE WHEN (z) IS NULL THEN 0.0 WHEN isnan(CAST((z) AS DOUBLE))
+            THEN 0.0 ELSE 1.0 END AS alpha
+FROM n
+"""
+
+
+@query("raster_normalize_rgb", oracle=_rgb_oracle())
+def raster_normalize_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import raster
+    g = _G
+    zg = raster.grid_from_formula(g["x0"], g["y0"], g["d"], g["d"],
+                                  g["n"], g["n"],
+                                  lambda ii, jj: (ii * 37 + jj * 91) % 199)
+    pts = raster.grid_to_points(spark, zg, bounds=_DEM_BOUNDS, skip=3,
+                                nodata=0.0)
+    return raster.to_rgb(pts, "z")
+
+
+# --------------------------------------------------------------------------
 # A7 at scale: per-bin OLS plane fit via exact-integer normal equations
 # (operators/fit.py) — the distributed generalization of calc_slope.
 # --------------------------------------------------------------------------
