@@ -70,6 +70,34 @@ def days_j2k(date_col: Column | str, rel_time_s: Column | str) -> Column:
     return base + _c(rel_time_s) / F.lit(SECONDS_PER_DAY)
 
 
+def events_tus(df, col: str = "ts") -> Column:
+    """`events.ts` → integer microseconds since epoch, dispatching on
+    the dtype Spark actually read (the driver's parquet has switched
+    physical type between rounds: timestamp[ns] reads as BIGINT under
+    ``nanosAsLong``; timestamp[us] reads as TIMESTAMP_NTZ, where that
+    conf silently no-ops). One load-boundary branch, so every consumer
+    (batch sessionization, streaming ingest/sessions) stays in exact
+    long arithmetic that matches DuckDB's ``epoch_us(ts)``:
+
+    - TIMESTAMP_NTZ: wall-clock diff from the NTZ epoch literal —
+      timezone-independent (an NTZ→TZ cast would shift by session tz).
+    - TIMESTAMP: ``unix_micros`` (already an absolute instant).
+    - BIGINT (legacy ns-as-long): exact integer ``DIV 1000``.
+
+    Works on batch and streaming DataFrames (both expose ``dtypes``
+    from the analyzed schema)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+    if dt == "timestamp":
+        return F.unix_micros(F.col(col))
+    if dt == "bigint":
+        return F.expr(f"{col} DIV 1000")
+    raise TypeError(f"events.{col} has unsupported dtype {dt!r}; "
+                    "expected timestamp, timestamp_ntz, or bigint")
+
+
 def ts_micros(ns_long: Column | str) -> Column:
     """Nanosecond-long epoch (the events table read with nanosAsLong)
     → TIMESTAMP (microsecond precision). Exact integer division:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pointdatabase_spark import testkit
+from pointdatabase_spark.functions import timeconv
 from pointdatabase_spark.operators import filters, setops, spatial, tracks, windows
 from pointdatabase_spark.partitioning import spread as _spread
 
@@ -1612,8 +1613,8 @@ FROM s
 @query("event_sessionization", oracle=_SESSION_ORACLE)
 def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.streaming import sessions as _sess
-    ev = (testkit.load_table(spark, sf_dir, "events")
-          .select("user_id", F.expr("ts DIV 1000").alias("tus"), "value"))
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", timeconv.events_tus(ev).alias("tus"), "value")
     return _sess.sessionize(ev, _SESS_GAP_US)
 
 

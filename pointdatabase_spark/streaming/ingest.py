@@ -75,15 +75,16 @@ def run_windowed_counts_availablenow(spark: SparkSession, sf_dir: str,
     run_id = uuid.uuid4().hex[:8]
     dst = f"/tmp/pdb_stream_out_{run_id}"
     ckpt = f"/tmp/pdb_stream_ckpt_{run_id}"
-    # events.ts is TIMESTAMP(NANOS) parquet → read as long ns (the same
-    # convention as testkit.load_table), then rebuild a timestamp.
+    from pointdatabase_spark.functions import timeconv
+    # nanosAsLong only matters when the parquet is timestamp[ns]; with
+    # timestamp[us] it no-ops and events_tus branches on the real dtype.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir)
-           .withColumn("event_time",
-                       F.expr("timestamp_micros(ts DIV 1000)")))
+           .parquet(sf_dir))
+    src = src.withColumn(
+        "event_time", F.timestamp_micros(timeconv.events_tus(src)))
     agg = windowed_counts(src, "event_time", window, delay, ["event_type"])
     (agg.writeStream.format("parquet")
      .option("path", dst)

@@ -18,10 +18,12 @@ when the gap to the previous event exceeds `gap_us`):
   keys), bounded by watermark expiry; the same code runs continuously
   with a processingTime trigger. This is the live-ingest path.
 
-Timestamps are integer microseconds (`tus`): the events parquet stores
-TIMESTAMP(NANOS); Spark reads it as long ns (session conf
-`nanosAsLong`) and we truncate to μs — exactly what DuckDB's read does
-— so the batch oracle matches bit-for-bit.
+Timestamps are integer microseconds (`tus`), produced by the
+load-boundary dispatch `functions.timeconv.events_tus` (the events
+parquet's physical type has varied between timestamp[ns] → BIGINT and
+timestamp[us] → TIMESTAMP_NTZ reads; the helper branches on the dtype
+Spark actually sees) — exactly DuckDB's `epoch_us(ts)`, so the batch
+oracle matches bit-for-bit.
 """
 
 from __future__ import annotations
@@ -111,12 +113,16 @@ def run_sessionize_stateful_availablenow(
     run_id = uuid.uuid4().hex[:8]
     dst = f"/tmp/pdb_sess_out_{run_id}"
     ckpt = f"/tmp/pdb_sess_ckpt_{run_id}"
+    from pointdatabase_spark.functions import timeconv
+    # nanosAsLong only matters when the parquet is timestamp[ns]; with
+    # timestamp[us] it no-ops and events_tus branches on the real dtype.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir)
-           .withColumn("tus", F.expr("ts DIV 1000"))
+           .parquet(sf_dir))
+    src = (src
+           .withColumn("tus", timeconv.events_tus(src))
            .withColumn("event_time",
                        F.expr("timestamp_micros(tus)"))
            .withWatermark("event_time", delay)

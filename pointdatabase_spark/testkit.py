@@ -144,8 +144,12 @@ FROM events
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read it as long (ns since epoch). ts_micros() converts.
+        # events.ts physical type has varied between rounds: under
+        # timestamp[ns] this conf reads it as long ns (otherwise Spark
+        # rejects the file); under timestamp[us] it no-ops and Spark
+        # reads TIMESTAMP_NTZ. Consumers must NOT assume either —
+        # convert via functions.timeconv.events_tus, which dispatches
+        # on the dtype actually read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -35,13 +35,13 @@ def test_ingest_availablenow_incremental(spark, tmp_path):
 
 
 def test_stateful_sessionization_withholds_open_sessions(spark):
-    from pyspark.sql import functions as F
     from pointdatabase_spark import testkit
+    from pointdatabase_spark.functions import timeconv
     from pointdatabase_spark.streaming import sessions as S
     GAP = 6 * 3600 * 1000000
     sf = "/root/testdata/sf0.001"
-    ev = (testkit.load_table(spark, sf, "events")
-          .select("user_id", F.expr("ts DIV 1000").alias("tus"), "value"))
+    ev = testkit.load_table(spark, sf, "events")
+    ev = ev.select("user_id", timeconv.events_tus(ev).alias("tus"), "value")
     batch = S.sessionize(ev, GAP).toPandas()
     closed = S.run_sessionize_stateful_availablenow(spark, sf, GAP).toPandas()
     # every emitted session agrees with the batch result exactly
