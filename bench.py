@@ -54,7 +54,7 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.groupBy("l_returnflag").count().collect()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in names:
         # noop sink: executes the full physical plan, skips Python
         # row-serialization so we measure the engine, not the driver.
@@ -62,14 +62,22 @@ def main() -> None:
         # (a per-query constant, irrelevant at scale); report the best
         # warm run (local-mode GC/scheduler stragglers add seconds of
         # noise on identical plans).
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+        # Per-query isolation: one broken query records null and the
+        # other 55 still get measured — a single regression must never
+        # zero the whole scoreboard (r3 lesson).
+        try:
+            df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
+            print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
+            timings[name] = None
 
     prev_path, prev = _load_prev()
     if prev:
@@ -77,11 +85,15 @@ def main() -> None:
         for name in names:
             now = timings[name]
             old = prev.get(name)
+            if now is None:
+                print(f"{name:32s} {'ERROR':>18s}", file=sys.stderr)
+                continue
             ratio = f"{now / old:5.2f}x" if old else "  new "
             olds = f"{old:7.3f}" if old else "      -"
             print(f"{name:32s} {olds} -> {now:7.3f}  {ratio}",
                   file=sys.stderr)
-        both = [n for n in names if n in prev]
+        both = [n for n in names
+                if prev.get(n) is not None and timings[n] is not None]
         if both:
             tot_old = sum(prev[n] for n in both)
             tot_new = sum(timings[n] for n in both)
@@ -89,7 +101,7 @@ def main() -> None:
                   f"{tot_new:7.3f}  {tot_new / tot_old:5.2f}x",
                   file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({"metric": "headline_total", "value": total,
                       "unit": "sec", "queries": timings, "sf": float(sf)}))

@@ -25,6 +25,14 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_all_queries_run(spark):
+    # Non-fatal per query: one broken query must report as ONE failure
+    # with the full list, not truncate the sweep (r3 driver-abort mode).
+    failures: list[str] = []
     for name, fn in registry.all_queries().items():
-        df = fn(spark, SF_SMOKE)
-        assert df.count() >= 0, name
+        try:
+            df = fn(spark, SF_SMOKE)
+            assert df.count() >= 0
+        except Exception as exc:  # noqa: BLE001 — collect, assert at end
+            first = str(exc).splitlines()[0][:160] if str(exc) else type(exc).__name__
+            failures.append(f"{name}: {first}")
+    assert not failures, "\n".join(failures)
