@@ -16,8 +16,9 @@ to broadcast (continental DEMs at metre resolution) would need the
 alternative explode-raster-to-points + bin equi-join path (S4
 ``asPoints``, read_DEM.py:52-64).
 
-GeoTIFF/HDF5 loading (S4/S5) needs rasterio/GDAL, which this container
-does not ship — the loaders are stubbed behind import guards; `Grid`
+GeoTIFF loading (S4/S5): uncompressed IEEE-float files read through
+the stdlib codec in ``sources.geotiff``; compressed/tiled files need
+rasterio (not shipped here) and stay behind an import gate. `Grid`
 construction from arrays/DataFrames is fully functional and tested.
 """
 
@@ -59,14 +60,33 @@ def grid_from_formula(x0: float, y0: float, dx: float, dy: float,
 
 def load_geotiff(path: str, band: int = 1) -> Grid:
     """S4/S5 GeoTIFF scan (read_DEM.py:14-69, mapData.py:39-94).
-    Requires rasterio, which is not available in this environment."""
+
+    Uncompressed strip-organized IEEE-float GeoTIFF (the layout
+    ``sources.geotiff.write_geotiff`` emits, and what GDAL produces
+    without ``-co COMPRESS``) reads via the stdlib codec, with finite
+    GDAL_NODATA masked to NaN exactly like read_DEM.py:45-47.
+    Compressed/tiled/integer files fall back to rasterio when it is
+    importable; otherwise the NotImplementedError gate documents the
+    missing dependency."""
+    from pointdatabase_spark.sources import geotiff as _gt
     try:
-        import rasterio  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "GeoTIFF loading requires rasterio; not shipped in this "
-            "container. Construct a Grid directly instead.") from exc
-    raise NotImplementedError  # pragma: no cover
+        return _gt.read_geotiff(path, band=band)
+    except NotImplementedError as gate:
+        try:
+            import rasterio
+        except ImportError:  # pragma: no cover - container has no rasterio
+            raise NotImplementedError(
+                f"{gate}; rasterio fallback is not shipped in this "
+                "container") from gate
+        with rasterio.open(path) as src:  # pragma: no cover
+            z = src.read(band).astype(np.float64)
+            if src.nodata is not None and np.isfinite(src.nodata):
+                z[z == src.nodata] = np.nan
+            t = src.transform
+            return Grid(x0=float(t.c + t.a / 2.0),
+                        y0=float(t.f + t.e * (src.height - 0.5)),
+                        dx=float(t.a), dy=float(-t.e),
+                        z=np.ascontiguousarray(z[::-1, :]))
 
 
 def _bilinear(grid_z: np.ndarray, x0: float, y0: float, dx: float,

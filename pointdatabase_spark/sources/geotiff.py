@@ -129,13 +129,16 @@ def _pack_entries(grid: Grid, epsg: int, dtype: np.dtype,
           grid.x0 - abs(grid.dx) / 2.0,
           grid.y0 + (ny - 1) * abs(grid.dy) + abs(grid.dy) / 2.0,
           0.0]),
-        # GeoKey directory: v1.1.0; ModelType=1 (projected),
-        # RasterType=1 (PixelIsArea), ProjectedCSType=epsg
+        # GeoKey directory: v1.1.0; RasterType=1 (PixelIsArea).
+        # Geographic CRS codes (EPSG 4000-4999, e.g. 4326) get
+        # ModelType=2 + GeographicTypeGeoKey (2048); anything else is
+        # tagged projected via ProjectedCSTypeGeoKey (3072) — writing
+        # 4326 under 3072 would be a mistagged file.
         (_GEO_KEY_DIRECTORY, _T_SHORT,
          [1, 1, 0, 3,
-          1024, 0, 1, 1,
+          1024, 0, 1, 2 if 4000 <= int(epsg) < 5000 else 1,
           1025, 0, 1, 1,
-          3072, 0, 1, int(epsg)]),
+          2048 if 4000 <= int(epsg) < 5000 else 3072, 0, 1, int(epsg)]),
     ]
     if nodata is not None:
         text = f"{nodata!r}".encode("ascii") + b"\x00"
@@ -199,6 +202,10 @@ def _read_ifd(buf: bytes, order: str):
     for k in range(n):
         e = off + 2 + 12 * k
         tag, typ, count = struct.unpack(order + "HHI", buf[e:e + 8])
+        if typ not in _TYPE_SIZE:
+            # BYTE/RATIONAL/UNDEFINED etc. appear in real GDAL files
+            # (e.g. XML metadata); none carry layout we need — skip.
+            continue
         size = _TYPE_SIZE[typ] * count
         if size <= 4:
             raw = buf[e + 8:e + 8 + size]
@@ -240,6 +247,9 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     ny = tags[_IMAGE_LENGTH][0]
     n_bands = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
     bits = tags[_BITS_PER_SAMPLE][0]
+    if bits not in (32, 64):
+        raise NotImplementedError(
+            f"only 32/64-bit IEEE-float samples supported, got {bits}-bit")
     dt = np.dtype(order + ("f4" if bits == 32 else "f8"))
     offs = tags[_STRIP_OFFSETS]
     counts = tags[_STRIP_BYTE_COUNTS]
@@ -248,6 +258,17 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     if not 1 <= band <= n_bands:
         raise ValueError(f"band {band} out of range 1..{n_bands}")
     z = z[:, :, band - 1].astype(np.float64)
+    # GDAL_NODATA (tag 42113): mask finite nodata to NaN, matching the
+    # reference read_DEM.py:45-47 — otherwise e.g. -9999 fill poisons
+    # downstream stats/interpolation as real data.  Compare at the
+    # file's sample precision so a float32-rounded fill still matches.
+    if _GDAL_NODATA in tags:
+        try:
+            nodata = float(tags[_GDAL_NODATA].strip())
+        except ValueError:
+            nodata = float("nan")
+        if np.isfinite(nodata):
+            z[z == np.float64(np.array(nodata, dtype=dt))] = np.nan
     sx, sy = tags[_MODEL_PIXEL_SCALE][0], tags[_MODEL_PIXEL_SCALE][1]
     tp = tags[_MODEL_TIEPOINT]
     x_edge, y_edge = tp[3], tp[4]  # top-left outer corner

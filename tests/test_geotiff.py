@@ -1,0 +1,140 @@
+"""S14 GeoTIFF sink + S4/S5 stdlib scan: write→read roundtrips against
+``grid_from_points`` output with reference georeferencing
+(mapData.py:139,153 row order; origin at (x_min−dx/2, y_max+dy/2))."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pointdatabase_spark.operators.raster import Grid, load_geotiff
+from pointdatabase_spark.sources.geotiff import (
+    grid_from_points,
+    read_geotiff,
+    write_geotiff,
+)
+
+
+def _demo_grid() -> Grid:
+    z = np.arange(35, dtype=np.float64).reshape(5, 7) * 1.5 - 10.0
+    return Grid(x0=-3000.0, y0=2000.0, dx=1000.0, dy=500.0, z=z)
+
+
+def test_roundtrip_float64_exact(tmp_path):
+    g = _demo_grid()
+    path = str(tmp_path / "g64.tif")
+    write_geotiff(g, path, dtype="float64")
+    r = read_geotiff(path)
+    assert (r.x0, r.y0, r.dx, r.dy) == (g.x0, g.y0, g.dx, g.dy)
+    np.testing.assert_array_equal(r.z, g.z)
+
+
+def test_roundtrip_float32(tmp_path):
+    g = _demo_grid()
+    path = str(tmp_path / "g32.tif")
+    write_geotiff(g, path, dtype="float32")
+    r = read_geotiff(path)
+    np.testing.assert_array_equal(r.z, g.z.astype(np.float32).astype(np.float64))
+
+
+def test_grid_from_points_roundtrip(spark, tmp_path):
+    # exact-integer heights on a 10x8 node lattice -> bit-exact roundtrip
+    xs, ys = np.meshgrid(np.arange(10) * 100.0, np.arange(8) * 50.0)
+    zz = (xs / 100.0 + ys).ravel()
+    df = spark.createDataFrame(
+        [(float(x), float(y), float(z))
+         for x, y, z in zip(xs.ravel(), ys.ravel(), zz)], "x double, y double, z double")
+    g = grid_from_points(df, dx=100.0, dy=50.0)
+    assert (g.ny, g.nx) == (8, 10)
+    path = str(tmp_path / "pts.tif")
+    write_geotiff(g, path, dtype="float64")
+    r = read_geotiff(path)
+    np.testing.assert_array_equal(r.z, g.z)
+    assert (r.x0, r.y0) == (0.0, 0.0)
+
+
+def test_load_geotiff_delegates_to_stdlib_codec(tmp_path):
+    g = _demo_grid()
+    path = str(tmp_path / "via_loader.tif")
+    write_geotiff(g, path, dtype="float64")
+    r = load_geotiff(path)
+    np.testing.assert_array_equal(r.z, g.z)
+
+
+def test_finite_nodata_masked_to_nan(tmp_path):
+    # read_DEM.py:45-47 semantics: finite GDAL_NODATA values become NaN
+    g = _demo_grid()
+    g.z[2, 3] = -9999.0
+    g.z[0, 0] = -9999.0
+    path = str(tmp_path / "nodata.tif")
+    write_geotiff(g, path, dtype="float32", nodata=-9999.0)
+    r = read_geotiff(path)
+    assert np.isnan(r.z[2, 3]) and np.isnan(r.z[0, 0])
+    assert np.isfinite(r.z).sum() == g.z.size - 2
+
+
+def test_unknown_ifd_entry_types_are_skipped(tmp_path):
+    # splice a RATIONAL-typed entry (type 5) into the IFD: real GDAL
+    # files carry BYTE/RATIONAL/UNDEFINED tags the codec doesn't model
+    g = _demo_grid()
+    path = str(tmp_path / "odd.tif")
+    write_geotiff(g, path, dtype="float64")
+    buf = bytearray(open(path, "rb").read())
+    ifd_off = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd_off:ifd_off + 2])[0]
+    # overwrite the LAST entry (sorted by tag: GDAL-range tag, not
+    # needed for layout) with a fake RATIONAL tag 50000
+    e = ifd_off + 2 + 12 * (n - 1)
+    buf[e:e + 12] = struct.pack("<HHI4s", 50000, 5, 1, b"\0\0\0\0")
+    odd = str(tmp_path / "odd2.tif")
+    open(odd, "wb").write(bytes(buf))
+    r = read_geotiff(odd)
+    np.testing.assert_array_equal(r.z, g.z)
+
+
+def test_unsupported_bit_width_raises_cleanly(tmp_path):
+    g = _demo_grid()
+    path = str(tmp_path / "w.tif")
+    write_geotiff(g, path, dtype="float64")
+    buf = bytearray(open(path, "rb").read())
+    ifd_off = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd_off:ifd_off + 2])[0]
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack("<HHI", buf[e:e + 8])
+        if tag == 258:  # BitsPerSample -> claim 16-bit float
+            buf[e + 8:e + 12] = struct.pack("<HH", 16, 0)
+    bad = str(tmp_path / "w16.tif")
+    open(bad, "wb").write(bytes(buf))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        read_geotiff(bad)
+
+
+def test_geokey_directory_models_geographic_vs_projected(tmp_path):
+    g = _demo_grid()
+
+    def geokeys(path):
+        buf = open(path, "rb").read()
+        ifd_off = struct.unpack("<I", buf[4:8])[0]
+        n = struct.unpack("<H", buf[ifd_off:ifd_off + 2])[0]
+        for k in range(n):
+            e = ifd_off + 2 + 12 * k
+            tag, typ, count = struct.unpack("<HHI", buf[e:e + 8])
+            if tag == 34735:
+                off = struct.unpack("<I", buf[e + 8:e + 12])[0]
+                vals = struct.unpack(f"<{count}H", buf[off:off + 2 * count])
+                return {vals[i]: vals[i + 3]
+                        for i in range(4, len(vals), 4)}
+        raise AssertionError("no GeoKeyDirectory")
+
+    proj = str(tmp_path / "proj.tif")
+    write_geotiff(g, proj, epsg=3413)
+    keys = geokeys(proj)
+    assert keys[1024] == 1 and keys[3072] == 3413 and 2048 not in keys
+
+    geo = str(tmp_path / "geo.tif")
+    write_geotiff(g, geo, epsg=4326)
+    keys = geokeys(geo)
+    assert keys[1024] == 2 and keys[2048] == 4326 and 3072 not in keys
