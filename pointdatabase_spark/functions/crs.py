@@ -87,6 +87,74 @@ def stereo_xy_columns(lat: str = "latitude", lon: str = "longitude",
     return s.getField("x"), s.getField("y")
 
 
+# The two production proj4 strings of the reference (ATL06_tiles.py:
+# 221,223); normalized token sets so whitespace/order variations match.
+_PROJ4_POLAR = {
+    1: "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +k=1 +x_0=0 +y_0=0"
+       " +datum=WGS84 +units=m +no_defs",
+    -1: "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +k=1 +x_0=0 +y_0=0"
+        " +datum=WGS84 +units=m +no_defs",
+}
+_EPSG_POLAR = {3413: 1, 3031: -1}
+
+
+def _polar_hemisphere(proj4_string: str | None,
+                      epsg: int | None) -> int | None:
+    """Hemisphere (1/-1) when the CRS is one of the two production
+    polar-stereographic systems; None for anything else."""
+    if epsg is not None and int(epsg) in _EPSG_POLAR:
+        return _EPSG_POLAR[int(epsg)]
+    if proj4_string is not None:
+        toks = set(proj4_string.split())
+        for hemi, canon in _PROJ4_POLAR.items():
+            if set(canon.split()) <= toks:
+                return hemi
+    return None
+
+
+def transform_xy_columns(lat: str = "latitude", lon: str = "longitude",
+                         proj4_string: str | None = None,
+                         epsg: int | None = None
+                         ) -> tuple[Column, Column]:
+    """Arbitrary-CRS forward transform — the full reference surface
+    (ATL06_data.py:209-232 ``get_xy(proj4_string, EPSG)``,
+    geo_index.py:102-112 ``from_latlon`` with any ``SRS_proj4``).
+
+    The two production polar-stereographic systems (EPSG:3413/3031 and
+    their proj4 spellings) take the dependency-free NumPy fast path —
+    identical output to :func:`stereo_xy_columns`. Any other CRS
+    dispatches to pyproj inside the same Arrow-batched pandas UDF
+    shape; when pyproj is not importable (this container does not ship
+    it) the gate raises NotImplementedError at plan-build time rather
+    than inside executor tasks."""
+    if proj4_string is None and epsg is None:
+        raise ValueError("provide proj4_string or epsg")
+    hemi = _polar_hemisphere(proj4_string, epsg)
+    if hemi is not None:
+        return stereo_xy_columns(lat, lon, hemisphere=hemi)
+    try:
+        import pyproj  # noqa: F401
+    except ImportError as exc:
+        crs_desc = proj4_string if proj4_string is not None else f"EPSG:{epsg}"
+        raise NotImplementedError(
+            f"CRS {crs_desc!r} needs pyproj (not shipped in this "
+            "container); only the polar-stereographic fast path "
+            "(EPSG:3413/3031) is dependency-free") from exc
+
+    crs_arg = proj4_string if proj4_string is not None else int(epsg)
+
+    @F.pandas_udf("x double, y double")
+    def _fwd(la: pd.Series, lo: pd.Series) -> pd.DataFrame:  # pragma: no cover
+        from pyproj import Transformer
+        tr = Transformer.from_crs("EPSG:4326", crs_arg, always_xy=True)
+        x, y = tr.transform(lo.to_numpy(np.float64),
+                            la.to_numpy(np.float64))
+        return pd.DataFrame({"x": x, "y": y})
+
+    s = _fwd(F.col(lat), F.col(lon))
+    return s.getField("x"), s.getField("y")
+
+
 def oracle_sql_exprs(hemisphere: int = 1, lat: str = "lat",
                      lon: str = "lon") -> tuple[str, str]:
     """DuckDB SQL (x, y) expressions mirroring the kernel, with the

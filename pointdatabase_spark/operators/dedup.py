@@ -268,6 +268,77 @@ def duplicate_clusters(pairs: DataFrame, hops: int = 3) -> DataFrame:
                       F.col("lbl").alias("cluster_id"))
 
 
+def duplicate_clusters_converged(pairs: DataFrame,
+                                 max_iter: int = 20) -> DataFrame:
+    """Full connected-components cluster resolution: neighbor-min
+    propagation PLUS pointer jumping (label ← label-of-label, i.e.
+    path compression) per round, iterating to fixpoint.
+
+    This is the 100 TB complement of the bounded-hop
+    :func:`duplicate_clusters`: near-clique LSH clusters converge in
+    1-2 rounds there, but an adversarial chain of near-dups (doc A ~
+    B ~ C ... each pair within threshold, ends far apart) forms a
+    PATH whose diameter is unbounded — plain hop-propagation needs
+    O(diameter) shuffles. Pointer jumping doubles the compressed
+    distance every round, so convergence is O(log diameter) rounds
+    (a 64-node path converges in 5 rounds; see
+    tests/test_extensions.py). ``max_iter`` is a hard cap — 20 rounds
+    covers components of diameter ~2^20 edges, far beyond any real
+    dedup graph — and the loop exits early at fixpoint (one
+    driver-side count action per round, the standard distributed CC
+    shape). Raises RuntimeError if the cap is hit before fixpoint
+    rather than returning silently-partial clusters.
+
+    Each round ends in an eager ``localCheckpoint``: the label frame
+    feeds the next round's plan in four places, so without lineage
+    TRUNCATION (persist alone caches data but keeps the logical plan)
+    the plan tree grows ~4^round nodes and the driver dies in
+    analysis long before any data moves — the standard
+    iterative-algorithm failure mode. On a real cluster prefer a
+    reliable checkpoint dir for fault tolerance; semantics identical.
+
+    Returns (doc_id, cluster_id) with cluster_id = component-min id.
+    """
+    pairs = pairs.select("id_a", "id_b").persist()
+    ids = (pairs.select(F.col("id_a").alias("id"))
+           .unionByName(pairs.select(F.col("id_b").alias("id")))
+           .distinct())
+    edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                       F.col("id_a").alias("v")))
+             .localCheckpoint())
+    lbl = ids.withColumn("lbl", F.col("id")).localCheckpoint()
+    for _ in range(int(max_iter)):
+        prop = (edges.alias("e")
+                .join(lbl.alias("l"), F.col("e.u") == F.col("l.id"))
+                .join(lbl.alias("r"), F.col("e.v") == F.col("r.id"))
+                .groupBy(F.col("l.id").alias("id"),
+                         F.col("l.lbl").alias("lbl"))
+                .agg(F.min(F.col("r.lbl")).alias("m"))
+                .select("id", F.least("lbl", "m").alias("lbl")))
+        # pointer jump: follow each label to that node's own label
+        # (labels are node ids by construction, so the self-join is
+        # total for non-min nodes; coalesce keeps component minima)
+        jump = (prop.alias("a")
+                .join(prop.select(F.col("id").alias("lbl"),
+                                  F.col("lbl").alias("lbl2")).alias("b"),
+                      "lbl", "left")
+                .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
+                .localCheckpoint())  # eager: truncates lineage
+        changed = (jump.alias("n")
+                   .join(lbl.alias("o"), "id")
+                   .where(F.col("n.lbl") != F.col("o.lbl")).count())
+        lbl = jump
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_converged: no fixpoint in {max_iter} "
+            "rounds — component diameter exceeds 2^max_iter edges?")
+    return lbl.select(F.col("id").alias("doc_id"),
+                      F.col("lbl").alias("cluster_id"))
+
+
 def dedup_survivors(df: DataFrame, clusters: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document dedup verdict: cluster id (own id when unpaired)

@@ -275,3 +275,79 @@ def test_simhash_identical_zero_hamming(spark):
     out = dedup.simhash_neardup(df).toPandas()
     pairs = {(r.id_a, r.id_b): r.hamming for r in out.itertuples()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_converged_clusters_on_long_path(spark):
+    """A 64-node near-dup CHAIN (adversarial diameter — each link
+    within threshold, ends unrelated) must fully resolve: pointer
+    jumping converges in O(log diameter) rounds, so max_iter=10 is
+    ample where plain hop-propagation would need 63."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    out = dedup.duplicate_clusters_converged(pairs, max_iter=10).collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {0}
+    # the bounded-hop variant on the same graph is documented-partial:
+    # 3 hops cannot reach the min from the far end
+    l3 = {r.doc_id: r.cluster_id
+          for r in dedup.duplicate_clusters(pairs, hops=3).collect()}
+    assert l3[n - 1] > 0
+
+
+def test_converged_clusters_cap_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "id_a long, id_b long")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        dedup.duplicate_clusters_converged(pairs, max_iter=1)
+
+
+def test_transform_xy_polar_fast_path_dispatch(spark, monkeypatch):
+    """EPSG/proj4 dispatch keeps the dependency-free kernel for the two
+    production CRSs: transform_xy_columns must route to
+    stereo_xy_columns with the right hemisphere. (Dispatch is asserted
+    by sentinel, not by comparing two UDF runs bit-for-bit — separate
+    Python workers can take different SIMD/scalar libm paths and
+    differ by 1 ulp run-to-run.)"""
+    calls = []
+    real = crs.stereo_xy_columns
+
+    def spy(lat="latitude", lon="longitude", hemisphere=1):
+        calls.append(hemisphere)
+        return real(lat, lon, hemisphere)
+
+    monkeypatch.setattr(crs, "stereo_xy_columns", spy)
+    crs.transform_xy_columns(epsg=3413)
+    crs.transform_xy_columns(epsg=3031)
+    crs.transform_xy_columns(
+        proj4_string="+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +k=1"
+                     " +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs")
+    crs.transform_xy_columns(
+        proj4_string="+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +k=1"
+                     " +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs ")
+    assert calls == [1, -1, 1, -1]
+    # numerical sanity: dispatched column equals the NumPy kernel
+    df = spark.createDataFrame(
+        [(70.0, -45.0), (75.5, 10.0), (82.25, -120.0)],
+        "latitude double, longitude double")
+    xf, yf = crs.transform_xy_columns(epsg=3413)
+    out = df.select("latitude", "longitude",
+                    xf.alias("x"), yf.alias("y")).toPandas()
+    ex, ey = crs.polar_stereo_forward(out.latitude.to_numpy(),
+                                     out.longitude.to_numpy(), 1)
+    np.testing.assert_allclose(out.x.to_numpy(), ex, rtol=1e-12)
+    np.testing.assert_allclose(out.y.to_numpy(), ey, rtol=1e-12)
+
+
+def test_transform_xy_other_crs_gated_without_pyproj():
+    import pytest as _pytest
+    try:
+        import pyproj  # noqa: F401
+        _pytest.skip("pyproj available; gate not reachable")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="pyproj"):
+        crs.transform_xy_columns(epsg=32633)
+    with _pytest.raises(ValueError):
+        crs.transform_xy_columns()
