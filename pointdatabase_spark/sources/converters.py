@@ -13,9 +13,12 @@ Structure:
   tidy rows with an `LR` column, `_FillValue`→NULL, derived columns
   `BP`/`spot`/`rgt`/`cycle_number`) is pure and fully tested — it
   operates on any Mapping[str, np.ndarray];
-- the *I/O* layer (opening .h5) needs h5py, which this container does
-  not ship, and is gated behind an import guard: `convert_atl06(...)`
-  raises NotImplementedError with the integration point documented.
+- the *I/O* layer reads .h5 through the stdlib codec in
+  `sources/hdf5.py` (superblock v0, old-style groups, contiguous +
+  chunked/gzip/shuffle datasets — the official-granule subset); h5py
+  is preferred when importable. `distributed_point_scan` fans the
+  per-granule reads out across executors via mapInPandas — the
+  reference's `xargs -P 8` unit becomes a Spark task.
 
 Reference parity notes:
 - fill→NaN: ATL06_data.py:124-131,174-179 (we map to NULL per the §1.2
@@ -121,19 +124,47 @@ def ingest_frame(spark: SparkSession, frame: pd.DataFrame,
     return df.withColumn("source_file", F.lit(source_file))
 
 
+def _atl06_h5_paths(field_dict: Mapping[str | None, list[str]]
+                    | None = None) -> list[tuple[str, str]]:
+    """(full h5 path, flat key) for every beam × field. Official files
+    nest fields under ``gtXY/land_ice_segments`` (ATL06_data.py:95)."""
+    field_dict = field_dict or ATL06_FIELD_DICT
+    out = []
+    for pair in (1, 2, 3):
+        for side in "lr":
+            beam = f"gt{pair}{side}"
+            for sub, name in flatten_field_dict(field_dict):
+                out.append((f"{beam}/land_ice_segments/{sub}",
+                            f"{beam}/{sub}"))
+    return out
+
+
+def load_atl06_h5(h5_path: str,
+                  field_dict: Mapping[str | None, list[str]] | None = None
+                  ) -> dict[str, np.ndarray]:
+    """Read one official-layout ATL06 granule into the flat
+    {beam/path: array} mapping `atl06_frame` consumes — stdlib HDF5
+    codec (sources/hdf5.py), with h5py used instead when importable."""
+    paths = _atl06_h5_paths(field_dict)
+    try:  # pragma: no cover - h5py not shipped in this container
+        import h5py
+        with h5py.File(h5_path, "r") as h5:
+            return {key: h5[full][...]
+                    for full, key in paths if full in h5}
+    except ImportError:
+        from pointdatabase_spark.sources import hdf5 as _h5
+        got = _h5.load_fields(h5_path, [full for full, _ in paths])
+        return {key: got[full] for full, key in paths if full in got}
+
+
 def convert_atl06(spark: SparkSession, h5_path: str, out_path: str,
                   rgt: int, cycle_number: int) -> None:
-    """S2 converter job: official ATL06 H5 → tidy Parquet."""
-    try:
-        import h5py  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "ATL06 HDF5 conversion needs h5py (not shipped in this "
-            "container). Wire it here: data = {f'{beam}/{path}': "
-            "h5[f'{beam}/land_ice_segments/{path}'][...] ...} then "
-            "ingest_frame(spark, atl06_frame(data, rgt, cycle), "
-            "h5_path).write.parquet(out_path).") from exc
-    raise NotImplementedError  # pragma: no cover
+    """S2 converter job: official ATL06 H5 → tidy Parquet
+    (ATL06_data.py:82-206 read semantics, re-expressed as a one-time
+    conversion)."""
+    frame = atl06_frame(load_atl06_h5(h5_path), rgt, cycle_number)
+    ingest_frame(spark, frame, h5_path).write.mode("overwrite") \
+        .parquet(out_path)
 
 
 # ---------------------------------------------------------------------------
@@ -207,17 +238,50 @@ def qfit_frame(data: Mapping[str, np.ndarray], filename: str,
     return pd.DataFrame(cols)
 
 
+def load_qfit_h5(h5_path: str, waveform_format: bool = False
+                 ) -> dict[str, np.ndarray]:
+    """Read one ATM Qfit granule (either layout) into the flat
+    {h5-path: array} mapping `qfit_frame` consumes."""
+    field_dict = (QFIT_WAVEFORM_FIELD_DICT if waveform_format
+                  else QFIT_FIELD_DICT)
+    paths = [p for p, _ in flatten_field_dict(field_dict)]
+    try:  # pragma: no cover - h5py not shipped in this container
+        import h5py
+        with h5py.File(h5_path, "r") as h5:
+            return {p: h5[p][...] for p in paths if p in h5}
+    except ImportError:
+        from pointdatabase_spark.sources import hdf5 as _h5
+        return _h5.load_fields(h5_path, paths)
+
+
 def convert_qfit(spark: SparkSession, h5_path: str, out_path: str,
                  waveform_format: bool = False) -> None:
-    """S3 converter job: ATM Qfit H5 → tidy Parquet (either layout)."""
-    try:
-        import h5py  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "Qfit HDF5 conversion needs h5py (not shipped in this "
-            "container). Wire it here: data = {path: h5[path][...] for "
-            "path in flatten_field_dict(QFIT_WAVEFORM_FIELD_DICT if "
-            "waveform_format else QFIT_FIELD_DICT) paths} then "
-            "ingest_frame(spark, qfit_frame(data, h5_path, "
-            "waveform_format), h5_path).write.parquet(out_path).") from exc
-    raise NotImplementedError  # pragma: no cover
+    """S3 converter job: ATM Qfit H5 → tidy Parquet (either layout,
+    qfit_data.py:60-97 read semantics)."""
+    frame = qfit_frame(load_qfit_h5(h5_path, waveform_format), h5_path,
+                       waveform_format)
+    ingest_frame(spark, frame, h5_path).write.mode("overwrite") \
+        .parquet(out_path)
+
+
+def distributed_point_scan(spark: SparkSession, h5_paths: list[str],
+                           loader, schema: str) -> DataFrame:
+    """S1 generic H5 point scan, distributed: one executor task per
+    granule (the reference's per-process unit, run_tile_updates:18
+    ``xargs -P 8`` — here it is Spark task scheduling over a paths
+    frame). ``loader(path) -> pd.DataFrame`` runs inside mapInPandas
+    with the pure-Python codec shipped in the closure; ``schema`` is
+    the output DDL. Granules stream straight into downstream
+    transforms with no driver round-trip."""
+    paths_df = spark.createDataFrame([(p,) for p in h5_paths],
+                                     "h5_path string").repartition(
+        max(len(h5_paths), 1))
+
+    def scan(batches):
+        for pdf in batches:
+            for p in pdf["h5_path"]:
+                frame = loader(p)
+                frame["source_file"] = p
+                yield frame
+
+    return paths_df.mapInPandas(scan, schema=schema + ", source_file string")
