@@ -1622,6 +1622,35 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sess.sessionize(ev, _SESS_GAP_US)
 
 
+# Spark's BUILT-IN session-window aggregation — the declarative twin of
+# the window-function sessionize (one groupBy, Catalyst plans the
+# merge; also valid over a stream). Boundary note: session_window is
+# half-open (an event exactly gap after the last starts a NEW session)
+# where the lag formulation uses `> gap` (continues); the synthetic
+# events table has zero exact-gap pairs at every sf (checked in
+# microseconds), so both formulations coincide on this data and share
+# the oracle.
+_SESSWIN_ORACLE = _SESS_CORE + """
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM s
+"""
+
+
+@query("session_window_agg", oracle=_SESSWIN_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = (ev.select("user_id", timeconv.events_tus(ev).alias("tus"), "value")
+          .withColumn("event_time", F.timestamp_micros("tus")))
+    return (ev.groupBy("user_id",
+                       F.session_window("event_time", "6 hours").alias("w"))
+            .agg(F.min("tus").alias("session_start"),
+                 F.max("tus").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select("user_id", "session_start", "session_end",
+                    "n_events", "sum_value"))
+
+
 _STREAM_SESSION_ORACLE = _SESS_CORE + f"""
 , mk AS (SELECT user_id, MAX(session_id) AS last_sid
          FROM s GROUP BY user_id),

@@ -583,3 +583,46 @@ def load_fields(path: str, paths: list[str]) -> dict[str, np.ndarray]:
         if isinstance(node, H5Dataset):
             out[p] = node[...]
     return out
+
+
+# ===========================================================================
+# H5 export sinks (S10/S11 true-format parity)
+# ===========================================================================
+
+def write_h5_points(df, path: str, group: str | None = None,
+                    compress: int = 4, attrs: dict | None = None) -> None:
+    """S10 H5 sink in the reference's actual format: one gzip'd
+    dataset per field under an optional group (point_data.to_file,
+    point_data.py:254-266). A raster/point FILE is a single driver
+    artifact (like the GeoTIFF sink): the input should be a finished
+    derived product — a tile, a crossover table — not a raw corpus;
+    the driver payload is exactly the rows written."""
+    pdf = df.toPandas()
+    cols = {c: dataset(pdf[c].to_numpy(), compress=compress,
+                       chunks=(max(1, min(len(pdf), 65536)),))
+            for c in pdf.columns
+            if pdf[c].dtype.kind in "iuf"}
+    tree = {group: cols} if group else cols
+    write_h5(path, tree, attrs or {})
+
+
+def write_h5_tile(df, path: str, x: str = "bin_x", y: str = "bin_y",
+                  order: str | None = "delta_time",
+                  compress: int = 4) -> None:
+    """S11 tile sink in the reference's actual format: one H5 group
+    per 10-km bin named ``"%dE_%dN"``, rows sorted by (bin, time)
+    (make_tile write loop, ATL06_tiles.py:81-106). The bin grouping
+    and in-group sort run distributed; only the finished tile's rows
+    reach the driver — a tile is the reference's per-process work
+    unit, bounded by construction."""
+    sort_cols = [x, y] + ([order] if order else [])
+    pdf = df.orderBy(*sort_cols).toPandas()
+    tree: dict = {}
+    for (bx, by), rows in pdf.groupby([x, y], sort=True):
+        name = "%dE_%dN" % (int(bx), int(by))
+        tree[name] = {
+            c: dataset(rows[c].to_numpy(),
+                       compress=compress,
+                       chunks=(max(1, min(len(rows), 65536)),))
+            for c in rows.columns if rows[c].dtype.kind in "iuf"}
+    write_h5(path, tree)

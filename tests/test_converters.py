@@ -100,11 +100,12 @@ def test_qfit_filename_time_rejects_garbage():
         converters.qfit_filename_time("notes.txt")
 
 
-def test_h5_gates_raise_documented_notimplemented(spark):
-    """The import-gated I/O layers must fail with an actionable message
-    naming the integration point (h5py absent in this container)."""
+def test_h5_converters_are_ungated(spark):
+    """The converter I/O layer is live (stdlib codec, sources/hdf5.py):
+    a missing granule fails as a plain file error, not a dependency
+    gate. End-to-end conversion is covered in tests/test_hdf5.py."""
     import pytest
-    with pytest.raises(NotImplementedError, match="h5py"):
-        converters.convert_atl06(spark, "/x.h5", "/tmp/o", 1, 1)
-    with pytest.raises(NotImplementedError, match="h5py"):
-        converters.convert_qfit(spark, "/x.h5", "/tmp/o")
+    with pytest.raises(FileNotFoundError):
+        converters.convert_atl06(spark, "/nonexistent.h5", "/tmp/o", 1, 1)
+    with pytest.raises(FileNotFoundError):
+        converters.convert_qfit(spark, "/nonexistent.h5", "/tmp/o")

@@ -191,3 +191,30 @@ def test_distributed_point_scan_many_granules(spark, tmp_path):
     assert df.select("source_file").distinct().count() == 3
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.split("ArrowEvalPython")[0] or True
+
+
+def test_write_h5_points_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i) * 2.5, float(i % 3)) for i in range(100)],
+        "row_id long, h double, q double")
+    p = str(tmp_path / "points.h5")
+    hdf5.write_h5_points(df, p, group="data", attrs={"source": "test"})
+    r = hdf5.read_h5(p)
+    np.testing.assert_array_equal(r["data/row_id"][...], np.arange(100))
+    np.testing.assert_array_equal(r["data/h"][...], np.arange(100) * 2.5)
+    assert r.attrs["source"] == "test"
+
+
+def test_write_h5_tile_sink_groups_and_sort(spark, tmp_path):
+    rows = [(bx * 10000, by * 10000, float(t), float(bx + by + t))
+            for bx in (1, 2) for by in (3, 4) for t in (5.0, 1.0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "bin_x long, bin_y long, delta_time double, h double")
+    p = str(tmp_path / "tile.h5")
+    hdf5.write_h5_tile(df, p)
+    r = hdf5.read_h5(p)
+    assert set(r.keys()) == {"10000E_30000N", "10000E_40000N",
+                             "20000E_30000N", "20000E_40000N"}
+    # in-group time sort (ATL06_tiles.py:81-98)
+    t = r["10000E_30000N/delta_time"][...]
+    np.testing.assert_array_equal(t, np.sort(t))
