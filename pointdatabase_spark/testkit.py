@@ -160,10 +160,19 @@ def register_tables(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def syn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthetic point table, as a DataFrame."""
+def syn_points(spark: SparkSession, sf_dir: str,
+               extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The synthetic point table, as a DataFrame. `extra_cols` carries
+    additional lineitem columns through the SAME single scan — callers
+    that need a source column must not join back to lineitem (that
+    re-shuffles the whole table to re-fetch what the scan already
+    read)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(SYN_POINTS_SQL)
+    sql = SYN_POINTS_SQL
+    if extra_cols:
+        sql = sql.replace("FROM lineitem",
+                          ", " + ", ".join(extra_cols) + "\nFROM lineitem")
+    return spark.sql(sql)
 
 
 def syn_points2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -218,3 +218,51 @@ def test_write_h5_tile_sink_groups_and_sort(spark, tmp_path):
     # in-group time sort (ATL06_tiles.py:81-98)
     t = r["10000E_30000N/delta_time"][...]
     np.testing.assert_array_equal(t, np.sort(t))
+
+
+def test_hdf5_roundtrip_property(tmp_path):
+    """Property: any tree of fixed/float arrays survives write->read
+    bit-exactly, across dtypes, ranks, chunkings, and filters."""
+    from hypothesis import given, settings, strategies as st
+
+    dtypes = st.sampled_from(["f8", "f4", "i8", "i4", "i2", "u1"])
+
+    @st.composite
+    def arrays(draw):
+        dt = np.dtype(draw(dtypes))
+        rank = draw(st.integers(1, 3))
+        shape = tuple(draw(st.integers(1, 9)) for _ in range(rank))
+        n = int(np.prod(shape))
+        if dt.kind == "f":
+            vals = draw(st.lists(
+                st.floats(allow_nan=False, allow_infinity=True,
+                          width=32 if dt.itemsize == 4 else 64),
+                min_size=n, max_size=n))
+        else:
+            info = np.iinfo(dt)
+            vals = draw(st.lists(st.integers(info.min, info.max),
+                                 min_size=n, max_size=n))
+        arr = np.array(vals, dtype=dt).reshape(shape)
+        if draw(st.booleans()):
+            chunks = tuple(draw(st.integers(1, s + 2)) for s in shape)
+            return hdf5.dataset(arr, compress=draw(st.integers(0, 9)),
+                                shuffle=draw(st.booleans()),
+                                chunks=chunks)
+        return arr
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.dictionaries(
+        st.text(alphabet="abcdefgh_123", min_size=1, max_size=12),
+        arrays(), min_size=1, max_size=5))
+    def check(tree):
+        p = str(tmp_path / "prop.h5")
+        hdf5.write_h5(p, tree)
+        r = hdf5.read_h5(p)
+        for name, spec in tree.items():
+            want = spec.data if isinstance(spec, hdf5._Dataset) else np.asarray(spec)
+            got = r[name][...]
+            np.testing.assert_array_equal(got, want)
+            assert got.dtype == want.dtype.newbyteorder("=") or \
+                got.dtype == want.dtype
+
+    check()
