@@ -584,6 +584,48 @@ def tile_store_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bucketed co-located bin join: two stores bucketed on the bin key
+# join/aggregate with zero shuffle exchanges (the big-big join lever;
+# plan-asserted in tests/test_plans.py). Result = per-bin point counts
+# from both sources over bins where both have data.
+# --------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = testkit.syn_points_both_cte() + """
+, a AS (SELECT CAST(round(x / 10000) * 10000 AS BIGINT) AS bin_x,
+               CAST(round(y / 10000) * 10000 AS BIGINT) AS bin_y,
+               COUNT(*) AS n_a
+        FROM pts GROUP BY 1, 2),
+b AS (SELECT CAST(round(x / 10000) * 10000 AS BIGINT) AS bin_x,
+             CAST(round(y / 10000) * 10000 AS BIGINT) AS bin_y,
+             COUNT(*) AS n_b
+      FROM pts2 GROUP BY 1, 2)
+SELECT a.bin_x, a.bin_y, a.n_a, b.n_b
+FROM a JOIN b ON a.bin_x = b.bin_x AND a.bin_y = b.bin_y
+"""
+
+
+@query("bucketed_bin_join", oracle=_BUCKETED_ORACLE)
+def bucketed_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pointdatabase_spark.sources import tile_store
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    ta, tb = f"pdb_bkt_a_{tag}".replace(".", "_"), \
+        f"pdb_bkt_b_{tag}".replace(".", "_")
+    tile_store.write_bucketed(testkit.syn_points(spark, sf_dir), ta,
+                              f"/tmp/{ta}", order_cols=["t"])
+    pts2 = testkit.syn_points2(spark, sf_dir).withColumn(
+        "t", F.col("row_id").cast("double"))
+    tile_store.write_bucketed(pts2, tb, f"/tmp/{tb}", order_cols=["t"])
+    a = (spark.table(ta).groupBy("bin_x", "bin_y")
+         .agg(F.count(F.lit(1)).alias("n_a")))
+    b = (spark.table(tb).groupBy("bin_x", "bin_y")
+         .agg(F.count(F.lit(1)).alias("n_b")))
+    return a.join(b, ["bin_x", "bin_y"]).select(
+        "bin_x", "bin_y", "n_a", "n_b")
+
+
+# --------------------------------------------------------------------------
 # A3 bin catalog (geo_index.from_xy bookkeeping, FIXTURES §2).
 # --------------------------------------------------------------------------
 

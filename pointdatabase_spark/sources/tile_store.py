@@ -86,6 +86,30 @@ def write_tiles(df: DataFrame, path: str, bin_delta=DEFAULT_BIN,
      .parquet(path))
 
 
+def write_bucketed(df: DataFrame, table: str, path: str | None = None,
+                   n_buckets: int = 32, bin_delta=DEFAULT_BIN,
+                   tile_delta=DEFAULT_TILE, x: str = "x", y: str = "y",
+                   order_cols: list[str] | None = None) -> None:
+    """Materialize a point set as a BUCKETED catalog table on the bin
+    key: `bucketBy(n, bin_x, bin_y) + sortBy` records the hash
+    partitioning in the metastore, so a join or aggregation between
+    two stores bucketed the same way runs with ZERO exchanges — the
+    co-located-join lever for the recurring big-big joins at 100 TB
+    (crossover candidates, cycle-vs-cycle diffs, index intersects)
+    that `broadcast()` can't cover because neither side is small.
+    Plan-asserted in tests/test_plans.py. `path` makes it an external
+    table (bucketing metadata still applies)."""
+    order_cols = order_cols if order_cols is not None else ["delta_time"]
+    keyed = with_tile_bins(df, bin_delta, tile_delta, x=x, y=y)
+    w = (keyed.write.mode("overwrite")
+         .bucketBy(n_buckets, "bin_x", "bin_y")
+         .sortBy("bin_x", "bin_y", *order_cols)
+         .format("parquet"))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def read_tiles(spark: SparkSession, path: str) -> DataFrame:
     """Open the tile store (read_tile, ATL06_tiles.py:109-140 — but
     lazily over the whole store; Catalyst prunes)."""

@@ -143,3 +143,36 @@ def test_q1_is_codegen_with_partial_agg(spark):
     df.collect()  # AQE finalizes the plan only on execution
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in executed  # whole-stage codegen spans
+
+
+def test_bucketed_bin_join_has_no_exchange(spark, tmp_path):
+    """Two stores bucketed on the bin key join with ZERO exchanges —
+    the co-located-join path for big-big joins at scale."""
+    from pointdatabase_spark.sources import tile_store
+    pts = testkit.syn_points(spark, SF_SMOKE)
+    pts2 = testkit.syn_points2(spark, SF_SMOKE)
+    tile_store.write_bucketed(pts, "bkt_a", str(tmp_path / "a"),
+                              n_buckets=8, order_cols=["t"])
+    tile_store.write_bucketed(pts2.withColumn("t", F.col("row_id") * 1.0),
+                              "bkt_b", str(tmp_path / "b"),
+                              n_buckets=8, order_cols=["t"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale Catalyst would broadcast the small side (fine);
+        # disable it to surface the big-big co-located path under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bkt_a").select("bin_x", "bin_y", "h")
+        b = spark.table("bkt_b").select("bin_x", "bin_y",
+                                        F.col("h").alias("h2"))
+        joined = a.join(b, ["bin_x", "bin_y"])
+        assert joined.count() > 0
+        plan = _plan(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides read pre-bucketed
+        # bucket-pruned aggregation reuses the layout too
+        agg = a.groupBy("bin_x", "bin_y").count()
+        assert "Exchange" not in _plan(agg, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
