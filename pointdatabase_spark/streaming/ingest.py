@@ -53,6 +53,36 @@ def ingest_availablenow(spark: SparkSession, src_glob_dir: str,
     writer.start().awaitTermination()
 
 
+def stream_into_tiles(spark: SparkSession, src_glob_dir: str, glob: str,
+                      schema, tile_path: str, checkpoint: str,
+                      transform=None,
+                      order_cols: list[str] | None = None) -> None:
+    """Continuous tile-store maintenance: files landing in a directory
+    stream straight into the bin-partitioned tile store. Each
+    micro-batch runs the SAME batch writer (`tile_build.append_cycle`,
+    i.e. dynamic-partition append) under `foreachBatch` — exactly-once
+    per file via checkpointed source offsets, and the batch/stream
+    code paths cannot diverge because they are one code path. The
+    availableNow trigger drains what is present then stops (the
+    reference's queue semantics, run_tile_updates:6-24); swap in a
+    processingTime trigger and the same call runs forever at scale."""
+    from pointdatabase_spark.plans import tile_build
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", glob)
+           .parquet(src_glob_dir))
+    if transform is not None:
+        src = transform(src)
+
+    def sink(batch_df, batch_id: int) -> None:
+        tile_build.append_cycle(batch_df, tile_path,
+                                order_cols=order_cols)
+
+    (src.writeStream.foreachBatch(sink)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+
+
 def windowed_counts(events: DataFrame, time_col: str, window: str,
                     delay: str, keys: list[str]) -> DataFrame:
     """Watermarked tumbling-window count/sum aggregation (streaming

@@ -266,3 +266,47 @@ def test_hdf5_roundtrip_property(tmp_path):
                 got.dtype == want.dtype
 
     check()
+
+
+def test_reader_rejects_corrupt_structures(tmp_path):
+    """Truncated or bit-flipped files fail with exceptions, never wrong
+    data or hangs (granule fetches are retried at the task level)."""
+    import struct
+    base = str(tmp_path / "ok.h5")
+    x = np.arange(500, dtype=np.float64)
+    hdf5.write_h5(base, {"x": hdf5.dataset(x, compress=5, chunks=(100,))})
+    buf = bytearray(open(base, "rb").read())
+
+    # truncation at every 25%% boundary
+    for frac in (0.2, 0.5, 0.8):
+        t = str(tmp_path / f"t{int(frac*10)}.h5")
+        open(t, "wb").write(bytes(buf[:int(len(buf) * frac)]))
+        with pytest.raises(Exception):
+            g = hdf5.read_h5(t)
+            g["x"][...]
+
+    # corrupt the group B-tree signature
+    c = bytearray(buf)
+    i = bytes(c).index(b"TREE")
+    c[i:i + 4] = b"XXXX"
+    bad = str(tmp_path / "badsig.h5")
+    open(bad, "wb").write(bytes(c))
+    with pytest.raises(Exception):
+        hdf5.read_h5(bad)["x"][...]
+
+    # corrupt compressed chunk payload -> zlib error, not silent junk
+    c = bytearray(buf)
+    tail = len(c) - 40
+    c[tail:tail + 8] = b"\xde\xad\xbe\xef\xde\xad\xbe\xef"
+    badz = str(tmp_path / "badz.h5")
+    open(badz, "wb").write(bytes(c))
+    with pytest.raises(Exception):
+        hdf5.read_h5(badz)["x"][...]
+
+    # superblock version from the future
+    c = bytearray(buf)
+    c[8] = 3
+    v3 = str(tmp_path / "v3.h5")
+    open(v3, "wb").write(bytes(c))
+    with pytest.raises(NotImplementedError, match="superblock"):
+        hdf5.read_h5(v3)

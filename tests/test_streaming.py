@@ -68,3 +68,46 @@ def test_windowed_counts_watermark_cutoff(spark):
     assert str(max(days)) < "2024-01-30"
     # counts are per (window, type) and positive
     assert (out.n_events > 0).all()
+
+
+def test_stream_into_tiles_incremental(spark, tmp_path):
+    """Files land → micro-batches append into the partitioned tile
+    store via foreachBatch; second drain adds ONLY the new files, and
+    the result equals a batch write of the union."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pointdatabase_spark.sources import tile_store
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    tiles = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "ckpt")
+
+    def granule(path, seed, n=200):
+        rng = np.random.default_rng(seed)
+        pq.write_table(pa.table({
+            "row_id": np.arange(n) + seed * 1000,
+            "x": rng.uniform(-150000, 150000, n),
+            "y": rng.uniform(-150000, 150000, n),
+            "delta_time": np.sort(rng.uniform(0, 1e5, n))}), path)
+
+    granule(landing / "c1.parquet", 1)
+    schema = spark.read.parquet(str(landing)).schema
+    ingest.stream_into_tiles(spark, str(landing), "*.parquet", schema,
+                             tiles, ckpt)
+    assert spark.read.parquet(tiles).count() == 200
+
+    granule(landing / "c2.parquet", 2)
+    ingest.stream_into_tiles(spark, str(landing), "*.parquet", schema,
+                             tiles, ckpt)
+    out = spark.read.parquet(tiles)
+    assert out.count() == 400
+    assert out.select("row_id").distinct().count() == 400
+    # layout contract holds: partition columns exist and box query prunes
+    assert {"tile_x", "tile_y"} <= set(out.columns)
+    box = tile_store.query_box(spark, tiles, (-50000.0, 50000.0),
+                               (-50000.0, 50000.0),
+                               fields=["row_id", "x", "y"])
+    pdf = box.toPandas()
+    assert ((pdf.x.abs() <= 55000) & (pdf.y.abs() <= 55000)).all()
