@@ -144,18 +144,30 @@ def _object_header(out: _Out, messages: list[bytes]) -> int:
 
 
 def _attr_message(name: str, value) -> bytes:
+    """Scalar or array attribute (fixed-size types; string arrays are
+    fixed-width null-padded — what libhdf5 calls H5T_STR_NULLPAD)."""
+    shape: tuple[int, ...] = ()
     if isinstance(value, str):
         raw = value.encode() + b"\x00"
         dt = np.dtype(f"S{len(raw)}")
         data = raw
     else:
         arr = np.asarray(value)
-        dt = (np.dtype("<i8") if arr.dtype.kind in "iu"
-              else np.dtype("<f8"))
-        data = arr.astype(dt).tobytes()
+        shape = arr.shape
+        if arr.dtype.kind in ("U", "S") or (
+                arr.dtype == object and arr.size
+                and isinstance(arr.flat[0], str)):
+            enc = [str(v).encode() for v in arr.ravel()]
+            width = max(len(e) for e in enc) + 1
+            dt = np.dtype(f"S{width}")
+            data = b"".join(e.ljust(width, b"\x00") for e in enc)
+        else:
+            dt = (np.dtype("<i8") if arr.dtype.kind in "iu"
+                  else np.dtype("<f8"))
+            data = arr.astype(dt).tobytes()
     nameb = name.encode() + b"\x00"
     dtm = _pad8(_dtype_message(dt))
-    dsm = _pad8(_dataspace_message(()))
+    dsm = _pad8(_dataspace_message(shape))
     body = struct.pack("<BxHHH", 1, len(nameb), len(dtm), len(dsm))
     return body + _pad8(nameb) + dtm + dsm + data
 

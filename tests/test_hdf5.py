@@ -310,3 +310,43 @@ def test_reader_rejects_corrupt_structures(tmp_path):
     open(v3, "wb").write(bytes(c))
     with pytest.raises(NotImplementedError, match="superblock"):
         hdf5.read_h5(v3)
+
+
+def test_surfmask_scan_semantics(spark, tmp_path):
+    """S6 mosaic scan: tile assembly, x3 subsample, land bit,
+    hemisphere subset, stereo reproject (read_surfmask.py:146-242)."""
+    from pointdatabase_spark.sources import surfmask
+    p = str(tmp_path / "mosaic.h5")
+    surfmask.write_synthetic_mosaic(p)
+    for hemi in (-1, 1):
+        x, y, z = surfmask.load_surfmask(p, hemisphere=hemi)
+        assert x.shape == y.shape == z.shape and z.dtype == bool
+        assert z.size > 0
+        # every kept point is inside the hemisphere cap: radius from
+        # the pole is bounded by the |lat|=60 stereo circle
+        r = np.hypot(x, y)
+        from pointdatabase_spark.functions import crs
+        rmax = np.hypot(*crs.polar_stereo_forward(
+            np.array([60.0 * hemi]), np.array([0.0]), hemi))
+        assert (r <= rmax[0] + 1.0).all()
+    xs, _, _ = surfmask.load_surfmask(p, hemisphere=-1)
+    df = surfmask.surfmask_points(spark, p, hemisphere=-1)
+    assert df.count() == xs.size
+    assert set(df.columns) == {"x", "y", "land"}
+    # land fraction matches the planted bit distribution (bit0 of 0..7
+    # uniform -> about half)
+    frac = df.where("land").count() / df.count()
+    assert 0.3 < frac < 0.7
+
+
+def test_array_attributes_roundtrip(tmp_path):
+    p = str(tmp_path / "attrs.h5")
+    hdf5.write_h5(p, {"d": np.array([1.0]),
+                      "g": {"__attrs__": {
+                          "f": np.array([1.5, 2.5, -3.5]),
+                          "i": np.array([3, 1, 2]),
+                          "s": np.array(["alpha", "b", "gamma77"])}}})
+    r = hdf5.read_h5(p)
+    assert list(r["g"].attrs["f"]) == [1.5, 2.5, -3.5]
+    assert list(r["g"].attrs["i"]) == [3, 1, 2]
+    assert list(r["g"].attrs["s"]) == ["alpha", "b", "gamma77"]
