@@ -1003,6 +1003,60 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "cluster_id", "is_survivor"))
 
 
+# End-to-end dedup PIPELINE: exact-dup collapse AND near-dup survivor
+# resolution composed to a clean-corpus summary — the full
+# training-data cleaning flow as one declarative plan (exact keeps the
+# min id per content hash; near-dup keeps one survivor per minhash
+# cluster; a clean doc must pass both).
+_CLEAN_TAIL = """
+, nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+l0 AS (SELECT id, id AS lbl FROM nodes),
+l1 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l0 n JOIN edges e ON n.id = e.u JOIN l0 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+l2 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l1 n JOIN edges e ON n.id = e.u JOIN l1 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+l3 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l2 n JOIN edges e ON n.id = e.u JOIN l2 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+keep AS (SELECT lbl AS cid, MIN(id) AS survivor_id FROM l3 GROUP BY lbl),
+verdict AS (
+  SELECT c.doc_id, c.lang, length(c.text) AS n_chars, md5(c.text) AS fp,
+         COALESCE(c.doc_id = k.survivor_id, TRUE) AS is_survivor
+  FROM corpus c LEFT JOIN l3 l ON l.id = c.doc_id
+  LEFT JOIN keep k ON k.cid = l.lbl),
+exact AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
+          FROM corpus GROUP BY 1)
+SELECT v.lang, COUNT(*) AS n_docs, SUM(v.n_chars) AS n_chars
+FROM verdict v JOIN exact e ON v.fp = e.fp AND v.doc_id = e.keep_id
+WHERE v.is_survivor
+GROUP BY v.lang
+"""
+
+_CLEAN_ORACLE = _minhash_oracle_sql(testkit.syn_corpus_cte(),
+                                    tail=_CLEAN_TAIL)
+
+
+@query("dedup_clean_corpus", oracle=_CLEAN_ORACLE)
+def dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    pairs = _dedup.minhash_neardup(corpus)
+    surv = _dedup.dedup_survivors(corpus, _dedup.duplicate_clusters(pairs))
+    exact_keep = (corpus.groupBy(F.md5("text").alias("keep_fp"))
+                  .agg(F.min("doc_id").alias("keep_id")))
+    clean = (surv.where("is_survivor")
+             .withColumn("fp", F.md5("text"))
+             .join(F.broadcast(exact_keep),
+                   (F.col("fp") == F.col("keep_fp"))
+                   & (F.col("doc_id") == F.col("keep_id"))))
+    return (clean.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("n_chars")))
+
+
 _SH_VOTES = ",\n         ".join(
     f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
     for k in range(32))
