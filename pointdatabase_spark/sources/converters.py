@@ -66,7 +66,9 @@ def flatten_field_dict(field_dict: Mapping[str | None, list[str]]
 def beam_pair_frame(data: Mapping[str, np.ndarray], pair_num: int,
                     field_dict: Mapping[str | None, list[str]]
                     | None = None,
-                    fill_value: float = -9999.0) -> pd.DataFrame:
+                    fill_value: float = -9999.0,
+                    beam_meta: Mapping[str, Mapping] | None = None
+                    ) -> pd.DataFrame:
     """Tidy rows for one beam pair from a flat {path: array} mapping
     with keys like 'gt1l/h_li'. The N×2 left/right structure becomes a
     long layout with LR ∈ {0, 1} and BP = pair number — the reference's
@@ -93,6 +95,16 @@ def beam_pair_frame(data: Mapping[str, np.ndarray], pair_num: int,
         f = pd.DataFrame(cols)
         f["BP"] = pair_num
         f["LR"] = lr
+        # per-beam metadata → derived columns (ATL06_data.py:145-154):
+        # spot from the beam's atlas_spot_number attr; n_pixels 4 for a
+        # weak beam, 16 for strong
+        meta = (beam_meta or {}).get(beam, {})
+        if "atlas_spot_number" in meta:
+            f["spot"] = float(meta["atlas_spot_number"])
+        if "atlas_beam_type" in meta:
+            bt = str(meta["atlas_beam_type"])
+            f["beam_type"] = bt
+            f["n_pixels"] = 4.0 if bt == "weak" else 16.0
         frames.append(f)
     if not frames:
         return pd.DataFrame()
@@ -101,10 +113,12 @@ def beam_pair_frame(data: Mapping[str, np.ndarray], pair_num: int,
 
 def atl06_frame(data: Mapping[str, np.ndarray], rgt: int,
                 cycle_number: int,
-                field_dict: Mapping[str | None, list[str]] | None = None
+                field_dict: Mapping[str | None, list[str]] | None = None,
+                beam_meta: Mapping[str, Mapping] | None = None
                 ) -> pd.DataFrame:
     """All three beam pairs + per-file derived columns."""
-    frames = [beam_pair_frame(data, p, field_dict) for p in (1, 2, 3)]
+    frames = [beam_pair_frame(data, p, field_dict, beam_meta=beam_meta)
+              for p in (1, 2, 3)]
     out = pd.concat([f for f in frames if len(f)], ignore_index=True)
     out["rgt"] = rgt
     out["cycle_number"] = cycle_number
@@ -141,20 +155,38 @@ def _atl06_h5_paths(field_dict: Mapping[str | None, list[str]]
 
 def load_atl06_h5(h5_path: str,
                   field_dict: Mapping[str | None, list[str]] | None = None
-                  ) -> dict[str, np.ndarray]:
-    """Read one official-layout ATL06 granule into the flat
-    {beam/path: array} mapping `atl06_frame` consumes — stdlib HDF5
-    codec (sources/hdf5.py), with h5py used instead when importable."""
+                  ) -> tuple[dict[str, np.ndarray], dict[str, dict]]:
+    """Read one official-layout ATL06 granule: the flat {beam/path:
+    array} mapping `atl06_frame` consumes plus the per-beam group
+    attributes (atlas_spot_number, atlas_beam_type — ATL06_data.py:
+    145-154 derived columns) — stdlib HDF5 codec (sources/hdf5.py),
+    with h5py used instead when importable."""
     paths = _atl06_h5_paths(field_dict)
+    beams = sorted({full.split("/")[0] for full, _ in paths})
     try:  # pragma: no cover - h5py not shipped in this container
         import h5py
         with h5py.File(h5_path, "r") as h5:
-            return {key: h5[full][...]
+            data = {key: h5[full][...]
                     for full, key in paths if full in h5}
+            meta = {b: dict(h5[b].attrs) for b in beams if b in h5}
+            return data, meta
     except ImportError:
         from pointdatabase_spark.sources import hdf5 as _h5
-        got = _h5.load_fields(h5_path, [full for full, _ in paths])
-        return {key: got[full] for full, key in paths if full in got}
+        root = _h5.read_h5(h5_path)
+        got = {}
+        for full, key in paths:
+            try:
+                node = root[full]
+            except KeyError:
+                continue
+            got[key] = node[...]
+        meta = {}
+        for b in beams:
+            try:
+                meta[b] = dict(root[b].attrs)
+            except KeyError:
+                pass
+        return got, meta
 
 
 def convert_atl06(spark: SparkSession, h5_path: str, out_path: str,
@@ -162,7 +194,8 @@ def convert_atl06(spark: SparkSession, h5_path: str, out_path: str,
     """S2 converter job: official ATL06 H5 → tidy Parquet
     (ATL06_data.py:82-206 read semantics, re-expressed as a one-time
     conversion)."""
-    frame = atl06_frame(load_atl06_h5(h5_path), rgt, cycle_number)
+    data, meta = load_atl06_h5(h5_path)
+    frame = atl06_frame(data, rgt, cycle_number, beam_meta=meta)
     ingest_frame(spark, frame, h5_path).write.mode("overwrite") \
         .parquet(out_path)
 

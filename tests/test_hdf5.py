@@ -127,7 +127,12 @@ def _synthetic_atl06(tmp_path, n=50):
                     "w_surface_window_final": rng.uniform(1, 10, n),
                 },
             }
-            tree[f"gt{pair}{side}"] = {"land_ice_segments": seg}
+            spot = (pair - 1) * 2 + (1 if side == "l" else 2)
+            tree[f"gt{pair}{side}"] = {
+                "land_ice_segments": seg,
+                "__attrs__": {
+                    "atlas_spot_number": spot,
+                    "atlas_beam_type": "weak" if side == "l" else "strong"}}
     path = str(tmp_path / "ATL06_20190101_synthetic.h5")
     hdf5.write_h5(path, tree)
     return path, n
@@ -146,6 +151,11 @@ def test_convert_atl06_end_to_end(spark, tmp_path):
     assert df.where(F.col("h_li").isNull()).count() == 6 * ((n + 6) // 7)
     assert df.select("rgt").distinct().collect()[0].rgt == 123
     assert df.groupBy("BP", "LR").count().count() == 6
+    # derived per-beam columns from group attrs (ATL06_data.py:145-154)
+    assert df.select("spot").distinct().count() == 6
+    npx = {(r.beam_type, r.n_pixels)
+           for r in df.select("beam_type", "n_pixels").distinct().collect()}
+    assert npx == {("weak", 4.0), ("strong", 16.0)}
 
 
 def test_convert_qfit_end_to_end(spark, tmp_path):
