@@ -83,6 +83,46 @@ def stream_into_tiles(spark: SparkSession, src_glob_dir: str, glob: str,
      .start().awaitTermination())
 
 
+def stream_exact_dedup(src: DataFrame, time_col: str, delay: str,
+                       key_cols: list[str]) -> DataFrame:
+    """Streaming exact dedup: drop rows whose `key_cols` were already
+    seen within the watermark horizon (`dropDuplicatesWithinWatermark`)
+    — the live-ingest twin of the batch content-hash dedup
+    (operators/dedup.exact_dedup). State holds one entry per distinct
+    key inside the horizon and is expired by the watermark, so a
+    deployment's state is bounded by (dedup window × arrival rate),
+    not by corpus history — the property that makes streaming dedup
+    viable at 100 TB/day ingest."""
+    return (src.withWatermark(time_col, delay)
+            .dropDuplicatesWithinWatermark(key_cols))
+
+
+def run_stream_dedup_availablenow(spark: SparkSession, landing: str,
+                                  glob: str, schema, dst: str,
+                                  checkpoint: str, time_col: str,
+                                  delay: str,
+                                  key_cols: list[str]) -> DataFrame:
+    """Drain landing files through the streaming dedup into parquet;
+    returns the materialized surviving rows."""
+    from pointdatabase_spark.functions import timeconv
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", glob)
+           .parquet(landing))
+    if dict(src.dtypes).get(time_col) != "timestamp":
+        # watermarks require TIMESTAMP; parquet often reads
+        # TIMESTAMP_NTZ (or legacy long-ns) — same dispatch as events
+        src = src.withColumn(
+            time_col, F.timestamp_micros(timeconv.events_tus(src, time_col)))
+    out = stream_exact_dedup(src, time_col, delay, key_cols)
+    (out.writeStream.format("parquet")
+     .option("path", dst)
+     .option("checkpointLocation", checkpoint)
+     .outputMode("append")
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+    return spark.read.parquet(dst)
+
+
 def windowed_counts(events: DataFrame, time_col: str, window: str,
                     delay: str, keys: list[str]) -> DataFrame:
     """Watermarked tumbling-window count/sum aggregation (streaming

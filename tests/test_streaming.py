@@ -111,3 +111,41 @@ def test_stream_into_tiles_incremental(spark, tmp_path):
                                fields=["row_id", "x", "y"])
     pdf = box.toPandas()
     assert ((pdf.x.abs() <= 55000) & (pdf.y.abs() <= 55000)).all()
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving within the watermark horizon are
+    dropped; each distinct key survives exactly once — including dups
+    split across drains (state persists via the checkpoint)."""
+    import datetime as dt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    dst = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(path, rows):
+        ts, fp, val = zip(*rows)
+        pq.write_table(pa.table({
+            "ts": pa.array([t0 + dt.timedelta(minutes=m) for m in ts],
+                           pa.timestamp("us")),
+            "fp": list(fp), "val": list(val)}), path)
+
+    write(landing / "b1.parquet",
+          [(0, "a", 1), (1, "b", 2), (2, "a", 3), (3, "c", 4)])
+    schema = spark.read.parquet(str(landing)).schema
+    out = ingest.run_stream_dedup_availablenow(
+        spark, str(landing), "*.parquet", schema, dst, ckpt,
+        "ts", "2 hours", ["fp"])
+    assert out.count() == 3  # a, b, c — second 'a' dropped
+
+    # second drain: one repeat within horizon (dropped), one new key
+    write(landing / "b2.parquet", [(10, "b", 5), (11, "d", 6)])
+    out = ingest.run_stream_dedup_availablenow(
+        spark, str(landing), "*.parquet", schema, dst, ckpt,
+        "ts", "2 hours", ["fp"])
+    surv = sorted(r.fp for r in out.collect())
+    assert surv == ["a", "b", "c", "d"]
