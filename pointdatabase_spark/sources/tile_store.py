@@ -180,6 +180,20 @@ def bin_catalog(df: DataFrame, order_col: str | None = None) -> DataFrame:
     return df.groupBy("bin_x", "bin_y").agg(*aggs)
 
 
+def catalog_change_root(df: DataFrame, old_root: str, new_root: str,
+                        col: str = "source_file") -> DataFrame:
+    """Relocate provenance paths when a dataset moves
+    (geo_index.change_root geo_index.py:193-203, fix_dir_root.py:14-22
+    — there a mutation of index attrs; here one column expression over
+    the catalog). Anchored prefix replace: only a leading `old_root`
+    followed by a path separator is rewritten (`/old/root` never
+    matches `/old/rootless/...`)."""
+    import re
+    pat = "^" + re.escape(old_root.rstrip("/")) + "(?=/)"
+    return df.withColumn(
+        col, F.regexp_replace(F.col(col), pat, new_root.rstrip("/")))
+
+
 def _floor_mult(v: float, delta: float) -> int:
     import math
     return int(math.floor(v / delta) * delta)

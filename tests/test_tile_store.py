@@ -128,3 +128,15 @@ def test_append_cycle_incremental_and_union_hierarchy(spark, tmp_path):
     plan = buf.getvalue()
     # both sides of the union carry partition filters
     assert plan.count("PartitionFilters: [isnotnull(tile_x") == 2
+
+
+def test_catalog_change_root_anchored(spark):
+    from pointdatabase_spark.sources import tile_store
+    df = spark.createDataFrame(
+        [("/old/root/a.h5",), ("/old/rootless/b.h5",),
+         ("/elsewhere/old/root/c.h5",)], "source_file string")
+    out = tile_store.catalog_change_root(df, "/old/root/", "/new/base")
+    got = sorted(r.source_file for r in out.collect())
+    # only the anchored prefix is rewritten; mid-path matches are not
+    assert got == ["/elsewhere/old/root/c.h5", "/new/base/a.h5",
+                   "/old/rootless/b.h5"]
