@@ -343,15 +343,17 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Per-document dedup verdict: cluster id (own id when unpaired)
     and a survivor flag — the minimum id of each cluster survives, the
-    rest are drops. `clusters` is small relative to the corpus (only
-    near-dup members), so the join broadcasts."""
+    rest are drops. `clusters` holds only near-dup members, but on a
+    duplicate-heavy corpus (web crawls run 30-50% near-dups) that is
+    NOT broadcast range — no hint; AQE broadcasts while small and
+    shuffle-joins on the id beyond."""
     c = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
     keep = (c.groupBy("cluster_id")
             .agg(F.min(id_col).alias("survivor_id")))
-    out = (df.join(F.broadcast(c), id_col, "left")
+    out = (df.join(c, id_col, "left")
            .withColumn("cluster_id",
                        F.coalesce("cluster_id", F.col(id_col))))
-    return (out.join(F.broadcast(keep), "cluster_id", "left")
+    return (out.join(keep, "cluster_id", "left")
             .withColumn("is_survivor",
                         F.coalesce(F.col(id_col) == F.col("survivor_id"),
                                    F.lit(True)))
@@ -380,11 +382,13 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
     per-doc set semantics (measured 15× faster than hashing inside a
     nested array lambda, where Spark's CodegenFallback re-evaluates
     the whole interpreted chain per consumer). Per-doc set sizes are
-    attached to the AGGREGATED pair table by broadcast join — not
-    carried through the posting join — so the join rows stay three
-    longs wide and no window shuffle precedes the join (13% faster at
-    sf0.1; the per-doc count table is |docs| rows, always broadcast
-    range). Hashing note: Jaccard is computed over distinct 32-bit
+    attached to the AGGREGATED pair table afterwards — not carried
+    through the posting join — so the join rows stay three longs wide
+    and no window shuffle precedes the join (13% faster at sf0.1).
+    The count table is |docs| rows: small enough that AQE broadcasts
+    it at moderate scale, correctly shuffle-joined beyond (no explicit
+    broadcast hint — forcing a corpus-sized build side would OOM the
+    join at 100 TB). Hashing note: Jaccard is computed over distinct 32-bit
     shingle hashes (the oracle mirrors the same md5 recipe); a 2⁻³²
     collision can merge two shingles, the standard trade for hashed
     set similarity. Exact all-pairs Jaccard at low thresholds is
@@ -408,8 +412,8 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
     na = nsh.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
     nb = nsh.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
     return (pairs
-            .join(F.broadcast(na), "id_a")
-            .join(F.broadcast(nb), "id_b")
+            .join(na, "id_a")
+            .join(nb, "id_b")
             .select("id_a", "id_b",
                     (F.col("inter")
                      / (F.col("na") + F.col("nb") - F.col("inter"))

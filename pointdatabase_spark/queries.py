@@ -1047,9 +1047,11 @@ def dedup_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = _dedup.dedup_survivors(corpus, _dedup.duplicate_clusters(pairs))
     exact_keep = (corpus.groupBy(F.md5("text").alias("keep_fp"))
                   .agg(F.min("doc_id").alias("keep_id")))
+    # no broadcast hint: exact_keep is O(corpus) rows — AQE broadcasts
+    # it while small, shuffle-joins it at scale
     clean = (surv.where("is_survivor")
              .withColumn("fp", F.md5("text"))
-             .join(F.broadcast(exact_keep),
+             .join(exact_keep,
                    (F.col("fp") == F.col("keep_fp"))
                    & (F.col("doc_id") == F.col("keep_id"))))
     return (clean.groupBy("lang")
