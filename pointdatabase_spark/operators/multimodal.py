@@ -84,6 +84,39 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODE_SCHEMA)
 
 
+def extract_features(df: DataFrame, dim: int = 8,
+                     extractor: str = "fake") -> DataFrame:
+    """Feature-extraction stage: binary payload → a dim-length float
+    vector (emitted as scalar columns f0..f{dim-1} — pushdown-friendly
+    and exactly hashable). In production this batch is one model
+    forward pass (CLIP/wav2vec/...) at the marked integration point;
+    the deterministic fake derives each component from
+    md5(payload ‖ ':' ‖ k) as a 48-bit integer scaled by 2⁻⁴⁸ — every
+    step exact in double on both engines, so the stage is
+    oracle-checkable. Narrow map, no shuffle; the output feeds the
+    similarity operators directly."""
+    if extractor == "real":  # pragma: no cover - integration point
+        raise NotImplementedError(
+            "real feature extraction needs a vision/audio model — "
+            "batch forward pass goes here; the per-batch loop below "
+            "stays identical.")
+    dim_ = int(dim)
+    schema = ("doc_id bigint, media_type string, "
+              + ", ".join(f"f{k} double" for k in range(dim_)))
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            cols = {"doc_id": b["doc_id"], "media_type": b["media_type"]}
+            feats = [[int(hashlib.md5(bytes(p) + f":{k}".encode())
+                          .hexdigest()[:12], 16) / 2.0 ** 48
+                      for p in b["payload"]] for k in range(dim_)]
+            for k in range(dim_):
+                cols[f"f{k}"] = feats[k]
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(_extract, schema=schema)
+
+
 RESIZE_SCHEMA = ("doc_id bigint, media_type string, width bigint, "
                  "height bigint, out_w bigint, out_h bigint, fp string")
 

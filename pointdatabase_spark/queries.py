@@ -1879,6 +1879,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.sample_frames(_mm.attach_payload(docs), step=3)
 
 
+# Feature extraction (the model-forward-pass stage, deterministic fake):
+# f_k = md5(payload ‖ ':k') 48-bit prefix × 2⁻⁴⁸ — exact in double on
+# both engines (48-bit int exact; division by 2⁴⁸ exact).
+
+def _duck_hex48(expr: str) -> str:
+    """DuckDB BIGINT from the first 12 md5 hex digits of `expr` —
+    the same two-6-digit-half construction as the fp48 text feature."""
+    def half(off: int) -> str:
+        return ("CAST(list_sum(list_transform(range(6), j -> "
+                f"(strpos('0123456789abcdef', substr(md5({expr}), "
+                f"CAST(j + {off + 1} AS INT), 1)) - 1)"
+                " * 16.0 ** (5 - j))) AS BIGINT)")
+    return f"({half(0)} * 16777216 + {half(6)})"
+
+
+_FEAT_COLS = ",\n       ".join(
+    "CAST(" + _duck_hex48(f"text || ':{k}'") + " AS DOUBLE)"
+    + f" / 281474976710656.0 AS f{k}" for k in range(4))
+
+_FEATURES_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       {_FEAT_COLS}
+FROM documents
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _mm.extract_features(_mm.attach_payload(docs), dim=4)
+
+
 # --------------------------------------------------------------------------
 # O1 radial+angular bin ordering (geo_index.py:80-83): the reference's
 # stable index key order. Rank-only output — the key mixes sqrt/atan2
