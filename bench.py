@@ -20,24 +20,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_prev() -> tuple[str, dict[str, float]]:
-    path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
-    if not path:
-        here = os.path.dirname(os.path.abspath(__file__))
-        cands = glob.glob(os.path.join(here, "BENCH_r*.json"))
-        if not cands:
-            return "", {}
-        path = max(cands, key=lambda p: int(
-            re.search(r"BENCH_r(\d+)", p).group(1)))
+def _parse_bench(path: str) -> dict[str, float]:
     try:
         with open(path) as f:
             doc = json.load(f)
         # the driver's BENCH_r{N}.json wraps our line under "parsed"
         if "queries" not in doc and isinstance(doc.get("parsed"), dict):
             doc = doc["parsed"]
-        return path, doc.get("queries", {})
-    except (OSError, json.JSONDecodeError):
-        return path, {}
+        return doc.get("queries", {}) or {}
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return {}
+
+
+def _load_prev() -> tuple[str, dict[str, float]]:
+    path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
+    if path:
+        return path, _parse_bench(path)
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = glob.glob(os.path.join(here, "BENCH_r*.json"))
+    # newest round whose bench actually produced numbers — a crashed
+    # round records parsed:null and must not blank the ratio table
+    for p in sorted(cands, key=lambda p: -int(
+            re.search(r"BENCH_r(\d+)", p).group(1))):
+        q = _parse_bench(p)
+        if q:
+            return p, q
+    return "", {}
 
 
 def main() -> None:
