@@ -344,6 +344,8 @@ class H5Dataset:
             return a.reshape(self.shape)
         _, btree, chunks, filters = self._layout
         out = np.zeros(self.shape, self.dtype)
+        if btree == UNDEF:  # never-allocated chunked storage → fill
+            return out
         rank = len(self.shape)
         for origin, size, raw_addr in _walk_chunk_btree(
                 self._buf, btree, rank):
