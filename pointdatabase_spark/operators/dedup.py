@@ -360,9 +360,39 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
             .drop("survivor_id"))
 
 
+def drop_hot_shingles(dis: DataFrame, group_cols: list[str],
+                      max_df: int) -> DataFrame:
+    """Remove shingle hashes whose within-block document frequency
+    exceeds ``max_df`` from a distinct posting table (id, group, h).
+
+    The posting self-join in :func:`ngram_jaccard_pairs` costs
+    Σ_s df(s)² — one stop-word-like shingle ("click here to
+    subscribe") with df = k contributes k² join rows on its own, the
+    same quadratic blow-up a hot LSH bucket causes in minhash (see
+    :func:`drop_mega_buckets`, the precedent this mirrors). Capping
+    df bounds every posting's contribution at max_df².
+
+    Semantics: the hot shingle is removed from the *vocabulary* —
+    both intersection AND set size — so the result is exact Jaccard
+    over the df-capped shingle vocabulary (classic stop-word
+    removal), not a biased estimate of the uncapped value. Hot
+    shingles are near-universal boilerplate, which carries no
+    discriminating signal for near-dup detection anyway.
+
+    The df aggregate map-combines; the hot-key set has at most
+    |postings|/max_df rows, so the exclusion is a broadcast
+    anti-join — the posting table itself never reshuffles."""
+    hot = (dis.groupBy(*group_cols, "h")
+           .agg(F.count(F.lit(1)).alias("_df"))
+           .where(F.col("_df") > max_df)
+           .select(*group_cols, "h"))
+    return dis.join(F.broadcast(hot), [*group_cols, "h"], "left_anti")
+
+
 def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 2, threshold: float = 0.2) -> DataFrame:
+                        n: int = 2, threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs within blocking groups (e.g. same
     language), in the inverted-index shape: shingles are md5-hashed to
     32-bit ints and exploded to (group, hash, id) postings; the
@@ -393,7 +423,10 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
     collision can merge two shingles, the standard trade for hashed
     set similarity. Exact all-pairs Jaccard at low thresholds is
     intrinsically heavy at corpus scale — this operator pins exact
-    semantics; minhash_neardup is the scale path."""
+    semantics; minhash_neardup is the scale path. ``max_df`` caps the
+    per-shingle document frequency (see :func:`drop_hot_shingles`):
+    Jaccard is then exact over the df-capped vocabulary and the join
+    volume is bounded by Σ min(df, max_df)²."""
     tok = spread(df).select(F.col(id_col).alias("id"), *group_cols,
                             F.split(F.col(text_col), r"\s+").alias("t"))
     shx = tok.select("id", *group_cols,
@@ -401,6 +434,8 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
     dis = (shx.select("id", *group_cols,
                       F.expr(_H32.format(s="sstr")).alias("h"))
            .distinct())
+    if max_df is not None:
+        dis = drop_hot_shingles(dis, group_cols, max_df)
     nsh = dis.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     on = (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
     for g in group_cols:

@@ -348,12 +348,18 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
         import pandas as pd
         pdf = df.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v")).toPandas()
-        ids = pdf["id"].to_numpy()
-        mat = np.stack(pdf["v"].to_numpy())
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        cos = (mat @ mat.T) / np.outer(nrm, nrm)
-        ia, ib = np.where(np.triu(cos >= threshold - 1e-6, k=1))
-        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        if len(pdf) == 0:
+            # np.stack refuses an empty sequence; an empty corpus has
+            # no pairs, same as the nested-loop join it replaced
+            lo = hi = np.empty(0, dtype="int64")
+        else:
+            ids = pdf["id"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy())
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ mat.T) / np.outer(nrm, nrm)
+            ia, ib = np.where(np.triu(cos >= threshold - 1e-6, k=1))
+            lo, hi = (np.minimum(ids[ia], ids[ib]),
+                      np.maximum(ids[ia], ids[ib]))
         spark = df.sparkSession
         cand = spark.createDataFrame(
             pd.DataFrame({"id_a": lo.astype("int64"),

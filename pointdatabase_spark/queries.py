@@ -39,12 +39,38 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Driver-coverage rotation: the driver scores a ~50-query prefix of this
+# dict in iteration order, so with 60+ declared queries the tail never
+# accumulates driver evidence (r4: session_window_agg and
+# multimodal_features had zero driver rounds).  Queries with the least
+# driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
+# records which round last scored each query.
+_SCORE_FIRST = [
+    # never driver-scored through r4
+    "session_window_agg", "multimodal_features",
+    # new in r5
+    "ngram_jaccard_capped",
+    # last scored r2 only
+    "streaming_window_counts", "event_sessionization",
+    "streaming_sessionization", "json_extract_agg", "multimodal_decode",
+    "multimodal_resize", "multimodal_frame_sample", "radial_bin_ordering",
+    # red in r4 (oracle type fixed r5) — keep in the scoring window
+    "dedup_clean_corpus",
+]
+
+
+def _rotation_order(d: dict) -> dict:
+    head = {n: d[n] for n in _SCORE_FIRST if n in d}
+    head.update((n, v) for n, v in d.items() if n not in head)
+    return head
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _rotation_order(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _rotation_order(_ORACLES)
 
 
 # --------------------------------------------------------------------------
@@ -1030,7 +1056,7 @@ verdict AS (
   LEFT JOIN keep k ON k.cid = l.lbl),
 exact AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
           FROM corpus GROUP BY 1)
-SELECT v.lang, COUNT(*) AS n_docs, SUM(v.n_chars) AS n_chars
+SELECT v.lang, COUNT(*) AS n_docs, CAST(SUM(v.n_chars) AS BIGINT) AS n_chars
 FROM verdict v JOIN exact e ON v.fp = e.fp AND v.doc_id = e.keep_id
 WHERE v.is_survivor
 GROUP BY v.lang
@@ -1124,6 +1150,46 @@ HAVING count(*) / (a.nsh + b.nsh - count(*)) >= 0.2
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _dedup.ngram_jaccard_pairs(docs, ["lang"], n=2, threshold=0.2)
+
+
+# df-capped variant: the posting self-join costs Σ df(s)² per block, so
+# one stop-word-like shingle dominates at scale; max_df bounds every
+# posting at max_df² (dedup.drop_hot_shingles — the mega-bucket valve
+# applied to the inverted index). Jaccard is exact over the df-capped
+# vocabulary; the oracle removes the same hot (lang, hash) keys.
+_NGRAM_CAPPED_ORACLE = r"""
+WITH tok AS (SELECT doc_id AS id, lang,
+                    string_split_regex(text, '\s+') AS t FROM documents),
+shs AS (SELECT id, lang, list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS ss
+        FROM tok),
+sh2 AS (SELECT id, lang, ss FROM shs WHERE len(ss) > 0),
+""" + f"""
+sh AS (SELECT id, lang,
+              list_distinct(list_transform(ss, x -> {_DUCK_H32})) AS s
+       FROM sh2),
+""" + r"""
+ex0 AS (SELECT id, lang, unnest(s) AS h FROM sh),
+hot AS (SELECT lang, h FROM ex0 GROUP BY lang, h HAVING COUNT(*) > 20),
+ex1 AS (SELECT e.id, e.lang, e.h FROM ex0 e
+        ANTI JOIN hot x ON e.lang = x.lang AND e.h = x.h),
+n AS (SELECT id, COUNT(*) AS nsh FROM ex1 GROUP BY id),
+p AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM ex1 a JOIN ex1 b
+        ON a.lang = b.lang AND a.h = b.h AND a.id < b.id
+      GROUP BY a.id, b.id)
+SELECT p.id_a, p.id_b,
+       p.inter / (na.nsh + nb.nsh - p.inter) AS jaccard
+FROM p JOIN n na ON na.id = p.id_a JOIN n nb ON nb.id = p.id_b
+WHERE p.inter / (na.nsh + nb.nsh - p.inter) >= 0.2
+"""
+
+
+@query("ngram_jaccard_capped", oracle=_NGRAM_CAPPED_ORACLE)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _dedup.ngram_jaccard_pairs(docs, ["lang"], n=2, threshold=0.2,
+                                      max_df=20)
 
 
 # --------------------------------------------------------------------------

@@ -210,18 +210,24 @@ def _write_dataset(out: _Out, arr: np.ndarray, compress: int | None,
             if compress is not None:
                 raw = zlib.compress(raw, compress)
             entries.append((origin, raw))
-        children = [out.alloc(b) for _, b in entries]
-        key_fmt = "<II" + "Q" * (rank + 1)
-        node = [b"TREE", struct.pack("<BBH", 1, 0, len(entries)),
-                struct.pack("<QQ", UNDEF, UNDEF)]
-        for (origin, raw), child in zip(entries, children):
-            node.append(struct.pack(key_fmt, len(raw), 0, *origin, 0))
-            node.append(struct.pack("<Q", child))
-        # final key: one past the last chunk in every dimension
-        node.append(struct.pack(key_fmt, 0, 0,
-                                *[s + c for s, c in
-                                  zip(entries[-1][0], chunks)], 0))
-        btree = out.alloc(b"".join(node))
+        if entries:
+            children = [out.alloc(b) for _, b in entries]
+            key_fmt = "<II" + "Q" * (rank + 1)
+            node = [b"TREE", struct.pack("<BBH", 1, 0, len(entries)),
+                    struct.pack("<QQ", UNDEF, UNDEF)]
+            for (origin, raw), child in zip(entries, children):
+                node.append(struct.pack(key_fmt, len(raw), 0, *origin, 0))
+                node.append(struct.pack("<Q", child))
+            # final key: one past the last chunk in every dimension
+            node.append(struct.pack(key_fmt, 0, 0,
+                                    *[s + c for s, c in
+                                      zip(entries[-1][0], chunks)], 0))
+            btree = out.alloc(b"".join(node))
+        else:
+            # zero-size dataset: no chunks exist. An undefined B-tree
+            # address is the HDF5 convention for never-allocated chunked
+            # storage; the reader returns fill for it.
+            btree = UNDEF
         layout = struct.pack("<BBB", 3, 2, rank + 1) + struct.pack("<Q", btree)
         for c in chunks:
             layout += struct.pack("<I", c)
@@ -622,13 +628,30 @@ def write_h5_points(df, path: str, group: str | None = None,
 
 def write_h5_tile(df, path: str, x: str = "bin_x", y: str = "bin_y",
                   order: str | None = "delta_time",
-                  compress: int = 4) -> None:
+                  compress: int = 4,
+                  max_rows: int | None = 20_000_000) -> None:
     """S11 tile sink in the reference's actual format: one H5 group
     per 10-km bin named ``"%dE_%dN"``, rows sorted by (bin, time)
-    (make_tile write loop, ATL06_tiles.py:81-106). The bin grouping
-    and in-group sort run distributed; only the finished tile's rows
-    reach the driver — a tile is the reference's per-process work
-    unit, bounded by construction."""
+    (make_tile write loop, ATL06_tiles.py:81-106).
+
+    Contract: a single-file H5 tile is a DRIVER artifact — the sort
+    runs distributed, but the full input collects to the driver for
+    the one-pass file write (the reference is also single-process
+    here). A tile is the reference's per-process work unit, bounded
+    by construction; ``max_rows`` (explicit count-guard, default
+    20M) rejects a corpus-sized frame with a clear error instead of
+    OOMing the driver. For corpus-scale data use
+    ``tile_store.write_tiles`` (distributed partitioned parquet);
+    pass ``max_rows=None`` to skip the guard's extra count job."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"write_h5_tile: input has {n} rows > max_rows="
+                f"{max_rows}. A single-file H5 tile collects to the "
+                "driver; this frame is not tile-sized. Use "
+                "tile_store.write_tiles for distributed output, or "
+                "raise max_rows explicitly.")
     sort_cols = [x, y] + ([order] if order else [])
     pdf = df.orderBy(*sort_cols).toPandas()
     tree: dict = {}

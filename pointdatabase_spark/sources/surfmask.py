@@ -54,9 +54,13 @@ def load_surfmask(path: str, hemisphere: int = -1
     xsz = int(np.ceil((lon1.max() - lon0.min()) / lon_scale[0]))
     ysz = int(np.ceil((lat1.max() - lat0.min()) / lat_scale[0]))
 
+    # NaN init: grid cells not covered by any tile (n_tiles <
+    # lat_tiles*lon_tiles) must fail BOTH hemisphere thresholds below —
+    # +inf would satisfy `lats >= LAT_LIMIT` and feed phantom rows with
+    # non-finite coordinates into polar_stereo_forward.
     surf = np.zeros((ysz, xsz), dtype=np.int64)
-    lons = np.full((ysz, xsz), np.inf)
-    lats = np.full((ysz, xsz), np.inf)
+    lons = np.full((ysz, xsz), np.nan)
+    lats = np.full((ysz, xsz), np.nan)
     k = 0
     for lat_tile in range(lat_tiles):
         for lon_tile in range(lon_tiles):
@@ -97,9 +101,12 @@ def surfmask_points(spark: SparkSession, path: str,
 
 def write_synthetic_mosaic(path: str, lon_tiles: int = 6,
                            lat_tiles: int = 3, nlon: int = 12,
-                           nlat: int = 10, seed: int = 11) -> None:
+                           nlat: int = 10, seed: int = 11,
+                           max_tiles: int | None = None) -> None:
     """Deterministic mosaic fixture in the reference's file shape
-    (TILE_INDEX attrs + one dataset per tile) for tests."""
+    (TILE_INDEX attrs + one dataset per tile) for tests.
+    ``max_tiles`` truncates the tile list (incomplete mosaic: grid
+    cells with no covering tile)."""
     rng = np.random.default_rng(seed)
     dlon = 360.0 / (lon_tiles * nlon)
     dlat = 180.0 / (lat_tiles * nlat)
@@ -108,6 +115,8 @@ def write_synthetic_mosaic(path: str, lon_tiles: int = 6,
     for lt in range(lat_tiles):
         for ln in range(lon_tiles):
             k = lt * lon_tiles + ln
+            if max_tiles is not None and k >= max_tiles:
+                break
             name = f"TILE_{k:03d}"
             names.append(name)
             lon0.append(-180.0 + ln * nlon * dlon)

@@ -27,6 +27,23 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the kind the driver's hash is sensitive
+    to: 'i' (integer), 'f' (float), 'b' (bool), else 'O'. An int-valued
+    oracle column that DuckDB renders as float (HUGEINT sums, AVG over
+    ints) hashes differently from Spark's BIGINT even when every value
+    is numerically identical — the exact class of bug that shipped in
+    round 4 (`dedup_clean_corpus`, VERDICT r4 item 1/2)."""
+    k = s.dtype.kind
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    return "O"
+
+
 def _values_close(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -46,6 +63,16 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") 
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
     g, e = _canon(got), _canon(exp)
     for col in g.columns:
+        gk, ek = _dtype_kind(g[col]), _dtype_kind(e[col])
+        # Nullable results arrive as object/float-with-NaN; only flag the
+        # unambiguous int-vs-float drift the driver's value hash rejects.
+        if {gk, ek} == {"i", "f"} and not (
+                g[col].isna().any() or e[col].isna().any()):
+            raise AssertionError(
+                f"{name}: column {col} dtype-kind mismatch (spark={gk} "
+                f"oracle={ek}) — the driver hashes these differently even "
+                f"if values match; CAST the oracle aggregate (e.g. "
+                f"CAST(SUM(..) AS BIGINT)) or the Spark column to align")
         gv, ev = g[col].tolist(), e[col].tolist()
         bad = [i for i, (a, b) in enumerate(zip(gv, ev)) if not _values_close(a, b)]
         assert not bad, (

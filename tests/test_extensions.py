@@ -121,6 +121,13 @@ def test_cosine_topk_self_is_rank1(spark):
     assert np.allclose(top1.cos.values, 1.0)
 
 
+def test_cosine_neardup_empty_corpus(spark):
+    """The exact (all-pairs) branch must return an empty pair frame on
+    an empty corpus, not crash in np.stack."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.cosine_neardup_pairs(df, threshold=0.9).count() == 0
+
+
 def test_multitable_lsh_recall_at_least_single_table(spark):
     """OR-amplification: multi-table candidates are a superset of
     table-0's, so top-k recall vs brute force can only improve."""

@@ -71,6 +71,19 @@ def test_roundtrip_chunked_gzip(tmp_path, shuffle):
     assert os.path.getsize(p) < x.nbytes
 
 
+def test_roundtrip_chunked_empty_dataset(tmp_path):
+    """A zero-size chunked dataset writes an UNDEF B-tree address
+    (never-allocated storage) and reads back as an empty array —
+    write_h5_points of an empty DataFrame must not crash."""
+    p = str(tmp_path / "empty.h5")
+    hdf5.write_h5(p, {"x": hdf5.dataset(np.empty(0, np.float64),
+                                        compress=6, chunks=(1024,)),
+                      "y": np.empty(0, np.int64)})
+    r = hdf5.read_h5(p)
+    assert r["x"][...].size == 0
+    assert r["y"][...].size == 0
+
+
 def test_roundtrip_chunked_2d_edge_chunks(tmp_path):
     p = str(tmp_path / "e.h5")
     z = np.arange(35.0).reshape(5, 7)
@@ -233,6 +246,23 @@ def test_write_h5_tile_sink_groups_and_sort(spark, tmp_path):
     np.testing.assert_array_equal(t, np.sort(t))
 
 
+def test_write_h5_tile_guard_rejects_non_tile_sized_frame(spark, tmp_path):
+    """The single-file tile sink collects to the driver by contract;
+    a frame above max_rows must fail loudly BEFORE collecting."""
+    big = (spark.range(0, 1000)
+           .selectExpr("id % 3 * 10000 AS bin_x", "0L AS bin_y",
+                       "CAST(id AS DOUBLE) AS delta_time",
+                       "1.0 AS h"))
+    p = str(tmp_path / "guard.h5")
+    with pytest.raises(ValueError, match="not tile-sized"):
+        hdf5.write_h5_tile(big, p, max_rows=999)
+    import os
+    assert not os.path.exists(p)
+    # at or below the cap (and with the guard off) it writes normally
+    hdf5.write_h5_tile(big, p, max_rows=1000)
+    assert "0E_0N" in hdf5.read_h5(p)
+
+
 def test_hdf5_roundtrip_property(tmp_path):
     """Property: any tree of fixed/float arrays survives write->read
     bit-exactly, across dtypes, ranks, chunkings, and filters."""
@@ -350,6 +380,23 @@ def test_surfmask_scan_semantics(spark, tmp_path):
     # uniform -> about half)
     frac = df.where("land").count() / df.count()
     assert 0.3 < frac < 0.7
+
+
+def test_surfmask_incomplete_mosaic_no_phantom_rows(tmp_path):
+    """Grid cells not covered by any tile must be dropped, not kept as
+    +inf-latitude phantom rows feeding inf into the stereo projection
+    (cells init to NaN, which fails both hemisphere thresholds)."""
+    from pointdatabase_spark.sources import surfmask
+    p = str(tmp_path / "partial.h5")
+    # 16 of 18 tiles: the whole top lat row (covering lat 30..90) ends
+    # up unplaced, so hemisphere=+1 (lat >= 60) has zero real coverage
+    surfmask.write_synthetic_mosaic(p, max_tiles=16)
+    x, y, z = surfmask.load_surfmask(p, hemisphere=1)
+    assert np.isfinite(x).all() and np.isfinite(y).all()
+    assert x.size == 0
+    # the southern hemisphere is fully covered and unaffected
+    xs, ys, _ = surfmask.load_surfmask(p, hemisphere=-1)
+    assert xs.size > 0 and np.isfinite(xs).all() and np.isfinite(ys).all()
 
 
 def test_array_attributes_roundtrip(tmp_path):

@@ -24,6 +24,22 @@ def test_query_matches_oracle(spark, duck, name):
     compare(fn(spark, SF_SMOKE), duck, sql, name=name)
 
 
+def test_int_float_oracle_drift_fails(spark, duck):
+    """Driver-grade dtype strictness: a bare SUM over an int column makes
+    DuckDB return HUGEINT (rendered float in pandas) while Spark returns
+    BIGINT — identical values, different driver hash. The local compare
+    must reject that, so the r4 `dedup_clean_corpus` bug class can't ship
+    on green pytest again."""
+    got = spark.sql("SELECT 'en' AS lang, CAST(18342 AS BIGINT) AS n_chars")
+    drifted = "SELECT 'en' AS lang, SUM(x) AS n_chars FROM (SELECT 18342::BIGINT AS x)"
+    with pytest.raises(AssertionError, match="dtype-kind mismatch"):
+        compare(got, duck, drifted, name="induced_drift")
+    # and the CAST pattern fixes it
+    fixed = ("SELECT 'en' AS lang, CAST(SUM(x) AS BIGINT) AS n_chars "
+             "FROM (SELECT 18342::BIGINT AS x)")
+    compare(got, duck, fixed, name="induced_drift_fixed")
+
+
 def test_all_queries_run(spark):
     # Non-fatal per query: one broken query must report as ONE failure
     # with the full list, not truncate the sweep (r3 driver-abort mode).
