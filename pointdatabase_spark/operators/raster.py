@@ -16,10 +16,12 @@ to broadcast (continental DEMs at metre resolution) would need the
 alternative explode-raster-to-points + bin equi-join path (S4
 ``asPoints``, read_DEM.py:52-64).
 
-GeoTIFF loading (S4/S5): uncompressed IEEE-float files read through
-the stdlib codec in ``sources.geotiff``; compressed/tiled files need
-rasterio (not shipped here) and stay behind an import gate. `Grid`
-construction from arrays/DataFrames is fully functional and tested.
+GeoTIFF loading (S4/S5): GDAL's common outputs — strips or tiles,
+uncompressed/LZW/deflate, predictor 1/2/3, float or integer samples —
+read through the stdlib codec in ``sources.geotiff``; exotic layouts
+(JPEG, palette, planar) fall back to rasterio behind an import gate.
+`Grid` construction from arrays/DataFrames is fully functional and
+tested.
 """
 
 from __future__ import annotations
@@ -61,13 +63,13 @@ def grid_from_formula(x0: float, y0: float, dx: float, dy: float,
 def load_geotiff(path: str, band: int = 1) -> Grid:
     """S4/S5 GeoTIFF scan (read_DEM.py:14-69, mapData.py:39-94).
 
-    Uncompressed strip-organized IEEE-float GeoTIFF (the layout
-    ``sources.geotiff.write_geotiff`` emits, and what GDAL produces
-    without ``-co COMPRESS``) reads via the stdlib codec, with finite
-    GDAL_NODATA masked to NaN exactly like read_DEM.py:45-47.
-    Compressed/tiled/integer files fall back to rasterio when it is
-    importable; otherwise the NotImplementedError gate documents the
-    missing dependency."""
+    GDAL's common raster layouts — strip- or tile-organized,
+    uncompressed / LZW / deflate, TIFF predictor 1/2/3, IEEE-float or
+    integer samples — read via the stdlib codec, with finite
+    GDAL_NODATA masked to NaN exactly like read_DEM.py:45-47. Exotic
+    files (JPEG compression, palette, planar interleave) fall back to
+    rasterio when it is importable; otherwise the NotImplementedError
+    gate documents the missing dependency."""
     from pointdatabase_spark.sources import geotiff as _gt
     try:
         return _gt.read_geotiff(path, band=band)

@@ -12,21 +12,25 @@ engine splits the operator the Spark-first way:
   grid — bounded by the output image size, never by the input row
   count — is collected to the driver.
 - **encoding is pure stdlib**: ``write_geotiff`` emits a
-  little-endian, single-strip, uncompressed float32/float64 GeoTIFF
-  (SampleFormat=IEEE-float) with the standard georeferencing tags
-  (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory 34735,
-  GDAL_NODATA 42113).  The geotransform matches the reference exactly:
-  origin (x_min - dx/2, y_max + dy/2), row stride -dy, band rows
-  written top-first (mapData.py:139,153 — ``z[::-1, :]``).
-- ``read_geotiff`` parses the same baseline-TIFF subset back into a
+  little-endian GeoTIFF — float or integer samples, single-strip or
+  tiled, uncompressed / LZW (the reference's ``compress=LZW``,
+  mapData.py:135) / deflate, optional TIFF predictor 2/3 — with the
+  standard georeferencing tags (ModelPixelScale 33550, ModelTiepoint
+  33922, GeoKeyDirectory 34735, GDAL_NODATA 42113).  The geotransform
+  matches the reference exactly: origin (x_min - dx/2, y_max + dy/2),
+  row stride -dy, band rows written top-first (mapData.py:139,153 —
+  ``z[::-1, :]``).
+- ``read_geotiff`` parses the same family back into a
   :class:`~pointdatabase_spark.operators.raster.Grid`, which also
-  un-stubs the S4/S5 GeoTIFF scan (read_DEM.py:14-69) for any
-  uncompressed float GeoTIFF; compressed/tiled files still raise with
-  a pointer at rasterio.
+  un-stubs the S4/S5 GeoTIFF scan (read_DEM.py:14-69) for GDAL's
+  common outputs: strips or tiles × none/LZW/deflate × predictor
+  1/2/3 × float/int samples.  Exotic layouts (JPEG, palette, planar)
+  still raise with a pointer at rasterio.
 
-LZW compression (the reference's ``compress=LZW``) is intentionally
-dropped: compression is a storage-size knob, not a semantic one, and
-baseline TIFF keeps both ends stdlib-pure and seekable.
+The LZW codec is a from-scratch TIFF 6.0 §13 implementation
+(MSB-first variable-width codes, early change) — both directions, so
+fixtures for the read path are self-generated and the sink matches
+the reference's GDAL ``compress=LZW`` default.
 """
 
 from __future__ import annotations
@@ -50,6 +54,11 @@ _SAMPLES_PER_PIXEL = 277
 _ROWS_PER_STRIP = 278
 _STRIP_BYTE_COUNTS = 279
 _PLANAR_CONFIG = 284
+_PREDICTOR = 317
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
@@ -59,6 +68,182 @@ _GDAL_NODATA = 42113
 _T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
 _TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
 _TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+
+# compression codes: 1 none, 5 LZW, 8 Adobe deflate, 32946 old deflate
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 5, 8, 32946
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW codec (TIFF 6.0 §13): MSB-first variable-width codes starting
+# at 9 bits, ClearCode 256 / EOI 257, and the TIFF "early change" — the
+# code width bumps when the NEXT code to assign reaches 2^width - 1
+# (510/1022/2046), one position earlier than GIF LZW.
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = nacc = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nacc += 8
+        while nacc >= width:
+            code = (acc >> (nacc - width)) & ((1 << width) - 1)
+            nacc -= width
+            if code == 256:  # CLEAR
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOI
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream: code out of range")
+            out += entry
+            prev = entry
+            # the decoder's table trails the encoder's by one entry, so
+            # it must widen one entry sooner than the table-size rule
+            if len(table) + 1 == (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nacc = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)  # leading CLEAR, as libtiff emits
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: reset
+            emit(256)
+            table = fresh()
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF predictors (tag 317), applied per scanline within a strip/tile:
+# 2 = horizontal differencing on sample values (integer data),
+# 3 = floating-point: split each row's values into big-endian byte
+#     planes, then bytewise horizontal differencing.
+# ---------------------------------------------------------------------------
+
+def _predictor_encode(seg: np.ndarray, predictor: int) -> np.ndarray:
+    """seg: (rows, cols, bands) in its output dtype -> same-shape/bytes
+    array ready for tobytes()+compression."""
+    if predictor == 1:
+        return seg
+    rows, cols, bands = seg.shape
+    if predictor == 2:
+        if seg.dtype.kind == "f":
+            raise ValueError("predictor 2 is for integer samples; "
+                             "use predictor 3 for floats")
+        u = np.dtype(f"u{seg.dtype.itemsize}").newbyteorder(
+            seg.dtype.byteorder or "=")
+        d = seg.view(u).copy()
+        d[:, 1:, :] = d[:, 1:, :] - seg.view(u)[:, :-1, :]  # wraps mod 2^bits
+        return d.view(seg.dtype)
+    if predictor == 3:
+        if seg.dtype.kind != "f":
+            raise ValueError("predictor 3 is for float samples")
+        size = seg.dtype.itemsize
+        be = seg.astype(seg.dtype.newbyteorder(">"))
+        b = np.frombuffer(be.tobytes(), np.uint8).reshape(
+            rows, cols * bands, size)
+        planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(rows, -1)
+        d = planes.copy()
+        d[:, 1:] = planes[:, 1:] - planes[:, :-1]  # uint8 wraps
+        return d
+    raise ValueError(f"unsupported predictor {predictor}")
+
+
+def _predictor_decode(raw: bytes, predictor: int, rows: int, cols: int,
+                      bands: int, dt: np.dtype) -> np.ndarray:
+    """Inverse of :func:`_predictor_encode`; returns (rows, cols, bands)
+    float64-convertible array in native order."""
+    n = rows * cols * bands
+    size = dt.itemsize
+    if predictor == 1:
+        return np.frombuffer(raw, dt, n).reshape(rows, cols, bands)
+    if predictor == 2:
+        # horizontal differencing on sample values, in the FILE's byte
+        # order; cumsum undoes it with wraparound at the sample width
+        file_u = np.dtype(f"u{size}").newbyteorder(dt.byteorder or "=")
+        arr = np.frombuffer(raw, file_u, n).reshape(rows, cols, bands)
+        acc = np.cumsum(arr.astype(np.uint64), axis=1, dtype=np.uint64)
+        acc &= np.uint64((1 << (8 * size)) - 1)
+        native_u = np.dtype(f"u{size}")
+        return acc.astype(native_u).view(np.dtype(f"{dt.kind}{size}"))
+    if predictor == 3:
+        # bytewise cumsum along each scanline, then reassemble values
+        # from big-endian byte planes (plane k holds byte k of every
+        # sample in the row)
+        d = np.frombuffer(raw, np.uint8, n * size).reshape(rows, -1)
+        planes = (np.cumsum(d.astype(np.uint64), axis=1,
+                            dtype=np.uint64) & 0xFF).astype(np.uint8)
+        b = planes.reshape(rows, size, cols * bands).transpose(0, 2, 1)
+        be_dt = np.dtype(f"{dt.kind}{size}").newbyteorder(">")
+        return np.frombuffer(np.ascontiguousarray(b).tobytes(),
+                             be_dt, n).reshape(rows, cols, bands)
+    raise ValueError(f"unsupported predictor {predictor}")
+
+
+def _decompress_segment(raw: bytes, compression: int, expected: int) -> bytes:
+    if compression == _COMP_NONE:
+        return raw
+    if compression == _COMP_LZW:
+        out = _lzw_decode(raw)
+    elif compression in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        import zlib as _z
+        out = _z.decompress(raw)
+    else:
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported (stdlib codec "
+            "reads none/LZW/deflate); install rasterio for other schemes")
+    # writers may omit padding on the final strip; callers slice anyway
+    return out[:expected] if expected and len(out) > expected else out
 
 
 def grid_from_points(df: DataFrame, dx: float, dy: float,
@@ -97,29 +282,81 @@ def grid_from_points(df: DataFrame, dx: float, dy: float,
                 dx=float(dx), dy=float(dy), z=grid_z)
 
 
-def _pack_entries(grid: Grid, epsg: int, dtype: np.dtype,
-                  nodata: float | None):
-    """Build (tag, type, values) IFD entries + the pixel payload."""
+def _compress_segment(raw: bytes, compression: int) -> bytes:
+    if compression == _COMP_NONE:
+        return raw
+    if compression == _COMP_LZW:
+        return _lzw_encode(raw)
+    if compression == _COMP_DEFLATE:
+        import zlib as _z
+        return _z.compress(raw, 6)
+    raise ValueError(f"unsupported write compression {compression}")
+
+
+def _entry_raw(typ: int, vals) -> tuple[bytes, int]:
+    if typ == _T_ASCII:
+        return vals[0], len(vals[0])
+    return (b"".join(struct.pack("<" + _TYPE_FMT[typ], v) for v in vals),
+            len(vals))
+
+
+def write_geotiff(grid: Grid, path: str, epsg: int = 3413,
+                  dtype: str = "float32",
+                  nodata: float | None = None,
+                  compress: str | None = None,
+                  predictor: int = 1,
+                  tile: tuple[int, int] | None = None) -> None:
+    """S14 sink: encode ``grid`` as a GeoTIFF (mapData.py:125-158;
+    float32 matches GDT_Float32; float64 for lossless round-trips;
+    integer dtypes write SampleFormat int/uint). A (ny, nx, n_bands)
+    z array writes a multiband file, matching mapData.py:152-156.
+
+    ``compress``: None | "lzw" | "deflate" — "lzw" matches the
+    reference's ``compress=LZW`` GDAL option (mapData.py:135), all
+    pure stdlib. ``predictor``: 1 none, 2 horizontal differencing
+    (integer dtypes), 3 floating-point (float dtypes) — what GDAL
+    writes with ``-co PREDICTOR=2/3``. ``tile=(tw, th)`` writes a
+    tiled layout (dims must be multiples of 16 per TIFF 6.0)
+    instead of a single strip."""
+    dt = np.dtype(dtype).newbyteorder("<")
+    if dt.kind not in "fiu":
+        raise ValueError("write_geotiff supports float/int/uint dtypes")
+    comp = {None: _COMP_NONE, "none": _COMP_NONE,
+            "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}[compress]
     z = np.asarray(grid.z)
     if z.ndim == 2:
         z = z[:, :, None]
     ny, nx, n_bands = z.shape
-    bits = dtype.itemsize * 8
     # reference writes rows top-first: flip the y-ascending array
-    payload = np.ascontiguousarray(
-        z[::-1, :, :].astype(dtype)).tobytes()
+    img = np.ascontiguousarray(z[::-1, :, :]).astype(dt)
+
+    if tile is not None:
+        tw, th = int(tile[0]), int(tile[1])
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dims must be multiples of 16")
+        segs = []
+        for ty in range(0, ny, th):
+            for tx in range(0, nx, tw):
+                block = np.zeros((th, tw, n_bands), dt)
+                sub = img[ty:ty + th, tx:tx + tw, :]
+                block[:sub.shape[0], :sub.shape[1], :] = sub
+                segs.append(block)
+    else:
+        segs = [img]
+    payloads = [_compress_segment(
+        np.ascontiguousarray(_predictor_encode(s, predictor)).tobytes(),
+        comp) for s in segs]
+
+    fmt = {"f": 3, "i": 2, "u": 1}[dt.kind]
     entries = [
         (_IMAGE_WIDTH, _T_LONG, [nx]),
         (_IMAGE_LENGTH, _T_LONG, [ny]),
-        (_BITS_PER_SAMPLE, _T_SHORT, [bits] * n_bands),
-        (_COMPRESSION, _T_SHORT, [1]),           # uncompressed
+        (_BITS_PER_SAMPLE, _T_SHORT, [dt.itemsize * 8] * n_bands),
+        (_COMPRESSION, _T_SHORT, [comp]),
         (_PHOTOMETRIC, _T_SHORT, [1]),           # min-is-black
-        (_STRIP_OFFSETS, _T_LONG, [0]),          # patched later
         (_SAMPLES_PER_PIXEL, _T_SHORT, [n_bands]),
-        (_ROWS_PER_STRIP, _T_LONG, [ny]),        # single strip
-        (_STRIP_BYTE_COUNTS, _T_LONG, [len(payload)]),
         (_PLANAR_CONFIG, _T_SHORT, [1]),         # chunky (interleaved)
-        (_SAMPLE_FORMAT, _T_SHORT, [3] * n_bands),  # IEEE float
+        (_SAMPLE_FORMAT, _T_SHORT, [fmt] * n_bands),
         (_MODEL_PIXEL_SCALE, _T_DOUBLE,
          [abs(grid.dx), abs(grid.dy), 0.0]),
         # raster (0,0) = top-left outer corner = reference geotransform
@@ -140,57 +377,56 @@ def _pack_entries(grid: Grid, epsg: int, dtype: np.dtype,
           1025, 0, 1, 1,
           2048 if 4000 <= int(epsg) < 5000 else 3072, 0, 1, int(epsg)]),
     ]
+    if predictor != 1:
+        entries.append((_PREDICTOR, _T_SHORT, [predictor]))
+    if tile is not None:
+        entries.append((_TILE_WIDTH, _T_LONG, [tw]))
+        entries.append((_TILE_LENGTH, _T_LONG, [th]))
+        off_tag, cnt_tag = _TILE_OFFSETS, _TILE_BYTE_COUNTS
+    else:
+        entries.append((_ROWS_PER_STRIP, _T_LONG, [ny]))
+        off_tag, cnt_tag = _STRIP_OFFSETS, _STRIP_BYTE_COUNTS
+    entries.append((cnt_tag, _T_LONG, [len(p) for p in payloads]))
+    entries.append((off_tag, _T_LONG, [0] * len(payloads)))  # filled below
     if nodata is not None:
         text = f"{nodata!r}".encode("ascii") + b"\x00"
         entries.append((_GDAL_NODATA, _T_ASCII, [text]))
-    return entries, payload
 
-
-def write_geotiff(grid: Grid, path: str, epsg: int = 3413,
-                  dtype: str = "float32",
-                  nodata: float | None = None) -> None:
-    """S14 sink: encode ``grid`` as an uncompressed baseline GeoTIFF
-    (mapData.py:125-158; float32 to match GDT_Float32, float64
-    available for lossless round-trips).  A (ny, nx, n_bands) z array
-    writes a multiband file, matching mapData.py:152-156."""
-    dt = np.dtype(dtype).newbyteorder("<")
-    if dt.kind != "f":
-        raise ValueError("write_geotiff supports float dtypes only")
-    entries, payload = _pack_entries(grid, epsg, dt, nodata)
-
-    # layout: header(8) | IFD | out-of-line values | pixel data
+    # layout: header(8) | IFD | out-of-line values | segment data.
+    # Sizes are count-determined, so segment offsets are computable
+    # before serialization.
     ifd_size = 2 + 12 * len(entries) + 4
     extra_off = 8 + ifd_size
+    extra_len = sum(len(_entry_raw(t, v)[0]) for _, t, v in entries
+                    if len(_entry_raw(t, v)[0]) > 4)
+    data_off = extra_off + extra_len
+    seg_offs, pos = [], data_off
+    for p in payloads:
+        seg_offs.append(pos)
+        pos += len(p)
+    entries = [(tag, typ, seg_offs if tag == off_tag else vals)
+               for tag, typ, vals in entries]
+
     extra = bytearray()
     fields = []  # (tag, type, count, inline-or-offset 4 bytes)
     for tag, typ, vals in entries:
-        if typ == _T_ASCII:
-            raw = vals[0]
-            count = len(raw)
-        else:
-            raw = b"".join(struct.pack("<" + _TYPE_FMT[typ], v)
-                           for v in vals)
-            count = len(vals)
-        if tag == _STRIP_OFFSETS:
-            fields.append((tag, typ, count, None))  # patched below
-            continue
+        raw, count = _entry_raw(typ, vals)
         if len(raw) <= 4:
             fields.append((tag, typ, count, raw.ljust(4, b"\x00")))
         else:
             fields.append((tag, typ, count,
                            struct.pack("<I", extra_off + len(extra))))
             extra.extend(raw)
-    data_off = extra_off + len(extra)
+    assert len(extra) == extra_len
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, 8)
     out += struct.pack("<H", len(fields))
     for tag, typ, count, val4 in sorted(fields):
-        if val4 is None:  # strip offset → start of pixel data
-            val4 = struct.pack("<I", data_off)
         out += struct.pack("<HHI", tag, typ, count) + val4
     out += struct.pack("<I", 0)  # no next IFD
     out += extra
-    out += payload
+    for p in payloads:
+        out += p
     with open(path, "wb") as fh:
         fh.write(bytes(out))
 
@@ -221,11 +457,12 @@ def _read_ifd(buf: bytes, order: str):
 
 
 def read_geotiff(path: str, band: int = 1) -> Grid:
-    """Minimal S4/S5 GeoTIFF scan for the subset ``write_geotiff``
-    emits (uncompressed, single-strip, chunky float samples) — any
-    GDAL-produced uncompressed float GeoTIFF with that layout also
-    reads.  Compressed or tiled files raise NotImplementedError with
-    a pointer at rasterio (the container does not ship it)."""
+    """S4/S5 GeoTIFF scan (read_DEM.py:14-69 parity for GDAL's common
+    outputs): strip- or tile-organized, uncompressed / LZW / deflate,
+    predictor 1/2/3, IEEE-float or integer samples, chunky interleave.
+    Anything beyond that (JPEG compression, palette images, planar
+    interleave) raises NotImplementedError with a pointer at rasterio
+    (the container does not ship it)."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:2] == b"II":
@@ -235,29 +472,58 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     else:
         raise ValueError("not a TIFF file")
     tags = _read_ifd(buf, order)
-    if tags.get(_COMPRESSION, [1])[0] != 1:
+    comp = tags.get(_COMPRESSION, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
+    if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
         raise NotImplementedError(
-            "compressed GeoTIFF needs rasterio (not shipped in this "
-            "container); write_geotiff emits uncompressed files")
-    if 322 in tags:  # TileWidth
-        raise NotImplementedError("tiled GeoTIFF needs rasterio")
-    if tags.get(_SAMPLE_FORMAT, [1])[0] != 3:
-        raise NotImplementedError("only IEEE-float GeoTIFF supported")
+            "planar (band-separate) GeoTIFF needs rasterio")
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+    if kind is None:
+        raise NotImplementedError(
+            f"TIFF sample format {fmt} not supported (uint/int/float "
+            "only); install rasterio for other formats")
     nx = tags[_IMAGE_WIDTH][0]
     ny = tags[_IMAGE_LENGTH][0]
     n_bands = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
     bits = tags[_BITS_PER_SAMPLE][0]
-    if bits not in (32, 64):
+    if (kind == "f" and bits not in (32, 64)) or \
+            (kind != "f" and bits not in (8, 16, 32)):
         raise NotImplementedError(
-            f"only 32/64-bit IEEE-float samples supported, got {bits}-bit")
-    dt = np.dtype(order + ("f4" if bits == 32 else "f8"))
-    offs = tags[_STRIP_OFFSETS]
-    counts = tags[_STRIP_BYTE_COUNTS]
-    raw = b"".join(buf[o:o + c] for o, c in zip(offs, counts))
-    z = np.frombuffer(raw, dtype=dt).reshape(ny, nx, n_bands)
+            f"{bits}-bit {kind!r} samples not supported")
+    dt = np.dtype(order + kind + str(bits // 8))
+    item = dt.itemsize
+
+    if _TILE_WIDTH in tags:
+        tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+        offs = tags[_TILE_OFFSETS]
+        counts = tags[_TILE_BYTE_COUNTS]
+        across = (nx + tw - 1) // tw
+        down = (ny + th - 1) // th
+        full = np.zeros((down * th, across * tw, n_bands), np.float64)
+        for idx, (o, c) in enumerate(zip(offs, counts)):
+            raw = _decompress_segment(buf[o:o + c], comp,
+                                      th * tw * n_bands * item)
+            seg = _predictor_decode(raw, predictor, th, tw, n_bands, dt)
+            r, cpos = divmod(idx, across)
+            full[r * th:(r + 1) * th,
+                 cpos * tw:(cpos + 1) * tw, :] = seg
+        z = full[:ny, :nx, :]
+    else:
+        rps = tags.get(_ROWS_PER_STRIP, [ny])[0]
+        offs = tags[_STRIP_OFFSETS]
+        counts = tags[_STRIP_BYTE_COUNTS]
+        parts = []
+        for i, (o, c) in enumerate(zip(offs, counts)):
+            rows = min(rps, ny - i * rps)
+            raw = _decompress_segment(buf[o:o + c], comp,
+                                      rows * nx * n_bands * item)
+            parts.append(np.asarray(_predictor_decode(
+                raw, predictor, rows, nx, n_bands, dt), dtype=np.float64))
+        z = np.concatenate(parts, axis=0)
     if not 1 <= band <= n_bands:
         raise ValueError(f"band {band} out of range 1..{n_bands}")
-    z = z[:, :, band - 1].astype(np.float64)
+    z = np.ascontiguousarray(z[:, :, band - 1], dtype=np.float64)
     # GDAL_NODATA (tag 42113): mask finite nodata to NaN, matching the
     # reference read_DEM.py:45-47 — otherwise e.g. -9999 fill poisons
     # downstream stats/interpolation as real data.  Compare at the

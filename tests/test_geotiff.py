@@ -140,6 +140,71 @@ def test_geokey_directory_models_geographic_vs_projected(tmp_path):
     assert keys[1024] == 2 and keys[2048] == 4326 and 3072 not in keys
 
 
+def test_lzw_codec_pinned_bitstream():
+    """TIFF 6.0 §13 LZW: MSB-first 9-bit start, CLEAR=256/EOI=257.
+    b"abab" encodes to codes [256,97,98,258,257] — hand-packed bytes
+    pin the bit layout independent of the encoder/decoder pair (a
+    shared complementary bug would still roundtrip)."""
+    from pointdatabase_spark.sources.geotiff import _lzw_decode, _lzw_encode
+    enc = _lzw_encode(b"abab")
+    assert enc == bytes([0x80, 0x18, 0x4C, 0x50, 0x28, 0x08])
+    assert _lzw_decode(enc) == b"abab"
+    # width-boundary (9->10 bit early change) + table-clear coverage
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 300, 5000, 150_000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("dtype,compress,predictor,tile", [
+    ("float32", "lzw", 1, None),
+    ("float32", "lzw", 3, (16, 16)),
+    ("float64", "deflate", 3, None),
+    ("float64", "lzw", 1, (32, 16)),
+    ("int16", "lzw", 2, None),
+    ("int32", "deflate", 2, (16, 32)),
+    ("uint8", "lzw", 1, (16, 16)),
+])
+def test_roundtrip_compressed_tiled_predicted(tmp_path, dtype, compress,
+                                              predictor, tile):
+    """GDAL's common outputs: LZW/deflate × strip/tile × predictor
+    1/2/3 × float/int samples all read through the stdlib codec —
+    no rasterio gate (r4 verdict item 6)."""
+    rng = np.random.default_rng(3)
+    z = rng.normal(0, 100, (37, 53))
+    if np.dtype(dtype).kind != "f":
+        z = z.astype(np.dtype(dtype)).astype(np.float64)
+    g = Grid(x0=100.0, y0=-200.0, dx=25.0, dy=25.0, z=z)
+    p = str(tmp_path / "c.tif")
+    write_geotiff(g, p, dtype=dtype, compress=compress,
+                  predictor=predictor, tile=tile)
+    r = read_geotiff(p)
+    want = z.astype(np.dtype(dtype)).astype(np.float64)
+    np.testing.assert_array_equal(r.z, want)
+    assert (r.x0, r.y0, r.dx, r.dy) == (g.x0, g.y0, g.dx, g.dy)
+    # via the public loader too (gate removed for these layouts)
+    np.testing.assert_array_equal(load_geotiff(p).z, want)
+
+
+def test_integer_nodata_masked_to_nan(tmp_path):
+    """A -9999-filled int16 DEM (the classic GDAL fill) masks to NaN
+    through the compressed+predicted path."""
+    z = np.arange(48, dtype=np.float64).reshape(6, 8)
+    z[0, :3] = -9999.0
+    g = Grid(x0=0.0, y0=0.0, dx=10.0, dy=10.0, z=z)
+    p = str(tmp_path / "nod16.tif")
+    write_geotiff(g, p, dtype="int16", compress="lzw", predictor=2,
+                  nodata=-9999)
+    r = read_geotiff(p)
+    assert np.isnan(r.z[0, :3]).all()
+    np.testing.assert_array_equal(r.z[1:], z[1:])
+
+
+def test_tile_dims_must_be_multiple_of_16(tmp_path):
+    with pytest.raises(ValueError, match="multiples of 16"):
+        write_geotiff(_demo_grid(), str(tmp_path / "t.tif"), tile=(20, 16))
+
+
 def test_geotiff_roundtrip_property(tmp_path):
     """Property: any float grid (values incl. inf; any geometry)
     survives write->read, float64 bit-exactly, float32 at cast
