@@ -110,9 +110,127 @@ def test_non_hdf5_file_rejected(tmp_path):
         hdf5.read_h5(str(p))
 
 
-def _synthetic_atl06(tmp_path, n=50):
-    """Official-layout granule: gtXY/land_ice_segments[/group]/field,
-    chunked+gzip like real products, with planted fill values."""
+def test_latest_roundtrip_groups_attrs(tmp_path):
+    """libver='latest': superblock v3, OHDR headers, compact link
+    messages, v3 attributes — the structures HDF5 1.10+ emits."""
+    p = str(tmp_path / "l1.h5")
+    hdf5.write_h5(p, {
+        "a": np.arange(10, dtype=np.float64),
+        "g": {"nested": {"x": np.array([1, 2, 3], dtype=np.int32)},
+              "__attrs__": {"units": "m", "count": 3, "scale": 1.5}},
+    }, attrs={"title": "latest"}, libver="latest")
+    with open(p, "rb") as fh:
+        assert fh.read(9)[8] == 3  # superblock v3 actually written
+    r = hdf5.read_h5(p)
+    np.testing.assert_array_equal(r["a"][...], np.arange(10.0))
+    np.testing.assert_array_equal(r["g/nested/x"][...], [1, 2, 3])
+    assert r.attrs["title"] == "latest"
+    assert r["g"].attrs["units"] == "m"
+    assert r["g"].attrs["count"] == 3
+    assert r["g"].attrs["scale"] == 1.5
+
+
+def test_latest_single_chunk_and_fixed_array(tmp_path):
+    """Layout v4 chunk indexes: single-chunk (1 chunk), fixed array
+    (many chunks), both filtered and unfiltered."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=5000)
+    z = np.arange(35.0).reshape(5, 7)
+    p = str(tmp_path / "l2.h5")
+    hdf5.write_h5(p, {
+        "single": hdf5.dataset(x, compress=6, chunks=(5000,)),
+        "single_plain": hdf5.dataset(z, chunks=(5, 7)),
+        "farr": hdf5.dataset(x, compress=4, shuffle=True, chunks=(256,)),
+        "farr_plain": hdf5.dataset(z, chunks=(2, 3)),
+        "empty": hdf5.dataset(np.empty(0, np.float64), compress=2,
+                              chunks=(64,)),
+    }, libver="latest")
+    r = hdf5.read_h5(p)
+    np.testing.assert_array_equal(r["single"][...], x)
+    np.testing.assert_array_equal(r["single_plain"][...], z)
+    np.testing.assert_array_equal(r["farr"][...], x)
+    np.testing.assert_array_equal(r["farr_plain"][...], z)
+    assert r["empty"][...].size == 0
+    import os
+    assert os.path.getsize(p) < 2 * x.nbytes + z.nbytes * 2 + 4096
+
+
+def test_latest_fixed_array_paged(tmp_path, monkeypatch):
+    """Paged fixed-array data block (chunk count > 2^page_bits)."""
+    monkeypatch.setattr(hdf5, "_FA_PAGE_BITS", 2)  # 4 elements/page
+    x = np.arange(1000, dtype=np.float32)
+    p = str(tmp_path / "l3.h5")
+    hdf5.write_h5(p, {"x": hdf5.dataset(x, compress=1, chunks=(37,)),
+                      "y": hdf5.dataset(x, chunks=(37,))},
+                  libver="latest")
+    r = hdf5.read_h5(p)
+    np.testing.assert_array_equal(r["x"][...], x)
+    np.testing.assert_array_equal(r["y"][...], x)
+
+
+def test_latest_dense_links(tmp_path):
+    """A group over the compact-link threshold stores its links in a
+    fractal heap + v2 B-tree name index (dense storage)."""
+    tree = {f"ds_{i:03d}": np.full(3, float(i)) for i in range(50)}
+    p = str(tmp_path / "l4.h5")
+    hdf5.write_h5(p, {"big": tree}, libver="latest")
+    buf = open(p, "rb").read()
+    assert b"FRHP" in buf and b"BTHD" in buf  # dense path actually taken
+    r = hdf5.read_h5(p)
+    assert set(r["big"].keys()) == set(tree)
+    for i in (0, 17, 49):
+        np.testing.assert_array_equal(r[f"big/ds_{i:03d}"][...],
+                                      np.full(3, float(i)))
+
+
+def test_latest_dense_links_btree_depth1(tmp_path, monkeypatch):
+    """Tiny B-tree nodes force a depth-1 name index (internal root +
+    leaf splits) — the deepest shape the reader supports."""
+    monkeypatch.setattr(hdf5, "_BT2_NODE_SIZE", 64)  # ~4 records/leaf
+    tree = {f"d{i:02d}": np.array([float(i)]) for i in range(30)}
+    p = str(tmp_path / "l5.h5")
+    hdf5.write_h5(p, {"g": tree}, libver="latest")
+    assert b"BTIN" in open(p, "rb").read()  # depth-1 tree written
+    r = hdf5.read_h5(p)
+    assert set(r["g"].keys()) == set(tree)
+    for i in range(30):
+        np.testing.assert_array_equal(r[f"g/d{i:02d}"][...], [float(i)])
+
+
+def test_latest_granule_matches_earliest(tmp_path):
+    """The same granule tree written in both format generations reads
+    back identically — latest-format ICESat-2 reprocessings parse."""
+    tree, _ = _atl06_tree(n=20)
+    p0 = str(tmp_path / "v0.h5")
+    p3 = str(tmp_path / "v3.h5")
+    hdf5.write_h5(p0, tree)
+    hdf5.write_h5(p3, tree, libver="latest")
+    fields = ["gt1l/land_ice_segments/h_li",
+              "gt2r/land_ice_segments/ground_track/x_atc",
+              "gt3l/land_ice_segments/fit_statistics/dh_fit_dx"]
+    a = hdf5.load_fields(p0, fields)
+    b = hdf5.load_fields(p3, fields)
+    assert set(a) == set(b) == set(fields)
+    for f in fields:
+        np.testing.assert_array_equal(a[f], b[f])
+    r = hdf5.read_h5(p3)
+    assert r["gt1l"].attrs["atlas_beam_type"] == "weak"
+    assert r["gt1l"].attrs["atlas_spot_number"] == 1
+
+
+def test_layout_v4_unsupported_indexes_raise_precisely():
+    """Extensible-array / v2-B-tree chunk indexes (unlimited-maxshape
+    datasets) name themselves and the h5py escape hatch."""
+    base = bytes([4, 2, 0, 1, 8]) + (64).to_bytes(8, "little")
+    with pytest.raises(NotImplementedError, match="extensible-array"):
+        hdf5._parse_layout_v4(base + bytes([4]))
+    with pytest.raises(NotImplementedError, match="v2 B-tree chunk"):
+        hdf5._parse_layout_v4(base + bytes([5]))
+
+
+def _atl06_tree(n=50):
+    """Official-layout granule tree: gtXY/land_ice_segments[/group]/
+    field, chunked+gzip like real products, with planted fill values."""
     rng = np.random.default_rng(7)
     tree: dict = {}
     for pair in (1, 2, 3):
@@ -146,6 +264,11 @@ def _synthetic_atl06(tmp_path, n=50):
                 "__attrs__": {
                     "atlas_spot_number": spot,
                     "atlas_beam_type": "weak" if side == "l" else "strong"}}
+    return tree, n
+
+
+def _synthetic_atl06(tmp_path, n=50):
+    tree, n = _atl06_tree(n)
     path = str(tmp_path / "ATL06_20190101_synthetic.h5")
     hdf5.write_h5(path, tree)
     return path, n
@@ -296,10 +419,11 @@ def test_hdf5_roundtrip_property(tmp_path):
     @settings(max_examples=25, deadline=None)
     @given(st.dictionaries(
         st.text(alphabet="abcdefgh_123", min_size=1, max_size=12),
-        arrays(), min_size=1, max_size=5))
-    def check(tree):
+        arrays(), min_size=1, max_size=5),
+        st.sampled_from([None, "latest"]))
+    def check(tree, libver):
         p = str(tmp_path / "prop.h5")
-        hdf5.write_h5(p, tree)
+        hdf5.write_h5(p, tree, libver=libver)
         r = hdf5.read_h5(p)
         for name, spec in tree.items():
             want = spec.data if isinstance(spec, hdf5._Dataset) else np.asarray(spec)
@@ -346,13 +470,19 @@ def test_reader_rejects_corrupt_structures(tmp_path):
     with pytest.raises(Exception):
         hdf5.read_h5(badz)["x"][...]
 
-    # superblock version from the future
+    # superblock version from the future (v2/3 are now supported)
     c = bytearray(buf)
-    c[8] = 3
-    v3 = str(tmp_path / "v3.h5")
-    open(v3, "wb").write(bytes(c))
+    c[8] = 7
+    v7 = str(tmp_path / "v7.h5")
+    open(v7, "wb").write(bytes(c))
     with pytest.raises(NotImplementedError, match="superblock"):
-        hdf5.read_h5(v3)
+        hdf5.read_h5(v7)
+    # a v0 body mislabeled v3 must fail, never silently misparse
+    c[8] = 3
+    v3 = str(tmp_path / "v3bad.h5")
+    open(v3, "wb").write(bytes(c))
+    with pytest.raises(Exception):
+        hdf5.read_h5(v3)["x"][...]
 
 
 def test_surfmask_scan_semantics(spark, tmp_path):
