@@ -120,18 +120,39 @@ def transform_xy_columns(lat: str = "latitude", lon: str = "longitude",
     (ATL06_data.py:209-232 ``get_xy(proj4_string, EPSG)``,
     geo_index.py:102-112 ``from_latlon`` with any ``SRS_proj4``).
 
-    The two production polar-stereographic systems (EPSG:3413/3031 and
-    their proj4 spellings) take the dependency-free NumPy fast path —
-    identical output to :func:`stereo_xy_columns`. Any other CRS
-    dispatches to pyproj inside the same Arrow-batched pandas UDF
-    shape; when pyproj is not importable (this container does not ship
-    it) the gate raises NotImplementedError at plan-build time rather
-    than inside executor tasks."""
+    Dependency-free paths (no pyproj needed):
+
+    - the two production polar-stereographic systems (EPSG:3413/3031
+      and their proj4 spellings) — NumPy pandas-UDF kernel, identical
+      output to :func:`stereo_xy_columns`;
+    - WGS84 UTM zones (EPSG:326xx/327xx) and generic ``+proj=utm`` /
+      ``+proj=tmerc`` strings — Krüger-series built-in Columns, fully
+      JVM-side;
+    - geographic passthrough (EPSG:4326, ``+proj=longlat``) —
+      (x, y) = (lon, lat) degrees, the reference's no-op SRS case.
+
+    Anything else dispatches to pyproj inside the same Arrow-batched
+    pandas UDF shape; when pyproj is not importable (this container
+    does not ship it) the gate raises NotImplementedError at
+    plan-build time rather than inside executor tasks."""
     if proj4_string is None and epsg is None:
         raise ValueError("provide proj4_string or epsg")
     hemi = _polar_hemisphere(proj4_string, epsg)
     if hemi is not None:
         return stereo_xy_columns(lat, lon, hemisphere=hemi)
+    if epsg is not None:
+        if int(epsg) == 4326:
+            return F.col(lon).cast("double"), F.col(lat).cast("double")
+        utm = utm_params(int(epsg))
+        if utm is not None:
+            return tmerc_xy_columns(lat, lon, *utm)
+    if proj4_string is not None:
+        toks = proj4_string.split()
+        if "+proj=longlat" in toks or "+proj=latlong" in toks:
+            return F.col(lon).cast("double"), F.col(lat).cast("double")
+        tm = _parse_tmerc_proj4(proj4_string)
+        if tm is not None:
+            return tmerc_xy_columns(lat, lon, *tm)
     try:
         import pyproj  # noqa: F401
     except ImportError as exc:
@@ -153,6 +174,238 @@ def transform_xy_columns(lat: str = "latitude", lon: str = "longitude",
 
     s = _fwd(F.col(lat), F.col(lon))
     return s.getField("x"), s.getField("y")
+
+
+# ===========================================================================
+# Transverse Mercator (UTM) — Krüger series to order n^6 (Karney 2011,
+# "Transverse Mercator with an accuracy of a few nanometers"; same
+# series GeographicLib/proj use). Closes the in-container gap for the
+# reference's arbitrary-SRS surface (geo_index.py:102-112 accepts any
+# srs via GDAL): EPSG:326xx/327xx UTM zones and generic +proj=tmerc /
+# +proj=utm strings now execute without pyproj, alongside the polar-
+# stereographic pair. Pure elementary ops (tan/sin/cos/exp/ln/sqrt/
+# atan2) so the Spark plan stays inside whole-stage codegen — no
+# Python in the hot path — and the DuckDB oracle mirrors term for term.
+# ===========================================================================
+
+WGS84_F = 1 / 298.257223563
+_N3 = WGS84_F / (2 - WGS84_F)  # third flattening n
+# rectifying radius A1 = a/(1+n) (1 + n²/4 + n⁴/64 + n⁶/256 + ...)
+A1 = WGS84_A / (1 + _N3) * (1 + _N3**2 / 4 + _N3**4 / 64 + _N3**6 / 256)
+# forward series α_j (Karney 2011 eq. 35 / GeographicLib TMSeries O(n⁶))
+ALPHA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 5 * _N3**3 / 16 + 41 * _N3**4 / 180
+    - 127 * _N3**5 / 288 + 7891 * _N3**6 / 37800,
+    13 * _N3**2 / 48 - 3 * _N3**3 / 5 + 557 * _N3**4 / 1440
+    + 281 * _N3**5 / 630 - 1983433 * _N3**6 / 1935360,
+    61 * _N3**3 / 240 - 103 * _N3**4 / 140 + 15061 * _N3**5 / 26880
+    + 167603 * _N3**6 / 181440,
+    49561 * _N3**4 / 161280 - 179 * _N3**5 / 168
+    + 6601661 * _N3**6 / 7257600,
+    34729 * _N3**5 / 80640 - 3418889 * _N3**6 / 1995840,
+    212378941 * _N3**6 / 319334400,
+)
+# inverse series β_j (Karney 2011 eq. 36)
+BETA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 37 * _N3**3 / 96 - _N3**4 / 360
+    - 81 * _N3**5 / 512 + 96199 * _N3**6 / 604800,
+    _N3**2 / 48 + _N3**3 / 15 - 437 * _N3**4 / 1440 + 46 * _N3**5 / 105
+    - 1118711 * _N3**6 / 3870720,
+    17 * _N3**3 / 480 - 37 * _N3**4 / 840 - 209 * _N3**5 / 4480
+    + 5569 * _N3**6 / 90720,
+    4397 * _N3**4 / 161280 - 11 * _N3**5 / 504
+    - 830251 * _N3**6 / 7257600,
+    4583 * _N3**5 / 161280 - 108847 * _N3**6 / 3991680,
+    20648693 * _N3**6 / 638668800,
+)
+UTM_K0 = 0.9996
+
+
+def tmerc_forward(lat: np.ndarray, lon: np.ndarray, lon0_deg: float,
+                  k0: float = UTM_K0, x0: float = 500000.0,
+                  y0: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ellipsoidal transverse-Mercator forward transform.
+    Operation order (exp/ln compositions instead of library sinh/
+    atanh) is mirrored by the SQL oracle and the Column kernel term
+    for term."""
+    phi = np.asarray(lat, np.float64) * _D2R
+    lam = (np.asarray(lon, np.float64) - lon0_deg) * _D2R
+    tau = np.tan(phi)
+    s = np.sin(phi)
+    u = _E * 0.5 * np.log((1 + _E * s) / (1 - _E * s))
+    w = np.exp(u)
+    sigma = (w - 1 / w) / 2
+    taup = (tau * np.sqrt(1 + sigma * sigma)
+            - sigma * np.sqrt(1 + tau * tau))
+    coslam, sinlam = np.cos(lam), np.sin(lam)
+    xip = np.arctan2(taup, coslam)
+    q = sinlam / np.sqrt(taup * taup + coslam * coslam)
+    etap = np.log(q + np.sqrt(q * q + 1))
+    xi, eta = xip.copy(), etap.copy()
+    for j, a in enumerate(ALPHA, start=1):
+        ep = np.exp(2.0 * j * etap)
+        em = np.exp(-2.0 * j * etap)
+        xi = xi + a * np.sin(2.0 * j * xip) * (ep + em) / 2
+        eta = eta + a * np.cos(2.0 * j * xip) * (ep - em) / 2
+    return x0 + k0 * A1 * eta, y0 + k0 * A1 * xi
+
+
+def tmerc_inverse(x: np.ndarray, y: np.ndarray, lon0_deg: float,
+                  k0: float = UTM_K0, x0: float = 500000.0,
+                  y0: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse transform via the β series + fixed-point recovery of
+    tan(φ) from the conformal tangent (converges in a few rounds;
+    15 are run for sub-nm residual)."""
+    eta = (np.asarray(x, np.float64) - x0) / (k0 * A1)
+    xi = (np.asarray(y, np.float64) - y0) / (k0 * A1)
+    xip, etap = xi.copy(), eta.copy()
+    for j, b in enumerate(BETA, start=1):
+        xip = xip - b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        etap = etap - b * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    sh = np.sinh(etap)
+    taup = np.sin(xip) / np.sqrt(sh * sh + np.cos(xip) ** 2)
+    lam = np.arctan2(sh, np.cos(xip))
+    tau = taup.copy()
+    for _ in range(15):
+        sphi = tau / np.sqrt(1 + tau * tau)
+        sigma = np.sinh(_E * np.arctanh(_E * sphi))
+        tau = (taup + sigma * np.sqrt(1 + tau * tau)) / np.sqrt(
+            1 + sigma * sigma)
+    return (np.arctan(tau) / _D2R,
+            lam / _D2R + lon0_deg)
+
+
+def utm_params(epsg: int) -> tuple[float, float, float, float] | None:
+    """(lon0_deg, k0, x0, y0) for a WGS84 UTM EPSG code, else None."""
+    epsg = int(epsg)
+    if 32601 <= epsg <= 32660:
+        return (epsg - 32600) * 6.0 - 183.0, UTM_K0, 500000.0, 0.0
+    if 32701 <= epsg <= 32760:
+        return (epsg - 32700) * 6.0 - 183.0, UTM_K0, 500000.0, 1e7
+    return None
+
+
+def _parse_tmerc_proj4(s: str) -> tuple[float, float, float, float] | None:
+    """(lon0, k0, x0, y0) from a +proj=utm / +proj=tmerc proj4 string
+    on WGS84; None when the projection is something else or the datum
+    is not WGS84 (the series constants are WGS84-specific — other
+    ellipsoids stay behind the pyproj gate). A nonzero +lat_0 folds
+    into y0 via the series meridian arc."""
+    kv: dict[str, str] = {}
+    flags: set[str] = set()
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+        else:
+            flags.add(tok)
+    if kv.get("datum", "WGS84") != "WGS84":
+        return None
+    if kv.get("ellps", "WGS84") != "WGS84":
+        return None
+    proj = kv.get("proj")
+    if proj == "utm":
+        zone = int(kv["zone"])
+        y0 = 1e7 if ("south" in flags or "south" in kv) else 0.0
+        return zone * 6.0 - 183.0, UTM_K0, 500000.0, y0
+    if proj == "tmerc":
+        lon0 = float(kv.get("lon_0", 0.0))
+        k0 = float(kv.get("k", kv.get("k_0", 1.0)))
+        x0 = float(kv.get("x_0", 0.0))
+        y0 = float(kv.get("y_0", 0.0))
+        lat0 = float(kv.get("lat_0", 0.0))
+        if lat0:
+            m0 = tmerc_forward(np.array([lat0]), np.array([lon0]),
+                               lon0, k0=k0, x0=0.0, y0=0.0)[1][0]
+            y0 -= m0
+        return lon0, k0, x0, y0
+    return None
+
+
+def tmerc_xy_columns(lat: str, lon: str, lon0_deg: float,
+                     k0: float = UTM_K0, x0: float = 500000.0,
+                     y0: float = 0.0) -> tuple[Column, Column]:
+    """(x, y) Columns from pure built-in expressions — the whole
+    transform stays JVM-side inside whole-stage codegen (no Python
+    worker), mirroring :func:`tmerc_forward` term for term."""
+    phi = F.col(lat) * F.lit(_D2R)
+    lam = (F.col(lon) - F.lit(float(lon0_deg))) * F.lit(_D2R)
+    tau = F.tan(phi)
+    s = F.sin(phi)
+    u = F.lit(_E * 0.5) * F.log((F.lit(1.0) + F.lit(_E) * s)
+                                / (F.lit(1.0) - F.lit(_E) * s))
+    w = F.exp(u)
+    sigma = (w - F.lit(1.0) / w) / F.lit(2.0)
+    taup = (tau * F.sqrt(F.lit(1.0) + sigma * sigma)
+            - sigma * F.sqrt(F.lit(1.0) + tau * tau))
+    coslam, sinlam = F.cos(lam), F.sin(lam)
+    xip = F.atan2(taup, coslam)
+    q = sinlam / F.sqrt(taup * taup + coslam * coslam)
+    etap = F.log(q + F.sqrt(q * q + F.lit(1.0)))
+    xi, eta = xip, etap
+    for j, a in enumerate(ALPHA, start=1):
+        ep = F.exp(F.lit(2.0 * j) * etap)
+        em = F.exp(F.lit(-2.0 * j) * etap)
+        xi = xi + F.lit(a) * F.sin(F.lit(2.0 * j) * xip) \
+            * (ep + em) / F.lit(2.0)
+        eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * xip) \
+            * (ep - em) / F.lit(2.0)
+    return (F.lit(float(x0)) + F.lit(float(k0) * A1) * eta,
+            F.lit(float(y0)) + F.lit(float(k0) * A1) * xi)
+
+
+def tmerc_oracle_sql(inner_sql: str, lon0_deg: float,
+                     k0: float = UTM_K0, x0: float = 500000.0,
+                     y0: float = 0.0, lat: str = "lat", lon: str = "lon",
+                     carry: tuple[str, ...] = ("row_id", "lat", "lon"),
+                     x_as: str = "x", y_as: str = "y") -> str:
+    """Layered-subquery SQL computing the same transform — valid in
+    BOTH DuckDB (oracle) and Spark SQL, with constants inlined as
+    exact double literals, so the two engines run textually identical
+    math. Layering (one named step per intermediate) keeps the text
+    linear instead of exponentially substituted."""
+    c = ", ".join(carry)
+    e = repr(_E)
+    layers = [
+        f"SELECT {c}, {lat} * {_D2R!r} AS phi,"
+        f" ({lon} - {float(lon0_deg)!r}) * {_D2R!r} AS lam"
+        f" FROM ({inner_sql}) t0",
+        f"SELECT {c}, tan(phi) AS tau, sin(phi) AS s,"
+        f" cos(lam) AS coslam, sin(lam) AS sinlam FROM (__PREV__) t1",
+        f"SELECT {c}, tau, coslam, sinlam,"
+        f" exp({_E * 0.5!r} * ln((1 + {e} * s) / (1 - {e} * s))) AS w"
+        f" FROM (__PREV__) t2",
+        f"SELECT {c}, tau, coslam, sinlam, (w - 1 / w) / 2 AS sigma"
+        f" FROM (__PREV__) t3",
+        f"SELECT {c}, coslam, sinlam,"
+        f" tau * sqrt(1 + sigma * sigma) - sigma * sqrt(1 + tau * tau)"
+        f" AS taup FROM (__PREV__) t4",
+        f"SELECT {c}, atan2(taup, coslam) AS xip,"
+        f" sinlam / sqrt(taup * taup + coslam * coslam) AS q"
+        f" FROM (__PREV__) t5",
+        f"SELECT {c}, xip, ln(q + sqrt(q * q + 1)) AS etap"
+        f" FROM (__PREV__) t6",
+    ]
+    xi = "xip"
+    eta = "etap"
+    for j, a in enumerate(ALPHA, start=1):
+        xi += (f" + {a!r} * sin({2.0 * j!r} * xip)"
+               f" * (exp({2.0 * j!r} * etap) + exp({-2.0 * j!r} * etap))"
+               " / 2")
+        eta += (f" + {a!r} * cos({2.0 * j!r} * xip)"
+                f" * (exp({2.0 * j!r} * etap) - exp({-2.0 * j!r} * etap))"
+                " / 2")
+    layers.append(f"SELECT {c}, {xi} AS xi, {eta} AS eta"
+                  f" FROM (__PREV__) t7")
+    layers.append(
+        f"SELECT {c}, {float(x0)!r} + {float(k0) * A1!r} * eta AS {x_as},"
+        f" {float(y0)!r} + {float(k0) * A1!r} * xi AS {y_as}"
+        f" FROM (__PREV__) t8")
+    sql = layers[0]
+    for lay in layers[1:]:
+        sql = lay.replace("__PREV__", sql)
+    return sql
 
 
 def oracle_sql_exprs(hemisphere: int = 1, lat: str = "lat",

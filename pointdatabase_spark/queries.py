@@ -49,7 +49,7 @@ _SCORE_FIRST = [
     # never driver-scored through r4
     "session_window_agg", "multimodal_features",
     # new in r5
-    "ngram_jaccard_capped",
+    "ngram_jaccard_capped", "crs_utm",
     # last scored r2 only
     "streaming_window_counts", "event_sessionization",
     "streaming_sessionization", "json_extract_agg", "multimodal_decode",
@@ -1711,6 +1711,37 @@ def crs_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ll.select("row_id", "lat", "lon",
                      F.round(x, 0).cast("long").alias("x_ps_m"),
                      F.round(y, 0).cast("long").alias("y_ps_m"))
+
+
+# UTM (arbitrary-CRS surface, geo_index.py:102-112 `from_latlon` with a
+# non-polar srs): Krüger-series transverse Mercator as pure built-in
+# Columns (JVM codegen, no Python worker).  The oracle runs the same
+# layered SQL text DuckDB-side; outputs are quantized to integer meters
+# with the straddle margin asserted in tests/test_properties.py.
+_UTM_LATLON_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS row_id,
+       CAST(10 AS DOUBLE) + CAST(l_partkey % 6000 AS DOUBLE) / CAST(100 AS DOUBLE) AS lat,
+       CAST(-78 AS DOUBLE) + CAST(l_orderkey % 600 AS DOUBLE) / CAST(100 AS DOUBLE) AS lon
+FROM lineitem
+"""
+
+_UTM_ORACLE = f"""
+SELECT row_id, lat, lon,
+       CAST(round(x, -1) AS BIGINT) AS x_utm_10m,
+       CAST(round(y, -1) AS BIGINT) AS y_utm_10m
+FROM ({_crs.tmerc_oracle_sql(_UTM_LATLON_SQL, -75.0)}) utm
+"""
+
+
+@query("crs_utm", oracle=_UTM_ORACLE)
+def crs_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    testkit.load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    ll = spark.sql(_UTM_LATLON_SQL)
+    x, y = _crs.tmerc_xy_columns("lat", "lon", -75.0)  # UTM zone 18N
+    return ll.select("row_id", "lat", "lon",
+                     F.round(x, -1).cast("long").alias("x_utm_10m"),
+                     F.round(y, -1).cast("long").alias("y_utm_10m"))
 
 
 # --------------------------------------------------------------------------

@@ -354,7 +354,12 @@ def test_transform_xy_other_crs_gated_without_pyproj():
         _pytest.skip("pyproj available; gate not reachable")
     except ImportError:
         pass
+    # WGS84 UTM (32633) is dependency-free since r5; the gate now
+    # covers only genuinely exotic CRSs (non-WGS84 datums, other
+    # projection families)
     with _pytest.raises(NotImplementedError, match="pyproj"):
-        crs.transform_xy_columns(epsg=32633)
+        crs.transform_xy_columns(epsg=27700)  # OSGB36 TM (Airy sphd)
+    with _pytest.raises(NotImplementedError, match="pyproj"):
+        crs.transform_xy_columns(proj4_string="+proj=laea +lat_0=52")
     with _pytest.raises(ValueError):
         crs.transform_xy_columns()

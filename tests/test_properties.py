@@ -222,3 +222,134 @@ def test_crs_round_straddle_margin():
         for v in (xs, ys):
             margin = np.abs(v - np.floor(v) - 0.5).min()
             assert margin > 100 * max(spread, 1e-9), (sf_dir, margin)
+
+
+# -------------------------------------------------------------------
+# Transverse Mercator (UTM) — the Krüger series is pinned four ways:
+# published WGS84 constants, the closed-form spherical limit, a
+# forward∘inverse identity, and cross-engine straddle margins for the
+# integer-meter quantization of the declared crs_utm query.
+# -------------------------------------------------------------------
+
+
+def test_tmerc_published_constants():
+    import numpy as np
+    from pointdatabase_spark.functions import crs
+    # rectifying radius and quarter meridian (WGS84, published values)
+    assert abs(crs.A1 - 6367449.145823) < 1e-5
+    assert abs(crs.A1 * np.pi / 2 - 10001965.7293) < 1e-3
+    # central meridian: easting exactly false-easting, northing =
+    # k0 x meridian arc; arc to 45N is the published 4984944.378 m
+    x, y = crs.tmerc_forward(np.array([45.0]), np.array([9.0]), 9.0)
+    assert x[0] == 500000.0
+    assert abs(y[0] - 0.9996 * 4984944.378) < 1e-3
+
+
+def test_tmerc_spherical_limit(monkeypatch):
+    """With n=0/e=0 the series must collapse to the exact closed-form
+    spherical transverse Mercator — pins the plumbing around the
+    series independently of the coefficients."""
+    import numpy as np
+    import pointdatabase_spark.functions.crs as m
+    monkeypatch.setattr(m, "_E", 0.0)
+    monkeypatch.setattr(m, "ALPHA", (0.0,) * 6)
+    monkeypatch.setattr(m, "A1", m.WGS84_A)
+    lat = np.array([-61.2, -5.0, 0.0, 37.3, 71.8])
+    lon = np.array([-4.9, 2.0, 4.2, -3.3, 0.7])
+    x, y = m.tmerc_forward(lat, lon, 0.0, k0=1.0, x0=0.0, y0=0.0)
+    R, phi, lam = m.WGS84_A, np.radians(lat), np.radians(lon)
+    np.testing.assert_allclose(
+        x, R * np.arctanh(np.sin(lam) * np.cos(phi)), atol=1e-9)
+    np.testing.assert_allclose(
+        y, R * np.arctan2(np.tan(phi), np.cos(lam)), atol=1e-9)
+
+
+def test_tmerc_roundtrip_property():
+    import numpy as np
+    from pointdatabase_spark.functions import crs
+    rng = np.random.default_rng(2)
+    lat = rng.uniform(-80, 84, 50_000)
+    lon0 = -75.0
+    lon = lon0 + rng.uniform(-3, 3, 50_000)  # in-zone longitudes
+    x, y = crs.tmerc_forward(lat, lon, lon0)
+    la2, lo2 = crs.tmerc_inverse(x, y, lon0)
+    assert np.abs(la2 - lat).max() < 1e-12
+    assert np.abs(lo2 - lon).max() < 1e-12
+    # south-zone false northing
+    xs, ys = crs.tmerc_forward(lat, lon, lon0, y0=1e7)
+    np.testing.assert_allclose(ys - y, 1e7)
+
+
+def test_utm_round_straddle_margin():
+    """crs_utm hash-compares integer-meter output; assert raw
+    cross-engine agreement and distance from rounding boundaries at
+    every test SF (same justification as the polar-stereo query)."""
+    import duckdb
+    import numpy as np
+    from pointdatabase_spark.functions import crs
+    inner = """
+        SELECT l_orderkey * 10 + l_linenumber AS row_id,
+               CAST(10 AS DOUBLE) + CAST(l_partkey % 6000 AS DOUBLE) / 100 AS lat,
+               CAST(-78 AS DOUBLE) + CAST(l_orderkey % 600 AS DOUBLE) / 100 AS lon
+        FROM lineitem"""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')")
+        d = con.execute(crs.tmerc_oracle_sql(inner, -75.0)).fetchnumpy()
+        xs, ys = crs.tmerc_forward(d["lat"], d["lon"], -75.0)
+        spread = max(np.abs(xs - d["x"]).max(), np.abs(ys - d["y"]).max())
+        assert spread < 1e-6, spread
+        # the query quantizes to 10 m (round(x, -1)): no value may sit
+        # within 100x the ulp spread of a 5 m rounding boundary
+        for v in (xs, ys):
+            margin = np.abs(np.mod(v, 10.0) - 5.0).min()
+            assert margin > 100 * max(spread, 1e-9), (sf_dir, margin)
+
+
+def test_transform_xy_dispatch_utm_and_passthrough(spark):
+    """transform_xy_columns executes UTM EPSG codes, +proj=utm/tmerc
+    strings, and geographic passthrough without pyproj — and the UTM
+    path stays JVM-side (no Python worker in the plan)."""
+    import numpy as np
+    from pointdatabase_spark.functions import crs
+    df = spark.createDataFrame(
+        [(40.5, -73.5), (10.0, -76.2), (-33.9, -70.8)],
+        "latitude double, longitude double")
+    pdf = df.toPandas()
+    # EPSG UTM north
+    x, y = crs.transform_xy_columns(epsg=32618)
+    got = df.select(x.alias("x"), y.alias("y")).toPandas()
+    ex, ey = crs.tmerc_forward(pdf.latitude.to_numpy(),
+                               pdf.longitude.to_numpy(), -75.0)
+    np.testing.assert_allclose(got.x, ex, rtol=1e-12)
+    np.testing.assert_allclose(got.y, ey, rtol=1e-12)
+    # proj4 UTM south (false northing)
+    x, y = crs.transform_xy_columns(
+        proj4_string="+proj=utm +zone=19 +south +datum=WGS84 +units=m")
+    got = df.select(x.alias("x"), y.alias("y")).toPandas()
+    ex, ey = crs.tmerc_forward(pdf.latitude.to_numpy(),
+                               pdf.longitude.to_numpy(), -69.0, y0=1e7)
+    np.testing.assert_allclose(got.y, ey, rtol=1e-12)
+    # generic tmerc with nonzero lat_0 folds the meridian arc into y0
+    x, y = crs.transform_xy_columns(
+        proj4_string="+proj=tmerc +lat_0=10 +lon_0=-75 +k=1 +x_0=0 +y_0=0")
+    got = df.select(y.alias("y")).toPandas()
+    y_at_origin = got.y[1]  # row at (10, -76.2): small northing
+    assert abs(y_at_origin) < 20_000
+    # geographic passthrough
+    x, y = crs.transform_xy_columns(epsg=4326)
+    got = df.select(x.alias("x"), y.alias("y")).toPandas()
+    np.testing.assert_array_equal(got.x, pdf.longitude)
+    np.testing.assert_array_equal(got.y, pdf.latitude)
+    # plan: pure built-in expressions, no Python evaluation stage
+    x, y = crs.transform_xy_columns(epsg=32618)
+    plan = df.select(x.alias("x"), y.alias("y")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # unknown CRS still gates on pyproj with a precise error
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="pyproj"):
+        crs.transform_xy_columns(epsg=2193)  # non-WGS84 TM → pyproj
