@@ -485,6 +485,45 @@ def test_reader_rejects_corrupt_structures(tmp_path):
         hdf5.read_h5(v3)["x"][...]
 
 
+def test_latest_reader_rejects_corrupt_structures(tmp_path):
+    """Latest-format files: truncation and signature corruption fail
+    with exceptions, never wrong data or hangs."""
+    import struct
+    base = str(tmp_path / "lok.h5")
+    x = np.arange(500, dtype=np.float64)
+    hdf5.write_h5(base, {"g": {"x": hdf5.dataset(x, compress=5,
+                                                 chunks=(100,))}},
+                  libver="latest")
+    buf = bytearray(open(base, "rb").read())
+    for frac in (0.2, 0.5, 0.8):
+        t = str(tmp_path / f"lt{int(frac * 10)}.h5")
+        open(t, "wb").write(bytes(buf[:int(len(buf) * frac)]))
+        with pytest.raises(Exception):
+            hdf5.read_h5(t)["g/x"][...]
+    for sig in (b"OHDR", b"FAHD", b"FADB"):
+        c = bytearray(buf)
+        i = bytes(c).index(sig)
+        c[i:i + 4] = b"XXXX"
+        bad = str(tmp_path / f"bad{sig.decode()}.h5")
+        open(bad, "wb").write(bytes(c))
+        with pytest.raises(Exception):
+            hdf5.read_h5(bad)["g/x"][...]
+    # corrupt a dense group's heap/btree signatures
+    dense = str(tmp_path / "dense.h5")
+    hdf5.write_h5(dense, {"g": {f"d{i}": np.array([1.0])
+                                for i in range(20)}}, libver="latest")
+    dbuf = bytearray(open(dense, "rb").read())
+    for sig in (b"FRHP", b"BTHD", b"BTLF"):
+        c = bytearray(dbuf)
+        i = bytes(c).index(sig)
+        c[i:i + 4] = b"YYYY"
+        bad = str(tmp_path / f"dbad{sig.decode()}.h5")
+        open(bad, "wb").write(bytes(c))
+        with pytest.raises(Exception):
+            g = hdf5.read_h5(bad)
+            g["g/d0"][...]
+
+
 def test_surfmask_scan_semantics(spark, tmp_path):
     """S6 mosaic scan: tile assembly, x3 subsample, land bit,
     hemisphere subset, stereo reproject (read_surfmask.py:146-242)."""
