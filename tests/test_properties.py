@@ -349,6 +349,24 @@ def test_transform_xy_dispatch_utm_and_passthrough(spark):
     plan = df.select(x.alias("x"), y.alias("y")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # chained-projection production path: identical values, linear
+    # plan (Catalyst collapses the projects into ONE Project node),
+    # still no Python worker
+    out = crs.with_tmerc_xy(df, -75.0).toPandas()
+    ex, ey = crs.tmerc_forward(pdf.latitude.to_numpy(),
+                               pdf.longitude.to_numpy(), -75.0)
+    np.testing.assert_allclose(out.x, ex, rtol=1e-12)
+    np.testing.assert_allclose(out.y, ey, rtol=1e-12)
+    # Catalyst deliberately does NOT collapse the projections (that
+    # would re-duplicate the non-cheap series subtrees); instead all
+    # of them fuse into ONE WholeStageCodegen stage — a single pass
+    # over the data with named intermediates
+    lplan = crs.with_tmerc_xy(df, -75.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in lplan
+    import re as _re
+    stages = set(_re.findall(r"\*\((\d+)\)", lplan))
+    assert stages == {"1"}, stages
     # unknown CRS still gates on pyproj with a precise error
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="pyproj"):
