@@ -267,11 +267,29 @@ def _atl06_tree(n=50):
     return tree, n
 
 
-def _synthetic_atl06(tmp_path, n=50):
+def _synthetic_atl06(tmp_path, n=50, libver=None):
     tree, n = _atl06_tree(n)
     path = str(tmp_path / "ATL06_20190101_synthetic.h5")
-    hdf5.write_h5(path, tree)
+    hdf5.write_h5(path, tree, libver=libver)
     return path, n
+
+
+def test_convert_atl06_latest_format_granule(spark, tmp_path):
+    """The S2 converter ingests a latest-format (superblock v3 / OHDR)
+    granule through the same distributed scan path — the codec runs
+    inside executor tasks, so the new-format reader must work there,
+    not just driver-side."""
+    path, n = _synthetic_atl06(tmp_path, n=25, libver="latest")
+    out = str(tmp_path / "atl06_latest_parquet")
+    converters.convert_atl06(spark, path, out, rgt=7, cycle_number=2)
+    df = spark.read.parquet(out)
+    assert df.count() == 6 * n
+    assert df.groupBy("BP", "LR").count().count() == 6
+    from pyspark.sql import functions as F
+    assert df.where(F.col("h_li").isNull()).count() == 6 * ((n + 6) // 7)
+    npx = {(r.beam_type, r.n_pixels)
+           for r in df.select("beam_type", "n_pixels").distinct().collect()}
+    assert npx == {("weak", 4.0), ("strong", 16.0)}
 
 
 def test_convert_atl06_end_to_end(spark, tmp_path):
