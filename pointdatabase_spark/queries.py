@@ -49,7 +49,8 @@ _SCORE_FIRST = [
     # never driver-scored through r4
     "session_window_agg", "multimodal_features",
     # new in r5
-    "ngram_jaccard_capped", "crs_utm",
+    "ngram_jaccard_capped", "crs_utm", "ann_recall_audit",
+    "streaming_neardup",
     # last scored r2 only
     "streaming_window_counts", "event_sessionization",
     "streaming_sessionization", "json_extract_agg", "multimodal_decode",
@@ -1363,6 +1364,68 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              cents=_CENTS, nprobe=2)
 
 
+# ANN recall audit: recall@5 of the SRP-LSH path against the exact
+# top-5, per query — the standard quality gate a production embedding
+# pipeline runs on a QUERY SAMPLE before trusting an index (the exact
+# side is the expensive baseline; auditing a sample keeps it bounded
+# while the ANN path serves full traffic).  Pure composition of the
+# two declared operators plus tiny (q_id, vec_id) joins.
+_ANN_RECALL_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+ej AS (SELECT q.q_id, e.vec_id, {_duck_cos('q.qv', 'e.embedding')} AS cos
+       FROM embeddings e, q),
+ex AS (SELECT q_id, vec_id FROM (
+         SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, vec_id) AS rank
+         FROM ej) WHERE rank <= 5),
+cb AS (SELECT vec_id, embedding, {_duck_bucket('embedding')} AS bucket
+       FROM embeddings),
+qb AS (SELECT vec_id AS q_id, embedding AS qv, bucket
+       FROM cb WHERE vec_id < 5),
+lj AS (SELECT qb.q_id, cb.vec_id,
+              {_duck_cos('qb.qv', 'cb.embedding')} AS cos
+       FROM cb JOIN qb ON cb.bucket = qb.bucket),
+lsh AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS rank
+          FROM lj) WHERE rank <= 5),
+ap AS (SELECT q_id, COUNT(*) AS n_approx FROM lsh GROUP BY q_id),
+hit AS (SELECT ex.q_id, COUNT(*) AS n_hit
+        FROM ex JOIN lsh ON ex.q_id = lsh.q_id AND ex.vec_id = lsh.vec_id
+        GROUP BY ex.q_id)
+SELECT q.q_id,
+       CAST(COALESCE(ap.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / 5 AS recall_at_5
+FROM q LEFT JOIN ap ON ap.q_id = q.q_id
+       LEFT JOIN hit ON hit.q_id = q.q_id
+"""
+
+
+@query("ann_recall_audit", oracle=_ANN_RECALL_ORACLE)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    exact = _sim.cosine_topk(emb, qs, k=5).select("q_id", "vec_id")
+    approx = _sim.lsh_ann_topk(emb, qs, k=5,
+                               planes=_PLANES).select("q_id", "vec_id")
+    hits = (exact.join(approx, ["q_id", "vec_id"])
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    nap = approx.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    q = qs.select(F.col("vec_id").alias("q_id"))
+    return (q.join(nap, "q_id", "left").join(hits, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("n_approx", F.lit(0)).cast("long")
+                    .alias("n_approx"),
+                    F.coalesce("n_hit", F.lit(0)).cast("long")
+                    .alias("n_hit"),
+                    (F.coalesce("n_hit", F.lit(0)) / F.lit(5.0))
+                    .alias("recall_at_5")))
+
+
 _EMB_NEARDUP_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_duck_cos('a.embedding', 'b.embedding')} AS cos
@@ -1867,6 +1930,59 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.streaming import sessions as _sess
     return _sess.run_sessionize_stateful_availablenow(
         spark, sf_dir, _SESS_GAP_US, delay="1 hour")
+
+
+# Streaming near-dup flagging: LSH band collisions within a watermark
+# horizon (streaming/neardup.py). Arrival times are deterministic —
+# tus = ((doc_id % 200000) % 720) hours, so planted copies land at the
+# same instant as their original and are flagged against it. The
+# anchor-chain rule is the gap-session rule per band key, so the
+# oracle is pure window SQL over the SAME md5 minhash signatures.
+_STREAM_NEARDUP_HORIZON_US = 48 * 3600 * 1_000_000
+
+_STREAM_NEARDUP_ORACLE = testkit.syn_corpus_cte() + r"""
+, tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
+sh AS (
+  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+  FROM tok),
+sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
+""" + f"""
+ex AS (SELECT id, {_DUCK_H32} % {_P31} AS h
+       FROM (SELECT id, unnest(s) AS x FROM sh2)),
+sig AS (SELECT id,
+         {_MH_MINS}
+        FROM ex GROUP BY id),
+band AS (
+  {_MH_BANDS}),
+bt AS (SELECT id, bkey,
+              CAST(1 + (id % 200000) % 720 AS BIGINT) * 3600000000 AS tus
+       FROM band),
+ord AS (SELECT id, bkey, tus,
+               lag(tus) OVER (PARTITION BY bkey ORDER BY tus, id) AS prev
+        FROM bt),
+sess AS (SELECT id, bkey, tus,
+                SUM(CASE WHEN prev IS NULL
+                         OR tus - prev > {_STREAM_NEARDUP_HORIZON_US}
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY bkey ORDER BY tus, id) AS sid
+         FROM ord),
+fl AS (SELECT bkey, id, tus,
+              first_value(id) OVER (PARTITION BY bkey, sid
+                                    ORDER BY tus, id) AS anchor,
+              row_number() OVER (PARTITION BY bkey, sid
+                                 ORDER BY tus, id) AS rn
+       FROM sess)
+SELECT bkey, id AS dup_id, anchor AS match_id, tus
+FROM fl WHERE rn > 1
+"""
+
+
+@query("streaming_neardup", oracle=_STREAM_NEARDUP_ORACLE)
+def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.streaming import neardup as _nd
+    return _nd.run_stream_neardup_availablenow(
+        spark, sf_dir, _STREAM_NEARDUP_HORIZON_US)
 
 
 # --------------------------------------------------------------------------

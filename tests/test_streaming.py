@@ -149,3 +149,58 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
         "ts", "2 hours", ["fp"])
     surv = sorted(r.fp for r in out.collect())
     assert surv == ["a", "b", "c", "d"]
+
+
+def test_stream_neardup_flags_match_batch_twin(spark):
+    """Streaming LSH near-dup flags == the batch gap-session window
+    twin (same signatures, same anchor-chain rule), and the planted
+    truncated near-dups flag against their originals at the same
+    arrival instant."""
+    from pointdatabase_spark import queries as Q
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    sf = "/root/testdata/sf0.001"
+    got = Q.all_queries()["streaming_neardup"](spark, sf)
+
+    # batch twin: inline band keys over the identical corpus, then the
+    # gap-session anchor rule as window expressions
+    from pointdatabase_spark.streaming import neardup
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("doc_id", "text")
+    corpus = (docs
+              .unionByName(docs.where(F.col("doc_id") % 7 == 0)
+                           .select((F.col("doc_id") + 100000)
+                                   .alias("doc_id"), "text"))
+              .unionByName(docs.where(F.col("doc_id") % 11 == 0)
+                           .select((F.col("doc_id") + 200000)
+                                   .alias("doc_id"),
+                                   F.expr("substr(text, 1, length(text)"
+                                          " - 15)").alias("text"))))
+    band = neardup.inline_band_keys(corpus).withColumn(
+        "tus", (F.lit(1) + (F.col("id") % 200000) % 720).cast("long")
+        * F.lit(3_600_000_000))
+    w = Window.partitionBy("bkey").orderBy("tus", "id")
+    hor = Q._STREAM_NEARDUP_HORIZON_US
+    sess = band.withColumn(
+        "_nf", F.when(F.lag("tus").over(w).isNull()
+                      | ((F.col("tus") - F.lag("tus").over(w)) > hor),
+                      1).otherwise(0)) \
+        .withColumn("sid", F.sum("_nf").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    w2 = Window.partitionBy("bkey", "sid").orderBy("tus", "id")
+    twin = (sess.withColumn("match_id", F.first("id").over(w2))
+            .withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") > 1)
+            .select("bkey", F.col("id").alias("dup_id"), "match_id",
+                    "tus"))
+    g = sorted(map(tuple, got.collect()))
+    t = sorted(map(tuple, twin.collect()))
+    assert g == t and len(g) > 0
+    # planted near-dups (id + 200000, truncated text) flag against
+    # their original for nearly every planted doc (a truncation can
+    # destroy every shared band — expected LSH recall, not a bug)
+    planted = {r.dup_id for r in got.where(
+        (F.col("dup_id") >= 200000)
+        & (F.col("match_id") == F.col("dup_id") - 200000)).collect()}
+    n_planted = docs.where(F.col("doc_id") % 11 == 0).count()
+    assert len(planted) >= 0.8 * n_planted
