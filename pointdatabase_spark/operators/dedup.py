@@ -360,6 +360,46 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
             .drop("survivor_id"))
 
 
+def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
+                            n: int = 3, min_shared: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            bench_id_col: str = "doc_id",
+                            bench_text_col: str = "text",
+                            broadcast_bench: bool = True) -> DataFrame:
+    """Training-corpus decontamination: flag documents sharing at
+    least ``min_shared`` distinct n-gram hashes with any benchmark
+    document — the standard eval-set leakage check a training pipeline
+    runs before cutting a dataset (n-gram overlap, the methodology
+    published for GPT-3/C4-style decontamination).
+
+    Shape: both sides reduce to distinct (id, shingle-hash) postings;
+    the join is posting-vs-posting on the hash, and a count aggregate
+    IS the shared-shingle count — no per-pair set intersection. The
+    benchmark side is an EVAL SUITE (thousands of docs, not a corpus),
+    so its posting table broadcasts (``broadcast_bench``) and the
+    100 TB corpus never shuffles: flagging runs at scan speed as a
+    map-side join + partial-aggregated count. Returns one row per
+    contaminated (doc, bench doc) pair with the shared-hash count."""
+    csh = (_tokens(corpus, id_col, text_col)
+           .select("id", F.explode(F.expr(shingle_expr("t", n)))
+                   .alias("x"))
+           .select("id", F.expr(_H32.format(s="x")).alias("h"))
+           .distinct())
+    bsh = (_tokens(bench, bench_id_col, bench_text_col)
+           .select(F.col("id").alias("bid"),
+                   F.explode(F.expr(shingle_expr("t", n))).alias("x"))
+           .select("bid", F.expr(_H32.format(s="x")).alias("h"))
+           .distinct())
+    if broadcast_bench:
+        bsh = F.broadcast(bsh)
+    return (csh.join(bsh, "h")
+            .groupBy(F.col("id").alias(id_col),
+                     F.col("bid").alias("bench_id"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
 def drop_hot_shingles(dis: DataFrame, group_cols: list[str],
                       max_df: int) -> DataFrame:
     """Remove shingle hashes whose within-block document frequency

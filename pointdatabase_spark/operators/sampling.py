@@ -1,0 +1,108 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines (§7.8 extension; no reference analog — the reference's only
+subsetting is spatial).
+
+Everything here is REPRODUCIBLE BY CONSTRUCTION: assignment comes from
+md5 of the row's id (not `rand()`), so re-running on the same corpus —
+or on any subset, on any cluster size, in any partition order — gives
+the same splits. That property (stability under reshuffling and
+incremental ingest) is what training pipelines actually need from a
+sampler, and what `df.sample`/`randomSplit` do NOT give (they are
+partition-order dependent). All ops are pure built-in expressions and
+window functions; the DuckDB oracles reproduce them bit-for-bit via
+the shared md5 recipe.
+
+Scale shapes:
+- `hash_split`: per-row expression, zero shuffles — a 100 TB corpus
+  splits at scan speed.
+- `per_group_quota`: one shuffle (by group) + in-partition top-n via
+  row_number; the hash order makes the quota an unbiased deterministic
+  sample, not "first n in storage order".
+- `pack_sequences`: one shuffle (by shard key); the running token sum
+  is a window over the deterministic hash order. Shard count scales
+  with data; each shard's packing is independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pointdatabase_spark.operators.dedup import _H32
+
+# md5-derived uniform in [0, 1): 2^32 buckets are plenty for split
+# fractions quoted to ~1e-4 precision.
+_DENOM = float(1 << 32)
+
+
+def _hash_frac(id_col: str, salt: str) -> Column:
+    h = _H32.format(s=f"concat(CAST({id_col} AS STRING), '{salt}')")
+    return F.expr(h) / F.lit(_DENOM)
+
+
+def hash_frac_sql(id_col: str, salt: str, h32: str) -> str:
+    """DuckDB-side twin of the uniform hash fraction; `h32` is the
+    caller's md5→int32 recipe with {x} already bound to
+    concat(CAST(id AS VARCHAR), '<salt>')."""
+    return f"({h32} / {_DENOM!r})"
+
+
+def hash_split(df: DataFrame, splits: list[tuple[str, float]],
+               id_col: str = "doc_id", salt: str = "v1") -> DataFrame:
+    """Append a `split` column assigning each row to a named fraction
+    (e.g. [("train", .9), ("val", .05), ("test", .05)]) by hashed id.
+    Deterministic, order-independent, stable under incremental ingest
+    — changing `salt` re-rolls every assignment at once (the knob for
+    split-version migrations)."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    u = _hash_frac(id_col, salt)
+    acc = 0.0
+    conds = []
+    for name, w in splits[:-1]:
+        acc += w
+        conds.append((name, acc))
+    expr = F.lit(splits[-1][0])
+    for name, ub in reversed(conds):
+        expr = F.when(u < F.lit(ub), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def per_group_quota(df: DataFrame, group_cols: list[str], n: int,
+                    id_col: str = "doc_id",
+                    salt: str = "q1") -> DataFrame:
+    """At most `n` rows per group, chosen by hashed-id order — an
+    unbiased deterministic within-group sample (storage order would
+    bias toward early ingest). One shuffle on the group key."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_frac(id_col, salt).asc(), F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n)
+            .drop("_rk"))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   group_cols: list[str] | None = None,
+                   id_col: str = "doc_id",
+                   token_col: str = "n_tokens",
+                   salt: str = "p1") -> DataFrame:
+    """Assign rows to fixed-token-budget shards: rows are laid out in
+    deterministic hash order and cut greedily every time the running
+    token sum crosses a multiple of `budget` — the streaming-friendly
+    approximation of bin packing every sequence-packing pipeline uses
+    (exact bin packing is NP-hard and order-dependent; the prefix-sum
+    cut is deterministic, one window pass, and wastes at most one
+    document's tokens per boundary). Documents larger than `budget`
+    get a shard of their own. Appends `pack_id`."""
+    gc = group_cols or []
+    w = Window.partitionBy(*gc).orderBy(
+        _hash_frac(id_col, salt).asc(), F.col(id_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    run = F.sum(F.col(token_col).cast("long")).over(w)
+    # shard = which budget-multiple the EXCLUSIVE prefix sum reached;
+    # floor-of-division (not cast) so both engines truncate identically
+    prev = run - F.col(token_col).cast("long")
+    return df.withColumn("pack_id",
+                         F.floor(prev / F.lit(int(budget))).cast("long"))

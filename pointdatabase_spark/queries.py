@@ -50,7 +50,8 @@ _SCORE_FIRST = [
     "session_window_agg", "multimodal_features",
     # new in r5
     "ngram_jaccard_capped", "crs_utm", "ann_recall_audit",
-    "streaming_neardup",
+    "streaming_neardup", "sample_split_counts", "quota_sample",
+    "sequence_packing", "benchmark_contamination",
     # last scored r2 only
     "streaming_window_counts", "event_sessionization",
     "streaming_sessionization", "json_extract_agg", "multimodal_decode",
@@ -1930,6 +1931,144 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.streaming import sessions as _sess
     return _sess.run_sessionize_stateful_availablenow(
         spark, sf_dir, _SESS_GAP_US, delay="1 hour")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / splits / packing / decontamination
+# (operators/sampling.py, dedup.benchmark_contamination): the
+# reproducible-subsetting stages of a training-data pipeline. All
+# assignment comes from md5 of the row id, so the DuckDB oracles
+# rebuild identical splits from the shared hash recipe.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import sampling as _samp  # noqa: E402
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+# thresholds accumulated in Python floats and inlined verbatim so the
+# oracle's CASE boundaries are bit-identical to the Spark whens
+_SPLIT_UB = []
+_acc = 0.0
+for _nm, _w in _SPLITS[:-1]:
+    _acc += _w
+    _SPLIT_UB.append((_nm, _acc))
+
+
+def _duck_h32_id(id_expr: str, salt: str) -> str:
+    return _DUCK_H32.replace(
+        "md5(x)", f"md5(CAST({id_expr} AS VARCHAR) || '{salt}')")
+
+
+_SPLIT_CASE = ("CASE " + " ".join(
+    f"WHEN u < {ub!r} THEN '{nm}'" for nm, ub in _SPLIT_UB)
+    + f" ELSE '{_SPLITS[-1][0]}' END")
+
+_SPLIT_ORACLE = f"""
+WITH u AS (SELECT doc_id, lang,
+                  {_duck_h32_id('doc_id', 'v1')} / {float(1 << 32)!r} AS u
+           FROM documents),
+s AS (SELECT lang, {_SPLIT_CASE} AS split FROM u)
+SELECT split, lang, COUNT(*) AS n_docs FROM s GROUP BY split, lang
+"""
+
+
+@query("sample_split_counts", oracle=_SPLIT_ORACLE)
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return (_samp.hash_split(docs, _SPLITS)
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+_QUOTA_ORACLE = f"""
+WITH r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    {_duck_h32_id('doc_id', 'q1')} / {float(1 << 32)!r},
+                    doc_id) AS rk
+           FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= 20
+"""
+
+
+@query("quota_sample", oracle=_QUOTA_ORACLE)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return (_samp.per_group_quota(docs, ["lang"], 20)
+            .select("doc_id", "lang"))
+
+
+_PACK_BUDGET = 1000
+
+_PACK_ORACLE = r"""
+WITH d AS (SELECT doc_id, lang,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                    AS n_tokens
+           FROM documents),
+""" + f"""
+o AS (SELECT lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY
+               {_duck_h32_id('doc_id', 'p1')} / {float(1 << 32)!r},
+               doc_id ROWS UNBOUNDED PRECEDING) AS run
+      FROM d),
+p AS (SELECT lang,
+             CAST(floor((run - n_tokens) / {_PACK_BUDGET}) AS BIGINT)
+               AS pack_id,
+             n_tokens
+      FROM o)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM p GROUP BY lang, pack_id
+"""
+
+
+@query("sequence_packing", oracle=_PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (testkit.load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    F.size(F.split(F.col("text"), r"\s+"))
+                    .cast("long").alias("n_tokens")))
+    packed = _samp.pack_sequences(docs, _PACK_BUDGET,
+                                  group_cols=["lang"])
+    return (packed.groupBy("lang", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("pack_tokens")))
+
+
+# Decontamination: corpus docs sharing ≥ 5 distinct 3-gram hashes with
+# the stand-in eval suite (documents with doc_id % 13 == 0). Planted
+# exact/near copies of eval docs are caught too — the leak the check
+# exists for.
+_CONTAM_ORACLE = testkit.syn_corpus_cte() + r"""
+, tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
+sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM tok),
+ch AS (SELECT DISTINCT id, h FROM (
+""" + f"""
+  SELECT id, {_DUCK_H32} AS h
+  FROM (SELECT id, unnest(s) AS x FROM sh WHERE len(s) > 0))),
+""" + r"""
+btok AS (SELECT doc_id AS bid, string_split_regex(text, '\s+') AS t
+         FROM documents WHERE doc_id % 13 = 0),
+bsh AS (SELECT bid, list_distinct(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM btok),
+bh AS (SELECT DISTINCT bid, h FROM (
+""" + f"""
+  SELECT bid, {_DUCK_H32} AS h
+  FROM (SELECT bid, unnest(s) AS x FROM bsh WHERE len(s) > 0)))
+SELECT ch.id AS doc_id, bh.bid AS bench_id, COUNT(*) AS n_shared
+FROM ch JOIN bh ON ch.h = bh.h
+GROUP BY ch.id, bh.bid
+HAVING COUNT(*) >= 5
+"""
+
+
+@query("benchmark_contamination", oracle=_CONTAM_ORACLE)
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    bench = (testkit.load_table(spark, sf_dir, "documents")
+             .where(F.col("doc_id") % 13 == 0)
+             .select("doc_id", "text"))
+    return _dedup.benchmark_contamination(corpus, bench, n=3,
+                                          min_shared=5)
 
 
 # Streaming near-dup flagging: LSH band collisions within a watermark

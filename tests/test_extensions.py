@@ -363,3 +363,91 @@ def test_transform_xy_other_crs_gated_without_pyproj():
         crs.transform_xy_columns(proj4_string="+proj=laea +lat_0=52")
     with _pytest.raises(ValueError):
         crs.transform_xy_columns()
+
+
+# -------------------------------------------------------------------
+# Deterministic sampling / packing / decontamination (r5)
+# -------------------------------------------------------------------
+
+
+def test_hash_split_stable_under_subsetting(spark):
+    """The property hash splits exist for: a row's assignment depends
+    only on (id, salt) — identical on the full corpus, any subset, or
+    any partition order. randomSplit cannot give this."""
+    from pointdatabase_spark.operators import sampling
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    full = {r.doc_id: r.split
+            for r in sampling.hash_split(docs, splits)
+            .select("doc_id", "split").collect()}
+    sub = {r.doc_id: r.split
+           for r in sampling.hash_split(
+               docs.where(F.col("doc_id") % 3 == 0).repartition(7),
+               splits).select("doc_id", "split").collect()}
+    assert sub and all(full[k] == v for k, v in sub.items())
+    # fractions land near the requested weights
+    from collections import Counter
+    c = Counter(full.values())
+    n = sum(c.values())
+    assert abs(c["train"] / n - 0.8) < 0.06
+    # a different salt re-rolls assignments
+    resalt = {r.doc_id: r.split
+              for r in sampling.hash_split(docs, splits, salt="v2")
+              .select("doc_id", "split").collect()}
+    assert any(full[k] != v for k, v in resalt.items())
+
+
+def test_per_group_quota_and_packing_bounds(spark):
+    from pointdatabase_spark.operators import sampling
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang",
+                    F.size(F.split("text", r"\s+")).cast("long")
+                    .alias("n_tokens")))
+    q = sampling.per_group_quota(docs, ["lang"], 7)
+    per = {r.lang: r.n for r in
+           q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(v <= 7 for v in per.values())
+    # determinism
+    q2 = sampling.per_group_quota(docs, ["lang"], 7)
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, q2.collect()))
+
+    budget = 500
+    packed = sampling.pack_sequences(docs, budget, group_cols=["lang"])
+    stats = (packed.groupBy("lang", "pack_id")
+             .agg(F.sum("n_tokens").alias("tok"),
+                  F.max("n_tokens").alias("mx")).collect())
+    # greedy prefix-cut guarantee: a pack exceeds the budget only by
+    # (part of) its final document
+    assert all(r.tok <= budget + r.mx for r in stats)
+    # pack ids per group are contiguous from 0
+    per_lang = (packed.groupBy("lang")
+                .agg(F.min("pack_id").alias("lo"),
+                     F.max("pack_id").alias("hi"),
+                     F.countDistinct("pack_id").alias("n")).collect())
+    assert all(r.lo == 0 and r.n == r.hi + 1 for r in per_lang)
+
+
+def test_benchmark_contamination_catches_planted_copies(spark):
+    """Exact (+100000) and truncated (+200000) copies of eval docs
+    must be flagged against their source eval doc."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import dedup
+    from pyspark.sql import functions as F
+    sf = "/root/testdata/sf0.001"
+    corpus = testkit.syn_corpus(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    flags = dedup.benchmark_contamination(corpus, bench, n=3,
+                                          min_shared=5)
+    pairs = {(r.doc_id, r.bench_id) for r in flags.collect()}
+    bench_ids = [r.doc_id for r in bench.select("doc_id").collect()]
+    # every eval doc present in the corpus flags against itself
+    assert all((b, b) in pairs for b in bench_ids)
+    # planted exact copies of eval docs flag against the eval doc
+    both = [b for b in bench_ids if b % 7 == 0]
+    assert both and all((b + 100000, b) in pairs for b in both)
+    # the bench side broadcasts (corpus never shuffles for the join)
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
