@@ -86,6 +86,74 @@ def write_tiles(df: DataFrame, path: str, bin_delta=DEFAULT_BIN,
      .parquet(path))
 
 
+def partition_file_counts(spark: SparkSession, path: str
+                          ) -> dict[tuple[int, int], int]:
+    """Parquet-file count per (tile_x, tile_y) partition, from a
+    METADATA-ONLY listing via the Hadoop FileSystem API (no data
+    scan; works on HDFS/S3A/local alike). ~10⁴ partitions at 100 TB
+    is a cheap driver-side listing."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[tuple[int, int], int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("tile_x=")):
+            continue
+        tx = int(name.split("=", 1)[1])
+        for st2 in fs.listStatus(st.getPath()):
+            name2 = st2.getPath().getName()
+            if not (st2.isDirectory() and name2.startswith("tile_y=")):
+                continue
+            ty = int(name2.split("=", 1)[1])
+            n = sum(1 for f in fs.listStatus(st2.getPath())
+                    if f.getPath().getName().endswith(".parquet"))
+            out[(tx, ty)] = n
+    return out
+
+
+def compact_tiles(spark: SparkSession, path: str,
+                  order_cols: list[str] | None = None,
+                  min_files: int = 2,
+                  max_tiles: int | None = 256
+                  ) -> list[tuple[int, int]]:
+    """Small-file compaction — the maintenance job a continuously
+    ingested tile store needs: every `stream_into_tiles` micro-batch
+    appends a file per touched tile, and a month of 5-minute batches
+    makes ~8k files/tile, which kills scan planning and row-group
+    pruning. Rewrites each fragmented partition (≥ `min_files`
+    parquet files) as ONE task's output, restoring the (bin, time)
+    sort order and its min/max statistics.
+
+    Mechanics: the fragmented subset is selected by partition-pruned
+    predicates, `localCheckpoint`-materialized (severing the plan's
+    reference to `path`, which Spark otherwise rejects as a
+    read-while-overwrite), then dynamic-partition-overwritten in
+    place — untouched partitions are not rewritten. `max_tiles`
+    bounds one call's batch (the checkpoint lives in executor
+    storage); loop until the return value is empty to drain a large
+    backlog. Returns the (tile_x, tile_y) keys compacted."""
+    order_cols = order_cols if order_cols is not None else ["delta_time"]
+    counts = partition_file_counts(spark, path)
+    todo = sorted(k for k, n in counts.items() if n >= min_files)
+    if max_tiles is not None:
+        todo = todo[:max_tiles]
+    if not todo:
+        return []
+    df = spark.read.parquet(path)
+    cond = F.lit(False)
+    for tx, ty in todo:
+        cond = cond | ((F.col("tile_x") == tx) & (F.col("tile_y") == ty))
+    sub = df.where(cond).localCheckpoint(eager=True)
+    (sub.repartition("tile_x", "tile_y")
+     .sortWithinPartitions("bin_x", "bin_y", *order_cols)
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("tile_x", "tile_y")
+     .parquet(path))
+    return todo
+
+
 def write_bucketed(df: DataFrame, table: str, path: str | None = None,
                    n_buckets: int = 32, bin_delta=DEFAULT_BIN,
                    tile_delta=DEFAULT_TILE, x: str = "x", y: str = "y",

@@ -140,3 +140,42 @@ def test_catalog_change_root_anchored(spark):
     # only the anchored prefix is rewritten; mid-path matches are not
     assert got == ["/elsewhere/old/root/c.h5", "/new/base/a.h5",
                    "/old/rootless/b.h5"]
+
+
+def test_compact_tiles_merges_small_files(spark, tmp_path):
+    """Three appends fragment every partition into 3 files; compaction
+    rewrites each as one file with identical rows and restored
+    (bin, time) sort, and reports exactly the fragmented keys."""
+    from pointdatabase_spark.sources import tile_store
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "store")
+    rows = [(float(x), float(y), float(t))
+            for x in (5_000, 105_000) for y in (5_000,)
+            for t in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, delta_time double")
+    for i in range(3):
+        tile_store.write_tiles(df.withColumn("delta_time",
+                                             F.col("delta_time") + i * 100),
+                               path, mode="append")
+    before = tile_store.partition_file_counts(spark, path)
+    assert before and all(n == 3 for n in before.values())
+    n_rows = spark.read.parquet(path).count()
+
+    done = tile_store.compact_tiles(spark, path, min_files=2)
+    assert sorted(done) == sorted(before)
+    after = tile_store.partition_file_counts(spark, path)
+    assert set(after) == set(before)
+    assert all(n == 1 for n in after.values())
+    out = spark.read.parquet(path)
+    assert out.count() == n_rows
+    # second call: nothing left to compact
+    assert tile_store.compact_tiles(spark, path, min_files=2) == []
+    # max_tiles bounds a batch
+    for i in (3, 4):
+        tile_store.write_tiles(df.withColumn("delta_time",
+                                             F.col("delta_time") + i * 100),
+                               path, mode="append")
+    part = tile_store.compact_tiles(spark, path, min_files=2, max_tiles=1)
+    assert len(part) == 1
+    counts = tile_store.partition_file_counts(spark, path)
+    assert counts[part[0]] == 1 and max(counts.values()) > 1
