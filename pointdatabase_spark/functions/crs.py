@@ -73,6 +73,35 @@ def polar_stereo_forward(lat: np.ndarray, lon: np.ndarray,
     return x, y
 
 
+def polar_stereo_inverse(x: np.ndarray, y: np.ndarray,
+                         hemisphere: int = 1
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse polar-stereographic transform (Snyder 1987 eq. 7-9 /
+    3-5 fixed point: φ from the conformal parameter t by iterating
+    φ = π/2 − 2·atan(t·((1−e·sinφ)/(1+e·sinφ))^(e/2)); converges
+    geometrically in e², 12 rounds give sub-nm residual). Completes
+    the CRS module's forward/inverse pairs (tmerc has
+    :func:`tmerc_inverse`)."""
+    rho_f, lon0 = stereo_constants(hemisphere)
+    sign = HEMIS[hemisphere][2]
+    xs = np.asarray(x, np.float64) * sign
+    ys = -np.asarray(y, np.float64) * sign
+    rho = np.hypot(xs, ys)
+    t = rho / rho_f
+    theta = np.arctan2(xs, ys)
+    lam = theta + lon0
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(12):
+        es = _E * np.sin(phi)
+        phi = (np.pi / 2
+               - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (_E / 2)))
+    # the pole (rho == 0) has indeterminate longitude; return lon0
+    lam = np.where(rho == 0, lon0, lam)
+    lon = (lam / _D2R) * sign
+    return (phi / _D2R * sign,
+            (lon + 180.0) % 360.0 - 180.0)  # wrap to (-180, 180]
+
+
 def stereo_xy_columns(lat: str = "latitude", lon: str = "longitude",
                       hemisphere: int = 1) -> tuple[Column, Column]:
     """(x, y) Columns via a single pandas UDF returning a struct."""

@@ -176,3 +176,20 @@ def test_bucketed_bin_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_sampling_plan_shapes(spark):
+    """hash_split is a pure per-row expression — zero exchanges, so a
+    100 TB corpus splits at scan speed; quota and packing claim ONE
+    exchange each (the group-key window)."""
+    from pointdatabase_spark.operators import sampling
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    split = sampling.hash_split(
+        docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    assert "Exchange" not in _plan(split, "simple")
+    q = sampling.per_group_quota(docs, ["lang"], 5)
+    assert _plan(q, "simple").count("Exchange") == 1
+    packed = sampling.pack_sequences(
+        docs.withColumn("n_tokens", F.size(F.split("text", r"\s+"))),
+        500, group_cols=["lang"])
+    assert _plan(packed, "simple").count("Exchange") == 1

@@ -371,3 +371,20 @@ def test_transform_xy_dispatch_utm_and_passthrough(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="pyproj"):
         crs.transform_xy_columns(epsg=2193)  # non-WGS84 TM → pyproj
+
+
+def test_polar_stereo_inverse_roundtrip():
+    import numpy as np
+    from pointdatabase_spark.functions import crs
+    rng = np.random.default_rng(4)
+    for hemi in (1, -1):
+        lat = rng.uniform(55, 89.9, 30_000) * hemi
+        lon = rng.uniform(-180, 180, 30_000)
+        x, y = crs.polar_stereo_forward(lat, lon, hemi)
+        la2, lo2 = crs.polar_stereo_inverse(x, y, hemi)
+        assert np.abs(la2 - lat).max() < 1e-11
+        dlon = np.abs(lo2 - lon)
+        assert np.minimum(dlon, 360 - dlon).max() < 1e-11
+    # pole maps to origin and back to +-90
+    la, lo = crs.polar_stereo_inverse(np.array([0.0]), np.array([0.0]), 1)
+    assert abs(la[0] - 90.0) < 1e-12
