@@ -335,7 +335,12 @@ def _parse_tmerc_proj4(s: str) -> tuple[float, float, float, float] | None:
         return None
     proj = kv.get("proj")
     if proj == "utm":
-        zone = int(kv["zone"])
+        try:
+            zone = int(kv["zone"])
+        except (KeyError, ValueError):
+            return None  # malformed → fall through to the pyproj gate
+        if not 1 <= zone <= 60:
+            return None
         y0 = 1e7 if ("south" in flags or "south" in kv) else 0.0
         return zone * 6.0 - 183.0, UTM_K0, 500000.0, y0
     if proj == "tmerc":

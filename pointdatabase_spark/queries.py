@@ -2073,8 +2073,9 @@ def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Streaming near-dup flagging: LSH band collisions within a watermark
 # horizon (streaming/neardup.py). Arrival times are deterministic —
-# tus = ((doc_id % 200000) % 720) hours, so planted copies land at the
-# same instant as their original and are flagged against it. The
+# tus = (1 + (doc_id % 100000) % 720) hours, so both plant families
+# (+100000 exact, +200000 truncated) land at the same instant as their
+# original and are flagged against it. The
 # anchor-chain rule is the gap-session rule per band key, so the
 # oracle is pure window SQL over the SAME md5 minhash signatures.
 _STREAM_NEARDUP_HORIZON_US = 48 * 3600 * 1_000_000
@@ -2095,7 +2096,7 @@ sig AS (SELECT id,
 band AS (
   {_MH_BANDS}),
 bt AS (SELECT id, bkey,
-              CAST(1 + (id % 200000) % 720 AS BIGINT) * 3600000000 AS tus
+              CAST(1 + (id % 100000) % 720 AS BIGINT) * 3600000000 AS tus
        FROM band),
 ord AS (SELECT id, bkey, tus,
                lag(tus) OVER (PARTITION BY bkey ORDER BY tus, id) AS prev

@@ -193,9 +193,14 @@ def _predictor_encode(seg: np.ndarray, predictor: int) -> np.ndarray:
         b = np.frombuffer(be.tobytes(), np.uint8).reshape(
             rows, cols * bands, size)
         planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(rows, -1)
-        d = planes.copy()
-        d[:, 1:] = planes[:, 1:] - planes[:, :-1]  # uint8 wraps
-        return d
+        # libtiff fpDiff differences the plane-major row buffer with
+        # stride = samples-per-pixel; grouping each `bands` consecutive
+        # bytes and differencing along the group axis is exactly that
+        # (reduces to stride 1 for single-band)
+        d3 = planes.reshape(rows, -1, bands)
+        out = d3.copy()
+        out[:, 1:, :] = d3[:, 1:, :] - d3[:, :-1, :]  # uint8 wraps
+        return out.reshape(rows, -1)
     raise ValueError(f"unsupported predictor {predictor}")
 
 
@@ -217,10 +222,10 @@ def _predictor_decode(raw: bytes, predictor: int, rows: int, cols: int,
         native_u = np.dtype(f"u{size}")
         return acc.astype(native_u).view(np.dtype(f"{dt.kind}{size}"))
     if predictor == 3:
-        # bytewise cumsum along each scanline, then reassemble values
-        # from big-endian byte planes (plane k holds byte k of every
-        # sample in the row)
-        d = np.frombuffer(raw, np.uint8, n * size).reshape(rows, -1)
+        # bytewise cumsum along each scanline at stride = samples-per-
+        # pixel (libtiff fpAcc), then reassemble values from big-endian
+        # byte planes (plane k holds byte k of every sample in the row)
+        d = np.frombuffer(raw, np.uint8, n * size).reshape(rows, -1, bands)
         planes = (np.cumsum(d.astype(np.uint64), axis=1,
                             dtype=np.uint64) & 0xFF).astype(np.uint8)
         b = planes.reshape(rows, size, cols * bands).transpose(0, 2, 1)
@@ -321,8 +326,14 @@ def write_geotiff(grid: Grid, path: str, epsg: int = 3413,
     dt = np.dtype(dtype).newbyteorder("<")
     if dt.kind not in "fiu":
         raise ValueError("write_geotiff supports float/int/uint dtypes")
-    comp = {None: _COMP_NONE, "none": _COMP_NONE,
-            "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}[compress]
+    key = compress.lower() if isinstance(compress, str) else compress
+    comp_table = {None: _COMP_NONE, "none": _COMP_NONE,
+                  "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}
+    if key not in comp_table:  # accepts the reference's 'LZW' spelling
+        raise ValueError(
+            f"compress={compress!r}: use None, 'none', 'lzw' "
+            "(GDAL's COMPRESS=LZW), or 'deflate'")
+    comp = comp_table[key]
     z = np.asarray(grid.z)
     if z.ndim == 2:
         z = z[:, :, None]

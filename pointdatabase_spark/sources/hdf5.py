@@ -246,9 +246,7 @@ def _chunk_blocks(arr: np.ndarray, chunks: tuple[int, ...],
     uses). Edge chunks are zero-padded to full chunk shape."""
     dt = arr.dtype
     entries: list[tuple[tuple[int, ...], bytes]] = []
-    grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
-    import itertools
-    for origin in itertools.product(*grid):
+    for origin in _grid_origins(arr.shape, chunks):
         sel = tuple(slice(o, min(o + c, s))
                     for o, c, s in zip(origin, chunks, arr.shape))
         block = np.zeros(chunks, dtype=dt)  # edge chunks zero-padded
@@ -461,10 +459,13 @@ def _write_dense_links(out: _Out, names: list[str],
         pos += len(b)
     dblk += b"".join(bodies)
     out.alloc(dblk.ljust(block_size, b"\x00"))
-    # v2 B-tree name index: records sorted by lookup3(name)
+    # v2 B-tree name index: records sorted by NUMERIC lookup3(name) —
+    # libhdf5 binary-searches on the hash value, and byte-lexicographic
+    # order of the little-endian packing differs from numeric order
     rec_size = 4 + id_len
-    recs = sorted(struct.pack("<I", _lookup3(n.encode())) + hid
-                  for n, hid in zip(names, heap_ids))
+    recs = [struct.pack("<I", h) + hid for h, hid in
+            sorted((_lookup3(n.encode()), hid)
+                   for n, hid in zip(names, heap_ids))]
     max_leaf = (_BT2_NODE_SIZE - 10) // rec_size
     if len(recs) <= max_leaf:
         leaf = b"BTLF" + bytes([0, 5]) + b"".join(recs)
@@ -723,8 +724,10 @@ class H5Dataset:
                 yield ((0,) * rank,
                        fsize if fsize is not None else nbytes, addr, mask)
         elif kind == "chunked_implicit":
-            for i, origin in enumerate(_grid_origins(self.shape, chunks)):
-                yield origin, nbytes, addr + i * nbytes, 0
+            if addr != UNDEF:  # never-allocated → fill, like every index
+                for i, origin in enumerate(
+                        _grid_origins(self.shape, chunks)):
+                    yield origin, nbytes, addr + i * nbytes, 0
         elif kind == "chunked_farr":
             if addr != UNDEF:
                 yield from _fixed_array_chunks(

@@ -126,8 +126,9 @@ def run_stream_neardup_availablenow(spark: SparkSession, sf_dir: str,
                                     delay: str = "30 days") -> DataFrame:
     """Drain the planted dedup corpus (testkit.SYN_CORPUS_SQL shape,
     built stream-side from the documents parquet with deterministic
-    arrival times tus = (1 + (doc_id % 200000) % 720) hours — planted
-    copies arrive at the same instant as their original, so they flag
+    arrival times tus = (1 + (doc_id % 100000) % 720) hours — BOTH
+    plant families (+100000 exact copies, +200000 truncated near-dups)
+    arrive at the same instant as their original, so each flags
     against it) through the streaming flagger and return the
     materialized flags."""
     run_id = uuid.uuid4().hex[:8]
@@ -153,7 +154,7 @@ def run_stream_neardup_availablenow(spark: SparkSession, sf_dir: str,
     # stream's INITIAL watermark and the stateful operator's late-row
     # filter (event_time <= watermark) silently drops it
     corpus = (corpus
-              .withColumn("tus", (F.lit(1) + (F.col("doc_id") % 200000)
+              .withColumn("tus", (F.lit(1) + (F.col("doc_id") % 100000)
                                   % 720).cast("long")
                           * F.lit(3_600_000_000))
               .withColumn("event_time", F.timestamp_micros("tus")))

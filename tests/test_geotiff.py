@@ -231,3 +231,58 @@ def test_geotiff_roundtrip_property(tmp_path):
                                    atol=1e-9 * max(abs(x0), abs(y0), 1))
 
     check()
+
+
+def test_predictor3_multiband_stride_matches_libtiff_semantics():
+    """fpDiff/fpAcc difference the plane-major row buffer with stride
+    = samples-per-pixel. Pin the vectorized encode against a scalar
+    transliteration of libtiff's loop, multiband and single-band."""
+    import numpy as np
+    from pointdatabase_spark.sources import geotiff as gt
+    rng = np.random.default_rng(9)
+    for bands in (1, 3):
+        seg = rng.normal(size=(4, 5, bands)).astype("<f4")
+        enc = gt._predictor_encode(seg, 3)
+        # scalar reference: byte-plane shuffle then stride differencing
+        rows, cols, _ = seg.shape
+        size = seg.dtype.itemsize
+        for r in range(rows):
+            row = np.frombuffer(
+                seg[r].astype(">f4").tobytes(), np.uint8)
+            cc = row.size
+            planes = np.empty(cc, np.uint8)
+            wc = cols * bands
+            for count in range(wc):          # libtiff fpDiff shuffle
+                for b in range(size):
+                    planes[b * wc + count] = row[count * size + b]
+            out = planes.copy()
+            for p in range(cc - 1, bands - 1, -1):   # stride differencing
+                out[p] = (int(out[p]) - int(planes[p - bands])) & 0xFF
+            np.testing.assert_array_equal(enc[r], out)
+        # and the decoder inverts it
+        dec = gt._predictor_decode(enc.tobytes(), 3, rows, cols,
+                                   bands, np.dtype("<f4"))
+        np.testing.assert_array_equal(dec, seg)
+
+
+def test_multiband_predictor_roundtrips(tmp_path):
+    """Full-file multiband roundtrips across predictors/compressors,
+    incl. the reference's uppercase 'LZW' spelling."""
+    import numpy as np
+    import pytest as _pytest
+    from pointdatabase_spark.operators import raster
+    from pointdatabase_spark.sources import geotiff as gt
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=(32, 48, 3))
+    g = raster.Grid(x0=0.0, y0=0.0, dx=10.0, dy=10.0, z=z)
+    for compress, predictor, dtype in (
+            ("LZW", 3, "f8"), ("deflate", 3, "f4"), ("lzw", 1, "f8")):
+        p = str(tmp_path / f"mb_{compress}_{predictor}.tif")
+        gt.write_geotiff(g, p, compress=compress, predictor=predictor,
+                         dtype=dtype)
+        want = z if dtype == "f8" else z.astype("f4").astype("f8")
+        for b in (1, 2, 3):  # read_geotiff reads one band, like read_DEM
+            r = gt.read_geotiff(p, band=b)
+            np.testing.assert_allclose(r.z, want[:, :, b - 1], rtol=1e-6)
+    with _pytest.raises(ValueError, match="compress"):
+        gt.write_geotiff(g, str(tmp_path / "bad.tif"), compress="jpeg")

@@ -177,7 +177,7 @@ def test_stream_neardup_flags_match_batch_twin(spark):
                                    F.expr("substr(text, 1, length(text)"
                                           " - 15)").alias("text"))))
     band = neardup.inline_band_keys(corpus).withColumn(
-        "tus", (F.lit(1) + (F.col("id") % 200000) % 720).cast("long")
+        "tus", (F.lit(1) + (F.col("id") % 100000) % 720).cast("long")
         * F.lit(3_600_000_000))
     w = Window.partitionBy("bkey").orderBy("tus", "id")
     hor = Q._STREAM_NEARDUP_HORIZON_US
@@ -204,3 +204,16 @@ def test_stream_neardup_flags_match_batch_twin(spark):
         & (F.col("match_id") == F.col("dup_id") - 200000)).collect()}
     n_planted = docs.where(F.col("doc_id") % 11 == 0).count()
     assert len(planted) >= 0.8 * n_planted
+    # exact copies (+100000) share EVERY band with their original and
+    # arrive at the same instant, ordered after it — so each one is
+    # flagged (its chain can never start at the copy); the anchor is
+    # the original unless an earlier chain member claimed the bucket
+    exact_flagged = {r.dup_id for r in got.where(
+        (F.col("dup_id") >= 100000) & (F.col("dup_id") < 200000)).collect()}
+    n_exact = docs.where((F.col("doc_id") % 7 == 0)
+                         & (F.size(F.split("text", r"\s+")) >= 3)).count()
+    assert len(exact_flagged) == n_exact
+    vs_original = {r.dup_id for r in got.where(
+        (F.col("dup_id") >= 100000) & (F.col("dup_id") < 200000)
+        & (F.col("match_id") == F.col("dup_id") - 100000)).collect()}
+    assert len(vs_original) >= 0.5 * n_exact
