@@ -52,6 +52,7 @@ _SCORE_FIRST = [
     "ngram_jaccard_capped", "crs_utm", "ann_recall_audit",
     "streaming_neardup", "sample_split_counts", "quota_sample",
     "sequence_packing", "benchmark_contamination",
+    "corpus_prep_pipeline",
     # last scored r2 only
     "streaming_window_counts", "event_sessionization",
     "streaming_sessionization", "json_extract_agg", "multimodal_decode",
@@ -1036,7 +1037,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data cleaning flow as one declarative plan (exact keeps the
 # min id per content hash; near-dup keeps one survivor per minhash
 # cluster; a clean doc must pass both).
-_CLEAN_TAIL = """
+_CLEAN_CTES = """
 , nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
           UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
@@ -1058,6 +1059,9 @@ verdict AS (
   LEFT JOIN keep k ON k.cid = l.lbl),
 exact AS (SELECT md5(text) AS fp, MIN(doc_id) AS keep_id
           FROM corpus GROUP BY 1)
+"""
+
+_CLEAN_TAIL = _CLEAN_CTES + """
 SELECT v.lang, COUNT(*) AS n_docs, CAST(SUM(v.n_chars) AS BIGINT) AS n_chars
 FROM verdict v JOIN exact e ON v.fp = e.fp AND v.doc_id = e.keep_id
 WHERE v.is_survivor
@@ -2069,6 +2073,77 @@ def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "text"))
     return _dedup.benchmark_contamination(corpus, bench, n=3,
                                           min_shared=5)
+
+
+# Capstone: the full corpus-preparation pipeline as ONE query —
+# exact + near-dup dedup to survivors, eval-suite decontamination,
+# then the deterministic train/val/test split, reported per
+# (split, lang). Every stage is a declared operator composed as-is;
+# the oracle stitches the same proven CTE blocks (minhash prefix +
+# cluster/survivor CTEs + contamination postings + split CASE), so
+# the whole pipeline hash-matches end to end.
+_PREP_TAIL = _CLEAN_CTES + r"""
+, clean AS (
+  SELECT v.doc_id, v.lang, v.n_chars
+  FROM verdict v JOIN exact e ON v.fp = e.fp AND v.doc_id = e.keep_id
+  WHERE v.is_survivor),
+""" + f"""
+cch AS (SELECT DISTINCT id, {_DUCK_H32} AS h
+        FROM (SELECT id, unnest(s) AS x FROM sh2)),
+""" + r"""
+btok AS (SELECT doc_id AS bid, string_split_regex(text, '\s+') AS t
+         FROM documents WHERE doc_id % 13 = 0),
+bsh AS (SELECT bid, list_distinct(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM btok),
+bh AS (SELECT DISTINCT bid, h FROM (
+""" + f"""
+  SELECT bid, {_DUCK_H32} AS h
+  FROM (SELECT bid, unnest(s) AS x FROM bsh WHERE len(s) > 0))),
+contam AS (SELECT ch.id FROM cch ch JOIN bh b ON ch.h = b.h
+           GROUP BY ch.id, b.bid HAVING COUNT(*) >= 5),
+contam_ids AS (SELECT DISTINCT id FROM contam),
+kept AS (SELECT c.* FROM clean c
+         ANTI JOIN contam_ids x ON c.doc_id = x.id),
+u AS (SELECT doc_id, lang, n_chars,
+             {_duck_h32_id('doc_id', 'v1')} / {float(1 << 32)!r} AS u
+      FROM kept),
+s AS (SELECT lang, n_chars, {_SPLIT_CASE} AS split FROM u)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY split, lang
+"""
+
+_PREP_ORACLE = _minhash_oracle_sql(testkit.syn_corpus_cte(),
+                                   tail=_PREP_TAIL)
+
+
+@query("corpus_prep_pipeline", oracle=_PREP_ORACLE)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    # 1. dedup: exact-fingerprint keepers ∩ near-dup cluster survivors
+    pairs = _dedup.minhash_neardup(corpus)
+    surv = _dedup.dedup_survivors(corpus,
+                                  _dedup.duplicate_clusters(pairs))
+    exact_keep = (corpus.groupBy(F.md5("text").alias("keep_fp"))
+                  .agg(F.min("doc_id").alias("keep_id")))
+    clean = (surv.where("is_survivor")
+             .withColumn("fp", F.md5("text"))
+             .join(exact_keep,
+                   (F.col("fp") == F.col("keep_fp"))
+                   & (F.col("doc_id") == F.col("keep_id"))))
+    # 2. decontaminate against the stand-in eval suite
+    bench = (testkit.load_table(spark, sf_dir, "documents")
+             .where(F.col("doc_id") % 13 == 0)
+             .select("doc_id", "text"))
+    contam = (_dedup.benchmark_contamination(corpus, bench, n=3,
+                                             min_shared=5)
+              .select("doc_id").distinct())
+    kept = clean.join(contam, "doc_id", "left_anti")
+    # 3. deterministic split, reported per (split, lang)
+    return (_samp.hash_split(kept, _SPLITS)
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).cast("long").alias("n_chars")))
 
 
 # Streaming near-dup flagging: LSH band collisions within a watermark
