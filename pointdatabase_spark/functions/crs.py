@@ -344,11 +344,14 @@ def _parse_tmerc_proj4(s: str) -> tuple[float, float, float, float] | None:
         y0 = 1e7 if ("south" in flags or "south" in kv) else 0.0
         return zone * 6.0 - 183.0, UTM_K0, 500000.0, y0
     if proj == "tmerc":
-        lon0 = float(kv.get("lon_0", 0.0))
-        k0 = float(kv.get("k", kv.get("k_0", 1.0)))
-        x0 = float(kv.get("x_0", 0.0))
-        y0 = float(kv.get("y_0", 0.0))
-        lat0 = float(kv.get("lat_0", 0.0))
+        try:
+            lon0 = float(kv.get("lon_0", 0.0))
+            k0 = float(kv.get("k", kv.get("k_0", 1.0)))
+            x0 = float(kv.get("x_0", 0.0))
+            y0 = float(kv.get("y_0", 0.0))
+            lat0 = float(kv.get("lat_0", 0.0))
+        except ValueError:
+            return None  # malformed → fall through to the pyproj gate
         if lat0:
             m0 = tmerc_forward(np.array([lat0]), np.array([lon0]),
                                lon0, k0=k0, x0=0.0, y0=0.0)[1][0]

@@ -2040,16 +2040,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decontamination: corpus docs sharing ≥ 5 distinct 3-gram hashes with
 # the stand-in eval suite (documents with doc_id % 13 == 0). Planted
 # exact/near copies of eval docs are caught too — the leak the check
-# exists for.
-_CONTAM_ORACLE = testkit.syn_corpus_cte() + r"""
-, tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
-sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
-       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM tok),
-ch AS (SELECT DISTINCT id, h FROM (
-""" + f"""
-  SELECT id, {_DUCK_H32} AS h
-  FROM (SELECT id, unnest(s) AS x FROM sh WHERE len(s) > 0))),
-""" + r"""
+# exists for. The bench-postings CTE block is shared verbatim with the
+# capstone pipeline's oracle so the two recipes cannot drift.
+_BENCH_POSTINGS_CTES = r"""
 btok AS (SELECT doc_id AS bid, string_split_regex(text, '\s+') AS t
          FROM documents WHERE doc_id % 13 = 0),
 bsh AS (SELECT bid, list_distinct(list_transform(range(1, len(t) - 1),
@@ -2058,6 +2051,17 @@ bh AS (SELECT DISTINCT bid, h FROM (
 """ + f"""
   SELECT bid, {_DUCK_H32} AS h
   FROM (SELECT bid, unnest(s) AS x FROM bsh WHERE len(s) > 0)))
+"""
+
+_CONTAM_ORACLE = testkit.syn_corpus_cte() + r"""
+, tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
+sh AS (SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
+       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM tok),
+ch AS (SELECT DISTINCT id, h FROM (
+""" + f"""
+  SELECT id, {_DUCK_H32} AS h
+  FROM (SELECT id, unnest(s) AS x FROM sh WHERE len(s) > 0))),
+""" + _BENCH_POSTINGS_CTES + """
 SELECT ch.id AS doc_id, bh.bid AS bench_id, COUNT(*) AS n_shared
 FROM ch JOIN bh ON ch.h = bh.h
 GROUP BY ch.id, bh.bid
@@ -2090,15 +2094,7 @@ _PREP_TAIL = _CLEAN_CTES + r"""
 """ + f"""
 cch AS (SELECT DISTINCT id, {_DUCK_H32} AS h
         FROM (SELECT id, unnest(s) AS x FROM sh2)),
-""" + r"""
-btok AS (SELECT doc_id AS bid, string_split_regex(text, '\s+') AS t
-         FROM documents WHERE doc_id % 13 = 0),
-bsh AS (SELECT bid, list_distinct(list_transform(range(1, len(t) - 1),
-        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s FROM btok),
-bh AS (SELECT DISTINCT bid, h FROM (
-""" + f"""
-  SELECT bid, {_DUCK_H32} AS h
-  FROM (SELECT bid, unnest(s) AS x FROM bsh WHERE len(s) > 0))),
+""" + _BENCH_POSTINGS_CTES + f""",
 contam AS (SELECT ch.id FROM cch ch JOIN bh b ON ch.h = b.h
            GROUP BY ch.id, b.bid HAVING COUNT(*) >= 5),
 contam_ids AS (SELECT DISTINCT id FROM contam),
@@ -2131,14 +2127,17 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(exact_keep,
                    (F.col("fp") == F.col("keep_fp"))
                    & (F.col("doc_id") == F.col("keep_id"))))
-    # 2. decontaminate against the stand-in eval suite
+    # 2. decontaminate against the stand-in eval suite. Contamination
+    # is a per-document property, so checking only the dedup SURVIVORS
+    # skips the posting-building stage for the duplicate tail (30-50%
+    # of a web crawl) with an identical result; left_anti semantics
+    # make a distinct on the flag side pure overhead.
     bench = (testkit.load_table(spark, sf_dir, "documents")
              .where(F.col("doc_id") % 13 == 0)
              .select("doc_id", "text"))
-    contam = (_dedup.benchmark_contamination(corpus, bench, n=3,
-                                             min_shared=5)
-              .select("doc_id").distinct())
-    kept = clean.join(contam, "doc_id", "left_anti")
+    contam = _dedup.benchmark_contamination(
+        clean.select("doc_id", "text"), bench, n=3, min_shared=5)
+    kept = clean.join(contam.select("doc_id"), "doc_id", "left_anti")
     # 3. deterministic split, reported per (split, lang)
     return (_samp.hash_split(kept, _SPLITS)
             .groupBy("split", "lang")

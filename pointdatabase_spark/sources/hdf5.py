@@ -461,10 +461,11 @@ def _write_dense_links(out: _Out, names: list[str],
     out.alloc(dblk.ljust(block_size, b"\x00"))
     # v2 B-tree name index: records sorted by NUMERIC lookup3(name) —
     # libhdf5 binary-searches on the hash value, and byte-lexicographic
-    # order of the little-endian packing differs from numeric order
+    # order of the little-endian packing differs from numeric order.
+    # Hash ties order by name bytes (the dense comparator's tie rule).
     rec_size = 4 + id_len
-    recs = [struct.pack("<I", h) + hid for h, hid in
-            sorted((_lookup3(n.encode()), hid)
+    recs = [struct.pack("<I", h) + hid for h, _n, hid in
+            sorted((_lookup3(n.encode()), n.encode(), hid)
                    for n, hid in zip(names, heap_ids))]
     max_leaf = (_BT2_NODE_SIZE - 10) // rec_size
     if len(recs) <= max_leaf:
