@@ -52,7 +52,7 @@ _SCORE_FIRST = [
     "ngram_jaccard_capped", "crs_utm", "ann_recall_audit",
     "streaming_neardup", "sample_split_counts", "quota_sample",
     "sequence_packing", "benchmark_contamination",
-    "corpus_prep_pipeline",
+    "corpus_prep_pipeline", "multimodal_feature_ann",
     # last scored r2 only
     "streaming_window_counts", "event_sessionization",
     "streaming_sessionization", "json_extract_agg", "multimodal_decode",
@@ -2344,6 +2344,42 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import multimodal as _mm
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _mm.extract_features(_mm.attach_payload(docs), dim=4)
+
+
+# Feature→ANN bridge: the extracted multimodal feature vectors feed the
+# similarity stack unchanged (extract_features emits scalar f0..f3;
+# assembling them into an array column IS the hand-off) — the "find
+# similar media" query a multimodal lake runs after the embedding
+# stage. Same exact-cosine kernel and rank tie-break as cosine_topk.
+def _duck_cos4(a: str, b: str) -> str:
+    return (f"{_duck_dot(a, b, 4)} / (sqrt({_duck_dot(a, a, 4)})"
+            f" * sqrt({_duck_dot(b, b, 4)}))")
+
+
+_MM_ANN_ORACLE = f"""
+WITH feats AS (SELECT doc_id,
+       {_FEAT_COLS}
+FROM documents),
+v AS (SELECT doc_id AS vec_id, [f0, f1, f2, f3] AS embedding FROM feats),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM v WHERE vec_id < 5),
+j AS (SELECT q.q_id, v.vec_id, {_duck_cos4('q.qv', 'v.embedding')} AS cos
+      FROM v, q),
+r AS (SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      FROM j)
+SELECT q_id, vec_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+@query("multimodal_feature_ann", oracle=_MM_ANN_ORACLE)
+def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    feats = _mm.extract_features(_mm.attach_payload(docs), dim=4)
+    emb = feats.select(F.col("doc_id").alias("vec_id"),
+                       F.array("f0", "f1", "f2", "f3").alias("embedding"))
+    return _sim.cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
 
 
 # --------------------------------------------------------------------------
