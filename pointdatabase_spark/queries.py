@@ -52,7 +52,7 @@ _SCORE_FIRST = [
     "ngram_jaccard_capped", "crs_utm", "ann_recall_audit",
     "streaming_neardup", "sample_split_counts", "quota_sample",
     "sequence_packing", "benchmark_contamination",
-    "corpus_prep_pipeline", "multimodal_feature_ann",
+    "corpus_prep_pipeline", "multimodal_feature_ann", "event_funnel",
     # last scored r2 only
     "streaming_window_counts", "event_sessionization",
     "streaming_sessionization", "json_extract_agg", "multimodal_decode",
@@ -2143,6 +2143,45 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.length("text")).cast("long").alias("n_chars")))
+
+
+# Ordered funnel (operators/funnels.py): first-touch step progression
+# view → click → purchase per user, with a 7-day conversion horizon
+# from the user's first view. One MIN aggregation per step, all keyed
+# by user (the per-step join's build side is one row per user).
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WITHIN_US = 7 * 86400 * 1_000_000
+
+_FUNNEL_ORACLE = f"""
+WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+            FROM events),
+s0 AS (SELECT u, MIN(t) AS t, MIN(t) AS t0 FROM ev
+       WHERE et = '{_FUNNEL_STEPS[0]}' GROUP BY u),
+s1 AS (SELECT e.u, MIN(e.t) AS t, MIN(r.t0) AS t0
+       FROM ev e JOIN s0 r ON e.u = r.u AND e.t > r.t
+            AND e.t <= r.t0 + {_FUNNEL_WITHIN_US}
+       WHERE e.et = '{_FUNNEL_STEPS[1]}' GROUP BY e.u),
+s2 AS (SELECT e.u, MIN(e.t) AS t, MIN(r.t0) AS t0
+       FROM ev e JOIN s1 r ON e.u = r.u AND e.t > r.t
+            AND e.t <= r.t0 + {_FUNNEL_WITHIN_US}
+       WHERE e.et = '{_FUNNEL_STEPS[2]}' GROUP BY e.u)
+SELECT CAST(0 AS BIGINT) AS step_idx, '{_FUNNEL_STEPS[0]}' AS step,
+       COUNT(*) AS n_users FROM s0
+UNION ALL
+SELECT CAST(1 AS BIGINT), '{_FUNNEL_STEPS[1]}', COUNT(*) FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[2]}', COUNT(*) FROM s2
+"""
+
+
+@query("event_funnel", oracle=_FUNNEL_ORACLE)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import funnels as _fn
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type",
+                   timeconv.events_tus(ev).alias("tus"))
+    return _fn.funnel_counts(ev, _FUNNEL_STEPS,
+                             within_us=_FUNNEL_WITHIN_US)
 
 
 # Streaming near-dup flagging: LSH band collisions within a watermark

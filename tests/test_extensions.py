@@ -451,3 +451,24 @@ def test_benchmark_contamination_catches_planted_copies(spark):
     # the bench side broadcasts (corpus never shuffles for the join)
     plan = flags._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_counts_hand_case(spark):
+    """First-touch ordering and the conversion horizon, on a hand
+    case: u1 converts in order; u2 clicks BEFORE viewing (click must
+    not count); u3 purchases outside the horizon."""
+    from pointdatabase_spark.operators import funnels
+    rows = [
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        (2, "click", 50), (2, "view", 100), (2, "purchase", 400),
+        (3, "view", 0), (3, "click", 10), (3, "purchase", 5000),
+        (4, "click", 10), (4, "purchase", 20),  # never views
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, tus long")
+    out = {(r.step_idx, r.step): r.n_users
+           for r in funnels.funnel_counts(
+               ev, ["view", "click", "purchase"], within_us=1000).collect()}
+    # views: u1,u2,u3; clicks after first view: u1 (200>100), u3 (10>0)
+    # — NOT u2 (its only click precedes its view); purchases within
+    # 1000 of first view: u1 (300<=1100) — NOT u3 (5000 > 0+1000)
+    assert out == {(0, "view"): 3, (1, "click"): 2, (2, "purchase"): 1}
