@@ -70,6 +70,49 @@ FEATURES: dict[str, tuple[str, str]] = {
     "alpha_ratio": (
         "CAST(length(regexp_replace({c}, '[^A-Za-z]', '')) AS DOUBLE) / length({c})",
         "CAST(length(regexp_replace({c}, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length({c})"),
+    # --- repetition features (Gopher-style quality rules) -----------------
+    # Fraction of tokens that are repeats of an earlier token.
+    "dup_token_ratio": (
+        "1.0D - CAST(size(array_distinct({t})) AS DOUBLE) / size({t})",
+        f"1.0 - CAST(len(list_distinct({_TOK_D})) AS DOUBLE) / len({_TOK_D})"),
+    # Fraction of tokens covered by the single most frequent word
+    # bigram (Gopher's top-2-gram coverage rule). O(distinct·n) per
+    # row — fine for documents, and entirely inside array lambdas.
+    "top_bigram_cover": (
+        "CASE WHEN size({t}) < 2 THEN 0.0D ELSE"
+        " CAST(array_max(transform(array_distinct("
+        "  transform(sequence(1, size({t}) - 1), i ->"
+        "   concat_ws(' ', element_at({t}, i), element_at({t}, i + 1)))),"
+        "  g -> size(filter("
+        "   transform(sequence(1, size({t}) - 1), i ->"
+        "    concat_ws(' ', element_at({t}, i), element_at({t}, i + 1))),"
+        "   x -> x = g)))) AS DOUBLE) * 2.0 / size({t}) END",
+        f"CASE WHEN len({_TOK_D}) < 2 THEN 0.0 ELSE"
+        f" CAST(list_max(list_transform(list_distinct("
+        f"  list_transform(range(1, len({_TOK_D})), i ->"
+        f"   {_TOK_D}[i] || ' ' || {_TOK_D}[i + 1])),"
+        f"  g -> len(list_filter("
+        f"   list_transform(range(1, len({_TOK_D})), i ->"
+        f"    {_TOK_D}[i] || ' ' || {_TOK_D}[i + 1]),"
+        f"   x -> x = g)))) AS DOUBLE) * 2.0 / len({_TOK_D}) END"),
+    # Length of the longest run of one repeated token (stutter/spam
+    # detector). Linear form: collect run-start positions (token ≠
+    # its predecessor), then the max gap between consecutive starts.
+    # (`{st}` inlined — lambdas can't let-bind, so the starts array
+    # appears once per reference; still O(n) per reference.)
+    "max_token_run": (
+        "CAST(array_max(transform(sequence(1, size({st_s})), k ->"
+        " (CASE WHEN k < size({st_s}) THEN element_at({st_s}, k + 1)"
+        "  ELSE size({t}) + 1 END) - element_at({st_s}, k)))"
+        " AS BIGINT)"
+        .replace("{st_s}", "filter(sequence(1, size({t})), i ->"
+                 " i = 1 OR element_at({t}, i) != element_at({t}, i - 1))"),
+        ("CAST(list_max(list_transform(range(1, len({st_d}) + 1), k ->"
+         " (CASE WHEN k < len({st_d}) THEN {st_d}[k + 1]"
+         f"  ELSE len({_TOK_D}) + 1 END) - {{st_d}}[k]))"
+         " AS BIGINT)")
+        .replace("{st_d}", f"list_filter(range(1, len({_TOK_D}) + 1), i ->"
+                 f" i = 1 OR {_TOK_D}[i] != {_TOK_D}[i - 1])")),
     # --- fingerprints -----------------------------------------------------
     # 48-bit md5-prefix digest (exact in BIGINT both sides).
     "fp48": (

@@ -360,6 +360,65 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
             .drop("survivor_id"))
 
 
+def incremental_dedup_flags(corpus: DataFrame, delta: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            n_hashes: int = 8, bands: int = 4,
+                            threshold: float = 0.5) -> DataFrame:
+    """Delta-vs-corpus dedup — the continuous-ingest shape: flag each
+    NEW document (``delta``) that duplicates the EXISTING corpus,
+    without ever pairing corpus docs against each other.
+
+    Two probes per delta doc:
+    - exact: content md5 semi-joined against the corpus fingerprint
+      set;
+    - near: LSH band keys joined against the corpus band index, then
+      exact-Jaccard verification of the surviving (delta, corpus)
+      candidates only.
+
+    100 TB shape: the corpus fingerprint set and band index are
+    derived tables a production pipeline computes ONCE and maintains
+    incrementally (append each accepted batch's keys); this operator
+    recomputes them from ``corpus`` for self-containment, but the
+    joins are structured so only keys shuffle — the corpus text
+    column never moves, and corpus shingle sets are fetched only for
+    ids that appear in a surviving candidate pair. Per-batch cost is
+    O(|delta| signatures + matched keys), independent of corpus size
+    once the index exists.
+
+    Returns one row per delta doc: (id, is_exact_dup, is_near_dup).
+    """
+    rows = n_hashes // bands
+    cfp = corpus.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+    dfp = delta.select(F.col(id_col).alias("id"),
+                       F.md5(F.col(text_col)).alias("fp"))
+    exact = (dfp.join(cfp, "fp", "leftsemi").select("id")
+             .withColumn("is_exact_dup", F.lit(True)))
+    csh = shingle_sets(corpus, id_col, text_col, n).persist()
+    dsh = shingle_sets(delta, id_col, text_col, n).persist()
+    cband = (lsh_band_keys(minhash_signatures(csh, n_hashes), bands, rows)
+             .select(F.col("id").alias("cid"), "bkey"))
+    dband = lsh_band_keys(minhash_signatures(dsh, n_hashes), bands, rows)
+    cand = dband.join(cband, "bkey").select("id", "cid").distinct()
+    inter = F.size(F.array_intersect("sa", "sb"))
+    near = (cand
+            .join(dsh.select("id", F.col("s").alias("sa")), "id")
+            .join(csh.select(F.col("id").alias("cid"),
+                             F.col("s").alias("sb")), "cid")
+            .withColumn("j", inter / (F.size("sa") + F.size("sb") - inter))
+            .where(F.col("j") >= threshold)
+            .select("id").distinct()
+            .withColumn("is_near_dup", F.lit(True)))
+    return (delta.select(F.col(id_col).alias("id"))
+            .join(exact, "id", "left")
+            .join(near, "id", "left")
+            .select("id",
+                    F.coalesce("is_exact_dup", F.lit(False))
+                    .alias("is_exact_dup"),
+                    F.coalesce("is_near_dup", F.lit(False))
+                    .alias("is_near_dup")))
+
+
 def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
                             n: int = 3, min_shared: int = 3,
                             id_col: str = "doc_id",

@@ -70,6 +70,55 @@ def hash_split(df: DataFrame, splits: list[tuple[str, float]],
     return df.withColumn("split", expr)
 
 
+def mixture_rates(df: DataFrame, weights: dict[str, float],
+                  domain_col: str = "source") -> DataFrame:
+    """Per-domain sampling rates that rebalance the corpus to the
+    target mixture `weights` (domain → target proportion) WITHOUT
+    upsampling: the output size is the largest T with
+    count_d ≥ w_d·T for every weighted domain, so the binding domain
+    keeps rate 1.0 and everything else downsamples to match.
+
+    Fully in-plan: one map-combined count aggregate (|domains| rows),
+    a 1-row min reduce for T, and a broadcastable rate table —
+    nothing corpus-sized moves."""
+    total = sum(weights.values())
+    w_expr = F.lit(None).cast("double")
+    for name, w in weights.items():
+        w_expr = F.when(F.col(domain_col) == name,
+                        F.lit(w / total)).otherwise(w_expr)
+    cnt = (df.groupBy(domain_col)
+           .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+           .withColumn("_w", w_expr)
+           .where(F.col("_w") > 0))
+    tmin = cnt.select(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    return (cnt.crossJoin(F.broadcast(tmin))
+            .select(domain_col,
+                    F.least(F.lit(1.0),
+                            F.col("_w") * F.col("_t") / F.col("_n"))
+                    .alias("sample_rate")))
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   domain_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "m1") -> DataFrame:
+    """Rebalance the corpus toward the target domain mixture by
+    deterministic hash-threshold sampling: keep a row iff its hashed
+    id falls under its domain's :func:`mixture_rates` rate. Domains
+    absent from `weights` are dropped.
+
+    The 100 TB shape: the rate table (|domains| rows) broadcasts, so
+    the corpus itself NEVER shuffles — the pass is scan-local, unlike
+    an exact-count rebalance (row_number by domain), which would
+    shuffle 100 TB onto |domains| partitions (catastrophic skew).
+    Counts land within binomial noise of the exact w_d·T target,
+    which is what production mixture rebalancers accept in exchange
+    for a shuffle-free plan; assignment is stable under re-runs and
+    incremental ingest (same md5 recipe as :func:`hash_split`)."""
+    rates = mixture_rates(df, weights, domain_col)
+    return (df.join(F.broadcast(rates), domain_col)
+            .where(_hash_frac(id_col, salt) < F.col("sample_rate")))
+
+
 def per_group_quota(df: DataFrame, group_cols: list[str], n: int,
                     id_col: str = "doc_id",
                     salt: str = "q1") -> DataFrame:

@@ -46,6 +46,9 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
+    # new in r5 continuation — zero driver evidence
+    "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
+    "incremental_dedup", "domain_mixture_sample",
     # never driver-scored through r4
     "session_window_agg", "multimodal_features",
     # new in r5
@@ -890,6 +893,130 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.spark_expr("min_shingle_md5", "text", "_toks").alias("min_shingle_md5"))
 
 
+# Corpus-wide frequent n-grams: top word bigrams by DOCUMENT frequency
+# (each doc votes once per distinct bigram) — the boilerplate /
+# contamination census a pipeline runs before writing filter rules.
+# Scale shape: per-doc distinct happens map-side inside the explode,
+# the count aggregate map-combines, and top-k is TakeOrdered — no
+# corpus-sized shuffle, the classic word-count plan.
+_FREQ_NGRAMS_ORACLE = r"""
+WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+             FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS gram
+      FROM tok WHERE len(t) >= 2)
+SELECT gram, COUNT(*) AS df
+FROM g GROUP BY gram
+ORDER BY df DESC, gram LIMIT 20
+"""
+
+
+@query("frequent_ngrams", oracle=_FREQ_NGRAMS_ORACLE)
+def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _text.with_tokens(
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
+    grams = (docs.where(F.size("_toks") >= 2)
+             .select("doc_id", F.explode(F.expr(
+                 "array_distinct(transform(sequence(1, size(_toks) - 1),"
+                 " i -> concat_ws(' ', element_at(_toks, i),"
+                 " element_at(_toks, i + 1))))")).alias("gram")))
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.col("df").desc(), F.col("gram").asc())
+            .limit(20))
+
+
+# PII scrub: detect and redact emails / phone numbers / IPv4 addresses
+# (functions/pii.py). The corpus carries no PII, so the query PLANTS a
+# deterministic set — the identical injection fragment runs on both
+# engines — then reports per-source detection counts and a checksum of
+# the scrubbed text proving the redactions landed where they should.
+_PII_INJECT = (
+    "concat(text,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' reach me at user',"
+    " CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN ' or call 555-123-4567 now'"
+    " ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN ' from host 192.168.1.42'"
+    " ELSE '' END)")
+
+from pointdatabase_spark.functions import pii as _pii  # noqa: E402
+
+_PII_ORACLE = f"""
+WITH inj AS (SELECT doc_id, source, {_PII_INJECT} AS text2
+             FROM documents),
+f AS (SELECT source,
+             {', '.join(_pii.pii_counts_sql('text2'))},
+             {_text.duckdb_expr('fp48', _pii.scrub_sql('text2'))} AS fp
+      FROM inj)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS n_email,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+       CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+       CAST(SUM(fp) AS BIGINT) AS scrub_fp_sum
+FROM f GROUP BY source
+"""
+
+
+@query("pii_scrub", oracle=_PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
+    inj = docs.select("doc_id", "source",
+                      F.expr(_PII_INJECT).alias("text2"))
+    per = (inj.withColumn("text3", _pii.scrub("text2"))
+           .select("source", *_pii.pii_counts("text2"),
+                   _text.spark_expr("fp48", "text3").alias("fp")))
+    return (per.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_email").cast("bigint").alias("n_email"),
+                 F.sum("n_phone").cast("bigint").alias("n_phone"),
+                 F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+                 F.sum("fp").cast("bigint").alias("scrub_fp_sum")))
+
+
+# Gopher-style repetition quality rules (Rae et al. 2021 §A1.1): a
+# document is dropped when too much of it is repeated content —
+# duplicate tokens, one dominating bigram, or a long single-token
+# stutter. Per-source pass rates are what a pipeline operator reports.
+_REP_KEEP_TMPL = ("CASE WHEN {dup} <= {DUP_MAX} AND {cov} <= {COV_MAX}"
+                  " AND {run} <= {RUN_MAX} THEN 1 ELSE 0 END")
+_REP_THRESH = dict(DUP_MAX=0.62, COV_MAX=0.12, RUN_MAX=3)
+
+_REP_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM({_REP_KEEP_TMPL.format(
+           dup=_text.duckdb_expr('dup_token_ratio', 'text'),
+           cov=_text.duckdb_expr('top_bigram_cover', 'text'),
+           run=_text.duckdb_expr('max_token_run', 'text'),
+           **_REP_THRESH)}) AS BIGINT) AS n_kept,
+       ROUND(AVG({_text.duckdb_expr('dup_token_ratio', 'text')}), 6) AS avg_dup_ratio,
+       ROUND(AVG({_text.duckdb_expr('top_bigram_cover', 'text')}), 6) AS avg_bigram_cover,
+       MAX({_text.duckdb_expr('max_token_run', 'text')}) AS max_run
+FROM documents
+GROUP BY source
+"""
+
+
+@query("gopher_repetition_filter", oracle=_REP_ORACLE)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _text.with_tokens(
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
+    dup = _text.spark_expr("dup_token_ratio", "text", "_toks")
+    cov = _text.spark_expr("top_bigram_cover", "text", "_toks")
+    run = _text.spark_expr("max_token_run", "text", "_toks")
+    feats = docs.select("source", dup.alias("dup"), cov.alias("cov"),
+                        run.alias("run"))
+    keep = F.expr(_REP_KEEP_TMPL.format(dup="dup", cov="cov", run="run",
+                                        **_REP_THRESH))
+    return (feats.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(keep).cast("bigint").alias("n_kept"),
+                 F.round(F.avg("dup"), 6).alias("avg_dup_ratio"),
+                 F.round(F.avg("cov"), 6).alias("avg_bigram_cover"),
+                 F.max("run").alias("max_run")))
+
+
 # --------------------------------------------------------------------------
 # Dedup suite (training-data pipeline): exact, MinHash+LSH, SimHash,
 # n-gram Jaccard — on the dedup corpus with planted exact/near dups.
@@ -988,6 +1115,88 @@ _MINHASH_CAPPED_ORACLE = _minhash_oracle_sql(
 def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_neardup(testkit.syn_skew_corpus(spark, sf_dir),
                                   max_bucket=8)
+
+
+# --------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) dedup — the continuous-ingest pattern:
+# a new batch is screened against the existing corpus without any
+# corpus-vs-corpus pairing. The synthetic delta plants all three
+# outcomes: exact copies (%10=0, re-id'd), near copies (%10=1, four
+# trailing tokens appended), and genuinely new content (%10=2,
+# character-reversed so every shingle changes).
+# --------------------------------------------------------------------------
+
+# Shared Spark-SQL/DuckDB fragment (concat/reverse/CASE-free).
+_DELTA_SQL = """
+SELECT 900000 + doc_id AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+UNION ALL
+SELECT 910000 + doc_id AS doc_id,
+       concat(text, ' zq extra trailing tokens zq') AS text
+FROM documents WHERE doc_id % 10 = 1
+UNION ALL
+SELECT 920000 + doc_id AS doc_id, reverse(text) AS text
+FROM documents WHERE doc_id % 10 = 2
+"""
+
+
+def _mh_cte_block(src: str, p: str) -> str:
+    """MinHash CTE chain (tok→shingles→sig→band) over corpus CTE
+    ``src``, every CTE name prefixed with ``p`` — same recipe as
+    `_minhash_oracle_sql`, parameterized for two-corpus oracles."""
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, '{j}' || '|' || CAST(mh{j * 2} AS VARCHAR) || '|' ||"
+        f" CAST(mh{j * 2 + 1} AS VARCHAR) AS bkey FROM {p}sig"
+        for j in range(4))
+    return (
+        f"{p}tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+')"
+        f" AS t FROM {src}),\n"
+        f"{p}sh AS (SELECT id, list_distinct(list_transform("
+        f"range(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1] || ' ' ||"
+        f" t[i + 2])) AS s FROM {p}tok),\n"
+        f"{p}sh2 AS (SELECT id, s FROM {p}sh WHERE len(s) > 0),\n"
+        f"{p}ex AS (SELECT id, {_DUCK_H32} % {_P31} AS h"
+        f" FROM (SELECT id, unnest(s) AS x FROM {p}sh2)),\n"
+        f"{p}sig AS (SELECT id,\n         {_MH_MINS}\n        FROM {p}ex"
+        f" GROUP BY id),\n"
+        f"{p}band AS (\n  {bands})")
+
+
+_INCR_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+delta AS ({_DELTA_SQL}),
+cfp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+{_mh_cte_block('corpus', 'c')},
+{_mh_cte_block('delta', 'd')},
+cand AS (
+  SELECT DISTINCT d.id AS did, c.id AS cid
+  FROM dband d JOIN cband c ON d.bkey = c.bkey),
+near AS (
+  SELECT DISTINCT cand.did
+  FROM cand JOIN dsh2 a ON a.id = cand.did
+            JOIN csh2 b ON b.id = cand.cid
+  WHERE len(list_intersect(a.s, b.s))
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+SELECT d.doc_id AS id,
+       CAST(CASE WHEN md5(d.text) IN (SELECT fp FROM cfp)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       CAST(CASE WHEN d.doc_id IN (SELECT did FROM near)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup
+FROM delta d
+"""
+
+
+@query("incremental_dedup", oracle=_INCR_ORACLE)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    delta = spark.sql(_DELTA_SQL)
+    flags = _dedup.incremental_dedup_flags(docs.select("doc_id", "text"),
+                                           delta)
+    return flags.select("id",
+                        F.col("is_exact_dup").cast("long")
+                        .alias("is_exact_dup"),
+                        F.col("is_near_dup").cast("long")
+                        .alias("is_near_dup"))
 
 
 # Pair → cluster → survivor resolution: 3 hops of min-label propagation
@@ -2035,6 +2244,40 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("lang", "pack_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("pack_tokens")))
+
+
+# Domain-mixture rebalance: deterministic hash-threshold sampling to a
+# non-uniform target mixture (weight 1..4 by source index mod 4). The
+# rate table is in-plan and broadcast; the corpus never shuffles — see
+# operators/sampling.mixture_sample. Counts are binomial around w_d·T;
+# the oracle replays the identical double arithmetic and hash.
+_MIX_WEIGHTS = {f"src{i}": float(1 + (i % 4)) for i in range(20)}
+_MIX_TOTAL = sum(_MIX_WEIGHTS.values())
+_MIX_CASE = ("CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {w / _MIX_TOTAL!r}"
+    for s, w in _MIX_WEIGHTS.items()) + " ELSE NULL END")
+
+_MIX_ORACLE = f"""
+WITH cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+             FROM documents GROUP BY source),
+w AS (SELECT source, n, {_MIX_CASE} AS w FROM cnt),
+t AS (SELECT MIN(n / w) AS t FROM w WHERE w > 0),
+r AS (SELECT source, LEAST(1.0, w * t / n) AS rate
+      FROM w, t WHERE w > 0)
+SELECT d.source, COUNT(*) AS n_kept, ROUND(MAX(r.rate), 6) AS sample_rate
+FROM documents d JOIN r ON d.source = r.source
+WHERE {_duck_h32_id('doc_id', 'm1')} / {float(1 << 32)!r} < r.rate
+GROUP BY d.source
+"""
+
+
+@query("domain_mixture_sample", oracle=_MIX_ORACLE)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    kept = _samp.mixture_sample(docs, _MIX_WEIGHTS)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.max("sample_rate"), 6).alias("sample_rate")))
 
 
 # Decontamination: corpus docs sharing ≥ 5 distinct 3-gram hashes with

@@ -472,3 +472,109 @@ def test_funnel_counts_hand_case(spark):
     # — NOT u2 (its only click precedes its view); purchases within
     # 1000 of first view: u1 (300<=1100) — NOT u3 (5000 > 0+1000)
     assert out == {(0, "view"): 3, (1, "click"): 2, (2, "purchase"): 1}
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Rate math: the binding domain (highest weight per available
+    rows) keeps rate 1.0, the rest downsample to match its w_d·T; the
+    corpus side never shuffles (broadcast rate table); re-runs are
+    byte-identical."""
+    from pointdatabase_spark.operators import sampling
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {f"src{i}": float(1 + (i % 4)) for i in range(20)}
+    rates = {r.source: r.sample_rate for r in
+             sampling.mixture_rates(docs, weights).collect()}
+    assert len(rates) == 20 and all(0 < v <= 1.0 for v in rates.values())
+    # some domain binds at rate 1.0, and a weight-1 domain samples at
+    # roughly a quarter of a weight-4 domain (counts are near-uniform)
+    assert math.isclose(max(rates.values()), 1.0, rel_tol=1e-12)
+    assert rates["src0"] < rates["src3"]  # w=1 vs w=4
+    kept = sampling.mixture_sample(docs, weights)
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(r.doc_id for r in
+               sampling.mixture_sample(docs, weights).select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+    # dropped domains: weights restricted to one source keep only it
+    only = sampling.mixture_sample(docs, {"src5": 1.0})
+    assert {r.source for r in only.select("source").collect()} == {"src5"}
+    # scan-local: the kept-side plan has no shuffle of the corpus —
+    # the only exchanges feed the broadcast rate table
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_flags_planted(spark):
+    """Exact copies flag exact+near, appended-tail copies flag near
+    only, reversed-text docs flag neither."""
+    from pointdatabase_spark.operators import dedup
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    exact = (docs.where(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 900000).alias("doc_id"), "text"))
+    near = (docs.where(F.col("doc_id") % 10 == 1)
+            .select((F.col("doc_id") + 910000).alias("doc_id"),
+                    F.concat(F.col("text"),
+                             F.lit(" zq extra trailing tokens zq"))
+                    .alias("text")))
+    fresh = (docs.where(F.col("doc_id") % 10 == 2)
+             .select((F.col("doc_id") + 920000).alias("doc_id"),
+                     F.reverse(F.col("text")).alias("text")))
+    delta = exact.unionByName(near).unionByName(fresh)
+    out = {r.id: (r.is_exact_dup, r.is_near_dup) for r in
+           dedup.incremental_dedup_flags(docs, delta).collect()}
+    assert len(out) == delta.count()
+    ex_ids = [r.doc_id for r in exact.select("doc_id").collect()]
+    nr_ids = [r.doc_id for r in near.select("doc_id").collect()]
+    fr_ids = [r.doc_id for r in fresh.select("doc_id").collect()]
+    assert ex_ids and all(out[i] == (True, True) for i in ex_ids)
+    # appended-tail docs: never exact; near for all (tiny dilution)
+    assert nr_ids and all(not out[i][0] for i in nr_ids)
+    assert sum(out[i][1] for i in nr_ids) >= 0.8 * len(nr_ids)
+    # reversed docs: no flags (unless the corpus contains palindromic
+    # boilerplate, which the synthetic corpus does not)
+    assert fr_ids and all(out[i] == (False, False) for i in fr_ids)
+
+
+def test_pii_scrub_and_counts(spark):
+    from pointdatabase_spark.functions import pii
+    rows = [
+        (1, "write to alice.smith+x@sub.example.co.uk today"),
+        (2, "call 555-123-4567 or 555.987.6543"),
+        (3, "server at 10.0.255.7 and 192.168.1.42"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = (df.select("id", *pii.pii_counts("text"),
+                     pii.scrub("text").alias("s"))
+           .orderBy("id").collect())
+    assert [(r.n_email, r.n_phone, r.n_ipv4) for r in got] == [
+        (1, 0, 0), (0, 2, 0), (0, 0, 2), (0, 0, 0)]
+    assert got[0].s == "write to <EMAIL> today"
+    assert got[1].s == "call <PHONE> or <PHONE>"
+    assert got[2].s == "server at <IP> and <IP>"
+    assert got[3].s == "clean text with no pii at all"
+
+
+def test_repetition_features_hand_cases(spark):
+    from pointdatabase_spark.functions import text as T
+    rows = [
+        (1, "a a a a b"),          # run of 4 'a'; dup ratio 3/5
+        (2, "x y x y x y"),        # top bigram 'x y' covers 3 of 5 grams
+        (3, "all words differ here now"),
+    ]
+    df = T.with_tokens(spark.createDataFrame(rows, "id long, text string"),
+                       "text")
+    feats = ["dup_token_ratio", "top_bigram_cover", "max_token_run"]
+    got = {r.id: r for r in df.select(
+        "id", *[T.spark_expr(f, "text", "_toks").alias(f) for f in feats]
+    ).collect()}
+    assert math.isclose(got[1].dup_token_ratio, 3 / 5)
+    assert got[1].max_token_run == 4
+    # 'a a' appears 3 times among 4 bigrams -> covers 3*2/5 tokens... the
+    # definition is count*2/n_tokens capped implicitly by construction
+    assert math.isclose(got[1].top_bigram_cover, 3 * 2 / 5)
+    assert math.isclose(got[2].top_bigram_cover, 3 * 2 / 6)
+    assert got[2].max_token_run == 1
+    assert math.isclose(got[3].dup_token_ratio, 0.0)
+    assert got[3].max_token_run == 1
