@@ -374,3 +374,58 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
             .where(F.col("cos") >= threshold)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"), "cos"))
+
+
+def label_centroid_stats(emb: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Per-label embedding-space diagnostics: centroid norm, mean
+    cosine of members to their own centroid, and nearest-centroid
+    purity (how many members sit closest to their OWN label's
+    centroid) — the standard health check before trusting an
+    embedding column for clustering / dedup / ANN.
+
+    Scale shape: centroids come from one posexplode → (label, dim)
+    partial-aggregated AVG (D·N skinny rows, map-combined), then
+    collapse back to arrays (|labels| rows) and BROADCAST into two
+    joins — the member-vs-own-centroid pass is scan-local, and the
+    purity pass fans each vector out only |labels| ways before a
+    skinny (id, label, cos) argmax. The corpus column itself never
+    shuffles; everything wide stays in whole-stage codegen arrays.
+    """
+    ex = emb.select(F.col(label_col).alias("clabel"),
+                    F.posexplode(vec_col).alias("pos", "v"))
+    cen = (ex.groupBy("clabel", "pos").agg(F.avg("v").alias("m")))
+    cvec = (cen.groupBy("clabel")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(pos, m))), s -> s.m)").alias("cvec")))
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(label_col).alias("label"), vec_col)
+    pairs = base.join(F.broadcast(cvec))
+    dot = F.expr(f"aggregate(zip_with({vec_col}, cvec,"
+                 " (a, b) -> CAST(a AS DOUBLE) * b),"
+                 " 0.0D, (acc, x) -> acc + x)")
+    ne = F.sqrt(F.expr(
+        f"aggregate({vec_col}, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    nc = F.sqrt(F.expr(
+        "aggregate(cvec, 0.0D, (acc, x) -> acc + x * x)"))
+    cos = (pairs.select("id", "label", "clabel",
+                        (dot / (ne * nc)).alias("cos"),
+                        nc.alias("cnorm")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(),
+                                         F.col("clabel").asc())
+    best = (cos.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("id", "label",
+                    (F.col("clabel") == F.col("label"))
+                    .cast("long").alias("own_best")))
+    own = cos.where(F.col("clabel") == F.col("label"))
+    per_own = (own.groupBy("label")
+               .agg(F.count(F.lit(1)).alias("n_vecs"),
+                    F.round(F.max("cnorm"), 6).alias("centroid_norm"),
+                    F.round(F.avg("cos"), 6).alias("mean_cos_own")))
+    purity = (best.groupBy("label")
+              .agg(F.sum("own_best").cast("bigint").alias("n_nearest_own")))
+    return per_own.join(purity, "label")

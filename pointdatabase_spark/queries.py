@@ -48,7 +48,7 @@ def query(name: str, oracle: str | None = None):
 _SCORE_FIRST = [
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
-    "incremental_dedup", "domain_mixture_sample",
+    "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
     # never driver-scored through r4
     "session_window_agg", "multimodal_features",
     # new in r5
@@ -1673,6 +1673,53 @@ def embedding_cosine_neardup_blocked(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
     emb = testkit.load_table(spark, sf_dir, "embeddings")
     return _sim.cosine_neardup_pairs(emb, threshold=0.4, planes=_PLANES)
+
+
+# Embedding-space health check: per-label centroid norm, mean member
+# cosine to the OWN centroid, and nearest-centroid purity — the
+# diagnostics run before trusting an embedding column for clustering /
+# near-dup / ANN. Oracle rebuilds the same centroids via DuckDB's
+# zipped-unnest and replays the identical double arithmetic; float
+# drift from engine summation order is absorbed by ROUND(.., 6).
+_EMB_STATS_ORACLE = """
+WITH ex AS (SELECT label AS clabel, UNNEST(embedding) AS v,
+                   UNNEST(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings),
+cen AS (SELECT clabel, pos, AVG(v) AS m FROM ex GROUP BY clabel, pos),
+cvec AS (SELECT clabel, list(m ORDER BY pos) AS cvec
+         FROM cen GROUP BY clabel),
+pairs AS (SELECT e.vec_id AS id, e.label, c.clabel,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) AS dot,
+                 sqrt(list_sum(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne,
+                 sqrt(list_sum(list_transform(c.cvec,
+                   x -> x * x))) AS nc
+          FROM embeddings e, cvec c),
+cs AS (SELECT id, label, clabel, dot / (ne * nc) AS cos, nc AS cnorm
+       FROM pairs),
+best AS (SELECT id, label, clabel,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY cos DESC, clabel) AS rk
+         FROM cs),
+per_own AS (SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(MAX(cnorm), 6) AS centroid_norm,
+                   ROUND(AVG(cos), 6) AS mean_cos_own
+            FROM cs WHERE clabel = label GROUP BY label),
+purity AS (SELECT label,
+                  CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_nearest_own
+           FROM best WHERE rk = 1 GROUP BY label)
+SELECT p.label, p.n_vecs, p.centroid_norm, p.mean_cos_own,
+       u.n_nearest_own
+FROM per_own p JOIN purity u USING(label)
+"""
+
+
+@query("embedding_label_stats", oracle=_EMB_STATS_ORACLE)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.label_centroid_stats(emb)
 
 
 # --------------------------------------------------------------------------

@@ -578,3 +578,26 @@ def test_repetition_features_hand_cases(spark):
     assert got[2].max_token_run == 1
     assert math.isclose(got[3].dup_token_ratio, 0.0)
     assert got[3].max_token_run == 1
+
+
+def test_label_centroid_stats_planted_clusters(spark):
+    """Two tight planted clusters: purity is perfect, own-centroid
+    cosine is ~1, and centroid norms match the hand construction."""
+    import numpy as np
+    rows = []
+    rng = np.random.default_rng(7)
+    for lbl, base in ((0, np.array([10.0, 0.0, 0.0])),
+                      (1, np.array([0.0, -8.0, 6.0]))):
+        for i in range(40):
+            v = base + rng.normal(0, 0.01, 3)
+            rows.append((lbl * 1000 + i, [float(x) for x in v], lbl))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in
+           similarity.label_centroid_stats(emb).collect()}
+    assert set(out) == {0, 1}
+    for lbl, norm in ((0, 10.0), (1, 10.0)):
+        assert out[lbl].n_vecs == 40
+        assert out[lbl].n_nearest_own == 40
+        assert abs(out[lbl].centroid_norm - norm) < 0.05
+        assert out[lbl].mean_cos_own > 0.999
