@@ -193,3 +193,40 @@ def test_sampling_plan_shapes(spark):
         docs.withColumn("n_tokens", F.size(F.split("text", r"\s+"))),
         500, group_cols=["lang"])
     assert _plan(packed, "simple").count("Exchange") == 1
+
+
+def test_pii_scrub_is_scan_local(spark):
+    """PII detect+redact is pure regexp expressions — zero exchanges,
+    so a 100 TB scrub runs at scan speed."""
+    from pointdatabase_spark.functions import pii
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = docs.select("doc_id", *pii.pii_counts("text"),
+                      pii.scrub("text").alias("s"))
+    plan = _plan(out, "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no Python UDFs in the path
+
+
+def test_mixture_sample_corpus_never_shuffles(spark):
+    """The rate table broadcasts; the only hash exchanges feed the
+    |domains|-row rate computation, never the corpus rows."""
+    from pointdatabase_spark.operators import sampling
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = sampling.mixture_sample(
+        docs, {f"src{i}": float(1 + (i % 4)) for i in range(20)})
+    plan = _plan(kept, "simple")
+    assert "BroadcastHashJoin" in plan
+    # corpus side reaches the broadcast join without an exchange: the
+    # only hashpartitioning exchanges belong to the tiny rate aggregate
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_frequent_ngrams_single_shuffle_topk(spark):
+    """Word-count shape: one exchange for the gram count, top-k as
+    TakeOrdered — no global sort materialization."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["frequent_ngrams"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
