@@ -149,7 +149,8 @@ def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", n: int = 3,
                     n_hashes: int = 8, bands: int = 4,
                     threshold: float = 0.5,
-                    max_bucket: int | None = None) -> DataFrame:
+                    max_bucket: int | None = None,
+                    shingles: DataFrame | None = None) -> DataFrame:
     """MinHash → LSH banding → exact-Jaccard verification.
 
     ``max_bucket`` caps the LSH bucket size: a band key shared by k
@@ -158,8 +159,14 @@ def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
     bucketed join quadratic. Keys above the cap are excluded before
     the self-join; their members are exact/near-identical content
     that the linear ``exact_dedup`` pass collapses instead. Default
-    None preserves the uncapped (exhaustive) pairing."""
-    sh = shingle_sets(df, id_col, text_col, n).persist()
+    None preserves the uncapped (exhaustive) pairing.
+
+    ``shingles`` lets a pipeline pass an already-persisted
+    :func:`shingle_sets` frame so the tokenize+shingle scan runs once
+    per corpus, not once per stage (see `corpus_prep_pipeline`, which
+    shares it with decontamination)."""
+    sh = (shingles if shingles is not None
+          else shingle_sets(df, id_col, text_col, n).persist())
     band = lsh_band_keys(minhash_signatures(sh, n_hashes),
                          bands, n_hashes // bands)
     if max_bucket is not None:
@@ -425,7 +432,9 @@ def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
                             text_col: str = "text",
                             bench_id_col: str = "doc_id",
                             bench_text_col: str = "text",
-                            broadcast_bench: bool = True) -> DataFrame:
+                            broadcast_bench: bool = True,
+                            corpus_shingles: DataFrame | None = None
+                            ) -> DataFrame:
     """Training-corpus decontamination: flag documents sharing at
     least ``min_shared`` distinct n-gram hashes with any benchmark
     document — the standard eval-set leakage check a training pipeline
@@ -445,11 +454,24 @@ def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
     hash occurs in the benchmark — a vanishing fraction of a clean
     corpus (measured 4× faster than the distinct-first shape at
     sf0.1). Returns one row per contaminated (doc, bench doc) pair
-    with the shared-hash count."""
-    csh = (_tokens(corpus, id_col, text_col)
-           .select("id", F.explode(F.expr(shingle_expr("t", n)))
-                   .alias("x"))
-           .select("id", F.expr(_H32.format(s="x")).alias("h")))
+    with the shared-hash count.
+
+    ``corpus_shingles``: an already-computed :func:`shingle_sets`
+    frame (id, s) for the SAME n — when a dedup stage upstream has
+    one persisted, passing it here skips re-tokenizing the corpus
+    entirely (``corpus`` is ignored for the posting build). Flags for
+    docs outside the caller's subset of interest are harmless under
+    the anti-join consumption pattern; pre-filter the frame if exact
+    scoping matters."""
+    if corpus_shingles is not None:
+        csh = (corpus_shingles
+               .select("id", F.explode("s").alias("x"))
+               .select("id", F.expr(_H32.format(s="x")).alias("h")))
+    else:
+        csh = (_tokens(corpus, id_col, text_col)
+               .select("id", F.explode(F.expr(shingle_expr("t", n)))
+                       .alias("x"))
+               .select("id", F.expr(_H32.format(s="x")).alias("h")))
     bsh = (_tokens(bench, bench_id_col, bench_text_col)
            .select(F.col("id").alias("bid"),
                    F.explode(F.expr(shingle_expr("t", n))).alias("x"))

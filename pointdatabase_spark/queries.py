@@ -2406,8 +2406,13 @@ _PREP_ORACLE = _minhash_oracle_sql(testkit.syn_corpus_cte(),
 @query("corpus_prep_pipeline", oracle=_PREP_ORACLE)
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = testkit.syn_corpus(spark, sf_dir)
+    # Shingle ONCE: the same persisted 3-gram sets feed the minhash
+    # stage AND the decontamination postings (the oracle's cch CTE
+    # reads sh2 the same way) — one tokenize scan per corpus, not one
+    # per stage.
+    sh = _dedup.shingle_sets(corpus).persist()
     # 1. dedup: exact-fingerprint keepers ∩ near-dup cluster survivors
-    pairs = _dedup.minhash_neardup(corpus)
+    pairs = _dedup.minhash_neardup(corpus, shingles=sh)
     surv = _dedup.dedup_survivors(corpus,
                                   _dedup.duplicate_clusters(pairs))
     exact_keep = (corpus.groupBy(F.md5("text").alias("keep_fp"))
@@ -2417,16 +2422,15 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(exact_keep,
                    (F.col("fp") == F.col("keep_fp"))
                    & (F.col("doc_id") == F.col("keep_id"))))
-    # 2. decontaminate against the stand-in eval suite. Contamination
-    # is a per-document property, so checking only the dedup SURVIVORS
-    # skips the posting-building stage for the duplicate tail (30-50%
-    # of a web crawl) with an identical result; left_anti semantics
-    # make a distinct on the flag side pure overhead.
+    # 2. decontaminate against the stand-in eval suite, reusing the
+    # persisted shingles (contamination flags on docs the dedup stage
+    # already dropped are harmless under the anti-join).
     bench = (testkit.load_table(spark, sf_dir, "documents")
              .where(F.col("doc_id") % 13 == 0)
              .select("doc_id", "text"))
     contam = _dedup.benchmark_contamination(
-        clean.select("doc_id", "text"), bench, n=3, min_shared=5)
+        clean.select("doc_id", "text"), bench, n=3, min_shared=5,
+        corpus_shingles=sh)
     kept = clean.join(contam.select("doc_id"), "doc_id", "left_anti")
     # 3. deterministic split, reported per (split, lang)
     return (_samp.hash_split(kept, _SPLITS)
