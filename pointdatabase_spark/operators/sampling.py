@@ -70,6 +70,42 @@ def hash_split(df: DataFrame, splits: list[tuple[str, float]],
     return df.withColumn("split", expr)
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    — the chunker every pretraining / retrieval pipeline runs before
+    embedding or packing. Chunk k covers tokens
+    [1 + k·step, k·step + chunk_tokens] (step = chunk_tokens −
+    overlap); the final chunk is allowed to run short, and a document
+    shorter than one chunk yields exactly one chunk.
+
+    Pure built-in expressions: split → per-row chunk-count arithmetic
+    → explode → `slice`. The explode is NARROW (each output row
+    derives from its input row in place), so a 100 TB corpus chunks
+    at scan speed with zero shuffles — the row blowup happens inside
+    the task, never across the wire.
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text)."""
+    c, s = int(chunk_tokens), int(chunk_tokens) - int(overlap)
+    if s <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), r"\s+").alias("_t"))
+    nc = F.expr(f"CASE WHEN size(_t) <= {c} THEN 1 ELSE "
+                f"CAST(ceil((size(_t) - {c}) / CAST({s} AS DOUBLE)) "
+                f"AS INT) + 1 END")
+    ex = (base.withColumn("_nc", nc)
+          .select("id", "_t",
+                  F.explode(F.expr("sequence(0, _nc - 1)"))
+                  .alias("chunk_idx")))
+    chunk = F.expr(f"slice(_t, 1 + chunk_idx * {s}, {c})")
+    return ex.select(
+        "id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"))
+
+
 def mixture_rates(df: DataFrame, weights: dict[str, float],
                   domain_col: str = "source") -> DataFrame:
     """Per-domain sampling rates that rebalance the corpus to the

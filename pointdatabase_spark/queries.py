@@ -49,6 +49,7 @@ _SCORE_FIRST = [
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
+    "document_chunking", "streaming_quality_gate",
     # never driver-scored through r4
     "session_window_agg", "multimodal_features",
     # new in r5
@@ -2102,6 +2103,37 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sum_value", 6).alias("sum_value"))
 
 
+# Streaming quality gate (streaming/quality.py): the SAME repetition /
+# PII expressions as the batch operators, run inside a stateless
+# Structured Streaming pass (availableNow) into a parquet sink — the
+# no-drift batch/stream contract. The oracle is the batch arithmetic,
+# because a stateless gate is deterministic regardless of mode.
+_SQG_ORACLE = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM({_REP_KEEP_TMPL.format(
+           dup=_text.duckdb_expr('dup_token_ratio', 'text'),
+           cov=_text.duckdb_expr('top_bigram_cover', 'text'),
+           run=_text.duckdb_expr('max_token_run', 'text'),
+           **_REP_THRESH)}) AS BIGINT) AS n_kept,
+       CAST(SUM({_text.duckdb_expr('fp48', _pii.scrub_sql('text'))})
+            AS BIGINT) AS scrub_fp_sum
+FROM documents
+GROUP BY source
+"""
+
+
+@query("streaming_quality_gate", oracle=_SQG_ORACLE)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.streaming import quality as _qual
+    out = _qual.run_quality_gate_availablenow(spark, sf_dir)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).cast("bigint")
+                 .alias("n_kept"),
+                 F.sum(_text.spark_expr("fp48", "scrubbed"))
+                 .cast("bigint").alias("scrub_fp_sum")))
+
+
 # --------------------------------------------------------------------------
 # Gap-based sessionization (streaming/sessions.py): the batch window
 # path carries the full oracle; the stateful applyInPandasWithState
@@ -2291,6 +2323,37 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("lang", "pack_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("pack_tokens")))
+
+
+# Fixed-size token chunking with overlap (64-token windows, 16-token
+# overlap): the narrow-explode chunker that precedes embedding/packing.
+# DuckDB's inclusive list slice t[a:b] mirrors Spark's clamping
+# slice(t, a, len) exactly.
+_CHUNK_C, _CHUNK_S = 64, 48
+
+_CHUNK_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS t
+             FROM documents),
+n AS (SELECT doc_id, t,
+             CASE WHEN len(t) <= {_CHUNK_C} THEN 1 ELSE
+               CAST(ceil((len(t) - {_CHUNK_C})
+                    / CAST({_CHUNK_S} AS DOUBLE)) AS INT) + 1 END AS nc
+      FROM tok),
+ex AS (SELECT doc_id, t, UNNEST(range(0, nc)) AS k FROM n)
+SELECT doc_id AS id, CAST(k AS BIGINT) AS chunk_idx,
+       CAST(len(t[1 + k * {_CHUNK_S} : k * {_CHUNK_S} + {_CHUNK_C}])
+            AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[1 + k * {_CHUNK_S} : k * {_CHUNK_S} + {_CHUNK_C}],
+                       ' ') AS chunk_text
+FROM ex
+"""
+
+
+@query("document_chunking", oracle=_CHUNK_ORACLE)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _samp.chunk_documents(docs, chunk_tokens=_CHUNK_C,
+                                 overlap=_CHUNK_C - _CHUNK_S)
 
 
 # Domain-mixture rebalance: deterministic hash-threshold sampling to a

@@ -1,0 +1,64 @@
+"""Streaming quality gate: the batch text-quality and PII operators
+applied inside a Structured Streaming pass — documents landing in a
+directory are scored (repetition features), gated, and PII-scrubbed
+on the way into the corpus store.
+
+The gate is STATELESS (pure per-row expressions from functions/text.py
+and functions/pii.py used verbatim — the same Columns work on batch
+and streaming frames), so there is no watermark, no state store, and
+at 100 TB/day the pass scales exactly like the batch scrub: narrow
+scan-speed maps, zero shuffles before the sink. This is the
+architectural point: quality rules are written ONCE and run in both
+modes, so backfill (batch) and live ingest (stream) cannot drift.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pointdatabase_spark.functions import pii as _pii
+from pointdatabase_spark.functions import text as _text
+
+
+def quality_gate(docs: DataFrame, text_col: str = "text",
+                 dup_max: float = 0.62, cov_max: float = 0.12,
+                 run_max: int = 3) -> DataFrame:
+    """Append repetition features, a keep flag, and the PII-scrubbed
+    text. Works identically on batch and streaming DataFrames."""
+    d = _text.with_tokens(docs, text_col)
+    dup = _text.spark_expr("dup_token_ratio", text_col, "_toks")
+    cov = _text.spark_expr("top_bigram_cover", text_col, "_toks")
+    run = _text.spark_expr("max_token_run", text_col, "_toks")
+    return (d.withColumn("dup_ratio", dup)
+            .withColumn("bigram_cover", cov)
+            .withColumn("max_run", run)
+            .withColumn("keep",
+                        (F.col("dup_ratio") <= dup_max)
+                        & (F.col("bigram_cover") <= cov_max)
+                        & (F.col("max_run") <= run_max))
+            .withColumn("scrubbed", _pii.scrub(text_col))
+            .drop("_toks"))
+
+
+def run_quality_gate_availablenow(spark: SparkSession, sf_dir: str,
+                                  **thresholds) -> DataFrame:
+    """End-to-end: stream the documents parquet through the gate into
+    a parquet sink (append, availableNow), then return the
+    materialized sink — deterministic because the gate is stateless."""
+    run_id = uuid.uuid4().hex[:8]
+    dst = f"/tmp/pdb_qgate_out_{run_id}"
+    ckpt = f"/tmp/pdb_qgate_ckpt_{run_id}"
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir))
+    gated = quality_gate(src, **thresholds)
+    (gated.writeStream.format("parquet")
+     .option("path", dst)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+    return spark.read.parquet(dst)

@@ -601,3 +601,34 @@ def test_label_centroid_stats_planted_clusters(spark):
         assert out[lbl].n_nearest_own == 40
         assert abs(out[lbl].centroid_norm - norm) < 0.05
         assert out[lbl].mean_cos_own > 0.999
+
+
+def test_chunk_documents_windows(spark):
+    from pointdatabase_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11))),  # 10 tokens
+         (2, "a b c")],                                  # shorter than one chunk
+        "doc_id long, text string")
+    out = sampling.chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {(r.id, r.chunk_idx): r for r in out.collect()}
+    # 10 tokens, window 4, step 2 -> ceil((10-4)/2)+1 = 4 chunks
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    assert rows[(1, 0)].chunk_text == "t1 t2 t3 t4"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"
+    assert rows[(1, 3)].chunk_text == "t7 t8 t9 t10"
+    assert all(rows[(1, k)].n_chunk_tokens == 4 for k in range(4))
+    # stripping the overlap from chunks k>0 reconstructs the document
+    toks = rows[(1, 0)].chunk_text.split()
+    for k in range(1, 4):
+        toks += rows[(1, k)].chunk_text.split()[2:]
+    assert toks == [f"t{i}" for i in range(1, 11)]
+    # short doc: exactly one (short) chunk
+    assert sorted(k for k in rows if k[0] == 2) == [(2, 0)]
+    assert rows[(2, 0)].chunk_text == "a b c"
+    assert rows[(2, 0)].n_chunk_tokens == 3
+    # narrow plan: no exchanges
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    assert "Exchange" not in buf.getvalue()
