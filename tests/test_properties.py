@@ -388,3 +388,53 @@ def test_polar_stereo_inverse_roundtrip():
     # pole maps to origin and back to +-90
     la, lo = crs.polar_stereo_inverse(np.array([0.0]), np.array([0.0]), 1)
     assert abs(la[0] - 90.0) < 1e-12
+
+
+# -------------------------------------------------------------------
+# Document chunking: window/overlap coverage properties on random
+# token counts and chunk geometries, vs a pure-Python reference.
+# -------------------------------------------------------------------
+
+chunk_cases = st.lists(
+    st.tuples(st.integers(1, 200),   # n_tokens
+              st.integers(2, 32),    # chunk_tokens
+              st.integers(0, 31)),   # overlap (clamped < chunk)
+    min_size=1, max_size=6)
+
+
+def _ref_chunks(n, c, s):
+    toks = [f"w{i}" for i in range(n)]
+    if n <= c:
+        return [toks]
+    out = []
+    k = 0
+    while True:
+        start = k * s
+        out.append(toks[start:start + c])
+        if start + c >= n:
+            break
+        k += 1
+    return out
+
+
+@settings(**_SETTINGS)
+@given(chunk_cases)
+def test_chunk_documents_matches_reference(spark, cases):
+    from pointdatabase_spark.operators import sampling
+    rows = []
+    geoms = {}
+    for i, (n, c, ov) in enumerate(cases):
+        ov = min(ov, c - 1)
+        geoms[i] = (n, c, ov)
+        rows.append((i, " ".join(f"w{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # one geometry per call (operator takes scalar params): group cases
+    for i, (n, c, ov) in geoms.items():
+        got = (sampling.chunk_documents(
+            df.where(f"doc_id = {i}"), chunk_tokens=c, overlap=ov)
+            .orderBy("chunk_idx").collect())
+        exp = _ref_chunks(n, c, c - ov)
+        assert len(got) == len(exp), (n, c, ov)
+        for r, etoks in zip(got, exp):
+            assert r.chunk_text.split() == etoks
+            assert r.n_chunk_tokens == len(etoks)
