@@ -49,7 +49,7 @@ _SCORE_FIRST = [
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
-    "document_chunking", "streaming_quality_gate",
+    "document_chunking", "streaming_quality_gate", "table_profile",
     # never driver-scored through r4
     "session_window_agg", "multimodal_features",
     # new in r5
@@ -892,6 +892,30 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _text.spark_expr("fp48", "text").alias("fp48"),
         _text.spark_expr("rolling_fp", "text", "_toks").alias("rolling_fp"),
         _text.spark_expr("min_shingle_md5", "text", "_toks").alias("min_shingle_md5"))
+
+
+# ANALYZE-style column profile over lineitem (operators/profile.py):
+# null/distinct/min/max per column in ONE aggregation pass, unpivoted
+# with `stack`. COUNT(DISTINCT) is the exact oracle-checkable mode;
+# approx_count_distinct is the documented 100 TB path.
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS vmin,
+       CAST(MAX({c}) AS DOUBLE) AS vmax
+FROM lineitem""" for c in _PROFILE_COLS)
+
+
+@query("table_profile", oracle=_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import profile as _prof
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    return _prof.profile_columns(li, _PROFILE_COLS)
 
 
 # Corpus-wide frequent n-grams: top word bigrams by DOCUMENT frequency
