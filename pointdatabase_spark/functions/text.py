@@ -78,23 +78,26 @@ FEATURES: dict[str, tuple[str, str]] = {
     # Fraction of tokens covered by the single most frequent word
     # bigram (Gopher's top-2-gram coverage rule). O(distinct·n) per
     # row — fine for documents, and entirely inside array lambdas.
+    # Overlapping occurrences double-count tokens (count·2 > n is
+    # possible for a token stutter), so the ratio is clamped to 1.0
+    # to keep the documented [0, 1] fraction contract.
     "top_bigram_cover": (
         "CASE WHEN size({t}) < 2 THEN 0.0D ELSE"
-        " CAST(array_max(transform(array_distinct("
+        " least(1.0D, CAST(array_max(transform(array_distinct("
         "  transform(sequence(1, size({t}) - 1), i ->"
         "   concat_ws(' ', element_at({t}, i), element_at({t}, i + 1)))),"
         "  g -> size(filter("
         "   transform(sequence(1, size({t}) - 1), i ->"
         "    concat_ws(' ', element_at({t}, i), element_at({t}, i + 1))),"
-        "   x -> x = g)))) AS DOUBLE) * 2.0 / size({t}) END",
+        "   x -> x = g)))) AS DOUBLE) * 2.0 / size({t})) END",
         f"CASE WHEN len({_TOK_D}) < 2 THEN 0.0 ELSE"
-        f" CAST(list_max(list_transform(list_distinct("
+        f" least(1.0, CAST(list_max(list_transform(list_distinct("
         f"  list_transform(range(1, len({_TOK_D})), i ->"
         f"   {_TOK_D}[i] || ' ' || {_TOK_D}[i + 1])),"
         f"  g -> len(list_filter("
         f"   list_transform(range(1, len({_TOK_D})), i ->"
         f"    {_TOK_D}[i] || ' ' || {_TOK_D}[i + 1]),"
-        f"   x -> x = g)))) AS DOUBLE) * 2.0 / len({_TOK_D}) END"),
+        f"   x -> x = g)))) AS DOUBLE) * 2.0 / len({_TOK_D})) END"),
     # Length of the longest run of one repeated token (stutter/spam
     # detector). Linear form: collect run-start positions (token ≠
     # its predecessor), then the max gap between consecutive starts.

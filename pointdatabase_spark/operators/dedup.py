@@ -161,12 +161,20 @@ def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
     that the linear ``exact_dedup`` pass collapses instead. Default
     None preserves the uncapped (exhaustive) pairing.
 
-    ``shingles`` lets a pipeline pass an already-persisted
+    ``shingles`` lets a pipeline pass an already-computed
     :func:`shingle_sets` frame so the tokenize+shingle scan runs once
     per corpus, not once per stage (see `corpus_prep_pipeline`, which
-    shares it with decontamination)."""
-    sh = (shingles if shingles is not None
-          else shingle_sets(df, id_col, text_col, n).persist())
+    shares it with decontamination). The frame is persisted here if
+    the caller has not done so — it feeds three consumers
+    (signatures + both verify joins), and an uncached pass-through
+    would silently recompute the very scan the parameter exists to
+    share."""
+    if shingles is not None:
+        lvl = shingles.storageLevel
+        sh = (shingles if (lvl.useMemory or lvl.useDisk)
+              else shingles.persist())
+    else:
+        sh = shingle_sets(df, id_col, text_col, n).persist()
     band = lsh_band_keys(minhash_signatures(sh, n_hashes),
                          bands, n_hashes // bands)
     if max_bucket is not None:
@@ -392,6 +400,13 @@ def incremental_dedup_flags(corpus: DataFrame, delta: DataFrame,
     ids that appear in a surviving candidate pair. Per-batch cost is
     O(|delta| signatures + matched keys), independent of corpus size
     once the index exists.
+
+    Persist lifecycle: the corpus/delta shingle frames are persisted
+    for the duration of the plan (each feeds the band build AND the
+    verify join); a long-running per-batch ingest loop should
+    materialize the returned flags, then `spark.catalog.clearCache()`
+    or unpersist between batches — or, properly, maintain the band
+    index as a stored table so nothing corpus-sized is cached at all.
 
     Returns one row per delta doc: (id, is_exact_dup, is_near_dup).
     """

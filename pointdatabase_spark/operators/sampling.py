@@ -90,8 +90,12 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
     c, s = int(chunk_tokens), int(chunk_tokens) - int(overlap)
     if s <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    # NULL text counts as an empty document (one empty chunk) rather
+    # than silently vanishing from the output — downstream id joins
+    # must see every input id exactly once per expected chunk.
     base = df.select(F.col(id_col).alias("id"),
-                     F.split(F.col(text_col), r"\s+").alias("_t"))
+                     F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             r"\s+").alias("_t"))
     nc = F.expr(f"CASE WHEN size(_t) <= {c} THEN 1 ELSE "
                 f"CAST(ceil((size(_t) - {c}) / CAST({s} AS DOUBLE)) "
                 f"AS INT) + 1 END")
@@ -116,7 +120,14 @@ def mixture_rates(df: DataFrame, weights: dict[str, float],
 
     Fully in-plan: one map-combined count aggregate (|domains| rows),
     a 1-row min reduce for T, and a broadcastable rate table —
-    nothing corpus-sized moves."""
+    nothing corpus-sized moves.
+
+    A weighted domain with NO corpus rows contributes nothing to T
+    (its rate row simply does not exist), so the realized mixture
+    renormalizes over the domains actually present — a typo'd domain
+    name degrades silently rather than raising. When that matters,
+    validate `rates.count() == len(weights)` before sampling; an
+    in-plan assertion would force an eager action on every call."""
     total = sum(weights.values())
     w_expr = F.lit(None).cast("double")
     for name, w in weights.items():

@@ -414,7 +414,11 @@ def label_centroid_stats(emb: DataFrame, id_col: str = "vec_id",
                         (dot / (ne * nc)).alias("cos"),
                         nc.alias("cnorm")))
     from pyspark.sql.window import Window
-    w = Window.partitionBy("id").orderBy(F.col("cos").desc(),
+    # the argmax orders by cosine ROUNDED to 12 decimals: centroid
+    # averages are summation-order dependent across engines/runs at
+    # ~1e-15, and an unrounded comparison could flip the winner
+    # between two near-identical centroids; real margins dwarf 1e-12
+    w = Window.partitionBy("id").orderBy(F.round(F.col("cos"), 12).desc(),
                                          F.col("clabel").asc())
     best = (cos.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)

@@ -940,11 +940,12 @@ ORDER BY df DESC, gram LIMIT 20
 def frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _text.with_tokens(
         _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
-    grams = (docs.where(F.size("_toks") >= 2)
-             .select("doc_id", F.explode(F.expr(
-                 "array_distinct(transform(sequence(1, size(_toks) - 1),"
-                 " i -> concat_ws(' ', element_at(_toks, i),"
-                 " element_at(_toks, i + 1))))")).alias("gram")))
+    # same per-doc distinct n-gram recipe the dedup family uses — one
+    # definition (dedup.shingle_expr); its size guard yields an empty
+    # array for sub-bigram docs, which explode then drops
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.expr(_dedup.shingle_expr("_toks", 2))).alias("gram"))
     return (grams.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
             .orderBy(F.col("df").desc(), F.col("gram").asc())
@@ -1076,6 +1077,31 @@ _DUCK_H32 = ("CAST(list_sum(list_transform(range(8), i ->"
              " (strpos('0123456789abcdef', substr(md5(x), CAST(i + 1 AS INT), 1)) - 1)"
              " * 16.0 ** (7 - i))) AS BIGINT)")
 
+
+def _mh_cte_block(src: str, p: str) -> str:
+    """MinHash CTE chain (tok→shingles→sig→band) over corpus CTE
+    ``src``, every CTE name prefixed with ``p``. THE one rendering of
+    the oracle-side minhash recipe: `_minhash_oracle_sql` uses it with
+    an empty prefix, the two-corpus incremental-dedup oracle with
+    'c'/'d' prefixes — so the recipe cannot drift between oracles."""
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT id, '{j}' || '|' || CAST(mh{j * 2} AS VARCHAR) || '|' ||"
+        f" CAST(mh{j * 2 + 1} AS VARCHAR) AS bkey FROM {p}sig"
+        for j in range(4))
+    return (
+        f"{p}tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+')"
+        f" AS t FROM {src}),\n"
+        f"{p}sh AS (SELECT id, list_distinct(list_transform("
+        f"range(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1] || ' ' ||"
+        f" t[i + 2])) AS s FROM {p}tok),\n"
+        f"{p}sh2 AS (SELECT id, s FROM {p}sh WHERE len(s) > 0),\n"
+        f"{p}ex AS (SELECT id, {_DUCK_H32} % {_P31} AS h"
+        f" FROM (SELECT id, unnest(s) AS x FROM {p}sh2)),\n"
+        f"{p}sig AS (SELECT id,\n         {_MH_MINS}\n        FROM {p}ex"
+        f" GROUP BY id),\n"
+        f"{p}band AS (\n  {bands})")
+
+
 def _minhash_oracle_sql(corpus_cte: str, cap: int | None = None,
                         tail: str | None = None) -> str:
     """MinHash-LSH oracle over a corpus CTE; with `cap`, band keys
@@ -1089,21 +1115,7 @@ def _minhash_oracle_sql(corpus_cte: str, cap: int | None = None,
                   f" (SELECT bkey FROM band GROUP BY bkey"
                   f" HAVING count(*) > {int(cap)}))")
         cand_src = "band2"
-    prefix = corpus_cte + r"""
-, tok AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS t FROM corpus),
-sh AS (
-  SELECT id, list_distinct(list_transform(range(1, len(t) - 1),
-         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
-  FROM tok),
-sh2 AS (SELECT id, s FROM sh WHERE len(s) > 0),
-""" + f"""
-ex AS (SELECT id, {_DUCK_H32} % {_P31} AS h
-       FROM (SELECT id, unnest(s) AS x FROM sh2)),
-sig AS (SELECT id,
-         {_MH_MINS}
-        FROM ex GROUP BY id),
-band AS (
-  {_MH_BANDS}){capped},
+    prefix = corpus_cte + ",\n" + _mh_cte_block("corpus", "") + f"""{capped},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM {cand_src} a JOIN {cand_src} b ON a.bkey = b.bkey AND a.id < b.id)
@@ -1162,28 +1174,6 @@ UNION ALL
 SELECT 920000 + doc_id AS doc_id, reverse(text) AS text
 FROM documents WHERE doc_id % 10 = 2
 """
-
-
-def _mh_cte_block(src: str, p: str) -> str:
-    """MinHash CTE chain (tok→shingles→sig→band) over corpus CTE
-    ``src``, every CTE name prefixed with ``p`` — same recipe as
-    `_minhash_oracle_sql`, parameterized for two-corpus oracles."""
-    bands = "\n  UNION ALL\n  ".join(
-        f"SELECT id, '{j}' || '|' || CAST(mh{j * 2} AS VARCHAR) || '|' ||"
-        f" CAST(mh{j * 2 + 1} AS VARCHAR) AS bkey FROM {p}sig"
-        for j in range(4))
-    return (
-        f"{p}tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+')"
-        f" AS t FROM {src}),\n"
-        f"{p}sh AS (SELECT id, list_distinct(list_transform("
-        f"range(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1] || ' ' ||"
-        f" t[i + 2])) AS s FROM {p}tok),\n"
-        f"{p}sh2 AS (SELECT id, s FROM {p}sh WHERE len(s) > 0),\n"
-        f"{p}ex AS (SELECT id, {_DUCK_H32} % {_P31} AS h"
-        f" FROM (SELECT id, unnest(s) AS x FROM {p}sh2)),\n"
-        f"{p}sig AS (SELECT id,\n         {_MH_MINS}\n        FROM {p}ex"
-        f" GROUP BY id),\n"
-        f"{p}band AS (\n  {bands})")
 
 
 _INCR_ORACLE = f"""
@@ -1725,7 +1715,8 @@ cs AS (SELECT id, label, clabel, dot / (ne * nc) AS cos, nc AS cnorm
        FROM pairs),
 best AS (SELECT id, label, clabel,
                 row_number() OVER (PARTITION BY id
-                                   ORDER BY cos DESC, clabel) AS rk
+                                   ORDER BY ROUND(cos, 12) DESC,
+                                            clabel) AS rk
          FROM cs),
 per_own AS (SELECT label, COUNT(*) AS n_vecs,
                    ROUND(MAX(cnorm), 6) AS centroid_norm,

@@ -14,7 +14,7 @@ modes, so backfill (batch) and live ingest (stream) cannot drift.
 
 from __future__ import annotations
 
-import uuid
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,10 +47,17 @@ def run_quality_gate_availablenow(spark: SparkSession, sf_dir: str,
                                   **thresholds) -> DataFrame:
     """End-to-end: stream the documents parquet through the gate into
     a parquet sink (append, availableNow), then return the
-    materialized sink — deterministic because the gate is stateless."""
-    run_id = uuid.uuid4().hex[:8]
-    dst = f"/tmp/pdb_qgate_out_{run_id}"
-    ckpt = f"/tmp/pdb_qgate_ckpt_{run_id}"
+    materialized sink — deterministic because the gate is stateless.
+
+    Fixed sink/checkpoint paths, wiped before each run: uuid-suffixed
+    paths would leave a gated copy of the corpus in /tmp per
+    invocation (bench runs the query every round) until the disk
+    fills; wiping the checkpoint too keeps availableNow reprocessing
+    the full input instead of resuming empty."""
+    dst = "/tmp/pdb_qgate_out"
+    ckpt = "/tmp/pdb_qgate_ckpt"
+    for p in (dst, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "documents.parquet")

@@ -571,9 +571,9 @@ def test_repetition_features_hand_cases(spark):
     ).collect()}
     assert math.isclose(got[1].dup_token_ratio, 3 / 5)
     assert got[1].max_token_run == 4
-    # 'a a' appears 3 times among 4 bigrams -> covers 3*2/5 tokens... the
-    # definition is count*2/n_tokens capped implicitly by construction
-    assert math.isclose(got[1].top_bigram_cover, 3 * 2 / 5)
+    # 'a a' appears 3 times among 4 bigrams; overlapping occurrences
+    # double-count (3*2/5 = 1.2) so the fraction clamps to 1.0
+    assert math.isclose(got[1].top_bigram_cover, 1.0)
     assert math.isclose(got[2].top_bigram_cover, 3 * 2 / 6)
     assert got[2].max_token_run == 1
     assert math.isclose(got[3].dup_token_ratio, 0.0)
@@ -624,6 +624,10 @@ def test_chunk_documents_windows(spark):
     assert toks == [f"t{i}" for i in range(1, 11)]
     # short doc: exactly one (short) chunk
     assert sorted(k for k in rows if k[0] == 2) == [(2, 0)]
+    # NULL text must not vanish: it becomes one empty-text chunk
+    nd = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    nrows = sampling.chunk_documents(nd, chunk_tokens=4, overlap=2).collect()
+    assert len(nrows) == 1 and nrows[0].chunk_idx == 0
     assert rows[(2, 0)].chunk_text == "a b c"
     assert rows[(2, 0)].n_chunk_tokens == 3
     # narrow plan: no exchanges
