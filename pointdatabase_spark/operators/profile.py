@@ -41,3 +41,42 @@ def profile_columns(df: DataFrame, cols: list[str],
     return row.select(F.expr(
         f"stack({len(cols)}, {stack}) "
         "AS (col_name, n_null, n_distinct, vmin, vmax)"))
+
+
+def distinctive_terms(df: DataFrame, group_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 5) -> DataFrame:
+    """Top-k distinctive tokens per group by document-frequency lift —
+    the tf-idf-style vocabulary census a pipeline runs to understand
+    what characterizes each source/domain before mixing them.
+
+    Score = group_df / corpus_df per token: a single IEEE division of
+    two counts, so the DuckDB oracle is bit-identical (the classic
+    ln(N/df) idf weight would drag in libm, which differs by ulps
+    across engines and could flip rank ties). Monotone in the same
+    ordering as tf·idf for fixed tf.
+
+    Scale shape: one narrow explode of per-doc DISTINCT tokens → one
+    (group, token) count aggregate (map-combined); corpus document
+    frequency is then a SUM over the already-aggregated term table
+    (|vocab|·|groups| rows, never doc-level), and the final top-k is
+    a per-group window over term-level rows only. Documents shuffle
+    once, as (group, token) longs."""
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(
+            F.split(F.col(text_col), r"\s+"))).alias("term"))
+    tf = (tok.groupBy("grp", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("term")
+             .agg(F.sum("tf").cast("long").alias("df")))
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score",
+                          F.col("tf").cast("double") / F.col("df")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(),
+                                          F.col("term").asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= int(k))
+            .select(F.col("grp").alias(group_col), "term", "tf", "df",
+                    F.round("score", 6).alias("score")))

@@ -50,6 +50,7 @@ _SCORE_FIRST = [
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
     "document_chunking", "streaming_quality_gate", "table_profile",
+    "distinctive_terms",
     # never driver-scored through r4
     "session_window_agg", "multimodal_features",
     # new in r5
@@ -916,6 +917,34 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import profile as _prof
     li = testkit.load_table(spark, sf_dir, "lineitem")
     return _prof.profile_columns(li, _PROFILE_COLS)
+
+
+# Distinctive vocabulary per source: tf-idf-style lift score as a pure
+# count ratio (one IEEE division — no libm, so the oracle is
+# bit-identical) with a deterministic (score DESC, term ASC) top-k.
+_DISTINCT_TERMS_ORACLE = r"""
+WITH tok AS (SELECT source,
+                    unnest(list_distinct(string_split_regex(text, '\s+')))
+                      AS term
+             FROM documents),
+tf AS (SELECT source AS grp, term, COUNT(*) AS tf
+       FROM tok GROUP BY source, term),
+d AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (SELECT grp, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+      FROM tf JOIN d USING (term)),
+r AS (SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY score DESC, term) AS rk
+      FROM s)
+SELECT grp AS source, term, tf, df, ROUND(score, 6) AS score
+FROM r WHERE rk <= 5
+"""
+
+
+@query("distinctive_terms", oracle=_DISTINCT_TERMS_ORACLE)
+def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import profile as _prof
+    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
+    return _prof.distinctive_terms(docs, k=5)
 
 
 # Corpus-wide frequent n-grams: top word bigrams by DOCUMENT frequency
