@@ -441,6 +441,73 @@ def incremental_dedup_flags(corpus: DataFrame, delta: DataFrame,
                     .alias("is_near_dup")))
 
 
+def write_dedup_index(corpus: DataFrame, path: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, n_hashes: int = 8, bands: int = 4,
+                      mode: str = "overwrite") -> None:
+    """Materialize the corpus dedup INDEX as parquet tables under
+    ``path``: content fingerprints (`fp/`), LSH band keys (`band/`),
+    and shingle sets (`sh/`). This is the production form of
+    :func:`incremental_dedup_flags`'s corpus side — computed once,
+    then APPENDED to as batches are accepted (``mode="append"``), so
+    screening a new batch never re-reads corpus text.
+
+    Layout notes for 100 TB: `band/` is written partitioned-by nothing
+    but is only ever probed via an equi-join on `bkey` (hash join,
+    keys-only); `fp/` via semi-join on `fp`. Both tables are a few
+    dozen bytes per doc regardless of document size. `sh/` (the only
+    doc-sized payload) is touched just for verify-stage survivors."""
+    rows = n_hashes // bands
+    sh = shingle_sets(corpus, id_col, text_col, n).persist()
+    (corpus.select(F.md5(F.col(text_col)).alias("fp")).distinct()
+     .write.mode(mode).parquet(f"{path}/fp"))
+    (lsh_band_keys(minhash_signatures(sh, n_hashes), bands, rows)
+     .write.mode(mode).parquet(f"{path}/band"))
+    sh.write.mode(mode).parquet(f"{path}/sh")
+    sh.unpersist()
+
+
+def incremental_dedup_against_index(spark, index_path: str,
+                                    delta: DataFrame,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text", n: int = 3,
+                                    n_hashes: int = 8, bands: int = 4,
+                                    threshold: float = 0.5) -> DataFrame:
+    """Screen a delta batch against a STORED :func:`write_dedup_index`
+    — the per-batch cost is O(|delta| signatures + matched keys),
+    independent of corpus size, and no corpus text is read at all.
+    Same verdict schema as :func:`incremental_dedup_flags`."""
+    rows = n_hashes // bands
+    cfp = spark.read.parquet(f"{index_path}/fp")
+    cband = (spark.read.parquet(f"{index_path}/band")
+             .select(F.col("id").alias("cid"), "bkey"))
+    csh = spark.read.parquet(f"{index_path}/sh")
+    dfp = delta.select(F.col(id_col).alias("id"),
+                       F.md5(F.col(text_col)).alias("fp"))
+    exact = (dfp.join(cfp, "fp", "leftsemi").select("id")
+             .withColumn("is_exact_dup", F.lit(True)))
+    dsh = shingle_sets(delta, id_col, text_col, n).persist()
+    dband = lsh_band_keys(minhash_signatures(dsh, n_hashes), bands, rows)
+    cand = dband.join(cband, "bkey").select("id", "cid").distinct()
+    inter = F.size(F.array_intersect("sa", "sb"))
+    near = (cand
+            .join(dsh.select("id", F.col("s").alias("sa")), "id")
+            .join(csh.select(F.col("id").alias("cid"),
+                             F.col("s").alias("sb")), "cid")
+            .withColumn("j", inter / (F.size("sa") + F.size("sb") - inter))
+            .where(F.col("j") >= threshold)
+            .select("id").distinct()
+            .withColumn("is_near_dup", F.lit(True)))
+    return (delta.select(F.col(id_col).alias("id"))
+            .join(exact, "id", "left")
+            .join(near, "id", "left")
+            .select("id",
+                    F.coalesce("is_exact_dup", F.lit(False))
+                    .alias("is_exact_dup"),
+                    F.coalesce("is_near_dup", F.lit(False))
+                    .alias("is_near_dup")))
+
+
 def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
                             n: int = 3, min_shared: int = 3,
                             id_col: str = "doc_id",

@@ -636,3 +636,33 @@ def test_chunk_documents_windows(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_incremental_dedup_against_stored_index(spark, tmp_path):
+    """The stored-index path must give byte-identical verdicts to the
+    self-contained operator, and an index built incrementally (two
+    appended halves) must equal one built in a single pass."""
+    from pointdatabase_spark.operators import dedup
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    delta = (docs.where(F.col("doc_id") % 10 == 0)
+             .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+             .unionByName(
+                 docs.where(F.col("doc_id") % 10 == 2)
+                 .select((F.col("doc_id") + 920000).alias("doc_id"),
+                         F.reverse(F.col("text")).alias("text"))))
+    want = sorted(map(tuple,
+                      dedup.incremental_dedup_flags(docs, delta).collect()))
+    p1 = str(tmp_path / "idx_once")
+    dedup.write_dedup_index(docs, p1)
+    got = sorted(map(tuple, dedup.incremental_dedup_against_index(
+        spark, p1, delta).collect()))
+    assert got == want
+    # incremental build: two halves appended → same verdicts
+    p2 = str(tmp_path / "idx_app")
+    dedup.write_dedup_index(docs.where("doc_id % 2 = 0"), p2)
+    dedup.write_dedup_index(docs.where("doc_id % 2 = 1"), p2, mode="append")
+    got2 = sorted(map(tuple, dedup.incremental_dedup_against_index(
+        spark, p2, delta).collect()))
+    assert got2 == want
