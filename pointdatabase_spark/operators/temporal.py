@@ -1,0 +1,276 @@
+"""Temporal join & rollup operators (§7.8 extension — the time-series
+staples a 100 TB event/telemetry pipeline needs; no reference analog,
+the reference's join surface is spatial).
+
+Each operator is expressed so Catalyst sees a plain shuffle shape
+with no inequality-join blowup:
+
+- ``asof_join``: for every left row, the nearest right row backward /
+  forward / either (per key, optional tolerance).  Implemented as the
+  union-marker +
+  running ``last(..., ignorenulls)`` window — ONE shuffle on the key,
+  linear scan within each key partition, never a join.  The classic
+  sort-merge as-of formulations degenerate to range joins (O(n·m)
+  candidate pairs per key) that Spark plans as BroadcastNestedLoop;
+  the union form is O(n+m) and whole-stage-codegen'd end to end.
+- ``band_join``: all (left, right) pairs with right_ts within
+  ``[left_ts+lo, left_ts+hi]`` per key.  Bucketized: each left row
+  explodes to the (at most two, since hi-lo <= bucket width) coarse
+  time buckets its band overlaps, the join is a pure EQUI-join on
+  (key, bucket), and the exact band predicate refines after.  Join
+  volume is bounded by true pair density, not |L|x|R| per key, and
+  AQE sees an ordinary shuffle join it can re-plan/skew-split.
+- ``multires_rollup``: hypertable-style continuous aggregates at a
+  resolution ladder.  Only the FINEST resolution scans the base table;
+  every coarser level re-aggregates the next-finer rollup
+  (count/sum/min/max are all merge-able), so at 100 TB the 1-day
+  rollup costs a pass over the 1-minute aggregate (~10^-3 of base),
+  not another base scan.  This is exactly the reference's
+  tile→hierarchy cascade (SURVEY §2 S12) transplanted to time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _floor_div(col: Column, width: int) -> Column:
+    """Exact floor(col / width) for integer columns, in integer
+    arithmetic.  ``F.floor(col / lit)`` goes through double division,
+    which misrounds near bucket boundaries once 1/width drops below
+    the double rounding error of epoch-microsecond magnitudes (~3e-9
+    relative at 2024 epochs — day-scale buckets are unsafe); pmod
+    keeps everything in longs and is correct for negative values too.
+    """
+    w = F.lit(int(width))
+    return ((col - F.pmod(col, w)) / w).cast("long")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "tus", right_ts: str = "tus",
+              right_cols: list[str] | None = None,
+              tolerance: int | None = None,
+              suffix: str = "_m",
+              direction: str = "backward") -> DataFrame:
+    """As-of join: attach, to every left row, the values of the right
+    row nearest it in the requested ``direction`` for the same ``on``
+    key (pandas ``merge_asof`` semantics, exact matches allowed):
+
+    - ``backward``: latest right with ``right_ts <= left_ts``;
+    - ``forward``: earliest right with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer (tie → backward).
+
+    Timestamps are integer (microseconds); ``tolerance`` (same unit)
+    nulls a match farther than that from the left timestamp — for
+    ``nearest`` it is applied to each candidate BEFORE choosing, so a
+    too-stale backward match never shadows an in-range forward one.
+
+    Matched columns come back as ``<col><suffix>`` plus
+    ``<right_ts><suffix>`` (the matched row's timestamp); unmatched
+    left rows keep NULLs.  Deterministic when right rows are unique
+    per (key, ts) — pre-aggregate the right side otherwise (equal-ts
+    right duplicates make "the" latest row ill-defined in any engine).
+
+    Scale: ONE hash exchange of |L|+|R| rows on the key, then ordered
+    passes per key partition (one sort for ``backward``/``forward``,
+    two for ``nearest`` — same single exchange) — no range-join
+    candidate blowup, no broadcast requirement on either side.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in (on, right_ts)]
+    mts = right_ts + suffix
+    r = right.select(
+        F.col(on).alias(on), F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"), F.col(right_ts).alias(mts),
+        *[F.col(c).alias(c + suffix) for c in right_cols])
+    l = left.withColumn("_t", F.col(left_ts)).withColumn(
+        "_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    matched = [mts] + [c + suffix for c in right_cols]
+    # backward: ascending scan; right rows sort before left rows at
+    # equal _t (_side 0 < 1), so an exact-timestamp match is visible
+    # to the left row's frame.  forward: the same trick on the
+    # DESCENDING scan (at equal _t the right row is again "earlier"
+    # in scan order) — running last() is then the earliest at-or-after.
+    w_bwd = (Window.partitionBy(on).orderBy(F.col("_t").asc(), "_side")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(on).orderBy(F.col("_t").desc(), "_side")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    passes = {"backward": [("", w_bwd)], "forward": [("", w_fwd)],
+              "nearest": [("_bwd", w_bwd), ("_fwd", w_fwd)]}[direction]
+    for tag, w in passes:
+        for c in matched:
+            u = u.withColumn(c + tag,
+                             F.last(c, ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
+    tol = None if tolerance is None else F.lit(int(tolerance))
+
+    def _null_stale(frame: DataFrame, tag: str, stale: Column) -> DataFrame:
+        # one projection so every null-out tests the ORIGINAL matched
+        # timestamp (sequential withColumn would null mts first and
+        # the later columns' staleness test would read the nulled one)
+        cols = {c + tag for c in matched}
+        return frame.select(*[
+            F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+            if c in cols else F.col(c) for c in frame.columns])
+
+    if direction == "nearest":
+        if tol is not None:
+            out = _null_stale(out, "_bwd",
+                              F.col(mts + "_bwd") < F.col("_t") - tol)
+            out = _null_stale(out, "_fwd",
+                              F.col(mts + "_fwd") > F.col("_t") + tol)
+        take_bwd = (F.col(mts + "_fwd").isNull()
+                    | (F.col(mts + "_bwd").isNotNull()
+                       & (F.col("_t") - F.col(mts + "_bwd")
+                          <= F.col(mts + "_fwd") - F.col("_t"))))
+        for c in matched:
+            out = out.withColumn(
+                c, F.when(take_bwd, F.col(c + "_bwd"))
+                .otherwise(F.col(c + "_fwd")))
+        out = out.drop(*[c + t for c in matched for t in ("_bwd", "_fwd")])
+    elif tol is not None:
+        stale = (F.col(mts) < F.col("_t") - tol if direction == "backward"
+                 else F.col(mts) > F.col("_t") + tol)
+        out = _null_stale(out, "", stale)
+    return out.drop("_t", "_side")
+
+
+def band_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "tus", right_ts: str = "tus",
+              lo: int = 0, hi: int = 0,
+              lsuffix: str = "_l", rsuffix: str = "_r") -> DataFrame:
+    """Temporal band (interval) join: all pairs with
+    ``left_ts + lo <= right_ts <= left_ts + hi`` and equal ``on`` key.
+    Integer-microsecond timestamps; ``lo``/``hi`` may be negative
+    ("clicks in the 2 minutes BEFORE each error" is lo=-120e6, hi=0).
+
+    Bucketized equi-join: bucket width = band width (hi-lo), so each
+    left row's band overlaps at most TWO buckets; left explodes to
+    those, right maps to its one bucket, and the join is a plain
+    (key, bucket) hash join refined by the exact predicate.  Each true
+    pair is produced exactly once (a right row lands in one bucket).
+
+    Output: all left columns suffixed ``lsuffix``, all right columns
+    suffixed ``rsuffix`` (key and timestamps included — band pairs are
+    many-to-many, so nothing merges).
+    """
+    width = int(hi) - int(lo)
+    if width < 0:
+        raise ValueError("hi must be >= lo")
+    width = max(width, 1)
+    l = (left.select(F.col(on).alias("_k"), F.col(left_ts).alias("_lt"),
+                     *[F.col(c).alias(c + lsuffix) for c in left.columns
+                       if c != on]))
+    lb = _floor_div(F.col("_lt") + F.lit(int(lo)), width)
+    ub = _floor_div(F.col("_lt") + F.lit(int(hi)), width)
+    l = l.withColumn("_b", F.explode(F.sequence(lb, ub)))
+    r = (right.select(F.col(on).alias("_k"),
+                      F.col(right_ts).alias("_rt"),
+                      *[F.col(c).alias(c + rsuffix)
+                        for c in right.columns if c != on])
+         .withColumn("_b", _floor_div(F.col("_rt"), width)))
+    j = (l.join(r, ["_k", "_b"])
+         .where((F.col("_rt") >= F.col("_lt") + F.lit(int(lo)))
+                & (F.col("_rt") <= F.col("_lt") + F.lit(int(hi)))))
+    return (j.withColumnRenamed("_k", on)
+            .drop("_b", "_lt", "_rt"))
+
+
+def multires_rollup(df: DataFrame, ts: str, keys: list[str],
+                    value: str,
+                    resolutions_s: list[int]) -> DataFrame:
+    """Multi-resolution time rollup: count/sum/min/max of ``value``
+    per (``keys``, time bucket) at every resolution in
+    ``resolutions_s`` (seconds, ascending; each coarser level must be
+    an integer multiple of the finest).
+
+    Only the finest level touches ``df``; each coarser level
+    re-aggregates the finest rollup (all four aggregates are
+    merge-able).  Output columns: keys, ``res_s`` (int), ``bucket_us``
+    (bucket start, epoch microseconds), ``n``, ``sum_v``, ``min_v``,
+    ``max_v`` — the continuous-aggregate ladder of a hypertable.
+    """
+    rs = sorted(int(r) for r in resolutions_s)
+    base = rs[0]
+    for r in rs[1:]:
+        if r % base:
+            raise ValueError(f"resolution {r}s not a multiple of {base}s")
+    def bucket(col: Column, res_us: int) -> Column:
+        return (_floor_div(col, res_us) * F.lit(res_us)).cast("long")
+
+    fine = (df.groupBy(*keys,
+                       bucket(F.col(ts), base * 1_000_000)
+                       .alias("bucket_us"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(value).alias("sum_v"),
+                 F.min(value).alias("min_v"),
+                 F.max(value).alias("max_v")))
+    levels = [fine.withColumn("res_s", F.lit(base))]
+    for r in rs[1:]:
+        levels.append(
+            fine.groupBy(*keys,
+                         bucket(F.col("bucket_us"), r * 1_000_000)
+                         .alias("bucket_us"))
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_v").alias("sum_v"),
+                 F.min("min_v").alias("min_v"),
+                 F.max("max_v").alias("max_v"))
+            .withColumn("res_s", F.lit(r)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(*keys, "res_s", "bucket_us",
+                      "n", "sum_v", "min_v", "max_v")
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: str,
+                  left_start: str, left_end: str,
+                  right_start: str, right_end: str,
+                  bucket_us: int,
+                  lsuffix: str = "_l", rsuffix: str = "_r") -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs whose CLOSED
+    intervals ``[start, end]`` overlap, per ``on`` key — the
+    variable-length generalization of ``band_join`` (which handles
+    point-vs-band only).
+
+    Both sides explode to the coarse time buckets their interval
+    spans (``bucket_us`` should be on the order of the typical
+    interval length; an interval spanning B buckets costs B copies),
+    the join is a pure equi-join on (key, bucket), and each
+    overlapping pair is emitted EXACTLY once without any distinct
+    pass: a pair is kept only in the overlap's OWNERSHIP bucket — the
+    bucket containing ``max(l.start, r.start)`` — which both sides
+    provably cover (the overlap is contained in each interval), so no
+    dedup shuffle exists in the plan.
+
+    Output columns suffixed ``lsuffix``/``rsuffix``; ``on`` unsuffixed.
+    """
+    width = int(bucket_us)
+    if width <= 0:
+        raise ValueError("bucket_us must be positive")
+
+    def side(df: DataFrame, start: str, end: str, sfx: str,
+             s_alias: str, e_alias: str) -> DataFrame:
+        out = df.select(F.col(on).alias("_k"),
+                        F.col(start).alias(s_alias),
+                        F.col(end).alias(e_alias),
+                        *[F.col(c).alias(c + sfx)
+                          for c in df.columns if c != on])
+        return out.withColumn("_b", F.explode(F.sequence(
+            _floor_div(F.col(s_alias), width),
+            _floor_div(F.col(e_alias), width))))
+
+    l = side(left, left_start, left_end, lsuffix, "_ls", "_le")
+    r = side(right, right_start, right_end, rsuffix, "_rs", "_re")
+    own = _floor_div(F.greatest(F.col("_ls"), F.col("_rs")), width)
+    j = (l.join(r, ["_k", "_b"])
+         .where((F.col("_ls") <= F.col("_re"))
+                & (F.col("_rs") <= F.col("_le"))
+                & (F.col("_b") == own)))
+    return (j.withColumnRenamed("_k", on)
+            .drop("_b", "_ls", "_le", "_rs", "_re"))

@@ -46,6 +46,10 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
+    # new in r5 second continuation — zero driver evidence
+    "asof_join_clicks", "asof_nearest", "temporal_band_join",
+    "interval_overlap_join", "multires_rollup",
+    "grouping_rollup", "topk_per_group", "percentile_summary",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -2857,3 +2861,317 @@ def radial_bin_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select((F.col("bx") * 10000).cast("long").alias("bin_x"),
                     (F.col("by") * 10000).cast("long").alias("bin_y"),
                     F.row_number().over(w).cast("long").alias("ord_rank"))
+
+
+# --------------------------------------------------------------------------
+# Temporal joins & rollups (operators/temporal.py): as-of join, banded
+# interval join, and the hypertable-style multi-resolution rollup —
+# the time-series counterparts of the reference's spatial join/index
+# cascade (geo_index bins → time buckets). Oracles use DuckDB's native
+# ASOF JOIN / inequality joins, so the two engines reach the same
+# result through genuinely different physical plans.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import temporal as _temporal  # noqa: E402
+
+_ASOF_TOL_US = 21_600_000_000  # 6 h
+
+_ASOF_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+                  value
+           FROM events),
+c AS (SELECT user_id, tus, MAX(value) AS value
+      FROM e WHERE event_type = 'click' GROUP BY user_id, tus),
+p AS (SELECT user_id, event_id, tus, value
+      FROM e WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id, p.tus, p.value,
+       CASE WHEN c.tus >= p.tus - {_ASOF_TOL_US} THEN c.tus END
+         AS tus_m,
+       CASE WHEN c.tus >= p.tus - {_ASOF_TOL_US} THEN c.value END
+         AS value_m
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.tus >= c.tus
+"""
+
+
+@query("asof_join_clicks", oracle=_ASOF_ORACLE)
+def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach to each purchase the user's most recent click at-or-
+    before it, ≤6 h stale. Union-marker + running-last window: one
+    key shuffle, no range-join blowup (operators/temporal.asof_join).
+    Oracle: DuckDB's native ASOF LEFT JOIN — an independent engine
+    path pinning the same greatest-ts-≤ semantics."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id",
+                   timeconv.events_tus(ev).alias("tus"),
+                   "event_type", "value")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", "tus")
+              .agg(F.max("value").alias("value")))
+    purch = (ev.where(F.col("event_type") == "purchase")
+             .select("user_id", "event_id", "tus", "value"))
+    return _temporal.asof_join(purch, clicks, on="user_id",
+                               right_cols=["value"],
+                               tolerance=_ASOF_TOL_US)
+
+
+_BAND_LO_US = -86_400_000_000  # clicks up to 1 day BEFORE each error
+_BAND_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+           FROM events)
+SELECT r.user_id,
+       r.event_id AS event_id_l, r.tus AS tus_l,
+       c.event_id AS event_id_r, c.tus AS tus_r
+FROM (SELECT * FROM e WHERE event_type = 'error') r
+JOIN (SELECT * FROM e WHERE event_type = 'click') c
+  ON r.user_id = c.user_id
+ AND c.tus BETWEEN r.tus + {_BAND_LO_US} AND r.tus
+"""
+
+
+@query("temporal_band_join", oracle=_BAND_ORACLE)
+def temporal_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (error, click-within-1-day-before) pair per user.
+    Bucketized to a pure equi-join on (user, time-bucket) with ≤2
+    bucket copies per left row (operators/temporal.band_join); the
+    oracle is the plain inequality join."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id",
+                   timeconv.events_tus(ev).alias("tus"), "event_type")
+    err = (ev.where(F.col("event_type") == "error")
+           .select("user_id", "event_id", "tus"))
+    clk = (ev.where(F.col("event_type") == "click")
+           .select("user_id", "event_id", "tus"))
+    return _temporal.band_join(err, clk, on="user_id",
+                               lo=_BAND_LO_US, hi=0)
+
+
+_ROLLUP_RES = [60, 3600, 86400]
+
+_MR_FINE = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+fine AS (
+  SELECT event_type,
+         (tus // {60 * 1_000_000}) * {60 * 1_000_000} AS bucket_us,
+         COUNT(*) AS n, SUM(value) AS sum_v,
+         MIN(value) AS min_v, MAX(value) AS max_v
+  FROM e GROUP BY event_type, bucket_us)
+"""
+
+_MR_LEVEL = """
+SELECT event_type, CAST({res} AS BIGINT) AS res_s,
+       (bucket_us // {rus}) * {rus} AS bucket_us,
+       CAST(SUM(n) AS BIGINT) AS n, ROUND(SUM(sum_v), 6) AS sum_v,
+       MIN(min_v) AS min_v, MAX(max_v) AS max_v
+FROM fine GROUP BY event_type, (bucket_us // {rus}) * {rus}
+"""
+
+_MR_ORACLE = _MR_FINE + "\nUNION ALL\n".join(
+    _MR_LEVEL.format(res=r, rus=r * 1_000_000) for r in _ROLLUP_RES)
+
+
+@query("multires_rollup", oracle=_MR_ORACLE)
+def multires_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate ladder: per-event-type count/sum/min/max
+    at 1 min / 1 h / 1 day. Only the 1-minute level scans the base
+    table; coarser levels re-aggregate it (operators/temporal.
+    multires_rollup) — at 100 TB the day rollup reads ~10^-3 of the
+    base bytes. The oracle mirrors the same cascade."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_type", timeconv.events_tus(ev).alias("tus"),
+                   "value")
+    out = _temporal.multires_rollup(ev, ts="tus", keys=["event_type"],
+                                    value="value",
+                                    resolutions_s=_ROLLUP_RES)
+    return (out.withColumn("sum_v", F.round("sum_v", 6))
+            .withColumn("res_s", F.col("res_s").cast("long")))
+
+
+# --------------------------------------------------------------------------
+# OLAP aggregation surfaces (operators/olap.py): grouping sets,
+# top-k per group, exact percentile ladder.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import olap as _olap  # noqa: E402
+
+_GROUPING_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("grouping_rollup", oracle=_GROUPING_ORACLE)
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (priority, status) with grouping-id in ONE Expand+agg
+    pass (operators/olap.rollup_agg) — grand total, per-priority, and
+    per-(priority,status) rows from a single scan, partial aggregation
+    map-side."""
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    return _olap.rollup_agg(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        [F.count(F.lit(1)).alias("n_orders"),
+         F.round(F.sum("o_totalprice"), 2).alias("sum_total")])
+
+
+_TOPK_ORACLE = """
+WITH s AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend,
+                  COUNT(*) AS n_orders
+           FROM orders GROUP BY o_custkey),
+j AS (SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+             c.c_custkey, s.spend, s.n_orders
+      FROM s JOIN customer c ON s.o_custkey = c.c_custkey),
+r AS (SELECT *, CAST(row_number() OVER (
+            PARTITION BY c_nationkey
+            ORDER BY spend DESC, c_custkey) AS BIGINT) AS rank_in_group
+      FROM j)
+SELECT c_nationkey, c_custkey, spend, n_orders, rank_in_group
+FROM r WHERE rank_in_group <= 3
+"""
+
+
+@query("topk_per_group", oracle=_TOPK_ORACLE)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue per nation. Aggregate-before-
+    join (orders collapse to one row per customer BEFORE touching the
+    customer dim), then rank-filter; Spark 3.5+ plans the filtered
+    window as WindowGroupLimit (per-partition running top-k, groups
+    never fully materialize). Ranked on the ROUNDED spend so both
+    engines order identical doubles; custkey tiebreak."""
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"),
+                  F.count(F.lit(1)).alias("n_orders")))
+    j = (spend.join(F.broadcast(cust.select(
+            "c_custkey", F.col("c_nationkey").cast("long")
+            .alias("c_nationkey"))),
+         spend.o_custkey == F.col("c_custkey"))
+         .select("c_nationkey", "c_custkey", "spend", "n_orders"))
+    return _olap.top_k_per_group(j, ["c_nationkey"], "spend", 3,
+                                 tiebreak="c_custkey")
+
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@query("percentile_summary", oracle=_PCTL_ORACLE)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type via the built-in
+    `percentile` aggregate (linear interpolation — DuckDB
+    quantile_cont parity). operators/olap.percentile_by_group's
+    exact=False flips to approx_percentile (map-combinable sketch)
+    for the 100 TB mode."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    return _olap.percentile_by_group(ev, ["event_type"], "value",
+                                     [0.5, 0.9, 0.99])
+
+
+_NEAREST_TOL_US = 3_600_000_000  # ±1 h
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+                  value
+           FROM events),
+v AS (SELECT user_id, tus, MAX(value) AS value
+      FROM e WHERE event_type = 'view' GROUP BY user_id, tus),
+r AS (SELECT user_id, event_id, tus
+      FROM e WHERE event_type = 'error'),
+u AS (SELECT user_id, tus, 1 AS side, event_id,
+             NULL::BIGINT AS mtus, NULL::DOUBLE AS mval
+      FROM r
+      UNION ALL
+      SELECT user_id, tus, 0, NULL, tus, value FROM v),
+w AS (SELECT *,
+        last_value(mtus IGNORE NULLS) OVER bw AS bt,
+        last_value(mval IGNORE NULLS) OVER bw AS bv,
+        last_value(mtus IGNORE NULLS) OVER fw AS ft,
+        last_value(mval IGNORE NULLS) OVER fw AS fv
+      FROM u
+      WINDOW bw AS (PARTITION BY user_id ORDER BY tus, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY user_id ORDER BY tus DESC, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT user_id, event_id, tus,
+             CASE WHEN bt >= tus - {_NEAREST_TOL_US} THEN bt END AS bt,
+             CASE WHEN bt >= tus - {_NEAREST_TOL_US} THEN bv END AS bv,
+             CASE WHEN ft <= tus + {_NEAREST_TOL_US} THEN ft END AS ft,
+             CASE WHEN ft <= tus + {_NEAREST_TOL_US} THEN fv END AS fv
+      FROM w WHERE side = 1)
+SELECT user_id, event_id, tus,
+       CASE WHEN ft IS NULL OR (bt IS NOT NULL AND tus - bt <= ft - tus)
+            THEN bt ELSE ft END AS tus_m,
+       CASE WHEN ft IS NULL OR (bt IS NOT NULL AND tus - bt <= ft - tus)
+            THEN bv ELSE fv END AS value_m
+FROM t
+"""
+
+
+@query("asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event matched to the NEAREST view event by the same
+    user within ±1 h (backward on ties), per-candidate tolerance
+    before the choice — pandas merge_asof(direction='nearest')
+    semantics at Spark scale: still ONE key shuffle, two in-partition
+    sorts, zero join operators."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id",
+                   timeconv.events_tus(ev).alias("tus"),
+                   "event_type", "value")
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "tus")
+             .agg(F.max("value").alias("value")))
+    errs = (ev.where(F.col("event_type") == "error")
+            .select("user_id", "event_id", "tus"))
+    return _temporal.asof_join(errs, views, on="user_id",
+                               right_cols=["value"],
+                               tolerance=_NEAREST_TOL_US,
+                               direction="nearest")
+
+
+_IVL_ORACLE = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+                  epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT)
+                    AS te
+           FROM events)
+SELECT l.user_id,
+       l.event_id AS event_id_l, l.tus AS tus_l, l.te AS te_l,
+       r.event_id AS event_id_r, r.tus AS tus_r, r.te AS te_r
+FROM (SELECT * FROM e WHERE event_type = 'error') l
+JOIN (SELECT * FROM e WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.tus <= r.te AND r.tus <= l.te
+"""
+
+
+@query("interval_overlap_join", oracle=_IVL_ORACLE)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length interval overlap per user (error activity
+    windows × view activity windows, window length = value minutes).
+    Both sides explode to the 1 h buckets they span, the join is a
+    pure equi-join on (user, bucket), and the ownership-bucket rule
+    emits each overlapping pair exactly once WITHOUT a distinct pass
+    (operators/temporal.interval_join). Oracle: the plain inequality
+    join."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id",
+                   timeconv.events_tus(ev).alias("tus"), "event_type",
+                   "value")
+    iv = ev.select("event_id", "user_id", "tus", "event_type",
+                   (F.col("tus") + F.floor(F.col("value") * 60000000)
+                    .cast("long")).alias("te"))
+    errs = (iv.where(F.col("event_type") == "error")
+            .select("user_id", "event_id", "tus", "te"))
+    views = (iv.where(F.col("event_type") == "view")
+             .select("user_id", "event_id", "tus", "te"))
+    return _temporal.interval_join(
+        errs, views, on="user_id", left_start="tus", left_end="te",
+        right_start="tus", right_end="te", bucket_us=3_600_000_000)

@@ -666,3 +666,215 @@ def test_incremental_dedup_against_stored_index(spark, tmp_path):
     got2 = sorted(map(tuple, dedup.incremental_dedup_against_index(
         spark, p2, delta).collect()))
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+def test_asof_join_hand_case(spark):
+    from pointdatabase_spark.operators import temporal
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 50, "c"), (2, 100, "d")],
+        "k int, tus long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 20.0), (2, 300, 30.0)],
+        "k int, tus long, v double")
+    out = {r["tag"]: r for r in temporal.asof_join(
+        left, right, on="k", right_cols=["v"]).collect()}
+    # exact-timestamp match allowed (backward inclusive)
+    assert out["a"]["tus_m"] == 100 and out["a"]["v_m"] == 10.0
+    # latest at-or-before, not just any earlier
+    assert out["b"]["tus_m"] == 150 and out["b"]["v_m"] == 20.0
+    # left row before every right row -> no match
+    assert out["c"]["tus_m"] is None and out["c"]["v_m"] is None
+    # keys never cross
+    assert out["d"]["tus_m"] is None
+
+
+def test_asof_join_tolerance_nulls_all_matched_cols(spark):
+    # staleness must null value columns AND the matched ts together
+    # (regression: sequential null-out read the already-nulled ts)
+    from pointdatabase_spark.operators import temporal
+    left = spark.createDataFrame([(1, 1050, "x"), (1, 920, "y")],
+                                 "k int, tus long, tag string")
+    right = spark.createDataFrame([(1, 900, 5.0)], "k int, tus long, v double")
+    rows = {r["tag"]: r for r in temporal.asof_join(
+        left, right, on="k", right_cols=["v"], tolerance=60).collect()}
+    # x: match is 150 stale (> 60) -> BOTH columns nulled
+    assert rows["x"]["tus_m"] is None and rows["x"]["v_m"] is None
+    # y: 20 within tolerance -> kept
+    assert rows["y"]["tus_m"] == 900 and rows["y"]["v_m"] == 5.0
+
+
+def test_asof_join_plan_has_no_join(spark):
+    # the union+window form must never plan an actual join operator
+    from pointdatabase_spark.operators import temporal
+    left = spark.range(10).select(F.lit(1).alias("k"),
+                                  F.col("id").alias("tus"))
+    right = spark.range(5).select(F.lit(1).alias("k"),
+                                  F.col("id").alias("tus"),
+                                  F.rand(7).alias("v"))
+    plan = temporal.asof_join(left, right, on="k", right_cols=["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_band_join_boundaries_exactly_once(spark):
+    from pointdatabase_spark.operators import temporal
+    # pairs across a bucket boundary and at band edges, each once
+    left = spark.createDataFrame([(1, 100, "L1"), (1, 205, "L2")],
+                                 "k int, tus long, tag string")
+    right = spark.createDataFrame(
+        [(1, 90, "Rin"), (1, 100, "Redge"), (1, 89, "Rout"),
+         (1, 101, "Rafter"), (1, 196, "Rb")],
+        "k int, tus long, tag string")
+    out = temporal.band_join(left, right, on="k", lo=-10, hi=0)
+    pairs = sorted((r["tag_l"], r["tag_r"]) for r in out.collect())
+    # L1 band [90,100]: Rin(90) and Redge(100); Rout(89) and Rafter(101) excluded.
+    # L2 band [195,205]: Rb(196). No duplicates despite bucket explode.
+    assert pairs == [("L1", "Redge"), ("L1", "Rin"), ("L2", "Rb")]
+
+
+def test_band_join_plan_is_equi_join(spark):
+    from pointdatabase_spark.operators import temporal
+    left = spark.range(100).select((F.col("id") % 5).alias("k"),
+                                   (F.col("id") * 37).alias("tus"))
+    right = spark.range(100).select((F.col("id") % 5).alias("k"),
+                                    (F.col("id") * 53).alias("tus"))
+    plan = temporal.band_join(left, right, on="k", lo=-50, hi=50) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_multires_rollup_coarse_matches_direct(spark):
+    from pointdatabase_spark.operators import temporal
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 97_000_000 % 5_000_000_000).alias("tus"),
+        (F.col("id") % 17).cast("double").alias("v"))
+    out = temporal.multires_rollup(df, "tus", ["g"], "v", [60, 3600])
+    coarse = out.where(F.col("res_s") == 3600)
+    direct = (df.groupBy("g", ((F.col("tus") - F.pmod("tus", F.lit(3600_000_000)))
+                               ).cast("long").alias("bucket_us"))
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"),
+                   F.min("v").alias("min_v"), F.max("v").alias("max_v")))
+    got = {(r["g"], r["bucket_us"]): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+           for r in coarse.collect()}
+    exp = {(r["g"], r["bucket_us"]): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+           for r in direct.collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0] and got[k][2:] == exp[k][2:]
+        assert abs(got[k][1] - exp[k][1]) < 1e-9
+
+
+def test_multires_rollup_rejects_non_multiple(spark):
+    import pytest as _pytest
+    from pointdatabase_spark.operators import temporal
+    df = spark.range(1).select(F.lit("a").alias("g"),
+                               F.col("id").alias("tus"),
+                               F.lit(1.0).alias("v"))
+    with _pytest.raises(ValueError):
+        temporal.multires_rollup(df, "tus", ["g"], "v", [60, 90])
+
+
+# ---------------------------------------------------------------------------
+# OLAP operators (operators/olap.py)
+# ---------------------------------------------------------------------------
+
+def test_top_k_per_group_ties_and_k(spark):
+    from pointdatabase_spark.operators import olap
+    df = spark.createDataFrame(
+        [("a", 3.0, 1), ("a", 3.0, 2), ("a", 1.0, 3),
+         ("b", 9.0, 4), ("b", 8.0, 5)],
+        "g string, v double, id int")
+    out = olap.top_k_per_group(df, ["g"], "v", 2, tiebreak="id")
+    rows = sorted((r["g"], r["id"], r["rank_in_group"]) for r in out.collect())
+    # equal v -> lower id ranks first; exactly k rows per group
+    assert rows == [("a", 1, 1), ("a", 2, 2), ("b", 4, 1), ("b", 5, 2)]
+    # the rank filter must plan as a running top-k, so only k rows per
+    # group ever reach the exchange (the 100 TB contract)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_rollup_agg_grouping_ids(spark):
+    from pointdatabase_spark.operators import olap
+    df = spark.createDataFrame([("x", "p", 1.0), ("x", "q", 2.0),
+                                ("y", "p", 4.0)], "a string, b string, v double")
+    out = olap.rollup_agg(df, ["a", "b"], [F.sum("v").alias("s")])
+    rows = {(r["a"], r["b"], r["gid"]): r["s"] for r in out.collect()}
+    assert rows[("x", "p", 0)] == 1.0          # leaf
+    assert rows[("x", None, 1)] == 3.0         # b rolled up -> low bit
+    assert rows[(None, None, 3)] == 7.0        # grand total
+    assert ("x", None, 2) not in rows          # rollup, not cube
+
+
+def test_percentile_by_group_known_values(spark):
+    from pointdatabase_spark.operators import olap
+    df = spark.createDataFrame([("g", float(i)) for i in range(11)],
+                               "g string, v double")
+    r = olap.percentile_by_group(df, ["g"], "v", [0.5, 0.9]).collect()[0]
+    assert r["p50"] == 5.0 and r["p90"] == 9.0
+
+
+def test_asof_join_forward_and_nearest(spark):
+    from pointdatabase_spark.operators import temporal
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 240, "b"), (1, 150, "c")],
+        "k int, tus long, tag string")
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 200, 2.0)], "k int, tus long, v double")
+    fwd = {r["tag"]: r for r in temporal.asof_join(
+        left, right, on="k", right_cols=["v"],
+        direction="forward").collect()}
+    # forward: earliest at-or-after; exact match inclusive
+    assert fwd["a"]["tus_m"] == 100 and fwd["a"]["v_m"] == 1.0
+    assert fwd["c"]["tus_m"] == 200
+    assert fwd["b"]["tus_m"] is None          # nothing after 240
+    near = {r["tag"]: r for r in temporal.asof_join(
+        left, right, on="k", right_cols=["v"],
+        direction="nearest").collect()}
+    assert near["a"]["tus_m"] == 100          # exact
+    assert near["b"]["tus_m"] == 200          # only backward exists
+    assert near["c"]["tus_m"] == 100          # 50 back vs 50 fwd: tie -> backward
+    # nearest with tolerance: stale backward must NOT shadow an
+    # in-range forward candidate
+    near2 = {r["tag"]: r for r in temporal.asof_join(
+        left, right, on="k", right_cols=["v"],
+        direction="nearest", tolerance=45).collect()}
+    assert near2["b"]["tus_m"] == 200         # 40 back, within 45
+    assert near2["c"]["tus_m"] is None        # both candidates 50 away
+
+
+def test_interval_join_overlaps_exactly_once(spark):
+    from pointdatabase_spark.operators import temporal
+    # intervals spanning multiple buckets; overlap pairs must appear
+    # exactly once (ownership-bucket rule, no distinct in the plan)
+    left = spark.createDataFrame(
+        [(1, 0, 250, "L1"), (1, 400, 450, "L2")],
+        "k int, s long, e long, tag string")
+    right = spark.createDataFrame(
+        [(1, 200, 600, "R1"), (1, 260, 300, "R2"), (2, 0, 1000, "R3")],
+        "k int, s long, e long, tag string")
+    out = temporal.interval_join(left, right, on="k",
+                                 left_start="s", left_end="e",
+                                 right_start="s", right_end="e",
+                                 bucket_us=100)
+    pairs = sorted((r["tag_l"], r["tag_r"]) for r in out.collect())
+    # L1 [0,250] x R1 [200,600] overlap; L2 [400,450] x R1 overlap;
+    # L1 x R2 [260,300] disjoint; R3 other key
+    assert pairs == [("L1", "R1"), ("L2", "R1")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # closed-interval boundary: touching endpoints overlap
+    l2 = spark.createDataFrame([(1, 0, 100, "La")],
+                               "k int, s long, e long, tag string")
+    r2 = spark.createDataFrame([(1, 100, 150, "Ra")],
+                               "k int, s long, e long, tag string")
+    touch = temporal.interval_join(l2, r2, on="k", left_start="s",
+                                   left_end="e", right_start="s",
+                                   right_end="e", bucket_us=1000)
+    assert [(r["tag_l"], r["tag_r"]) for r in touch.collect()] == [("La", "Ra")]
