@@ -62,6 +62,24 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     li.groupBy("l_returnflag").count().collect()
 
+    # machine calibration: a fixed, registry-independent job whose cost
+    # depends only on the host (CPU speed, contention). Round-over-
+    # round query ratios should be read against the calib ratio —
+    # a round where calib itself moves 1.5x is a slower machine, not a
+    # slower engine. Best of 3 (same rationale as per-query timing).
+    from pyspark.sql import functions as _F
+    calib_df = (spark.range(50_000_000)
+                .select((_F.col("id") * 2654435761 % 1000003).alias("h"))
+                .groupBy((_F.col("h") % 97).alias("b"))
+                .agg(_F.count(_F.lit(1)).alias("n"), _F.sum("h").alias("s")))
+    calib_df.write.format("noop").mode("overwrite").save()
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calib_df.write.format("noop").mode("overwrite").save()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 3)
+
     timings: dict[str, float | None] = {}
     for name in names:
         # noop sink: executes the full physical plan, skips Python
@@ -89,7 +107,19 @@ def main() -> None:
 
     prev_path, prev = _load_prev()
     if prev:
-        print(f"-- vs {os.path.basename(prev_path)} --", file=sys.stderr)
+        prev_calib = None
+        try:
+            with open(prev_path) as f:
+                doc = json.load(f)
+            doc = doc.get("parsed", doc) or doc
+            prev_calib = doc.get("calib")
+        except (OSError, json.JSONDecodeError, AttributeError):
+            pass
+        cal = (f", calib {prev_calib:.3f} -> {calib:.3f} "
+               f"({calib / prev_calib:.2f}x machine)"
+               if prev_calib else f", calib {calib:.3f} (no prev)")
+        print(f"-- vs {os.path.basename(prev_path)}{cal} --",
+              file=sys.stderr)
         for name in names:
             now = timings[name]
             old = prev.get(name)
@@ -112,7 +142,8 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(json.dumps({"metric": "headline_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": float(sf)}))
+                      "unit": "sec", "queries": timings, "sf": float(sf),
+                      "calib": calib}))
     spark.stop()
 
 

@@ -157,6 +157,8 @@ def transform_xy_columns(lat: str = "latitude", lon: str = "longitude",
     - WGS84 UTM zones (EPSG:326xx/327xx) and generic ``+proj=utm`` /
       ``+proj=tmerc`` strings — Krüger-series built-in Columns, fully
       JVM-side;
+    - WGS84 ``+proj=lcc`` / ``+proj=aea`` conics (Lambert conformal,
+      Albers equal-area) — Snyder closed forms as built-in Columns;
     - geographic passthrough (EPSG:4326, ``+proj=longlat``) —
       (x, y) = (lon, lat) degrees, the reference's no-op SRS case.
 
@@ -182,6 +184,12 @@ def transform_xy_columns(lat: str = "latitude", lon: str = "longitude",
         tm = _parse_tmerc_proj4(proj4_string)
         if tm is not None:
             return tmerc_xy_columns(lat, lon, *tm)
+        conic = _parse_conic_proj4(proj4_string)
+        if conic is not None:
+            kind, p = conic
+            return conic_xy_columns(kind, p["lat1"], p["lat2"],
+                                    p["lat0"], p["lon0"], p["x0"],
+                                    p["y0"], lat=lat, lon=lon)
     try:
         import pyproj  # noqa: F401
     except ImportError as exc:
@@ -517,3 +525,223 @@ def oracle_sql_exprs(hemisphere: int = 1, lat: str = "lat",
     theta = f"({lam} - {lon0!r})"
     return (f"{rho} * sin({theta}) * {sign!r}",
             f"-{rho} * cos({theta}) * {sign!r}")
+
+
+# ===========================================================================
+# Conic projections — Lambert conformal conic (2SP) and Albers equal-
+# area (Snyder, "Map Projections: A Working Manual", USGS PP 1395,
+# §15 eq. 15-1..15-10 and §14 eq. 14-1..14-11). Extends the
+# in-container arbitrary-SRS surface (reference geo_index.py:102-112)
+# past polar stereo + UTM to the continental mapping staples
+# (+proj=lcc / +proj=aea) without pyproj. The per-row math is emitted
+# ONCE as SQL text valid in BOTH Spark SQL and DuckDB (constants
+# inlined as exact double literals), so the engine Column (F.expr)
+# and the oracle run textually identical arithmetic; cone constants
+# are Python-scalar precomputation. Parametrized by (a, e2) so
+# non-WGS84 ellipsoids (the published Snyder test vectors are
+# Clarke 1866) work too.
+# ===========================================================================
+
+
+def _conic_m(phi: float, e2: float) -> float:
+    return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+
+def _conic_t(phi: float, e: float) -> float:
+    return (math.tan(math.pi / 4 - phi / 2)
+            / ((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)))
+            ** (e / 2))
+
+
+def _conic_q(phi: float, e: float, e2: float) -> float:
+    s = math.sin(phi)
+    return (1 - e2) * (s / (1 - e2 * s * s)
+                       - (1 / (2 * e)) * math.log((1 - e * s)
+                                                  / (1 + e * s)))
+
+
+def lcc_constants(lat1: float, lat2: float, lat0: float,
+                  a: float = WGS84_A, e2: float = WGS84_E2
+                  ) -> tuple[float, float, float]:
+    """(n, a·F, ρ0) for the 2SP Lambert conformal conic (Snyder
+    15-3/15-2/15-7a); lat1 == lat2 degenerates to the tangent cone
+    n = sin(lat1)."""
+    e = math.sqrt(e2)
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1, t1 = _conic_m(p1, e2), _conic_t(p1, e)
+    if lat1 == lat2:
+        n = math.sin(p1)
+    else:
+        n = ((math.log(m1) - math.log(_conic_m(p2, e2)))
+             / (math.log(t1) - math.log(_conic_t(p2, e))))
+    aF = a * m1 / (n * t1 ** n)
+    rho0 = aF * _conic_t(p0, e) ** n
+    return n, aF, rho0
+
+
+def aea_constants(lat1: float, lat2: float, lat0: float,
+                  a: float = WGS84_A, e2: float = WGS84_E2
+                  ) -> tuple[float, float, float]:
+    """(n, C, ρ0) for the 2SP Albers equal-area conic (Snyder
+    14-14/14-13/14-12a)."""
+    e = math.sqrt(e2)
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1, q1 = _conic_m(p1, e2), _conic_q(p1, e, e2)
+    if lat1 == lat2:
+        n = math.sin(p1)
+    else:
+        n = ((m1 ** 2 - _conic_m(p2, e2) ** 2)
+             / (_conic_q(p2, e, e2) - q1))
+    C = m1 ** 2 + n * q1
+    rho0 = a * math.sqrt(C - n * _conic_q(p0, e, e2)) / n
+    return n, C, rho0
+
+
+def conic_sql_exprs(kind: str, lat1: float, lat2: float, lat0: float,
+                    lon0: float, x0: float = 0.0, y0: float = 0.0,
+                    a: float = WGS84_A, e2: float = WGS84_E2,
+                    lat: str = "lat", lon: str = "lon"
+                    ) -> tuple[str, str]:
+    """(x, y) SQL expression text for ``kind`` in {"lcc", "aea"} —
+    valid verbatim in Spark SQL AND DuckDB (tan/sin/cos/power/ln/sqrt
+    only, constants inlined), so `F.expr(x)` and the oracle share one
+    arithmetic DAG."""
+    e = math.sqrt(e2)
+    phi = f"({lat} * {_D2R!r})"
+    if kind == "lcc":
+        n, aF, rho0 = lcc_constants(lat1, lat2, lat0, a, e2)
+        t = (f"(tan({math.pi / 4!r} - {phi} / 2)"
+             f" / power((1 - {e!r} * sin({phi}))"
+             f" / (1 + {e!r} * sin({phi})), {e / 2!r}))")
+        rho = f"({aF!r} * power({t}, {n!r}))"
+    elif kind == "aea":
+        n, C, rho0 = aea_constants(lat1, lat2, lat0, a, e2)
+        q = (f"({1 - e2!r} * (sin({phi}) / (1 - {e2!r} * sin({phi})"
+             f" * sin({phi})) - {1 / (2 * e)!r}"
+             f" * ln((1 - {e!r} * sin({phi}))"
+             f" / (1 + {e!r} * sin({phi})))))")
+        rho = f"({a!r} * sqrt({C!r} - {n!r} * {q}) / {n!r})"
+    else:
+        raise ValueError(f"unknown conic kind {kind!r}")
+    th = f"({n!r} * (({lon} - {float(lon0)!r}) * {_D2R!r}))"
+    return (f"({float(x0)!r} + {rho} * sin({th}))",
+            f"({float(y0)!r} + {rho0!r} - {rho} * cos({th}))")
+
+
+def conic_xy_columns(kind: str, lat1: float, lat2: float, lat0: float,
+                     lon0: float, x0: float = 0.0, y0: float = 0.0,
+                     a: float = WGS84_A, e2: float = WGS84_E2,
+                     lat: str = "lat", lon: str = "lon"
+                     ) -> tuple[Column, Column]:
+    """Pure built-in (x, y) Columns — whole-stage codegen, no Python
+    worker — from the shared SQL text."""
+    xs, ys = conic_sql_exprs(kind, lat1, lat2, lat0, lon0, x0, y0,
+                             a, e2, lat=lat, lon=lon)
+    return F.expr(xs), F.expr(ys)
+
+
+def lcc_forward(lat: np.ndarray, lon: np.ndarray, lat1: float,
+                lat2: float, lat0: float, lon0: float,
+                x0: float = 0.0, y0: float = 0.0,
+                a: float = WGS84_A, e2: float = WGS84_E2
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized NumPy LCC forward (same formula chain as the SQL)."""
+    e = math.sqrt(e2)
+    n, aF, rho0 = lcc_constants(lat1, lat2, lat0, a, e2)
+    phi = np.asarray(lat, np.float64) * _D2R
+    s = np.sin(phi)
+    t = (np.tan(math.pi / 4 - phi / 2)
+         / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+    rho = aF * t ** n
+    th = n * ((np.asarray(lon, np.float64) - lon0) * _D2R)
+    return x0 + rho * np.sin(th), y0 + rho0 - rho * np.cos(th)
+
+
+def lcc_inverse(x: np.ndarray, y: np.ndarray, lat1: float,
+                lat2: float, lat0: float, lon0: float,
+                x0: float = 0.0, y0: float = 0.0,
+                a: float = WGS84_A, e2: float = WGS84_E2,
+                iters: int = 12) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy LCC inverse (Snyder 15-11/7-9 fixed point)."""
+    e = math.sqrt(e2)
+    n, aF, rho0 = lcc_constants(lat1, lat2, lat0, a, e2)
+    dx = np.asarray(x, np.float64) - x0
+    dy = rho0 - (np.asarray(y, np.float64) - y0)
+    rho = np.copysign(np.hypot(dx, dy), n)
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    t = (rho / aF) ** (1.0 / n)
+    phi = math.pi / 2 - 2 * np.arctan(t)
+    for _ in range(iters):
+        es = e * np.sin(phi)
+        phi = (math.pi / 2
+               - 2 * np.arctan(t * ((1 - es) / (1 + es)) ** (e / 2)))
+    return phi / _D2R, (th / n) / _D2R + lon0
+
+
+def aea_forward(lat: np.ndarray, lon: np.ndarray, lat1: float,
+                lat2: float, lat0: float, lon0: float,
+                x0: float = 0.0, y0: float = 0.0,
+                a: float = WGS84_A, e2: float = WGS84_E2
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized NumPy Albers equal-area forward."""
+    e = math.sqrt(e2)
+    n, C, rho0 = aea_constants(lat1, lat2, lat0, a, e2)
+    phi = np.asarray(lat, np.float64) * _D2R
+    s = np.sin(phi)
+    q = (1 - e2) * (s / (1 - e2 * s * s)
+                    - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+    rho = a * np.sqrt(C - n * q) / n
+    th = n * ((np.asarray(lon, np.float64) - lon0) * _D2R)
+    return x0 + rho * np.sin(th), y0 + rho0 - rho * np.cos(th)
+
+
+def aea_inverse(x: np.ndarray, y: np.ndarray, lat1: float,
+                lat2: float, lat0: float, lon0: float,
+                x0: float = 0.0, y0: float = 0.0,
+                a: float = WGS84_A, e2: float = WGS84_E2,
+                iters: int = 15) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy Albers inverse (Snyder 14-19 then 3-16 iteration)."""
+    e = math.sqrt(e2)
+    n, C, rho0 = aea_constants(lat1, lat2, lat0, a, e2)
+    dx = np.asarray(x, np.float64) - x0
+    dy = rho0 - (np.asarray(y, np.float64) - y0)
+    rho = np.hypot(dx, dy)
+    th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+    q = (C - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        es2 = 1 - e2 * s * s
+        phi = phi + (es2 ** 2 / (2 * np.cos(phi))) * (
+            q / (1 - e2) - s / es2
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+    return phi / _D2R, (th / n) / _D2R + lon0
+
+
+def _parse_conic_proj4(s: str) -> tuple[str, dict] | None:
+    """(kind, params) from a +proj=lcc / +proj=aea WGS84 proj4 string,
+    else None (other datums stay behind the pyproj gate)."""
+    kv: dict[str, str] = {}
+    for tok in s.split():
+        tok = tok.lstrip("+")
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            kv[k] = v
+    if kv.get("datum", "WGS84") != "WGS84":
+        return None
+    if kv.get("ellps", "WGS84") != "WGS84":
+        return None
+    proj = kv.get("proj")
+    if proj not in ("lcc", "aea"):
+        return None
+    try:
+        lat1 = float(kv["lat_1"])
+        lat2 = float(kv.get("lat_2", kv["lat_1"]))
+        params = dict(lat1=lat1, lat2=lat2,
+                      lat0=float(kv.get("lat_0", 0.0)),
+                      lon0=float(kv.get("lon_0", 0.0)),
+                      x0=float(kv.get("x_0", 0.0)),
+                      y0=float(kv.get("y_0", 0.0)))
+    except (KeyError, ValueError):
+        return None  # malformed → fall through to the pyproj gate
+    return proj, params

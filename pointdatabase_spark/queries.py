@@ -50,6 +50,7 @@ _SCORE_FIRST = [
     "asof_join_clicks", "asof_nearest", "temporal_band_join",
     "interval_overlap_join", "multires_rollup",
     "grouping_rollup", "topk_per_group", "percentile_summary",
+    "pivot_event_counts", "hopping_window_counts", "crs_lcc",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -3175,3 +3176,96 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _temporal.interval_join(
         errs, views, on="user_id", left_start="tus", left_end="te",
         right_start="tus", right_end="te", bucket_us=3_600_000_000)
+
+
+# --------------------------------------------------------------------------
+# Pivot + hopping windows: the remaining core OLAP reshaping surfaces.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@query("pivot_event_counts", oracle=_PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type count matrix via pivot with an
+    EXPLICIT value list — one hash aggregate, no second pass to
+    discover pivot values (the implicit form runs a distinct job
+    first and caps at spark.sql.pivotMaxValues; at 100 TB always
+    enumerate). Absent combinations fill 0 like the oracle's
+    COUNT FILTER."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .pivot("event_type", _EVENT_TYPES)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, _EVENT_TYPES))
+
+
+_HOP_SLIDE_US = 10_800_000_000  # 3 h slide, 6 h length
+
+_HOP_ORACLE = f"""
+WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events),
+h AS (SELECT ((tus // {_HOP_SLIDE_US}) - o.o) * {_HOP_SLIDE_US}
+               AS win_start_us,
+             value
+      FROM e, (VALUES (0), (1)) o(o))
+SELECT win_start_us, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
+FROM h GROUP BY win_start_us
+"""
+
+
+@query("hopping_window_counts", oracle=_HOP_ORACLE)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 6 h windows every 3 h via the built-in
+    `window()` expression in BATCH mode — each event lands in exactly
+    length/slide = 2 windows, expanded map-side before the partial
+    aggregate (same operator Structured Streaming uses, so the batch
+    and stream forms share semantics). Oracle: union of two offset
+    tumbling group-bys."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select(timeconv.events_tus(ev).alias("tus"), "value")
+    w = F.window(F.timestamp_micros("tus"), "6 hours", "3 hours")
+    return (ev.groupBy(w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_v"))
+            .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                    "n", "sum_v"))
+
+
+# Lambert conformal conic (the continental-mapping staple): Snyder
+# closed forms as built-in Columns from ONE SQL text valid in both
+# Spark SQL and DuckDB — textually identical arithmetic, quantized to
+# 10 m like crs_utm to absorb libm last-ulp drift between engines.
+
+_LCC_LATLON_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS row_id,
+       CAST(25 AS DOUBLE) + CAST(l_partkey % 2400 AS DOUBLE) / CAST(100 AS DOUBLE) AS lat,
+       CAST(-120 AS DOUBLE) + CAST(l_orderkey % 5000 AS DOUBLE) / CAST(100 AS DOUBLE) AS lon
+FROM lineitem
+"""
+
+_LCC_PARAMS = dict(lat1=33.0, lat2=45.0, lat0=23.0, lon0=-96.0,
+                   x0=0.0, y0=0.0)
+_LCC_X, _LCC_Y = _crs.conic_sql_exprs("lcc", **_LCC_PARAMS,
+                                      lat="lat", lon="lon")
+
+_LCC_ORACLE = f"""
+WITH ll AS ({_LCC_LATLON_SQL})
+SELECT row_id, lat, lon,
+       CAST(round({_LCC_X}, -1) AS BIGINT) AS x_lcc_10m,
+       CAST(round({_LCC_Y}, -1) AS BIGINT) AS y_lcc_10m
+FROM ll
+"""
+
+
+@query("crs_lcc", oracle=_LCC_ORACLE)
+def crs_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    testkit.load_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem")
+    return spark.sql(_LCC_ORACLE)

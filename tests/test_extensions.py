@@ -878,3 +878,42 @@ def test_interval_join_overlaps_exactly_once(spark):
                                    left_end="e", right_start="s",
                                    right_end="e", bucket_us=1000)
     assert [(r["tag_l"], r["tag_r"]) for r in touch.collect()] == [("La", "Ra")]
+
+
+def test_hll_sketch_partial_merge(spark):
+    """Mergeable distinct-count sketches (the 100 TB mode behind the
+    profiler's exact COUNT(DISTINCT)): per-partition hll_sketch_agg
+    partials unioned with hll_union_agg must estimate the same
+    cardinality as one global sketch, within HLL error (~0.8% rsd at
+    lgConfigK=14; the default 12 measured 2.1% here), and both near
+    the exact count."""
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("part"),
+        F.concat(F.lit("u"), (F.col("id") % 7919)).alias("uid"))
+    k = F.lit(14)
+    exact = df.select("uid").distinct().count()
+    direct = df.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("uid", k)).alias("n")).collect()[0]["n"]
+    merged = (df.groupBy("part").agg(F.hll_sketch_agg("uid", k).alias("sk"))
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+              .collect()[0]["n"])
+    assert abs(direct - exact) / exact < 0.025
+    assert abs(merged - exact) / exact < 0.025
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """The documented 100 TB mode of the percentile ladder
+    (exact=False -> approx_percentile sketch) must track the exact
+    values closely on a realistic skewed distribution."""
+    from pointdatabase_spark.operators import olap
+    df = spark.range(50000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.pow(F.col("id") % 1000 / 999.0, F.lit(3.0)).alias("v"))
+    exact = {r["g"]: r for r in olap.percentile_by_group(
+        df, ["g"], "v", [0.5, 0.99], exact=True).collect()}
+    approx = {r["g"]: r for r in olap.percentile_by_group(
+        df, ["g"], "v", [0.5, 0.99], exact=False).collect()}
+    for g in exact:
+        for p in ("p50", "p99"):
+            assert abs(exact[g][p] - approx[g][p]) <= 0.01 * max(
+                1e-9, exact[g][p])

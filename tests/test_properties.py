@@ -11,6 +11,8 @@ from __future__ import annotations
 import math
 from collections import defaultdict
 
+import numpy as np
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -438,3 +440,80 @@ def test_chunk_documents_matches_reference(spark, cases):
         for r, etoks in zip(got, exp):
             assert r.chunk_text.split() == etoks
             assert r.n_chunk_tokens == len(etoks)
+
+
+# ---------------------------------------------------------------------------
+# Conic projections (functions/crs.py lcc_/aea_): published vectors +
+# roundtrips
+# ---------------------------------------------------------------------------
+
+_CLARKE_A, _CLARKE_E2 = 6378206.4, 0.00676866  # Snyder PP1395 examples
+
+
+def test_conic_snyder_published_vectors():
+    """Snyder, 'Map Projections: A Working Manual' (USGS PP 1395),
+    worked ellipsoidal examples on Clarke 1866 — LCC p.296 (sp 33/45,
+    origin 23N 96W, point 35N 75W) and Albers p.292 (sp 29.5/45.5,
+    same origin/point). External ground truth, independent of this
+    implementation."""
+    from pointdatabase_spark.functions import crs
+    x, y = crs.lcc_forward(np.array([35.0]), np.array([-75.0]),
+                           33.0, 45.0, 23.0, -96.0,
+                           a=_CLARKE_A, e2=_CLARKE_E2)
+    assert abs(x[0] - 1894410.9) < 0.5 and abs(y[0] - 1564649.5) < 0.5
+    x, y = crs.aea_forward(np.array([35.0]), np.array([-75.0]),
+                           29.5, 45.5, 23.0, -96.0,
+                           a=_CLARKE_A, e2=_CLARKE_E2)
+    assert abs(x[0] - 1885472.7) < 0.5 and abs(y[0] - 1535925.0) < 0.5
+
+
+def test_conic_roundtrip_and_scale():
+    from pointdatabase_spark.functions import crs
+    rng = np.random.RandomState(19)
+    lat = rng.uniform(25, 50, 300)
+    lon = rng.uniform(-120, -70, 300)
+    args = dict(lat1=33.0, lat2=45.0, lat0=39.0, lon0=-96.0,
+                x0=1000.0, y0=2000.0)
+    for fwd, inv in [(crs.lcc_forward, crs.lcc_inverse),
+                     (crs.aea_forward, crs.aea_inverse)]:
+        x, y = fwd(lat, lon, **args)
+        la, lo = inv(x, y, **args)
+        assert np.allclose(la, lat, atol=1e-9)
+        assert np.allclose(lo, lon, atol=1e-9)
+    # conformal scale is exactly 1 on the standard parallels:
+    # k = rho*n / (a*m) (Snyder 15-4)
+    import math
+    n, aF, _ = crs.lcc_constants(33.0, 45.0, 39.0)
+    for sp in (33.0, 45.0):
+        p = math.radians(sp)
+        m = math.cos(p) / math.sqrt(1 - crs.WGS84_E2 * math.sin(p) ** 2)
+        t = (math.tan(math.pi / 4 - p / 2)
+             / ((1 - crs._E * math.sin(p))
+                / (1 + crs._E * math.sin(p))) ** (crs._E / 2))
+        k = (aF * t ** n) * n / (crs.WGS84_A * m)
+        assert abs(k - 1.0) < 1e-12
+
+
+def test_conic_columns_match_numpy(spark):
+    """The shared-text SQL Columns (valid in Spark AND DuckDB) must
+    reproduce the NumPy kernel bit-for-bit-ish (<1e-6 m) and dispatch
+    from proj4 via transform_xy_columns."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.functions import crs
+    rng = np.random.RandomState(23)
+    lat = rng.uniform(25, 50, 200)
+    lon = rng.uniform(-120, -70, 200)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    for kind, fwd in [("lcc", crs.lcc_forward), ("aea", crs.aea_forward)]:
+        p4 = (f"+proj={kind} +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96"
+              " +x_0=500000 +y_0=100000 +datum=WGS84")
+        xc, yc = crs.transform_xy_columns("lat", "lon", proj4_string=p4)
+        out = df.select(xc.alias("x"), yc.alias("y")).toPandas()
+        xe, ye = fwd(lat, lon, 33.0, 45.0, 39.0, -96.0,
+                     x0=500000.0, y0=100000.0)
+        assert np.allclose(out.x.to_numpy(), xe, atol=1e-6)
+        assert np.allclose(out.y.to_numpy(), ye, atol=1e-6)
+        plan = df.select(xc.alias("x"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "pythonUDF" not in plan and "Exchange" not in plan

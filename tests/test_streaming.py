@@ -217,3 +217,53 @@ def test_stream_neardup_flags_match_batch_twin(spark):
         (F.col("dup_id") >= 100000) & (F.col("dup_id") < 200000)
         & (F.col("match_id") == F.col("dup_id") - 100000)).collect()}
     assert len(vs_original) >= 0.5 * n_exact
+
+
+def test_rollup_maintenance_incremental_and_late(spark, tmp_path):
+    """Continuous-aggregate maintenance: two drained batches (the
+    second delivering LATE data into day 1) must leave the stored
+    finest rollup identical to a from-scratch batch aggregation, and
+    the derived hourly view must merge exactly."""
+    import pandas as pd
+    from pointdatabase_spark.streaming import rollup as rl
+
+    day = 86_400_000_000
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rp = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ckpt")
+
+    def granule(path, rows):
+        pd.DataFrame(rows, columns=["g", "tus", "v"]).to_parquet(path)
+
+    granule(landing / "c1.parquet",
+            [("a", 10_000_000, 1.0), ("a", 70_000_000, 2.0),
+             ("b", day + 5_000_000, 3.0)])
+    schema = spark.read.parquet(str(landing)).schema
+    rl.run_rollup_maintenance(spark, str(landing), "*.parquet", schema,
+                              rp, ck, keys=["g"], ts="tus", value="v")
+    # second batch: new day 2 rows AND a late row into day 1 minute 0
+    granule(landing / "c2.parquet",
+            [("a", 20_000_000, 7.0), ("b", 2 * day + 1_000_000, 4.0)])
+    rl.run_rollup_maintenance(spark, str(landing), "*.parquet", schema,
+                              rp, ck, keys=["g"], ts="tus", value="v")
+
+    raw = spark.read.parquet(str(landing))
+    from pointdatabase_spark.operators import temporal
+    expect = {(r["g"], r["bucket_us"]): (r["n"], r["sum_v"], r["min_v"],
+                                         r["max_v"])
+              for r in temporal.multires_rollup(
+                  raw, "tus", ["g"], "v", [60]).collect()}
+    got = {(r["g"], r["bucket_us"]): (r["n"], r["sum_v"], r["min_v"],
+                                      r["max_v"])
+           for r in rl.read_rollup(spark, rp, ["g"], 60).collect()}
+    assert got == expect
+    # late row merged into the existing day-1 minute-0 bucket
+    assert got[("a", 0)] == (2, 8.0, 1.0, 7.0)
+    # derived hourly view == direct hourly aggregation of raw
+    hourly = {(r["g"], r["bucket_us"]): (r["n"], r["sum_v"])
+              for r in rl.read_rollup(spark, rp, ["g"], 3600).collect()}
+    direct = {(r["g"], r["bucket_us"]): (r["n"], r["sum_v"])
+              for r in temporal.multires_rollup(
+                  raw, "tus", ["g"], "v", [3600]).collect()}
+    assert hourly == direct
