@@ -20,19 +20,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _parse_bench(path: str) -> dict[str, float]:
+def _parse_bench(path: str) -> dict:
+    """The unwrapped bench doc ({} on failure). The driver's
+    BENCH_r{N}.json wraps our JSON line under "parsed"."""
     try:
         with open(path) as f:
             doc = json.load(f)
-        # the driver's BENCH_r{N}.json wraps our line under "parsed"
         if "queries" not in doc and isinstance(doc.get("parsed"), dict):
             doc = doc["parsed"]
-        return doc.get("queries", {}) or {}
+        return doc if isinstance(doc.get("queries"), dict) else {}
     except (OSError, json.JSONDecodeError, AttributeError):
         return {}
 
 
-def _load_prev() -> tuple[str, dict[str, float]]:
+def _load_prev() -> tuple[str, dict]:
     path = os.environ.get("SPARK_GRAFT_BENCH_PREV")
     if path:
         return path, _parse_bench(path)
@@ -42,9 +43,9 @@ def _load_prev() -> tuple[str, dict[str, float]]:
     # round records parsed:null and must not blank the ratio table
     for p in sorted(cands, key=lambda p: -int(
             re.search(r"BENCH_r(\d+)", p).group(1))):
-        q = _parse_bench(p)
-        if q:
-            return p, q
+        doc = _parse_bench(p)
+        if doc:
+            return p, doc
     return "", {}
 
 
@@ -105,16 +106,10 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
             timings[name] = None
 
-    prev_path, prev = _load_prev()
+    prev_path, prev_doc = _load_prev()
+    prev = prev_doc.get("queries", {})
     if prev:
-        prev_calib = None
-        try:
-            with open(prev_path) as f:
-                doc = json.load(f)
-            doc = doc.get("parsed", doc) or doc
-            prev_calib = doc.get("calib")
-        except (OSError, json.JSONDecodeError, AttributeError):
-            pass
+        prev_calib = prev_doc.get("calib")
         cal = (f", calib {prev_calib:.3f} -> {calib:.3f} "
                f"({calib / prev_calib:.2f}x machine)"
                if prev_calib else f", calib {calib:.3f} (no prev)")

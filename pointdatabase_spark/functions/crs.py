@@ -734,6 +734,19 @@ def _parse_conic_proj4(s: str) -> tuple[str, dict] | None:
     proj = kv.get("proj")
     if proj not in ("lcc", "aea"):
         return None
+    # result-changing keys this closed form does not honor (scale
+    # factor, sphere radius, explicit ellipsoid axes, datum shifts,
+    # non-meter units) defer to the pyproj gate rather than silently
+    # projecting wrong coordinates — the _parse_tmerc_proj4 lesson
+    try:
+        if float(kv.get("k", kv.get("k_0", 1.0))) != 1.0:
+            return None
+    except ValueError:
+        return None
+    if any(k in kv for k in ("R", "a", "b", "rf", "towgs84", "nadgrids")):
+        return None
+    if kv.get("units", "m") != "m":
+        return None
     try:
         lat1 = float(kv["lat_1"])
         lat2 = float(kv.get("lat_2", kv["lat_1"]))

@@ -48,9 +48,17 @@ def percentile_by_group(df: DataFrame, group_cols: list[str],
     (linear interpolation, matches DuckDB ``quantile_cont``);
     ``exact=False`` → ``approx_percentile`` for the 100 TB mode
     (map-combinable sketch; accuracy 1/10000)."""
-    aggs = []
+    aggs, seen = [], set()
     for p in ps:
-        name = f"p{int(round(p * 100)):02d}"
+        pct = p * 100
+        # p99.5 -> "p99_5": integral percents keep the short form,
+        # fractional ones encode the decimals — naive int(round())
+        # would collapse 0.995 and 0.999 into duplicate columns
+        name = (f"p{int(pct):02d}" if float(pct).is_integer()
+                else "p" + f"{pct:g}".replace(".", "_"))
+        if name in seen:
+            raise ValueError(f"duplicate percentile column {name!r}")
+        seen.add(name)
         col = (F.percentile(value_col, F.lit(p)) if exact
                else F.approx_percentile(value_col, F.lit(p), F.lit(10000)))
         aggs.append(F.round(col, 6).alias(name))

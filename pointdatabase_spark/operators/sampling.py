@@ -202,3 +202,24 @@ def pack_sequences(df: DataFrame, budget: int,
     prev = run - F.col(token_col).cast("long")
     return df.withColumn("pack_id",
                          F.floor(prev / F.lit(int(budget))).cast("long"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, budget_frac: float,
+                    id_col: str = "doc_id",
+                    salt: str = "w1") -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability ``min(1, budget_frac · w / mean(w))`` via the same
+    md5-hash-threshold recipe as :func:`hash_split` — rows with twice
+    the weight are kept twice as often, the expected kept fraction is
+    ``budget_frac`` (exact when no row clips at 1), and assignment is
+    stable under re-runs, subsetting, and incremental ingest.  The
+    quality-weighted corpus downsampler.
+
+    In-plan: one map-combined 1-row mean aggregate, broadcast back;
+    the corpus itself never shuffles — scan-local keep/drop."""
+    mean = df.select(F.avg(F.col(weight_col)).alias("_mw"))
+    p = F.least(F.lit(1.0), F.lit(float(budget_frac))
+                * F.col(weight_col) / F.col("_mw"))
+    return (df.crossJoin(F.broadcast(mean))
+            .where(_hash_frac(id_col, salt) < p)
+            .drop("_mw"))

@@ -36,12 +36,16 @@ from pyspark.sql import functions as F
 
 
 def _floor_div(col: Column, width: int) -> Column:
-    """Exact floor(col / width) for integer columns, in integer
-    arithmetic.  ``F.floor(col / lit)`` goes through double division,
-    which misrounds near bucket boundaries once 1/width drops below
-    the double rounding error of epoch-microsecond magnitudes (~3e-9
-    relative at 2024 epochs — day-scale buckets are unsafe); pmod
-    keeps everything in longs and is correct for negative values too.
+    """floor(col / width) for integer columns, exact for
+    ``|col| <= 2^53`` (epoch MICROseconds — this module's time unit —
+    are ~1.7e15, safely inside until the year ~287000; epoch
+    NANOseconds are NOT and must be converted first).  Naive
+    ``F.floor(col / lit)`` misrounds near bucket boundaries once
+    1/width drops below the double rounding error of the magnitude
+    (day-scale microsecond buckets already fail); subtracting
+    ``pmod`` first makes the numerator an exact multiple of ``width``,
+    so the (double) division is exact whenever the numerator is
+    representable.  Correct for negative values (pmod >= 0).
     """
     w = F.lit(int(width))
     return ((col - F.pmod(col, w)) / w).cast("long")
@@ -249,6 +253,12 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
     dedup shuffle exists in the plan.
 
     Output columns suffixed ``lsuffix``/``rsuffix``; ``on`` unsuffixed.
+
+    Intervals must be well-formed (``start <= end``): an inverted
+    interval raises at execution time rather than silently losing
+    pairs (its bucket cover and the ownership rule disagree on
+    inverted ranges — the overlap predicate can hold while the
+    ownership bucket lies outside the exploded cover).
     """
     width = int(bucket_us)
     if width <= 0:
@@ -261,9 +271,18 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
                         F.col(end).alias(e_alias),
                         *[F.col(c).alias(c + sfx)
                           for c in df.columns if c != on])
+        # the assertion is folded INTO the sequence bound (assert_true
+        # yields NULL on success) so column pruning cannot elide it —
+        # a dropped check column would be optimized away unevaluated
+        e_checked = F.when(
+            F.assert_true(
+                F.col(s_alias) <= F.col(e_alias),
+                F.lit(f"interval_join: {start} > {end} "
+                      "(inverted interval)")).isNull(),
+            F.col(e_alias))
         return out.withColumn("_b", F.explode(F.sequence(
             _floor_div(F.col(s_alias), width),
-            _floor_div(F.col(e_alias), width))))
+            _floor_div(e_checked, width))))
 
     l = side(left, left_start, left_end, lsuffix, "_ls", "_le")
     r = side(right, right_start, right_end, rsuffix, "_rs", "_re")
@@ -274,3 +293,29 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
                 & (F.col("_b") == own)))
     return (j.withColumnRenamed("_k", on)
             .drop("_b", "_ls", "_le", "_rs", "_re"))
+
+
+def trailing_agg(df: DataFrame, on: str, ts: str, value: str,
+                 span_us: int) -> DataFrame:
+    """Trailing (range-frame) window aggregates: for every row, count
+    and sum of ``value`` over the same key's rows within the last
+    ``span_us`` microseconds INCLUSIVE of now — the "7-day trailing
+    spend" shape.  A RANGE frame (not ROWS): peers at equal timestamps
+    all see the same frame, so the result is deterministic even with
+    duplicate timestamps.
+
+    One shuffle on the key.  Cost note: Spark's sliding RANGE frame
+    moves its buffer pointers incrementally but RE-AGGREGATES the
+    buffered frame on every frame change (aggregates are not
+    retractable), so per-key cost is O(rows × avg frame size), not
+    O(rows).  Fine for human-scale keys (≤10³ events in span); for
+    dense keys pre-aggregate to a coarser time grain first —
+    :func:`multires_rollup` is exactly that reducer — and run the
+    trailing window over the buckets.
+    """
+    w = (Window.partitionBy(on).orderBy(F.col(ts).cast("long"))
+         .rangeBetween(-int(span_us), 0))
+    return (df.withColumn("n_trail", F.count(F.lit(1)).over(w))
+            .withColumn("sum_trail", F.sum(value).over(w)))
+
+

@@ -51,6 +51,7 @@ _SCORE_FIRST = [
     "interval_overlap_join", "multires_rollup",
     "grouping_rollup", "topk_per_group", "percentile_summary",
     "pivot_event_counts", "hopping_window_counts", "crs_lcc",
+    "trailing_window_agg", "importance_sample",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -3269,3 +3270,60 @@ def crs_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     testkit.load_table(spark, sf_dir, "lineitem") \
         .createOrReplaceTempView("lineitem")
     return spark.sql(_LCC_ORACLE)
+
+
+_TRAIL_SPAN_US = 7 * 86_400_000_000  # 7-day trailing window
+
+_TRAIL_ORACLE = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
+           FROM events)
+SELECT user_id, event_id, tus,
+       COUNT(*) OVER w AS n_trail,
+       ROUND(SUM(value) OVER w, 6) AS sum_trail
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN {_TRAIL_SPAN_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("trailing_window_agg", oracle=_TRAIL_ORACLE)
+def trailing_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing count/sum per user on every event — a RANGE
+    frame (operators/temporal.trailing_agg), so equal-timestamp peers
+    share a frame and the sliding window costs O(rows) per key via
+    Spark's two-pointer range frame, not O(rows × span)."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_id", "user_id",
+                   timeconv.events_tus(ev).alias("tus"), "value")
+    out = _temporal.trailing_agg(ev, on="user_id", ts="tus",
+                                 value="value", span_us=_TRAIL_SPAN_US)
+    return out.select("user_id", "event_id", "tus", "n_trail",
+                      F.round("sum_trail", 6).alias("sum_trail"))
+
+
+_IMP_BUDGET = 0.3
+
+_IMP_ORACLE = f"""
+WITH w AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) AS wt
+           FROM documents),
+m AS (SELECT AVG(wt) AS mw FROM w)
+SELECT doc_id, lang
+FROM w, m
+WHERE {_duck_h32_id('doc_id', 'w1')} / {float(1 << 32)!r}
+      < least(1.0, {_IMP_BUDGET!r} * wt / mw)
+"""
+
+
+@query("importance_sample", oracle=_IMP_ORACLE)
+def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling: keep probability
+    min(1, budget · w / mean(w)) with w = document length, assigned by
+    the deterministic md5-hash threshold (operators/sampling.
+    weighted_sample) — longer/higher-quality docs survive
+    proportionally more often, expected kept fraction = budget, zero
+    corpus shuffles (1-row mean broadcast back)."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("wt", F.length("text").cast("double"))
+    return (_samp.weighted_sample(docs, "wt", _IMP_BUDGET,
+                                  id_col="doc_id", salt="w1")
+            .select("doc_id", "lang"))

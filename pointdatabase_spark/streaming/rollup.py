@@ -21,8 +21,12 @@ flow, run_tile_updates:6-24, transplanted to time buckets):
   separately — one source of truth, no cross-level drift.
 
 At 100 TB the per-batch cost is O(raw rows in affected days), not
-O(history): late data touches old days rarely, and partition pruning
-limits both the raw re-read and the overwrite to those days.
+O(history): late data touches old days rarely; the raw re-read
+filters with plain ts RANGE predicates (pushed to Parquet row-group
+min/max stats — time-ordered ingest makes them tight), and the
+overwrite touches only the affected day partitions.  Partition the
+landing directory by ingest date to turn the row-group skip into
+directory-level pruning.
 """
 
 from __future__ import annotations
@@ -54,8 +58,16 @@ def run_rollup_maintenance(spark: SparkSession, landing: str, glob: str,
                            res_s: int = 60) -> None:
     """Drain the landing directory (availableNow) and bring the stored
     finest-level rollup up to date.  Restart-safe: file offsets are
-    checkpointed, and the per-day recompute is idempotent."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    checkpointed, and the per-day recompute is idempotent.
+
+    ``res_s`` must divide a day: buckets then never straddle the
+    partition boundary, so "days whose rows this batch touches" and
+    "days whose buckets this batch touches" coincide — without this a
+    bucket starting at 23:57 of the previous day would be written into
+    a day partition the recompute did not rebuild, corrupting it."""
+    if 86_400 % int(res_s):
+        raise ValueError(f"res_s={res_s} must divide 86400 s "
+                         "(buckets may not straddle day partitions)")
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", glob)
            .parquet(landing))
@@ -68,16 +80,26 @@ def run_rollup_maintenance(spark: SparkSession, landing: str, glob: str,
                                 .alias("day_us")).distinct().collect()]
         if not days:
             return
-        # recompute the touched days from ALL raw data (idempotent);
-        # the day filter prunes the raw scan to the affected partitions
+        # recompute the touched days from ALL raw data (idempotent).
+        # The filter is a disjunction of RANGE predicates on the raw
+        # ts column — pushable to Parquet row-group min/max stats —
+        # NOT a pmod-derived bucket expression (which would defeat
+        # pushdown and rescan the full history every batch).
         raw = (sess.read.schema(schema)
                .option("pathGlobFilter", glob).parquet(landing))
-        day_col = (_floor_div(F.col(ts), _DAY_US)
-                   * F.lit(_DAY_US)).cast("long")
-        fine = _fine_agg(raw.where(day_col.isin(days)),
-                         keys, ts, value, res_s)
+        in_days = None
+        for d in days:
+            rng = (F.col(ts) >= F.lit(int(d))) & \
+                  (F.col(ts) < F.lit(int(d) + _DAY_US))
+            in_days = rng if in_days is None else (in_days | rng)
+        fine = _fine_agg(raw.where(in_days), keys, ts, value, res_s)
+        # dynamic overwrite scoped to THIS write (not session conf —
+        # mutating the shared session would silently change unrelated
+        # static-overwrite writes elsewhere)
         (fine.repartition("day_us")
-         .write.mode("overwrite").partitionBy("day_us")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("day_us")
          .parquet(rollup_path))
 
     (src.writeStream.foreachBatch(sink)

@@ -917,3 +917,37 @@ def test_approx_percentile_close_to_exact(spark):
         for p in ("p50", "p99"):
             assert abs(exact[g][p] - approx[g][p]) <= 0.01 * max(
                 1e-9, exact[g][p])
+
+
+def test_trailing_agg_range_frame_semantics(spark):
+    from pointdatabase_spark.operators import temporal
+    # duplicate timestamps are PEERS: both rows see the same frame
+    df = spark.createDataFrame(
+        [(1, 0, 1.0, "a"), (1, 50, 2.0, "b"), (1, 50, 3.0, "c"),
+         (1, 151, 4.0, "d"), (2, 50, 9.0, "e")],
+        "k int, tus long, v double, tag string")
+    out = {r["tag"]: r for r in temporal.trailing_agg(
+        df, on="k", ts="tus", value="v", span_us=100).collect()}
+    assert out["a"]["n_trail"] == 1 and out["a"]["sum_trail"] == 1.0
+    # b and c at tus=50: frame [−50,50] includes a, b, c for BOTH
+    for t in ("b", "c"):
+        assert out[t]["n_trail"] == 3 and out[t]["sum_trail"] == 6.0
+    # d at 151: frame [51,151] → only itself (50 is just outside)
+    assert out["d"]["n_trail"] == 1 and out["d"]["sum_trail"] == 4.0
+    assert out["e"]["n_trail"] == 1          # keys isolated
+
+
+def test_weighted_sample_rate_scales_with_weight(spark):
+    from pointdatabase_spark.operators import sampling as _sampling
+    # weight 9:1 → keep rates should differ by ~9x; determinism exact
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 9.0).otherwise(1.0).alias("wt"))
+    kept = _sampling.weighted_sample(df, "wt", 0.2)
+    a = kept.where("wt = 9.0").count()
+    b = kept.where("wt = 1.0").count()
+    # p_heavy = min(1, .2*9/5) = .36, p_light = .2/5 = .04 over 2000 each
+    assert abs(a - 720) < 120 and abs(b - 80) < 45
+    again = _sampling.weighted_sample(df, "wt", 0.2)
+    assert kept.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert again.count() == kept.count()

@@ -517,3 +517,109 @@ def test_conic_columns_match_numpy(spark):
         plan = df.select(xc.alias("x"))._jdf.queryExecution() \
             .executedPlan().toString()
         assert "pythonUDF" not in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py) vs brute-force references
+# ---------------------------------------------------------------------------
+
+temporal_rows = st.lists(
+    st.tuples(st.integers(0, 2),                 # key
+              st.integers(-1000, 1000),          # ts (negatives too)
+              st.integers(0, 50)),               # payload
+    min_size=0, max_size=25)
+
+
+@settings(**_SETTINGS)
+@given(temporal_rows, temporal_rows,
+       st.sampled_from(["backward", "forward", "nearest"]),
+       st.sampled_from([None, 75]))
+def test_asof_join_matches_merge_asof(spark, lrows, rrows, direction, tol):
+    from pointdatabase_spark.operators import temporal
+    # dedup right per (k, ts): equal-ts duplicates make "the" match
+    # ill-defined (documented contract); keep max payload like the query
+    rdd = {}
+    for k, t, v in rrows:
+        rdd[(k, t)] = max(rdd.get((k, t), -1), v)
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(lrows)] or [(0, 99, 0)],
+        "i long, k long, tus long")
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for (k, t), v in rdd.items()] or [(98, 0, 0.0)],
+        "k long, tus long, v double")
+    got = {r["i"]: (r["tus_m"], r["v_m"]) for r in temporal.asof_join(
+        left, right, on="k", right_cols=["v"], tolerance=tol,
+        direction=direction).collect()}
+
+    def brute(k, t):
+        cands = [(rt, rv) for (rk, rt), rv in rdd.items() if rk == k]
+        bwd = [(rt, rv) for rt, rv in cands if rt <= t
+               and (tol is None or t - rt <= tol)]
+        fwd = [(rt, rv) for rt, rv in cands if rt >= t
+               and (tol is None or rt - t <= tol)]
+        b = max(bwd, default=None)
+        f = min(fwd, default=None)
+        if direction == "backward":
+            pick = b
+        elif direction == "forward":
+            pick = f
+        else:
+            if b is None or (f is not None and f[0] - t < t - b[0]):
+                pick = f
+            else:
+                pick = b
+        return (None, None) if pick is None else (pick[0], float(pick[1]))
+
+    rows = lrows or [(99, 0, 0)]
+    for i, (k, t, _) in enumerate(rows):
+        assert got[i] == brute(k, t), (i, k, t, direction, tol)
+
+
+@settings(**_SETTINGS)
+@given(temporal_rows, temporal_rows, st.integers(-60, 0),
+       st.integers(0, 60))
+def test_band_join_matches_brute_force(spark, lrows, rrows, lo, hi):
+    from pointdatabase_spark.operators import temporal
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(lrows)] or [(0, 9, 0)],
+        "i long, k long, tus long")
+    right = spark.createDataFrame(
+        [(j, k, t) for j, (k, t, _) in enumerate(rrows)] or [(0, 8, 0)],
+        "j long, k long, tus long")
+    out = temporal.band_join(left, right, on="k", lo=lo, hi=hi)
+    got = sorted((r["i_l"], r["j_r"]) for r in out.collect())
+    lref = list(enumerate(lrows)) if lrows else [(0, (9, 0, 0))]
+    rref = list(enumerate(rrows)) if rrows else [(0, (8, 0, 0))]
+    exp = sorted((i, j) for i, (lk, lt, _) in lref
+                 for j, (rk, rt, _) in rref
+                 if lk == rk and lt + lo <= rt <= lt + hi)
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(-500, 500),
+                          st.integers(0, 400)),
+                min_size=0, max_size=18),
+       st.lists(st.tuples(st.integers(0, 1), st.integers(-500, 500),
+                          st.integers(0, 400)),
+                min_size=0, max_size=18),
+       st.sampled_from([37, 100, 1000]))
+def test_interval_join_matches_brute_force(spark, livs, rivs, bucket):
+    from pointdatabase_spark.operators import temporal
+    left = spark.createDataFrame(
+        [(i, k, s, s + d) for i, (k, s, d) in enumerate(livs)]
+        or [(0, 9, 0, 1)], "i long, k long, s long, e long")
+    right = spark.createDataFrame(
+        [(j, k, s, s + d) for j, (k, s, d) in enumerate(rivs)]
+        or [(0, 8, 0, 1)], "j long, k long, s long, e long")
+    out = temporal.interval_join(left, right, on="k",
+                                 left_start="s", left_end="e",
+                                 right_start="s", right_end="e",
+                                 bucket_us=bucket)
+    got = sorted((r["i_l"], r["j_r"]) for r in out.collect())
+    lref = list(enumerate(livs)) if livs else [(0, (9, 0, 1))]
+    rref = list(enumerate(rivs)) if rivs else [(0, (8, 0, 1))]
+    exp = sorted((i, j) for i, (lk, ls, ld) in lref
+                 for j, (rk, rs, rd) in rref
+                 if lk == rk and ls <= rs + rd and rs <= ls + ld)
+    assert got == exp
