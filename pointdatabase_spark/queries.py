@@ -51,7 +51,7 @@ _SCORE_FIRST = [
     "interval_overlap_join", "multires_rollup",
     "grouping_rollup", "topk_per_group", "percentile_summary",
     "pivot_event_counts", "hopping_window_counts", "crs_lcc",
-    "trailing_window_agg", "importance_sample",
+    "trailing_window_agg", "importance_sample", "bm25_search",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -3327,3 +3327,54 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_samp.weighted_sample(docs, "wt", _IMP_BUDGET,
                                   id_col="doc_id", salt="w1")
             .select("doc_id", "lang"))
+
+
+# --------------------------------------------------------------------------
+# Lexical retrieval (operators/retrieval.py): BM25 keyword search —
+# the sparse counterpart of the ANN queries. Oracle mirrors the
+# tokenize→filter→tf/df→score pipeline in SQL; ranking is on the
+# ROUNDED score + doc_id so libm ln() drift cannot reorder the cut.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "vector", "stream"]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
+
+_BM25_ORACLE = rf"""
+WITH d AS (SELECT doc_id,
+                  string_split_regex(lower(coalesce(text, '')), '\s+')
+                    AS toks
+           FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM d),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+      FROM dl),
+tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dl)
+       WHERE tok IN ('spark', 'vector', 'stream')
+       GROUP BY doc_id, dl, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+          GROUP BY tok),
+sc AS (SELECT tf.doc_id,
+              ROUND(SUM(
+                ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {_BM25_K1 + 1.0!r}
+                / (tf.tf + {_BM25_K1!r}
+                   * ({1.0 - _BM25_B!r} + {_BM25_B!r} * tf.dl
+                      / s.avgdl))), 6) AS bm25
+       FROM tf JOIN dfreq ON tf.tok = dfreq.tok, s
+       GROUP BY tf.doc_id)
+SELECT doc_id, bm25 FROM sc
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+@query("bm25_search", oracle=_BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 hits for a 3-term keyword query. The corpus is
+    filtered to query-term tokens BEFORE any shuffle — the only
+    doc-scale exchange is the (doc, term) tf aggregate over matching
+    postings, O(query-term postings) not O(corpus tokens); df and
+    (N, avgdl) broadcast into a map-side score expression."""
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _retr.bm25_topk(docs, _BM25_TERMS, k=_BM25_K,
+                           k1=_BM25_K1, b=_BM25_B)

@@ -951,3 +951,28 @@ def test_weighted_sample_rate_scales_with_weight(spark):
     again = _sampling.weighted_sample(df, "wt", 0.2)
     assert kept.select("doc_id").subtract(again.select("doc_id")).count() == 0
     assert again.count() == kept.count()
+
+
+def test_bm25_hand_computed(spark):
+    from pointdatabase_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c"), (2, "c c c c")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["bm25"] for r in retrieval.bm25_scores(
+        docs, ["a", "c"]).collect()}
+    k1, b = 1.2, 0.75
+    n, avgdl = 3.0, 3.0
+    idf_a = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+    idf_c = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def term(tf, dl, idf):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[0] == round(term(2, 3, idf_a), 6)
+    assert out[1] == round(term(1, 2, idf_c), 6)
+    assert out[2] == round(term(4, 4, idf_c), 6)
+    # zero-hit docs are absent, not scored 0
+    assert set(out) == {0, 1, 2} or 3 not in out
+    top = retrieval.bm25_topk(docs, ["a", "c"], k=2)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
