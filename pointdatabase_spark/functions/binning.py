@@ -76,3 +76,50 @@ def neighbor_offsets(pad: int = 1) -> list[tuple[int, int]]:
     reference's ``pad_bins`` / ``dilate_bins`` dilation
     (geo_index.py:591-603, xover_search.py:12-21)."""
     return [(dx, dy) for dx in range(-pad, pad + 1) for dy in range(-pad, pad + 1)]
+
+
+def zorder_key(bin_x: Column | str, bin_y: Column | str,
+               bits: int = 20) -> Column:
+    """Z-order (Morton) key over signed integer bin indices — bit i of
+    each coordinate lands at output bit 2i (x) / 2i+1 (y).  Sorting or
+    range-partitioning the tile store on this key clusters every
+    power-of-two-aligned square of bins into a CONTIGUOUS key range,
+    which tightens Parquet row-group (bin_x, bin_y) min/max bounds for
+    2-D box queries far beyond what a lexicographic (bin_x, bin_y)
+    sort gives — the standard data-layout lever for multi-dimensional
+    pruning at 100 TB.  ``bits`` per axis (default 20 → ±524 287 bins,
+    40-bit key); indices outside raise rather than aliasing.
+
+    Pure integer Column arithmetic (shift/or via *2^k and pmod-free
+    bit tests), exact — the oracle reproduces it bit for bit.
+    """
+    bias = 1 << (bits - 1)
+    bx = F.col(bin_x) if isinstance(bin_x, str) else bin_x
+    by = F.col(bin_y) if isinstance(bin_y, str) else bin_y
+    ux = bx.cast("long") + F.lit(bias)
+    uy = by.cast("long") + F.lit(bias)
+    rng_msg = F.lit(f"zorder_key: bin index out of ±{bias - 1} range")
+    ok = ((ux >= 0) & (ux < F.lit(1 << bits))
+          & (uy >= 0) & (uy < F.lit(1 << bits)))
+    # fold the range assertion into the key (assert_true is NULL on
+    # success) so column pruning cannot elide it
+    z = F.when(F.assert_true(ok, rng_msg).isNull(), F.lit(0).cast("long"))
+    for i in range(bits):
+        xbit = F.floor(ux / F.lit(1 << i)) % 2
+        ybit = F.floor(uy / F.lit(1 << i)) % 2
+        z = z + xbit.cast("long") * F.lit(1 << (2 * i)) \
+              + ybit.cast("long") * F.lit(1 << (2 * i + 1))
+    return z
+
+
+def zorder_sql(bin_x: str, bin_y: str, bits: int = 20) -> str:
+    """The same Morton key as SQL text (valid in Spark SQL and DuckDB,
+    minus the range assertion) for oracle parity."""
+    bias = 1 << (bits - 1)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(floor(({bin_x} + {bias}) / {1 << i}) % 2)"
+                     f" * {1 << (2 * i)}")
+        terms.append(f"(floor(({bin_y} + {bias}) / {1 << i}) % 2)"
+                     f" * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

@@ -52,6 +52,7 @@ _SCORE_FIRST = [
     "grouping_rollup", "topk_per_group", "percentile_summary",
     "pivot_event_counts", "hopping_window_counts", "crs_lcc",
     "trailing_window_agg", "importance_sample", "bm25_search",
+    "zorder_bin_ordering", "grouping_cube",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -3378,3 +3379,58 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _retr.bm25_topk(docs, _BM25_TERMS, k=_BM25_K,
                            k1=_BM25_K1, b=_BM25_B)
+
+
+# Z-order (Morton) bin ordering — the data-layout key for 2-D locality
+# (functions/binning.zorder_key): exact integer arithmetic, oracle
+# bit-for-bit. Complements O1's reference-parity radial order with the
+# layout the tile store would actually sort by at 100 TB.
+
+from pointdatabase_spark.functions import binning as _binning  # noqa: E402
+
+_Z_ORACLE = testkit.syn_points_cte() + f"""
+, b AS (SELECT DISTINCT CAST(round(x / 10000) AS BIGINT) AS bx,
+                        CAST(round(y / 10000) AS BIGINT) AS by0
+        FROM pts)
+SELECT bx AS bin_x, by0 AS bin_y,
+       {_binning.zorder_sql('bx', 'by0')} AS zkey,
+       CAST(row_number() OVER (ORDER BY
+            {_binning.zorder_sql('bx', 'by0')}) AS BIGINT) AS ord_rank
+FROM b
+"""
+
+
+@query("zorder_bin_ordering", oracle=_Z_ORACLE)
+def zorder_bin_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+    pts = testkit.syn_points(spark, sf_dir)
+    b = (pts.select(F.round(F.col("x") / 10000, 0).cast("long").alias("bin_x"),
+                    F.round(F.col("y") / 10000, 0).cast("long").alias("bin_y"))
+         .distinct())
+    z = _binning.zorder_key("bin_x", "bin_y")
+    b = b.withColumn("zkey", z)
+    w = _W.orderBy("zkey")
+    return b.select("bin_x", "bin_y", "zkey",
+                    F.row_number().over(w).cast("long").alias("ord_rank"))
+
+
+_CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("grouping_cube", oracle=_CUBE_ORACLE)
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (priority, status): all four grouping sets — including the
+    per-status marginals ROLLUP omits — in one Expand+agg pass."""
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    return _olap.rollup_agg(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        [F.count(F.lit(1)).alias("n_orders"),
+         F.round(F.sum("o_totalprice"), 2).alias("sum_total")],
+        cube=True)

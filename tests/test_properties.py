@@ -623,3 +623,38 @@ def test_interval_join_matches_brute_force(spark, livs, rivs, bucket):
                  for j, (rk, rs, rd) in rref
                  if lk == rk and ls <= rs + rd and rs <= ls + ld)
     assert got == exp
+
+
+def _morton_ref(x: int, y: int, bits: int = 20) -> int:
+    bx, by = x + (1 << (bits - 1)), y + (1 << (bits - 1))
+    z = 0
+    for i in range(bits):
+        z |= ((bx >> i) & 1) << (2 * i)
+        z |= ((by >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_bit_interleave_and_quadrants(spark):
+    from pointdatabase_spark.functions import binning
+    import itertools
+    pts = [(x, y) for x, y in itertools.product(
+        [-5, -1, 0, 1, 3, 7, 100, -100], repeat=2)]
+    df = spark.createDataFrame(pts, "bx long, by long")
+    got = {(r["bx"], r["by"]): r["z"] for r in df.select(
+        "bx", "by", binning.zorder_key("bx", "by").alias("z")).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == _morton_ref(x, y), (x, y)
+    # locality: sorting a 2^k x 2^k aligned square by z visits each
+    # quadrant CONTIGUOUSLY (the row-group-bound-tightening property)
+    grid = [(x, y) for x in range(8) for y in range(8)]
+    order = sorted(grid, key=lambda p: _morton_ref(*p))
+    quadrant = [(x >= 4) * 2 + (y >= 4) for x, y in order]
+    # each quadrant id appears in one contiguous run of 16
+    runs = [q for i, q in enumerate(quadrant) if i == 0
+            or q != quadrant[i - 1]]
+    assert len(runs) == 4 and sorted(runs) == [0, 1, 2, 3]
+    # out-of-range index raises (assertion not pruned)
+    import pytest as _pytest
+    bad = spark.createDataFrame([(1 << 20, 0)], "bx long, by long")
+    with _pytest.raises(Exception):
+        bad.select(binning.zorder_key("bx", "by").alias("z")).collect()
