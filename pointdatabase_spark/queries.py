@@ -52,7 +52,7 @@ _SCORE_FIRST = [
     "grouping_rollup", "topk_per_group", "percentile_summary",
     "pivot_event_counts", "hopping_window_counts", "crs_lcc",
     "trailing_window_agg", "importance_sample", "bm25_search",
-    "zorder_bin_ordering", "grouping_cube",
+    "zorder_bin_ordering", "grouping_cube", "streaming_rollup",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -3434,3 +3434,30 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.count(F.lit(1)).alias("n_orders"),
          F.round(F.sum("o_totalprice"), 2).alias("sum_total")],
         cube=True)
+
+
+# Continuous-aggregate maintenance, driver-scored end to end: the
+# availableNow stream materializes the 1-minute rollup (idempotent
+# per-day recompute, streaming/rollup.py), the hourly view derives
+# from the STORED minute level, and the oracle aggregates the raw
+# events directly — store-then-merge must equal direct.
+
+_SROLL_ORACLE = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events)
+SELECT event_type,
+       (tus // 3600000000) * 3600000000 AS bucket_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_v,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM e GROUP BY event_type, (tus // 3600000000) * 3600000000
+"""
+
+
+@query("streaming_rollup", oracle=_SROLL_ORACLE)
+def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.streaming import rollup as _rollup
+    _rollup.run_events_rollup_availablenow(spark, sf_dir, res_s=60)
+    out = _rollup.read_rollup(spark, "/tmp/pdb_rollup_out",
+                              ["event_type"], 3600, 60)
+    return (out.withColumn("sum_v", F.round("sum_v", 6))
+            .withColumn("n", F.col("n").cast("long")))

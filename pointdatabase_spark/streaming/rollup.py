@@ -126,3 +126,33 @@ def read_rollup(spark: SparkSession, rollup_path: str, keys: list[str],
             .agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"),
                  F.min("min_v").alias("min_v"),
                  F.max("max_v").alias("max_v")))
+
+
+def run_events_rollup_availablenow(spark: SparkSession, sf_dir: str,
+                                   res_s: int = 60) -> DataFrame:
+    """End-to-end runner over the shared events table: stage the
+    events as an integer-μs landing dir (two files, so availableNow
+    exercises multi-file draining), run the maintenance stream, and
+    return the STORED finest rollup.  Deterministic: the recompute is
+    idempotent and availableNow drains everything present.
+
+    Fixed paths wiped per run — uuid-suffixed ones would accrete a
+    rollup copy in /tmp per bench invocation, and a stale checkpoint
+    would make the next run a no-op resume instead of a rebuild."""
+    import shutil
+    from pointdatabase_spark.functions import timeconv
+
+    landing = "/tmp/pdb_rollup_landing"
+    dst = "/tmp/pdb_rollup_out"
+    ckpt = "/tmp/pdb_rollup_ckpt"
+    for p in (landing, dst, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select("event_type", timeconv.events_tus(ev).alias("tus"),
+                   "value")
+    ev.repartition(2).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    run_rollup_maintenance(spark, landing, "*.parquet", schema,
+                           dst, ckpt, keys=["event_type"], ts="tus",
+                           value="value", res_s=res_s)
+    return spark.read.parquet(dst)
