@@ -93,6 +93,9 @@ def zorder_key(bin_x: Column | str, bin_y: Column | str,
     Pure integer Column arithmetic (shift/or via *2^k and pmod-free
     bit tests), exact — the oracle reproduces it bit for bit.
     """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits={bits} out of range 1..31 "
+                         "(bit 2*bits-1 must fit a signed long)")
     bias = 1 << (bits - 1)
     bx = F.col(bin_x) if isinstance(bin_x, str) else bin_x
     by = F.col(bin_y) if isinstance(bin_y, str) else bin_y
@@ -115,6 +118,8 @@ def zorder_key(bin_x: Column | str, bin_y: Column | str,
 def zorder_sql(bin_x: str, bin_y: str, bits: int = 20) -> str:
     """The same Morton key as SQL text (valid in Spark SQL and DuckDB,
     minus the range assertion) for oracle parity."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits={bits} out of range 1..31")
     bias = 1 << (bits - 1)
     terms = []
     for i in range(bits):

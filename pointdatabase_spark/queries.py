@@ -3340,6 +3340,8 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["spark", "vector", "stream"]
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
 
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
 _BM25_ORACLE = rf"""
 WITH d AS (SELECT doc_id,
                   string_split_regex(lower(coalesce(text, '')), '\s+')
@@ -3350,7 +3352,7 @@ s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
       FROM dl),
 tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
        FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dl)
-       WHERE tok IN ('spark', 'vector', 'stream')
+       WHERE tok IN ({_BM25_TERMS_SQL})
        GROUP BY doc_id, dl, tok),
 dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
           GROUP BY tok),
@@ -3442,22 +3444,31 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the STORED minute level, and the oracle aggregates the raw
 # events directly — store-then-merge must equal direct.
 
+# The oracle mirrors the engine's two-level shape (minute partials,
+# then hourly re-aggregation of the partial sums) so both engines sum
+# in the same minute-sum-of-sums association; rounding happens only at
+# the end — the standard float-sum residual every other rounded oracle
+# carries, not a new level-structure divergence.
 _SROLL_ORACLE = """
-WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events)
+WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+fine AS (SELECT event_type,
+                (tus // 60000000) * 60000000 AS mb,
+                COUNT(*) AS n, SUM(value) AS sum_v,
+                MIN(value) AS min_v, MAX(value) AS max_v
+         FROM e GROUP BY event_type, (tus // 60000000) * 60000000)
 SELECT event_type,
-       (tus // 3600000000) * 3600000000 AS bucket_us,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 6) AS sum_v,
-       MIN(value) AS min_v, MAX(value) AS max_v
-FROM e GROUP BY event_type, (tus // 3600000000) * 3600000000
+       (mb // 3600000000) * 3600000000 AS bucket_us,
+       CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(SUM(sum_v), 6) AS sum_v,
+       MIN(min_v) AS min_v, MAX(max_v) AS max_v
+FROM fine GROUP BY event_type, (mb // 3600000000) * 3600000000
 """
 
 
 @query("streaming_rollup", oracle=_SROLL_ORACLE)
 def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.streaming import rollup as _rollup
-    _rollup.run_events_rollup_availablenow(spark, sf_dir, res_s=60)
-    out = _rollup.read_rollup(spark, "/tmp/pdb_rollup_out",
-                              ["event_type"], 3600, 60)
+    dst = _rollup.run_events_rollup_availablenow(spark, sf_dir, res_s=60)
+    out = _rollup.read_rollup(spark, dst, ["event_type"], 3600, 60)
     return (out.withColumn("sum_v", F.round("sum_v", 6))
             .withColumn("n", F.col("n").cast("long")))

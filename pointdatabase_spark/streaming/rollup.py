@@ -129,22 +129,32 @@ def read_rollup(spark: SparkSession, rollup_path: str, keys: list[str],
 
 
 def run_events_rollup_availablenow(spark: SparkSession, sf_dir: str,
-                                   res_s: int = 60) -> DataFrame:
+                                   res_s: int = 60) -> str:
     """End-to-end runner over the shared events table: stage the
     events as an integer-μs landing dir (two files, so availableNow
     exercises multi-file draining), run the maintenance stream, and
-    return the STORED finest rollup.  Deterministic: the recompute is
-    idempotent and availableNow drains everything present.
+    return the stored rollup's PATH (callers read/derive from it —
+    one source of truth for the location).  Deterministic: the
+    recompute is idempotent and availableNow drains everything.
 
-    Fixed paths wiped per run — uuid-suffixed ones would accrete a
-    rollup copy in /tmp per bench invocation, and a stale checkpoint
-    would make the next run a no-op resume instead of a rebuild."""
+    Paths are keyed by (pid, sf_dir): the oracle sweep and pytest may
+    run this query concurrently from different processes/scale
+    factors, and a shared fixed path would let one run rmtree the
+    landing dir out from under the other's in-flight stream (or merge
+    two scale factors into one store).  Still wiped per run, so
+    repeated invocations in one process cannot accrete copies or
+    resume from a stale checkpoint; one set of dirs per process is
+    the bounded leftover."""
+    import hashlib
+    import os
     import shutil
     from pointdatabase_spark.functions import timeconv
 
-    landing = "/tmp/pdb_rollup_landing"
-    dst = "/tmp/pdb_rollup_out"
-    ckpt = "/tmp/pdb_rollup_ckpt"
+    tag = (f"{os.getpid()}_"
+           f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{res_s}")
+    landing = f"/tmp/pdb_rollup_{tag}_landing"
+    dst = f"/tmp/pdb_rollup_{tag}_out"
+    ckpt = f"/tmp/pdb_rollup_{tag}_ckpt"
     for p in (landing, dst, ckpt):
         shutil.rmtree(p, ignore_errors=True)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -155,4 +165,4 @@ def run_events_rollup_availablenow(spark: SparkSession, sf_dir: str,
     run_rollup_maintenance(spark, landing, "*.parquet", schema,
                            dst, ckpt, keys=["event_type"], ts="tus",
                            value="value", res_s=res_s)
-    return spark.read.parquet(dst)
+    return dst

@@ -955,13 +955,14 @@ def test_weighted_sample_rate_scales_with_weight(spark):
 
 def test_bm25_hand_computed(spark):
     from pointdatabase_spark.operators import retrieval
+    # doc 3 contains NO query term — it must be absent, not scored 0
     docs = spark.createDataFrame(
-        [(0, "a b a"), (1, "b c"), (2, "c c c c")],
+        [(0, "a b a"), (1, "b c"), (2, "c c c c"), (3, "x y z")],
         "doc_id long, text string")
     out = {r["doc_id"]: r["bm25"] for r in retrieval.bm25_scores(
         docs, ["a", "c"]).collect()}
     k1, b = 1.2, 0.75
-    n, avgdl = 3.0, 3.0
+    n, avgdl = 4.0, 3.0
     idf_a = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
     idf_c = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
 
@@ -972,7 +973,7 @@ def test_bm25_hand_computed(spark):
     assert out[1] == round(term(1, 2, idf_c), 6)
     assert out[2] == round(term(4, 4, idf_c), 6)
     # zero-hit docs are absent, not scored 0
-    assert set(out) == {0, 1, 2} or 3 not in out
+    assert set(out) == {0, 1, 2}
     top = retrieval.bm25_topk(docs, ["a", "c"], k=2)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
