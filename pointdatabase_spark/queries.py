@@ -53,6 +53,7 @@ _SCORE_FIRST = [
     "pivot_event_counts", "hopping_window_counts", "crs_lcc",
     "trailing_window_agg", "importance_sample", "bm25_search",
     "zorder_bin_ordering", "grouping_cube", "streaming_rollup",
+    "repeat_track_dh",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -3472,3 +3473,71 @@ def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _rollup.read_rollup(spark, dst, ["event_type"], 3600, 60)
     return (out.withColumn("sum_v", F.round("sum_v", 6))
             .withColumn("n", F.col("n").cast("long")))
+
+
+# Repeat-track differencing — the sibling of crossover analysis for
+# repeat orbits (reference scope: ATL06 repeats pair by along-track
+# coordinate, ATL11-style): each cycle-2 point takes the NEAREST
+# cycle-1 point of the same (rgt, pair, lr) track by along-track x,
+# within ±5 km, and differences heights. The nearest-as-of operator
+# applied in the reference's own domain: one key shuffle, no
+# range-join blowup even with millions of points per track.
+
+_RT_TOL = 5000
+
+_RT_ORACLE = testkit.syn_points_cte() + f"""
+, p AS (SELECT row_id, CAST(rgt * 8 + beam_pair * 2 + lr AS BIGINT)
+               AS track_key, x, h, cycle
+        FROM pts),
+r AS (SELECT track_key, x, MAX(h) AS h FROM p WHERE cycle = 1
+      GROUP BY track_key, x),
+l AS (SELECT row_id, track_key, x, h FROM p WHERE cycle = 2),
+u AS (SELECT track_key, x AS xx, 1 AS side, row_id, h,
+             NULL::DOUBLE AS mx, NULL::DOUBLE AS mh
+      FROM l
+      UNION ALL
+      SELECT track_key, x, 0, NULL, NULL, x, h FROM r),
+w AS (SELECT *,
+        last_value(mx IGNORE NULLS) OVER bw AS bx,
+        last_value(mh IGNORE NULLS) OVER bw AS bh,
+        last_value(mx IGNORE NULLS) OVER fw AS fx,
+        last_value(mh IGNORE NULLS) OVER fw AS fh
+      FROM u
+      WINDOW bw AS (PARTITION BY track_key ORDER BY xx, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY track_key ORDER BY xx DESC, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (SELECT row_id, track_key, xx AS x, h,
+             CASE WHEN bx >= xx - {_RT_TOL} THEN bx END AS bx,
+             CASE WHEN bx >= xx - {_RT_TOL} THEN bh END AS bh,
+             CASE WHEN fx <= xx + {_RT_TOL} THEN fx END AS fx,
+             CASE WHEN fx <= xx + {_RT_TOL} THEN fh END AS fh
+      FROM w WHERE side = 1),
+sel AS (SELECT row_id, track_key, x, h,
+               CASE WHEN fx IS NULL OR (bx IS NOT NULL AND x - bx <= fx - x)
+                    THEN bx ELSE fx END AS x_m,
+               CASE WHEN fx IS NULL OR (bx IS NOT NULL AND x - bx <= fx - x)
+                    THEN bh ELSE fh END AS h_m
+        FROM t)
+SELECT row_id, track_key, x, h, x_m, h_m, h - h_m AS dh FROM sel
+"""
+
+
+@query("repeat_track_dh", oracle=_RT_ORACLE)
+def repeat_track_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = testkit.syn_points(spark, sf_dir)
+    pts = pts.select("row_id",
+                     (F.col("rgt").cast("long") * 8
+                      + F.col("beam_pair").cast("long") * 2
+                      + F.col("lr").cast("long")).alias("track_key"),
+                     "x", "h", "cycle")
+    ref = (pts.where(F.col("cycle") == 1)
+           .groupBy("track_key", "x").agg(F.max("h").alias("h")))
+    cur = (pts.where(F.col("cycle") == 2)
+           .select("row_id", "track_key", "x", "h"))
+    out = _temporal.asof_join(cur, ref, on="track_key",
+                              left_ts="x", right_ts="x",
+                              right_cols=["h"], tolerance=_RT_TOL,
+                              direction="nearest")
+    return out.select("row_id", "track_key", "x", "h", "x_m", "h_m",
+                      (F.col("h") - F.col("h_m")).alias("dh"))
