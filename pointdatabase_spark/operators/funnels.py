@@ -59,3 +59,35 @@ def funnel_counts(events: DataFrame, steps: list[str],
     for f in out[1:]:
         res = res.unionByName(f)
     return res
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "tus",
+                     bucket_us: int = 7 * 86_400_000_000) -> DataFrame:
+    """Cohort retention: users are cohorted by the bucket of their
+    FIRST event; for every (cohort, offset) cell, the number of
+    cohort members active ``offset`` buckets after their cohort
+    bucket, plus the cohort size and the retention rate (offset 0 is
+    the cohort itself, rate 1 by construction).
+
+    Scale shape: one map-combined MIN per user (first touch), one
+    distinct over (user, bucket) — both shuffle user-sized keys, not
+    events — then a skinny (cohort, offset) count; the per-user join
+    is user-keyed and reuses the first-touch partitioning.  The
+    product-analytics staple at 100 TB without a single window.
+    """
+    from pointdatabase_spark.operators.temporal import _floor_div
+    b = _floor_div(F.col(ts_col), bucket_us)
+    ev = events.select(F.col(user_col).alias("u"), b.alias("w"))
+    first = ev.groupBy("u").agg(F.min("w").alias("w0"))
+    active = ev.distinct()
+    cells = (active.join(first, "u")
+             .groupBy(F.col("w0").alias("cohort_bucket"),
+                      (F.col("w") - F.col("w0")).alias("offset"))
+             .agg(F.count(F.lit(1)).alias("n_active")))
+    sizes = first.groupBy(F.col("w0").alias("cohort_bucket")) \
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (cells.join(sizes, "cohort_bucket")
+            .select("cohort_bucket", "offset", "n_active", "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))

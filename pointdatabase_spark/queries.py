@@ -53,7 +53,7 @@ _SCORE_FIRST = [
     "pivot_event_counts", "hopping_window_counts", "crs_lcc",
     "trailing_window_agg", "importance_sample", "bm25_search",
     "zorder_bin_ordering", "grouping_cube", "streaming_rollup",
-    "repeat_track_dh",
+    "repeat_track_dh", "cohort_retention",
     # new in r5 continuation — zero driver evidence
     "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
     "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
@@ -3541,3 +3541,36 @@ def repeat_track_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
                               direction="nearest")
     return out.select("row_id", "track_key", "x", "h", "x_m", "h_m",
                       (F.col("h") - F.col("h_m")).alias("dh"))
+
+
+# Cohort retention (operators/funnels.cohort_retention): DAILY
+# cohorts by first event, per-offset active counts — the classic
+# retention triangle, zero windows, user-sized shuffles only. Daily
+# buckets (not weekly) because the synthetic events span 30 days —
+# a ~400-cell triangle instead of 5 rows.
+
+_COHORT_W_US = 86_400_000_000
+
+_COHORT_ORACLE = f"""
+WITH e AS (SELECT user_id AS u, epoch_us(ts) // {_COHORT_W_US} AS w
+           FROM events),
+first AS (SELECT u, MIN(w) AS w0 FROM e GROUP BY u),
+active AS (SELECT DISTINCT u, w FROM e),
+cells AS (SELECT f.w0 AS cohort_bucket, a.w - f.w0 AS offset,
+                 COUNT(*) AS n_active
+          FROM active a JOIN first f ON a.u = f.u
+          GROUP BY f.w0, a.w - f.w0),
+sizes AS (SELECT w0 AS cohort_bucket, COUNT(*) AS cohort_size
+          FROM first GROUP BY w0)
+SELECT c.cohort_bucket, c.offset, c.n_active, s.cohort_size,
+       ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s ON c.cohort_bucket = s.cohort_bucket
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pointdatabase_spark.operators import funnels as _fun
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("user_id", timeconv.events_tus(ev).alias("tus"))
+    return _fun.cohort_retention(ev, bucket_us=_COHORT_W_US)

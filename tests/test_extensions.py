@@ -977,3 +977,20 @@ def test_bm25_hand_computed(spark):
     top = retrieval.bm25_topk(docs, ["a", "c"], k=2)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cohort_retention_hand_case(spark):
+    from pointdatabase_spark.operators import funnels
+    day = 100
+    rows = [(1, 0), (1, 5), (1, 110),      # u1: cohort 0, active 0,1
+            (2, 50),                        # u2: cohort 0, active 0
+            (3, 120), (3, 130), (3, 250)]   # u3: cohort 1, active 1,2
+    ev = spark.createDataFrame(rows, "user_id long, tus long")
+    out = {(r["cohort_bucket"], r["offset"]):
+           (r["n_active"], r["cohort_size"], r["retention"])
+           for r in funnels.cohort_retention(ev, bucket_us=day).collect()}
+    assert out[(0, 0)] == (2, 2, 1.0)
+    assert out[(0, 1)] == (1, 2, 0.5)
+    assert out[(1, 0)] == (1, 1, 1.0)
+    assert out[(1, 1)] == (1, 1, 1.0)
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
