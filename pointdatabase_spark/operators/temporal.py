@@ -88,7 +88,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                       if c not in (on, right_ts)]
     mts = right_ts + suffix
     r = right.select(
-        F.col(on).alias(on), F.col(right_ts).alias("_t"),
+        F.col(on), F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"), F.col(right_ts).alias(mts),
         *[F.col(c).alias(c + suffix) for c in right_cols])
     l = left.withColumn("_t", F.col(left_ts)).withColumn(
@@ -185,6 +185,16 @@ def band_join(left: DataFrame, right: DataFrame, on: str,
             .drop("_b", "_lt", "_rt"))
 
 
+def rollup_leaf_aggs(value: str) -> list[Column]:
+    """The merge-able leaf aggregate set every rollup level stores —
+    shared by the batch ladder and the streaming maintenance sink so
+    the stored schema cannot drift between them."""
+    return [F.count(F.lit(1)).alias("n"),
+            F.sum(value).alias("sum_v"),
+            F.min(value).alias("min_v"),
+            F.max(value).alias("max_v")]
+
+
 def multires_rollup(df: DataFrame, ts: str, keys: list[str],
                     value: str,
                     resolutions_s: list[int]) -> DataFrame:
@@ -210,10 +220,7 @@ def multires_rollup(df: DataFrame, ts: str, keys: list[str],
     fine = (df.groupBy(*keys,
                        bucket(F.col(ts), base * 1_000_000)
                        .alias("bucket_us"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(value).alias("sum_v"),
-                 F.min(value).alias("min_v"),
-                 F.max(value).alias("max_v")))
+            .agg(*rollup_leaf_aggs(value)))
     levels = [fine.withColumn("res_s", F.lit(base))]
     for r in rs[1:]:
         levels.append(
@@ -264,35 +271,32 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
     if width <= 0:
         raise ValueError("bucket_us must be positive")
 
-    def side(df: DataFrame, start: str, end: str, sfx: str,
-             s_alias: str, e_alias: str) -> DataFrame:
+    def side(df: DataFrame, start: str, end: str, sfx: str) -> DataFrame:
+        # predicates below reference the SUFFIXED start/end directly —
+        # separate working aliases would carry four duplicate longs per
+        # exploded row through the join exchange
         out = df.select(F.col(on).alias("_k"),
-                        F.col(start).alias(s_alias),
-                        F.col(end).alias(e_alias),
                         *[F.col(c).alias(c + sfx)
                           for c in df.columns if c != on])
+        s, e = F.col(start + sfx), F.col(end + sfx)
         # the assertion is folded INTO the sequence bound (assert_true
         # yields NULL on success) so column pruning cannot elide it —
         # a dropped check column would be optimized away unevaluated
         e_checked = F.when(
             F.assert_true(
-                F.col(s_alias) <= F.col(e_alias),
-                F.lit(f"interval_join: {start} > {end} "
-                      "(inverted interval)")).isNull(),
-            F.col(e_alias))
+                s <= e, F.lit(f"interval_join: {start} > {end} "
+                              "(inverted interval)")).isNull(), e)
         return out.withColumn("_b", F.explode(F.sequence(
-            _floor_div(F.col(s_alias), width),
-            _floor_div(e_checked, width))))
+            _floor_div(s, width), _floor_div(e_checked, width))))
 
-    l = side(left, left_start, left_end, lsuffix, "_ls", "_le")
-    r = side(right, right_start, right_end, rsuffix, "_rs", "_re")
-    own = _floor_div(F.greatest(F.col("_ls"), F.col("_rs")), width)
+    l = side(left, left_start, left_end, lsuffix)
+    r = side(right, right_start, right_end, rsuffix)
+    ls, le = F.col(left_start + lsuffix), F.col(left_end + lsuffix)
+    rs, re_ = F.col(right_start + rsuffix), F.col(right_end + rsuffix)
+    own = _floor_div(F.greatest(ls, rs), width)
     j = (l.join(r, ["_k", "_b"])
-         .where((F.col("_ls") <= F.col("_re"))
-                & (F.col("_rs") <= F.col("_le"))
-                & (F.col("_b") == own)))
-    return (j.withColumnRenamed("_k", on)
-            .drop("_b", "_ls", "_le", "_rs", "_re"))
+         .where((ls <= re_) & (rs <= le) & (F.col("_b") == own)))
+    return j.withColumnRenamed("_k", on).drop("_b")
 
 
 def trailing_agg(df: DataFrame, on: str, ts: str, value: str,

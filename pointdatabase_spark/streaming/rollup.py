@@ -34,7 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pointdatabase_spark.operators.temporal import _floor_div
+from pointdatabase_spark.operators.temporal import _floor_div, \
+    rollup_leaf_aggs
 
 _DAY_US = 86_400_000_000
 
@@ -44,10 +45,7 @@ def _fine_agg(df: DataFrame, keys: list[str], ts: str, value: str,
     res_us = res_s * 1_000_000
     bucket = (_floor_div(F.col(ts), res_us) * F.lit(res_us)).cast("long")
     return (df.groupBy(*keys, bucket.alias("bucket_us"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(value).alias("sum_v"),
-                 F.min(value).alias("min_v"),
-                 F.max(value).alias("max_v"))
+            .agg(*rollup_leaf_aggs(value))
             .withColumn("day_us", (_floor_div(F.col("bucket_us"), _DAY_US)
                                    * F.lit(_DAY_US)).cast("long")))
 
