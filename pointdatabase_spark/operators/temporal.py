@@ -51,7 +51,8 @@ def _floor_div(col: Column, width: int) -> Column:
     return ((col - F.pmod(col, w)) / w).cast("long")
 
 
-def asof_join(left: DataFrame, right: DataFrame, on: str,
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str | list[str],
               left_ts: str = "tus", right_ts: str = "tus",
               right_cols: list[str] | None = None,
               tolerance: int | None = None,
@@ -59,7 +60,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               direction: str = "backward") -> DataFrame:
     """As-of join: attach, to every left row, the values of the right
     row nearest it in the requested ``direction`` for the same ``on``
-    key (pandas ``merge_asof`` semantics, exact matches allowed):
+    key — a column name or a list for composite keys (pandas
+    ``merge_asof`` semantics, exact matches allowed):
 
     - ``backward``: latest right with ``right_ts <= left_ts``;
     - ``forward``: earliest right with ``right_ts >= left_ts``;
@@ -83,12 +85,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns
-                      if c not in (on, right_ts)]
+                      if c not in (*keys, right_ts)]
     mts = right_ts + suffix
     r = right.select(
-        F.col(on), F.col(right_ts).alias("_t"),
+        *[F.col(k) for k in keys], F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"), F.col(right_ts).alias(mts),
         *[F.col(c).alias(c + suffix) for c in right_cols])
     l = left.withColumn("_t", F.col(left_ts)).withColumn(
@@ -100,9 +103,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     # to the left row's frame.  forward: the same trick on the
     # DESCENDING scan (at equal _t the right row is again "earlier"
     # in scan order) — running last() is then the earliest at-or-after.
-    w_bwd = (Window.partitionBy(on).orderBy(F.col("_t").asc(), "_side")
+    w_bwd = (Window.partitionBy(*keys)
+             .orderBy(F.col("_t").asc(), "_side")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_fwd = (Window.partitionBy(on).orderBy(F.col("_t").desc(), "_side")
+    w_fwd = (Window.partitionBy(*keys)
+             .orderBy(F.col("_t").desc(), "_side")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     passes = {"backward": [("", w_bwd)], "forward": [("", w_fwd)],
               "nearest": [("_bwd", w_bwd), ("_fwd", w_fwd)]}[direction]

@@ -994,3 +994,19 @@ def test_cohort_retention_hand_case(spark):
     assert out[(1, 0)] == (1, 1, 1.0)
     assert out[(1, 1)] == (1, 1, 1.0)
     assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_asof_join_composite_key(spark):
+    from pointdatabase_spark.operators import temporal
+    left = spark.createDataFrame(
+        [(1, "a", 100, "L1"), (1, "b", 100, "L2"), (2, "a", 100, "L3")],
+        "k1 int, k2 string, tus long, tag string")
+    right = spark.createDataFrame(
+        [(1, "a", 90, 1.0), (1, "b", 80, 2.0), (2, "b", 85, 3.0)],
+        "k1 int, k2 string, tus long, v double")
+    out = {r["tag"]: r for r in temporal.asof_join(
+        left, right, on=["k1", "k2"], right_cols=["v"]).collect()}
+    # matches must respect BOTH key columns
+    assert out["L1"]["v_m"] == 1.0
+    assert out["L2"]["v_m"] == 2.0
+    assert out["L3"]["v_m"] is None       # (2,'a') has no right rows

@@ -658,3 +658,41 @@ def test_zorder_key_matches_bit_interleave_and_quadrants(spark):
     bad = spark.createDataFrame([(1 << 20, 0)], "bx long, by long")
     with _pytest.raises(Exception):
         bad.select(binning.zorder_key("bx", "by").alias("z")).collect()
+
+
+bm25_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1,
+             max_size=8),
+    min_size=1, max_size=10)
+
+
+@settings(**_SETTINGS)
+@given(bm25_docs, st.lists(st.sampled_from(["a", "b", "c"]),
+                           min_size=1, max_size=2, unique=True))
+def test_bm25_matches_reference(spark, docs, terms):
+    import math as m
+    from pointdatabase_spark.operators import retrieval
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in
+           retrieval.bm25_scores(df, terms).collect()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs) / n
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, toks in enumerate(docs):
+        score = 0.0
+        for t in set(terms):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            dfreq = sum(1 for d in docs if t in d)
+            idf = m.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            score += (idf * tf * (k1 + 1)
+                      / (tf + k1 * (1 - b + b * len(toks) / avgdl)))
+        if score:
+            exp[i] = round(score, 6)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 2e-6, (i, got[i], exp[i])
