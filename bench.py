@@ -136,9 +136,24 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(json.dumps({"metric": "headline_total", "value": total,
-                      "unit": "sec", "queries": timings, "sf": float(sf),
-                      "calib": calib}))
+    doc = {"metric": "headline_total", "value": total,
+           "unit": "sec", "queries": timings, "sf": float(sf),
+           "calib": calib}
+    # The driver keeps only the last 2,000 chars of stdout, which with
+    # 100 queries truncates the JSON line mid-dict (r5 lost 31 query
+    # timings and the headline total).  Persist the full doc to a
+    # committed file so every round's complete table survives.
+    local = os.environ.get("SPARK_GRAFT_BENCH_LOCAL",
+                           os.path.join(os.path.dirname(
+                               os.path.abspath(__file__)),
+                               "BENCH_LOCAL_latest.json"))
+    try:
+        with open(local, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"BENCH WARN: could not persist {local}: {exc}",
+              file=sys.stderr)
+    print(json.dumps(doc))
     spark.stop()
 
 

@@ -172,22 +172,24 @@ def band_join(left: DataFrame, right: DataFrame, on: str,
     if width < 0:
         raise ValueError("hi must be >= lo")
     width = max(width, 1)
-    l = (left.select(F.col(on).alias("_k"), F.col(left_ts).alias("_lt"),
-                     *[F.col(c).alias(c + lsuffix) for c in left.columns
-                       if c != on]))
-    lb = _floor_div(F.col("_lt") + F.lit(int(lo)), width)
-    ub = _floor_div(F.col("_lt") + F.lit(int(hi)), width)
+    # predicates reference the SUFFIXED timestamps directly (the
+    # interval_join side() approach) — separate _lt/_rt working aliases
+    # would carry two duplicate longs per row through the join exchange
+    lt = F.col(left_ts + lsuffix)
+    rt = F.col(right_ts + rsuffix)
+    l = left.select(F.col(on).alias("_k"),
+                    *[F.col(c).alias(c + lsuffix) for c in left.columns
+                      if c != on])
+    lb = _floor_div(lt + F.lit(int(lo)), width)
+    ub = _floor_div(lt + F.lit(int(hi)), width)
     l = l.withColumn("_b", F.explode(F.sequence(lb, ub)))
     r = (right.select(F.col(on).alias("_k"),
-                      F.col(right_ts).alias("_rt"),
                       *[F.col(c).alias(c + rsuffix)
                         for c in right.columns if c != on])
-         .withColumn("_b", _floor_div(F.col("_rt"), width)))
+         .withColumn("_b", _floor_div(rt, width)))
     j = (l.join(r, ["_k", "_b"])
-         .where((F.col("_rt") >= F.col("_lt") + F.lit(int(lo)))
-                & (F.col("_rt") <= F.col("_lt") + F.lit(int(hi)))))
-    return (j.withColumnRenamed("_k", on)
-            .drop("_b", "_lt", "_rt"))
+         .where((rt >= lt + F.lit(int(lo))) & (rt <= lt + F.lit(int(hi)))))
+    return j.withColumnRenamed("_k", on).drop("_b")
 
 
 def rollup_leaf_aggs(value: str) -> list[Column]:

@@ -46,32 +46,17 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
-    # new in r5 second continuation — zero driver evidence
-    "asof_join_clicks", "asof_nearest", "temporal_band_join",
-    "interval_overlap_join", "multires_rollup",
-    "grouping_rollup", "topk_per_group", "percentile_summary",
-    "pivot_event_counts", "hopping_window_counts", "crs_lcc",
-    "trailing_window_agg", "importance_sample", "bm25_search",
-    "zorder_bin_ordering", "grouping_cube", "streaming_rollup",
-    "repeat_track_dh", "cohort_retention",
-    # new in r5 continuation — zero driver evidence
-    "gopher_repetition_filter", "pii_scrub", "frequent_ngrams",
-    "incremental_dedup", "domain_mixture_sample", "embedding_label_stats",
-    "document_chunking", "streaming_quality_gate", "table_profile",
-    "distinctive_terms",
-    # never driver-scored through r4
-    "session_window_agg", "multimodal_features",
-    # new in r5
-    "ngram_jaccard_capped", "crs_utm", "ann_recall_audit",
-    "streaming_neardup", "sample_split_counts", "quota_sample",
-    "sequence_packing", "benchmark_contamination",
-    "corpus_prep_pipeline", "multimodal_feature_ann", "event_funnel",
-    # last scored r2 only
-    "streaming_window_counts", "event_sessionization",
-    "streaming_sessionization", "json_extract_agg", "multimodal_decode",
-    "multimodal_resize", "multimodal_frame_sample", "radial_bin_ordering",
-    # red in r4 (oracle type fixed r5) — keep in the scoring window
+    # red in r4, fix verified locally + by the r5 judge, but the r5
+    # rotation left it at position 51 of a 50-query window — score FIRST
+    # so it finally gets a driver-green row (VERDICT r5 item 1).
     "dedup_clean_corpus",
+    # new in r6 — zero driver evidence
+    "rollup_trailing_window",
+    # Everything green in the r5 driver sweep is pruned from this list,
+    # so the rest of the ~50-query window falls through to registry
+    # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
+    # blockmedian/window/filter queries, ...) whose latest driver
+    # evidence is CORRECTNESS_r04.
 ]
 
 
@@ -3292,8 +3277,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY tus
 def trailing_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing count/sum per user on every event — a RANGE
     frame (operators/temporal.trailing_agg), so equal-timestamp peers
-    share a frame and the sliding window costs O(rows) per key via
-    Spark's two-pointer range frame, not O(rows × span)."""
+    share a frame and the result is deterministic under duplicate
+    timestamps.  Cost (see the operator docstring): Spark re-aggregates
+    the buffered frame on every frame change, so per-key cost is
+    O(rows × avg frame size) — fine for human-scale keys; for dense
+    keys pre-reduce with multires_rollup first (declared as the
+    `rollup_trailing_window` query)."""
     ev = testkit.load_table(spark, sf_dir, "events")
     ev = ev.select("event_id", "user_id",
                    timeconv.events_tus(ev).alias("tus"), "value")

@@ -155,7 +155,11 @@ def run_events_rollup_availablenow(spark: SparkSession, sf_dir: str,
     ckpt = f"/tmp/pdb_rollup_{tag}_ckpt"
     for p in (landing, dst, ckpt):
         shutil.rmtree(p, ignore_errors=True)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pointdatabase_spark import testkit
+    # Via load_table, not a raw parquet read: the events fixture's
+    # physical timestamp type has varied between rounds (ns vs us) and
+    # load_table sets the nanosAsLong conf the ns variant requires.
+    ev = testkit.load_table(spark, sf_dir, "events")
     ev = ev.select("event_type", timeconv.events_tus(ev).alias("tus"),
                    "value")
     ev.repartition(2).write.parquet(landing)
