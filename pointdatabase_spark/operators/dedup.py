@@ -644,6 +644,15 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
            .distinct())
     if max_df is not None:
         dis = drop_hot_shingles(dis, group_cols, max_df)
+    # The posting table feeds FOUR consumers (both self-join sides and
+    # both per-doc set-size lookups); without a persist the whole
+    # tokenize→explode→md5→distinct pipeline runs four times (audited:
+    # 4 parquet scans, 11 exchanges at sf0.1). Persisting collapses
+    # that to one pipeline + cached scans — the same lifecycle
+    # precedent as minhash_neardup/simhash_neardup's persisted shingle
+    # scans; MEMORY_AND_DISK semantics spill rather than OOM when the
+    # posting table outgrows executor memory at scale.
+    dis = dis.persist()
     nsh = dis.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
     on = (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
     for g in group_cols:
