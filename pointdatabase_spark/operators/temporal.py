@@ -330,3 +330,32 @@ def trailing_agg(df: DataFrame, on: str, ts: str, value: str,
             .withColumn("sum_trail", F.sum(value).over(w)))
 
 
+def rollup_trailing(df: DataFrame, ts: str, keys: list[str], value: str,
+                    res_s: int, span_us: int) -> DataFrame:
+    """Dense-key trailing aggregates: pre-reduce to a ``res_s``-second
+    rollup (:func:`multires_rollup`, one level), then run the trailing
+    RANGE frame over the BUCKETS — the scale path
+    :func:`trailing_agg`'s docstring prescribes for keys dense enough
+    that O(rows × frame) re-aggregation hurts.
+
+    Per-key window cost drops from O(events × events-in-span) to
+    O(buckets × span/res): independent of event density, bounded by
+    the grain ratio (7 d / 1 h = 168 buckets per frame).  The window
+    input is |keys| × active-buckets rows, not the base table.
+
+    Frame semantics: one output row per (key, bucket); ``n_trail`` /
+    ``sum_trail`` cover buckets whose START lies in
+    ``[bucket_us - span_us, bucket_us]`` — trailing aggregates at
+    bucket granularity (events of the current partial bucket are
+    included; sub-bucket event offsets are deliberately coarsened, the
+    standard pre-aggregation trade).
+    """
+    fine = multires_rollup(df, ts=ts, keys=keys, value=value,
+                           resolutions_s=[int(res_s)])
+    w = (Window.partitionBy(*keys).orderBy(F.col("bucket_us"))
+         .rangeBetween(-int(span_us), 0))
+    return fine.select(*keys, "bucket_us",
+                       F.sum("n").over(w).alias("n_trail"),
+                       F.sum("sum_v").over(w).alias("sum_trail"))
+
+

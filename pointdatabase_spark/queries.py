@@ -3292,6 +3292,46 @@ def trailing_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sum_trail", 6).alias("sum_trail"))
 
 
+_RT_RES_S = 3600  # pre-reduce grain: 1 hour
+
+_RT_ORACLE = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+b AS (SELECT event_type,
+             (tus // {_RT_RES_S * 1_000_000}) * {_RT_RES_S * 1_000_000}
+               AS bucket_us,
+             COUNT(*) AS n, SUM(value) AS sum_v
+      FROM e GROUP BY event_type, bucket_us)
+SELECT event_type, bucket_us,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_trail,
+       ROUND(SUM(sum_v) OVER w, 6) AS sum_trail
+FROM b
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+             RANGE BETWEEN {_TRAIL_SPAN_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rollup_trailing_window", oracle=_RT_ORACLE)
+def rollup_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DENSE-KEY trailing-window scale path pinned as a green row:
+    7-day trailing count/sum per event_type (a handful of keys × every
+    event — exactly where trailing_agg's O(rows × frame) window
+    degenerates), computed by pre-reducing to an hourly rollup and
+    running the RANGE frame over buckets
+    (operators/temporal.rollup_trailing).  Window cost drops to
+    O(buckets × 168) per key regardless of event density; trailing
+    semantics are at bucket granularity.  Same precedent as
+    table_profile's documented approx mode: the 100 TB mode gets its
+    own oracle-verified query."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_type", timeconv.events_tus(ev).alias("tus"),
+                   "value")
+    out = _temporal.rollup_trailing(ev, ts="tus", keys=["event_type"],
+                                    value="value", res_s=_RT_RES_S,
+                                    span_us=_TRAIL_SPAN_US)
+    return out.select("event_type", "bucket_us", "n_trail",
+                      F.round("sum_trail", 6).alias("sum_trail"))
+
+
 _IMP_BUDGET = 0.3
 
 _IMP_ORACLE = f"""
