@@ -196,8 +196,9 @@ def transform_xy_columns(lat: str = "latitude", lon: str = "longitude",
         crs_desc = proj4_string if proj4_string is not None else f"EPSG:{epsg}"
         raise NotImplementedError(
             f"CRS {crs_desc!r} needs pyproj (not shipped in this "
-            "container); only the polar-stereographic fast path "
-            "(EPSG:3413/3031) is dependency-free") from exc
+            "container); dependency-free families are polar "
+            "stereographic (EPSG:3413/3031), WGS84 UTM/tmerc, "
+            "lcc/aea conics, and longlat passthrough") from exc
 
     crs_arg = proj4_string if proj4_string is not None else int(epsg)
 

@@ -356,11 +356,22 @@ def test_transform_xy_other_crs_gated_without_pyproj():
         pass
     # WGS84 UTM (32633) is dependency-free since r5; the gate now
     # covers only genuinely exotic CRSs (non-WGS84 datums, other
-    # projection families)
-    with _pytest.raises(NotImplementedError, match="pyproj"):
+    # projection families).  The error contract: raised at plan-build
+    # time (not inside executor tasks), names the offending CRS, and
+    # lists the dependency-free families.
+    with _pytest.raises(NotImplementedError,
+                        match=r"(?s)EPSG:27700.*pyproj.*dependency-free"):
         crs.transform_xy_columns(epsg=27700)  # OSGB36 TM (Airy sphd)
-    with _pytest.raises(NotImplementedError, match="pyproj"):
+    with _pytest.raises(NotImplementedError,
+                        match=r"(?s)\+proj=laea.*pyproj"):
         crs.transform_xy_columns(proj4_string="+proj=laea +lat_0=52")
+    # oblique (non-polar) stereographic stays gated by decision: no
+    # reference dataset uses it (production CRSs are EPSG:3413/3031,
+    # geo_index.py srs_proj4 defaults), and the polar closed form does
+    # not generalize — adding it would be dead surface.
+    with _pytest.raises(NotImplementedError, match=r"(?s)stere.*pyproj"):
+        crs.transform_xy_columns(
+            proj4_string="+proj=stere +lat_0=52 +lon_0=10 +k=0.9996")
     with _pytest.raises(ValueError):
         crs.transform_xy_columns()
 
