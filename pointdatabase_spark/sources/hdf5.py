@@ -12,7 +12,8 @@ reader
   - "old-style" groups: symbol-table message → v1 B-tree → SNOD
     symbol nodes → local heap names (any nesting depth)
   - "new-style" groups: compact link messages in the header, or
-    dense storage via fractal heap + v2 B-tree (name index, depth
+    dense storage via fractal heap (any doubling-table depth —
+    nested indirect blocks recurse) + v2 B-tree (name index, depth
     ≤ 1) — the layout HDF5 1.10+ writers emit with libver="latest"
   - v1 object headers incl. continuation blocks, and v2 "OHDR"
     headers incl. "OCHK" continuations, optional times /
@@ -28,8 +29,9 @@ reader
     unparseable attributes are skipped, never fatal
   - unknown header messages are skipped by size (the format is
     self-describing); unsupported *layouts* (extensible-array /
-    v2-B-tree chunk indexes, depth-2 B-trees, nested fractal-heap
-    indirect blocks) raise NotImplementedError naming the gap
+    v2-B-tree chunk indexes, depth-2 v2 B-trees, filtered or
+    huge/tiny fractal-heap objects) raise NotImplementedError
+    naming the gap
 
 writer
   - default: superblock v0, old-style groups (B-tree + SNOD +
@@ -418,47 +420,183 @@ def _link_info_message(fheap: int, name_btree: int) -> bytes:
     return struct.pack("<BBQQ", 0, 0, fheap, name_btree)
 
 
-def _write_dense_links(out: _Out, names: list[str],
-                       bodies: list[bytes]) -> tuple[int, int]:
-    """Dense link storage: fractal heap with a single root direct
-    block holding the link messages, plus a v2 B-tree (type 5, name
-    index, depth 0 or 1) of (hash, heap-id) records. Returns
-    (heap header addr, B-tree header addr)."""
+def _write_multiblock_heap(out: _Out, bodies: list[bytes],
+                           fheap_addr: int, width: int, start_size: int,
+                           max_direct: int, id_len: int, offb: int,
+                           lenb: int, dblk_hdr: int) -> list[bytes]:
+    """Doubling-table fractal heap: direct blocks packed in heap-offset
+    order under a root indirect block, with one level of nested
+    indirect blocks once rows pass max_direct_rows (each nested block
+    covers its row's block size via its own table — the libhdf5
+    H5HFiblock layout the reader recurses through). Returns heap IDs
+    in ``bodies`` order."""
+    max_rows_direct = max_direct.bit_length() - start_size.bit_length() + 2
+    sw_bits = (start_size * width).bit_length()
+
+    def row_size(row: int) -> int:
+        return start_size if row < 2 else start_size << (row - 1)
+
+    def table_slots(base_off: int, nrows: int | None):
+        """Direct-block (heap_off, size) slots in heap-offset order;
+        nrows=None walks the root table unboundedly."""
+        off, row = base_off, 0
+        while nrows is None or row < nrows:
+            size = row_size(row)
+            for _ in range(width):
+                if row < max_rows_direct:
+                    yield off, size
+                else:
+                    sub = size.bit_length() - sw_bits + 1
+                    if sub > max_rows_direct:
+                        raise NotImplementedError(
+                            "dense link heap deeper than one nested "
+                            "indirect level — split the group")
+                    yield from table_slots(off, sub)
+                off += size
+            row += 1
+
+    # greedy packing: messages never span blocks; slot sizes are
+    # non-decreasing so a message that fits max_direct never strands
+    slots = table_slots(0, None)
+    packed: dict[int, tuple[int, list[bytes]]] = {}
+    heap_ids: list[bytes] = []
+    cur_off, cur_size = next(slots)
+    cur: list[bytes] = []
+    pos = dblk_hdr
+    for b in bodies:
+        if dblk_hdr + len(b) > max_direct:
+            raise ValueError("link message exceeds max direct block")
+        if pos + len(b) > cur_size:
+            packed[cur_off] = (cur_size, cur)
+            cur_off, cur_size = next(slots)
+            cur, pos = [], dblk_hdr
+        heap_ids.append(bytes([0])
+                        + (cur_off + pos).to_bytes(offb, "little")
+                        + len(b).to_bytes(lenb, "little"))
+        cur.append(b)
+        pos += len(b)
+    packed[cur_off] = (cur_size, cur)
+    used_end = cur_off + cur_size
+
+    root_rows, cover = 0, 0
+    while cover < used_end:
+        cover += width * row_size(root_rows)
+        root_rows += 1
+
+    # deterministic address layout: header, direct blocks in heap
+    # order, nested indirect blocks, root indirect block
+    next_addr = fheap_addr + 146
+    dir_addr: dict[int, int] = {}
+    for ho in sorted(packed):
+        dir_addr[ho] = next_addr
+        next_addr += packed[ho][0]
+
+    def iblock_nbytes(nrows: int) -> int:
+        return 4 + 1 + 8 + offb + 8 * width * nrows + 4
+
+    children: list[tuple[int, int, int]] = []   # (base_off, nrows, addr)
+    off = 0
+    for row in range(root_rows):
+        size = row_size(row)
+        for _ in range(width):
+            if row >= max_rows_direct and off < used_end:
+                nr = size.bit_length() - sw_bits + 1
+                children.append((off, nr, next_addr))
+                next_addr += iblock_nbytes(nr)
+            off += size
+    root_addr = next_addr
+    child_addr = {bo: ad for bo, _nr, ad in children}
+
+    used_bytes = sum(dblk_hdr + sum(len(x) for x in bs)
+                     for _, bs in packed.values())
+    out.alloc(_fheap_hdr(id_len, width, start_size, max_direct,
+                         root_addr, root_rows, cover - used_bytes,
+                         cover, used_bytes, len(bodies)))
+    for ho in sorted(packed):
+        size, bs = packed[ho]
+        blk = (b"FHDB" + bytes([0]) + struct.pack("<Q", fheap_addr)
+               + ho.to_bytes(offb, "little") + b"".join(bs))
+        addr = out.alloc(blk.ljust(size, b"\x00"))
+        assert addr == dir_addr[ho]
+
+    def iblock_bytes(base_off: int, nrows: int) -> bytes:
+        body = (b"FHIB" + bytes([0]) + struct.pack("<Q", fheap_addr)
+                + base_off.to_bytes(offb, "little"))
+        o = base_off
+        for row in range(nrows):
+            size = row_size(row)
+            for _ in range(width):
+                a = (dir_addr.get(o, UNDEF) if row < max_rows_direct
+                     else child_addr.get(o, UNDEF))
+                body += struct.pack("<Q", a)
+                o += size
+        return body + _cksum(body)
+
+    for bo, nr, ad in children:
+        addr = out.alloc(iblock_bytes(bo, nr))
+        assert addr == ad
+    addr = out.alloc(iblock_bytes(0, root_rows))
+    assert addr == root_addr
+    return heap_ids
+
+
+def _fheap_hdr(id_len: int, width: int, start: int, maxdir: int,
+               root: int, cur_rows: int, free: int, man_space: int,
+               iter_off: int, nobj: int) -> bytes:
+    """146-byte FRHP header (8/8 offsets, no filters, 32-bit heap)."""
+    hdr = b"FRHP" + bytes([0])
+    hdr += struct.pack("<HHB", id_len, 0, 0)        # id len, filters, flags
+    hdr += struct.pack("<I", 4096)                  # max managed obj size
+    hdr += struct.pack("<QQ", 0, UNDEF)             # next huge id, huge bt
+    hdr += struct.pack("<QQ", free, UNDEF)          # free space, fs mgr
+    hdr += struct.pack("<QQQQ", man_space, man_space, iter_off, nobj)
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)         # huge/tiny sizes+counts
+    hdr += struct.pack("<HQQ", width, start, maxdir)
+    hdr += struct.pack("<HHQH", 32, 1, root, cur_rows)  # bits, srows, root
+    assert len(hdr) + 4 == 146
+    return hdr + _cksum(hdr)
+
+
+def _write_dense_links(out: _Out, names: list[str], bodies: list[bytes],
+                       width: int = 4, start_size: int = 512,
+                       max_direct: int = 65536) -> tuple[int, int]:
+    """Dense link storage: fractal heap holding the link messages plus
+    a v2 B-tree (type 5, name index, depth 0 or 1) of (hash, heap-id)
+    records. Small groups get a single root direct block; beyond one
+    direct block the heap grows through the spec's doubling table —
+    root indirect block over direct blocks, then one level of NESTED
+    indirect blocks (rows past max_direct_rows), which is what pins
+    the reader's recursive _map_indirect path. Returns (heap header
+    addr, B-tree header addr)."""
     offb = 4                       # max_heap_size = 32 bits
     lenb = 2                       # lengths sized for 64 KiB max direct
     id_len = 1 + offb + lenb
     dblk_hdr = 4 + 1 + 8 + offb    # FHDB prefix (no block checksums)
     total = dblk_hdr + sum(len(b) for b in bodies)
-    block_size = 512
-    while block_size < total:
-        block_size *= 2
-    if block_size > 65536:
-        raise ValueError(
-            f"dense link heap needs {total} bytes > one 64 KiB direct "
-            "block — split the group")
-    fheap_addr = out.eof           # header precedes the direct block
-    dblk_addr = fheap_addr + 146   # FRHP with 8/8 offsets is 146 bytes
-    hdr = b"FRHP" + bytes([0])
-    hdr += struct.pack("<HHB", id_len, 0, 0)        # id len, filters, flags
-    hdr += struct.pack("<I", 4096)                  # max managed obj size
-    hdr += struct.pack("<QQ", 0, UNDEF)             # next huge id, huge bt
-    hdr += struct.pack("<QQ", block_size - total, UNDEF)  # free space, mgr
-    hdr += struct.pack("<QQQQ", block_size, block_size, total, len(bodies))
-    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)         # huge/tiny sizes+counts
-    hdr += struct.pack("<HQQ", 4, block_size, 65536)  # width, start, max dir
-    hdr += struct.pack("<HHQH", 32, 1, dblk_addr, 0)  # bits, rows, root, cur
-    assert len(hdr) + 4 == 146
-    out.alloc(hdr + _cksum(hdr))
-    dblk = b"FHDB" + bytes([0]) + struct.pack("<Q", fheap_addr)
-    dblk += (0).to_bytes(offb, "little")            # block offset 0
-    heap_ids = []
-    pos = dblk_hdr
-    for b in bodies:
-        heap_ids.append(bytes([0]) + pos.to_bytes(offb, "little")
-                        + len(b).to_bytes(lenb, "little"))
-        pos += len(b)
-    dblk += b"".join(bodies)
-    out.alloc(dblk.ljust(block_size, b"\x00"))
+    fheap_addr = out.eof           # header precedes the blocks
+    single = 512
+    while single < total:
+        single *= 2
+    if single <= min(65536, max_direct):
+        # single root direct block (cur_rows = 0) — the common case,
+        # byte-identical to the pre-indirect writer
+        dblk_addr = fheap_addr + 146
+        out.alloc(_fheap_hdr(id_len, 4, single, 65536, dblk_addr, 0,
+                             single - total, single, total, len(bodies)))
+        dblk = b"FHDB" + bytes([0]) + struct.pack("<Q", fheap_addr)
+        dblk += (0).to_bytes(offb, "little")        # block offset 0
+        heap_ids = []
+        pos = dblk_hdr
+        for b in bodies:
+            heap_ids.append(bytes([0]) + pos.to_bytes(offb, "little")
+                            + len(b).to_bytes(lenb, "little"))
+            pos += len(b)
+        dblk += b"".join(bodies)
+        out.alloc(dblk.ljust(single, b"\x00"))
+    else:
+        heap_ids = _write_multiblock_heap(out, bodies, fheap_addr,
+                                          width, start_size, max_direct,
+                                          id_len, offb, lenb, dblk_hdr)
     # v2 B-tree name index: records sorted by NUMERIC lookup3(name) —
     # libhdf5 binary-searches on the hash value, and byte-lexicographic
     # order of the little-endian packing differs from numeric order.
@@ -960,9 +1098,9 @@ def _parse_attr(body: bytes) -> tuple[str, object] | None:
 
 class _FractalHeap:
     """Read-side fractal heap: maps managed heap IDs to bytes. Covers
-    a root direct block or a root indirect block whose children are
-    all direct blocks — the shapes dense link/attribute storage uses;
-    nested indirect blocks raise."""
+    a root direct block, a root indirect block over direct blocks,
+    and nested indirect blocks to any doubling-table depth (recursive
+    _map_indirect); filtered heaps and huge/tiny object IDs raise."""
 
     def __init__(self, buf: bytes, addr: int):
         if buf[addr:addr + 4] != b"FRHP":
@@ -986,25 +1124,34 @@ class _FractalHeap:
         else:
             self._map_indirect(self.root_addr, self.cur_rows)
 
-    def _map_indirect(self, addr: int, nrows: int) -> None:
+    def _map_indirect(self, addr: int, nrows: int,
+                      base_off: int = 0) -> None:
+        """Map one indirect block's doubling table. Rows below
+        ``max_direct_rows`` hold direct blocks; higher rows hold CHILD
+        indirect blocks, each covering that row's block size of heap
+        offset space via its own doubling table (nrows of a child
+        covering S bytes = log2(S) - log2(start_size*width) + 1, the
+        libhdf5 H5HFiblock rule) — recursion handles any heap size."""
         buf = self._buf
         if buf[addr:addr + 4] != b"FHIB":
             raise ValueError("bad fractal heap indirect block signature")
         max_direct_rows = (self.max_direct.bit_length()
                            - self.start_size.bit_length() + 2)
+        sw_bits = (self.start_size * self.width).bit_length()
         p = addr + 4 + 1 + 8 + self.offb
-        off = 0
+        off = base_off
         for row in range(nrows):
             size = (self.start_size if row < 2
                     else self.start_size << (row - 1))
             for _ in range(self.width):
                 child = struct.unpack_from("<Q", buf, p)[0]
                 p += 8
-                if row >= max_direct_rows:
-                    raise NotImplementedError(
-                        "nested fractal heap indirect blocks")
                 if child != UNDEF:
-                    self._blocks.append((off, size, child))
+                    if row < max_direct_rows:
+                        self._blocks.append((off, size, child))
+                    else:
+                        self._map_indirect(
+                            child, size.bit_length() - sw_bits + 1, off)
                 off += size
 
     def get(self, off: int, length: int) -> bytes:

@@ -1,0 +1,175 @@
+"""Empirical scale spot-check: wall-time scaling exponents for the
+five most expensive operator families across two data decades
+(sf0.01 -> sf0.1 -> synthetic sf1).
+
+The driver ships fixtures up to sf0.1 only, so the second decade is a
+DERIVED sf1 built in /tmp from the sf0.1 fixture (never writing to
+/root/testdata):
+
+- ``documents``: 10 replicas; replica r > 0 prefixes every token with
+  ``x{r}`` so replica vocabularies are DISJOINT — per-shingle document
+  frequency stays constant while the corpus grows 10x, which is how
+  real corpora scale (vocabulary grows with data). Plain 10x text
+  duplication would multiply every df by 10 and inflate the
+  inverted-index join volume by 100x *by construction*, measuring the
+  fixture, not the engine.
+- ``lineitem``: 10 replicas; l_orderkey offset per replica (key
+  cardinality grows like TPC-H's does), l_extendedprice perturbed by
+  r/10000 (its domain grows at larger SF), the bounded-domain columns
+  (quantity/discount/tax) replicated as-is (their TPC-H domains are
+  SF-independent).
+- crossover tracks: the synthetic track table is SF-independent
+  (testkit.SYN_TRACKS_SQL caps p_partkey <= 2000), so scale is applied
+  directly — R spatially-disjoint "survey sheets" (x,y offset 2e6 per
+  sheet, rgt offset 16r), modelling more surveyed regions at constant
+  track density.
+
+Timing: best-of-3 warm runs through the noop sink, one Spark session,
+no concurrent JVMs (see MEMORY bench-protocol). Output: one JSON line
+per (operator, scale) plus a markdown exponent table for SCALE.md;
+exponent = log10(t_sf1 / t_sf0.1) for the 10x step (1.0 = linear).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/scale_sf1"
+
+
+def build_sf1() -> None:
+    import duckdb
+    os.makedirs(SF1, exist_ok=True)
+    if os.path.exists(f"{SF1}/documents.parquet") and \
+            os.path.exists(f"{SF1}/lineitem.parquet"):
+        return
+    con = duckdb.connect()
+    docs_parts = ["SELECT * FROM read_parquet('%s/documents.parquet')" % SF01]
+    for r in range(1, 10):
+        docs_parts.append(f"""
+SELECT doc_id + {r} * 100000000 AS doc_id,
+       'x{r}' || replace(text, ' ', ' x{r}') AS text,
+       lang, source, n_chars
+FROM read_parquet('{SF01}/documents.parquet')""")
+    con.execute(f"COPY ({' UNION ALL '.join(docs_parts)}) TO "
+                f"'{SF1}/documents.parquet' (FORMAT PARQUET)")
+    li_parts = ["SELECT * FROM read_parquet('%s/lineitem.parquet')" % SF01]
+    for r in range(1, 10):
+        li_parts.append(f"""
+SELECT * REPLACE (l_orderkey + {r} * 10000000 AS l_orderkey,
+                  l_extendedprice + {r} / 10000.0 AS l_extendedprice)
+FROM read_parquet('{SF01}/lineitem.parquet')""")
+    con.execute(f"COPY ({' UNION ALL '.join(li_parts)}) TO "
+                f"'{SF1}/lineitem.parquet' (FORMAT PARQUET)")
+    con.close()
+
+
+def timed(df) -> float:
+    df.write.format("noop").mode("overwrite").save()  # warm-up / codegen
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def track_sheets(spark, sheets: int):
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    tr = testkit.syn_tracks(spark, SF01)
+    out = None
+    for r in range(sheets):
+        s = (tr.withColumn("x", F.col("x") + F.lit(r * 2_000_000.0))
+             .withColumn("y", F.col("y") + F.lit(r * 2_000_000.0))
+             .withColumn("rgt", (F.col("rgt") + F.lit(r * 16)).cast("int")))
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.session import get_spark
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.functions import text as _text
+    from pointdatabase_spark.operators import crossover, dedup, profile
+    from pointdatabase_spark.partitioning import spread
+
+    build_sf1()
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs(sf_dir):
+        return testkit.load_table(spark, sf_dir, "documents")
+
+    def li(sf_dir):
+        return testkit.load_table(spark, sf_dir, "lineitem")
+
+    def gopher(sf_dir):
+        d = _text.with_tokens(spread(docs(sf_dir)), "text")
+        return d.select(
+            "doc_id",
+            _text.spark_expr("dup_token_ratio", "text", "_toks").alias("a"),
+            _text.spark_expr("top_bigram_cover", "text", "_toks").alias("b"),
+            _text.spark_expr("max_token_run", "text", "_toks").alias("c"))
+
+    ops = {
+        "ngram_jaccard_exact": lambda sf: dedup.ngram_jaccard_pairs(
+            docs(sf), ["lang"], n=2, threshold=0.2),
+        "ngram_jaccard_capped": lambda sf: dedup.ngram_jaccard_pairs(
+            docs(sf), ["lang"], n=2, threshold=0.2, max_df=20),
+        "minhash_lsh": lambda sf: dedup.minhash_neardup(
+            docs(sf), threshold=0.5),
+        "gopher_filter": gopher,
+        "profile_exact": lambda sf: profile.profile_columns(
+            li(sf), ["l_orderkey", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax"]),
+        "profile_approx": lambda sf: profile.profile_columns(
+            li(sf), ["l_orderkey", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax"], exact=False),
+    }
+    scales = [("sf0.01", SF001), ("sf0.1", SF01), ("sf1", SF1)]
+    results: dict[str, dict[str, float]] = {}
+    for name, fn in ops.items():
+        results[name] = {}
+        for label, sf in scales:
+            t = timed(fn(sf))
+            results[name][label] = t
+            print(f"{name:24s} {label:7s} {t:8.3f}s", file=sys.stderr)
+            spark.catalog.clearCache()  # drop per-run persisted postings
+
+    # crossover: 1 sheet vs 10 spatially-disjoint sheets
+    results["crossover"] = {}
+    for label, sheets in [("sheets1", 1), ("sheets10", 10)]:
+        t = timed(crossover.crossovers(track_sheets(spark, sheets),
+                                       ["rgt"], delta_coarse=1000.0))
+        results["crossover"][label] = t
+        print(f"{'crossover':24s} {label:7s} {t:8.3f}s", file=sys.stderr)
+
+    import math
+    print("\n| operator | sf0.01 | sf0.1 | sf1(10x) | exp(0.01->0.1) | "
+          "exp(0.1->1) |", file=sys.stderr)
+    print("|---|---|---|---|---|---|", file=sys.stderr)
+    for name, row in results.items():
+        if "sf1" in row:
+            e1 = math.log10(row["sf0.1"] / row["sf0.01"])
+            e2 = math.log10(row["sf1"] / row["sf0.1"])
+            print(f"| {name} | {row['sf0.01']} | {row['sf0.1']} | "
+                  f"{row['sf1']} | {e1:.2f} | {e2:.2f} |", file=sys.stderr)
+        else:
+            e = math.log10(row["sheets10"] / row["sheets1"])
+            print(f"| {name} | {row['sheets1']} (1 sheet) | "
+                  f"{row['sheets10']} (10 sheets) | — | — | {e:.2f} |",
+                  file=sys.stderr)
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

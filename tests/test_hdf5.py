@@ -197,6 +197,53 @@ def test_latest_dense_links_btree_depth1(tmp_path, monkeypatch):
         np.testing.assert_array_equal(r[f"g/d{i:02d}"][...], [float(i)])
 
 
+def test_latest_dense_links_root_indirect(tmp_path, monkeypatch):
+    """A link heap past one direct block grows into a root INDIRECT
+    block over several direct blocks (doubling table, all-direct
+    rows)."""
+    orig = hdf5._write_dense_links
+    monkeypatch.setattr(
+        hdf5, "_write_dense_links",
+        lambda out, names, bodies: orig(out, names, bodies,
+                                        width=4, start_size=512,
+                                        max_direct=1024))
+    tree = {f"ds_{i:03d}": np.array([float(i)]) for i in range(60)}
+    p = str(tmp_path / "l6.h5")
+    hdf5.write_h5(p, {"g": tree}, libver="latest")
+    buf = open(p, "rb").read()
+    assert buf.count(b"FHIB") == 1      # root indirect, no nesting
+    assert buf.count(b"FHDB") > 1       # several direct blocks
+    r = hdf5.read_h5(p)
+    assert set(r["g"].keys()) == set(tree)
+    for i in (0, 31, 59):
+        np.testing.assert_array_equal(r[f"g/ds_{i:03d}"][...],
+                                      [float(i)])
+
+
+def test_latest_dense_links_nested_indirect(tmp_path, monkeypatch):
+    """Heap growth past the root's direct rows allocates NESTED
+    indirect blocks (doubling-table rows >= max_direct_rows) — the
+    recursive _map_indirect read path, previously a named
+    NotImplementedError gap. Long names push the link heap past the
+    8 KiB the tiny parameters' direct rows cover."""
+    orig = hdf5._write_dense_links
+    monkeypatch.setattr(
+        hdf5, "_write_dense_links",
+        lambda out, names, bodies: orig(out, names, bodies,
+                                        width=4, start_size=512,
+                                        max_direct=1024))
+    tree = {f"n{i:03d}_" + "x" * 180: np.array([float(i)])
+            for i in range(40)}
+    p = str(tmp_path / "l7.h5")
+    hdf5.write_h5(p, {"g": tree}, libver="latest")
+    buf = open(p, "rb").read()
+    assert buf.count(b"FHIB") >= 2      # root + nested indirect blocks
+    r = hdf5.read_h5(p)
+    assert set(r["g"].keys()) == set(tree)
+    for name, v in tree.items():
+        np.testing.assert_array_equal(r[f"g/{name}"][...], v)
+
+
 def test_latest_granule_matches_earliest(tmp_path):
     """The same granule tree written in both format generations reads
     back identically — latest-format ICESat-2 reprocessings parse."""

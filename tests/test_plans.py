@@ -133,6 +133,13 @@ def test_ngram_jaccard_is_single_agg_exchange_jvm_only(spark):
     assert "Python" not in plan  # hashed postings are pure expressions
     # posting self-join + pair-count aggregate; no per-pair set ops
     assert "array_intersect" not in plan
+    # the posting table feeds 4 consumers (self-join x2, set sizes x2);
+    # the persist must collapse them onto ONE cached pipeline — a
+    # regression back to 4 full scans was a 3.3x slowdown (r6).
+    # (each InMemoryTableScan re-prints the cached relation's child,
+    # so "Scan parquet" occurrences don't count executions here)
+    assert plan.count("InMemoryTableScan") >= 3
+    spark.catalog.clearCache()
 
 
 def test_q1_is_codegen_with_partial_agg(spark):
@@ -230,3 +237,21 @@ def test_frequent_ngrams_single_shuffle_topk(spark):
     plan = _plan(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rollup_trailing_two_exchanges_one_base_scan(spark):
+    """Dense-key trailing scale path: one exchange for the bucket
+    rollup, one for the key-partitioned window over BUCKETS — the
+    window input must be the aggregated rollup, never the base table
+    (that would re-admit the O(rows x frame) cost the pre-reduce
+    exists to avoid)."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["rollup_trailing_window"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" in plan
+    # the window sits ABOVE the aggregate in the tree: the aggregate
+    # must appear deeper (later in the printed plan) than the window
+    assert plan.index("Window") < plan.rindex("HashAggregate")
