@@ -568,6 +568,59 @@ def benchmark_contamination(corpus: DataFrame, bench: DataFrame,
             .where(F.col("n_shared") >= min_shared))
 
 
+def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        min_df: int = 2) -> DataFrame:
+    """Substring-level duplication: maximal token spans covered by at
+    least one k-token window that also appears in >= ``min_df``
+    DISTINCT documents — the span-granular dedup of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), where document-level Jaccard is blind to a
+    boilerplate paragraph pasted into otherwise-unique documents.
+    (Their suffix-array formulation also counts within-document
+    repeats; this operator pins the CROSS-document semantics — a
+    window must occur in min_df distinct docs — which is the dedup
+    decision that matters for corpus curation.)
+
+    Shape: positioned k-gram hashes (posexplode, md5 under codegen —
+    same explode-first rationale as :func:`ngram_jaccard_pairs`), a
+    distinct-doc-frequency aggregate per hash, a semi-join flagging
+    shared positions, and :func:`runs.coalesce_runs` merging
+    overlapping [pos, pos+k-1] windows into maximal spans. Unlike the
+    Jaccard posting SELF-join (Σ df² rows), every stage here is
+    LINEAR in corpus tokens: the df aggregate map-combines, the
+    semi-join shuffles (hash, id, pos) longs once, and the span merge
+    shuffles each doc's flagged positions once. No df cap needed — a
+    hot k-gram costs df rows, not df².
+
+    Output: (id_col, span_start, span_end, n_grams) with 1-based
+    token positions, span_end inclusive; n_grams = shared windows
+    merged into the span."""
+    tok = _tokens(spread(df), id_col, text_col)
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(k))
+    grams = (f"CASE WHEN size(t) >= {k} THEN "
+             f"transform(sequence(1, size(t) - {k - 1}), "
+             f"i -> concat_ws(' ', {parts})) ELSE array() END")
+    pos_h = (tok.select("id", F.posexplode(F.expr(grams))
+                        .alias("p0", "g"))
+             .select("id", (F.col("p0") + 1).cast("long").alias("pos"),
+                     F.expr(_H32.format(s="g")).alias("h")))
+    shared = (pos_h.groupBy("h")
+              .agg(F.countDistinct("id").alias("_df"))
+              .where(F.col("_df") >= min_df)
+              .select("h"))
+    dup = pos_h.join(shared, "h", "left_semi")
+    from pointdatabase_spark.operators.runs import coalesce_runs
+    spans = coalesce_runs(
+        dup.select("id", F.col("pos").alias("run_start"),
+                   (F.col("pos") + (k - 1)).alias("run_end")),
+        ["id"])
+    return spans.select(F.col("id").alias(id_col),
+                        F.col("run_start").alias("span_start"),
+                        F.col("run_end").alias("span_end"),
+                        F.col("n_merged").alias("n_grams"))
+
+
 def drop_hot_shingles(dis: DataFrame, group_cols: list[str],
                       max_df: int) -> DataFrame:
     """Remove shingle hashes whose within-block document frequency

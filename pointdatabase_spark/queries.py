@@ -51,7 +51,7 @@ _SCORE_FIRST = [
     # so it finally gets a driver-green row (VERDICT r5 item 1).
     "dedup_clean_corpus",
     # new in r6 — zero driver evidence
-    "rollup_trailing_window",
+    "rollup_trailing_window", "substring_dup_spans",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -1442,6 +1442,48 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _dedup.ngram_jaccard_pairs(docs, ["lang"], n=2, threshold=0.2,
                                       max_df=20)
+
+
+_SUB_K = 8
+
+_SUBSTR_ORACLE = testkit.syn_corpus_cte() + f"""
+, tok AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS t
+          FROM corpus),
+pos0 AS (SELECT id, t, unnest(range(1, len(t) - {_SUB_K} + 2)) AS pos
+         FROM tok),
+posh0 AS (SELECT id, pos,
+                 array_to_string(t[pos:pos + {_SUB_K - 1}], ' ') AS x
+          FROM pos0),
+posh AS (SELECT id, pos, {_DUCK_H32} AS h FROM posh0),
+hot AS (SELECT h FROM posh GROUP BY h HAVING COUNT(DISTINCT id) >= 2),
+dup AS (SELECT p.id, p.pos FROM posh p SEMI JOIN hot USING (h)),
+brk AS (SELECT id, pos,
+        CASE WHEN pos > COALESCE(MAX(pos + {_SUB_K - 1}) OVER (
+                 PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             -1) + 1
+        THEN 1 ELSE 0 END AS b FROM dup),
+grp AS (SELECT id, pos, SUM(b) OVER (PARTITION BY id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM brk)
+SELECT id AS doc_id, MIN(pos) AS span_start,
+       MAX(pos) + {_SUB_K - 1} AS span_end, COUNT(*) AS n_grams
+FROM grp GROUP BY id, g
+"""
+
+
+@query("substring_dup_spans", oracle=_SUBSTR_ORACLE)
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-granular dedup (operators/dedup.substring_dup_spans):
+    maximal token spans covered by an 8-token window shared by >= 2
+    distinct documents — catches a boilerplate paragraph pasted into
+    otherwise-unique documents, which document-level Jaccard under a
+    threshold cannot. Every stage is linear in corpus tokens (df
+    aggregate + semi-join + run merge; no posting self-join), so no
+    df-cap valve is needed. The oracle replays the identical window
+    hashes and the identical touch-or-overlap merge rule."""
+    return _dedup.substring_dup_spans(testkit.syn_corpus(spark, sf_dir),
+                                      k=_SUB_K)
 
 
 # --------------------------------------------------------------------------
