@@ -14,12 +14,19 @@ The Spark-side architecture is the real thing and fully tested:
 - downstream metadata (width/height/frames) is plain columns →
   predicate pushdown works on it after the decoded table is persisted.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries (no PIL/cv2/ffmpeg). `decoder="real"` raises
-NotImplementedError at the exact integration point; the default
-deterministic fake derives metadata from the payload bytes themselves
-(length + md5), which keeps the full pipeline testable end-to-end and
-oracle-checkable.
+The codec step has two modes:
+
+- ``decoder="real"`` (r6): REAL PNG and WAV parsing via the stdlib
+  codecs in `sources/media.py` (zlib inflate + row un-filtering /
+  RIFF walk) — no PIL/cv2 needed. Video remains gated behind
+  NotImplementedError (ffmpeg genuinely absent from the container).
+  `attach_real_payload` builds payloads that are real PNG/WAV
+  encodings of doc_id-derived content, so decode is a genuine codec
+  exercise while the recovered metadata and the exact integer
+  features stay SQL-oracle-checkable.
+- ``decoder="fake"`` (default): deterministic metadata from the
+  payload bytes (length + md5) — keeps the video path and the
+  model-forward-pass feature stage testable end-to-end.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,6 +56,63 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id",
          .otherwise("video").alias("media_type"))
 
 
+def attach_real_payload(docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Binary payloads that are REAL PNG / WAV encodings
+    (sources/media.py) of deterministic doc_id-derived content:
+    even ids get a greyscale PNG of (8 + id%13) x (16 + id%17) pixels
+    p[i,j] = (id*31 + 7i + 13j) mod 256; odd ids get a 16-bit PCM WAV
+    of 64 + id%193 samples s[i] = (id*97 + 17i) mod 65536 - 32768.
+    The bytes go through the full encoder (zlib/RIFF), so downstream
+    decode is a genuine codec exercise — while dims, sample counts,
+    and exact integer statistics remain closed-form in doc_id,
+    keeping SQL oracles possible."""
+    from pointdatabase_spark.sources import media
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                did = int(doc_id)
+                if did % 2 == 0:
+                    w, h = 16 + did % 17, 8 + did % 13
+                    i = np.arange(h)[:, None]
+                    j = np.arange(w)[None, :]
+                    px = ((did * 31 + i * 7 + j * 13) % 256
+                          ).astype(np.uint8)
+                    rows.append((did, media.encode_png(px), "image"))
+                else:
+                    n = 64 + did % 193
+                    s = ((did * 97 + np.arange(n) * 17) % 65536
+                         - 32768).astype(np.int16)
+                    rows.append((did, media.encode_wav(s), "audio"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"])
+
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .mapInPandas(_gen,
+                         schema="doc_id bigint, payload binary, "
+                                "media_type string"))
+
+
+def _real_decode_row(payload: bytes, media_type: str) -> tuple:
+    """Genuine codec parse: PNG -> (h, w) pixels, WAV -> samples.
+    Video stays gated — ffmpeg is not in the container."""
+    from pointdatabase_spark.sources import media
+    if media_type == "image":
+        a = media.decode_png(payload)
+        return (len(payload), a.shape[1], a.shape[0], 1,
+                hashlib.md5(a.tobytes()).hexdigest())
+    if media_type == "audio":
+        s, _rate = media.decode_wav(payload)
+        return (len(payload), s.shape[0], s.shape[1], 1,
+                hashlib.md5(s.tobytes()).hexdigest())
+    raise NotImplementedError(
+        "video decode needs ffmpeg — not shipped in this container; "
+        "image (PNG) and audio (WAV) decode are real "
+        "(sources/media.py)")
+
+
 def _fake_decode_row(payload: bytes, media_type: str) -> tuple:
     """Deterministic stand-in for the codec: metadata from the bytes."""
     n = len(payload)
@@ -63,16 +128,16 @@ def _fake_decode_row(payload: bytes, media_type: str) -> tuple:
 
 
 def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
-    """Decode/feature-extract stage over binary payloads."""
-    if decoder == "real":  # pragma: no cover - integration point
-        raise NotImplementedError(
-            "real decode needs PIL/cv2/soundfile/ffmpeg — not shipped "
-            "in this container; wire them in here (per-batch loop "
-            "below stays identical).")
+    """Decode/feature-extract stage over binary payloads.
+    ``decoder="real"`` parses PNG/WAV with the stdlib codecs
+    (width/height = pixel dims for images, sample/channel counts for
+    audio); ``"fake"`` derives metadata from the bytes. Same
+    mapInPandas shape either way."""
+    row_fn = _real_decode_row if decoder == "real" else _fake_decode_row
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            meta = [_fake_decode_row(p, m)
+            meta = [row_fn(bytes(p), m)
                     for p, m in zip(b["payload"], b["media_type"])]
             out = pd.DataFrame(
                 meta, columns=["byte_len", "width", "height",
@@ -95,11 +160,44 @@ def extract_features(df: DataFrame, dim: int = 8,
     step exact in double on both engines, so the stage is
     oracle-checkable. Narrow map, no shuffle; the output feeds the
     similarity operators directly."""
-    if extractor == "real":  # pragma: no cover - integration point
-        raise NotImplementedError(
-            "real feature extraction needs a vision/audio model — "
-            "batch forward pass goes here; the per-batch loop below "
-            "stays identical.")
+    if extractor == "real":
+        # Real pixel/sample statistics from the decoded media (a model
+        # forward pass would slot into the same per-batch loop): f0 =
+        # normalized mean, f1 = max, f2 = min. Each is an exact-int
+        # reduction followed by one or two IEEE divisions — bit-equal
+        # to a SQL oracle enumerating the same content.
+        from pointdatabase_spark.sources import media
+
+        def _extract_real(batches: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                rows = []
+                for doc_id, p, mt in zip(b["doc_id"], b["payload"],
+                                         b["media_type"]):
+                    pb = bytes(p)
+                    if mt == "image":
+                        a = media.decode_png(pb).astype(np.int64)
+                        rows.append((int(doc_id), mt,
+                                     (float(a.sum()) / a.size) / 255.0,
+                                     float(a.max()) / 255.0,
+                                     float(a.min()) / 255.0))
+                    elif mt == "audio":
+                        s = media.decode_wav(pb)[0].astype(np.int64)
+                        rows.append((int(doc_id), mt,
+                                     (float(s.sum()) / s.size) / 32768.0,
+                                     float(s.max()) / 32768.0,
+                                     float(s.min()) / 32768.0))
+                    else:
+                        raise NotImplementedError(
+                            "video features need ffmpeg — not shipped")
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_type",
+                                   "f0", "f1", "f2"])
+
+        return df.mapInPandas(
+            _extract_real,
+            schema="doc_id bigint, media_type string, "
+                   "f0 double, f1 double, f2 double")
     dim_ = int(dim)
     schema = ("doc_id bigint, media_type string, "
               + ", ".join(f"f{k} double" for k in range(dim_)))
@@ -123,17 +221,53 @@ RESIZE_SCHEMA = ("doc_id bigint, media_type string, width bigint, "
 
 def resize_media(df: DataFrame, max_w: int, max_h: int,
                  decoder: str = "fake") -> DataFrame:
-    """Resize stage over decoded media: caps each payload at
-    (max_w, max_h) preserving nothing fancy — the real transform is a
-    codec call at the marked integration point; the fake derives the
-    output dims + a new fingerprint deterministically so the stage is
-    oracle-checkable. Input is `decode_media` output; narrow map, no
-    shuffle — at 100 TB this pipelines with the decode stage inside one
-    task."""
-    if decoder == "real":  # pragma: no cover - integration point
-        raise NotImplementedError(
-            "real resize needs PIL/cv2 — wire in here; the per-batch "
-            "loop below stays identical.")
+    """Resize stage: caps each media item at (max_w, max_h). With
+    ``decoder="real"`` the input must carry the payload column: PNGs
+    are decoded and nearest-neighbor downsampled to
+    (min(w,max_w), min(h,max_h)); WAV audio is truncated to max_w
+    samples (duration clipping — the audio analogue of a resolution
+    cap); the fingerprint hashes the RESIZED pixels/samples. The fake
+    path derives dims from `decode_media` output. Narrow map, no
+    shuffle — at 100 TB this pipelines with the decode stage inside
+    one task."""
+    if decoder == "real":
+        from pointdatabase_spark.sources import media
+
+        def _resize_real(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+            rows = []
+
+            def emit(doc_id, mt, w, h, ow, oh, arr):
+                rows.append((doc_id, mt, w, h, ow, oh,
+                             hashlib.md5(arr.tobytes()).hexdigest()))
+
+            for b in batches:
+                for doc_id, p, mt in zip(b["doc_id"], b["payload"],
+                                         b["media_type"]):
+                    pb = bytes(p)
+                    if mt == "image":
+                        a = media.decode_png(pb)
+                        h, w = a.shape[:2]
+                        ow, oh = min(w, max_w), min(h, max_h)
+                        yi = (np.arange(oh) * h) // oh
+                        xi = (np.arange(ow) * w) // ow
+                        emit(int(doc_id), mt, w, h, ow, oh,
+                             a[np.ix_(yi, xi)])
+                    elif mt == "audio":
+                        s, _rate = media.decode_wav(pb)
+                        n, nch = s.shape
+                        on = min(n, max_w)
+                        emit(int(doc_id), mt, n, nch, on, nch, s[:on])
+                    else:
+                        raise NotImplementedError(
+                            "video resize needs ffmpeg — not shipped")
+                out = pd.DataFrame(
+                    rows, columns=["doc_id", "media_type", "width",
+                                   "height", "out_w", "out_h", "fp"])
+                rows = []
+                yield out
+
+        return df.mapInPandas(_resize_real, schema=RESIZE_SCHEMA)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

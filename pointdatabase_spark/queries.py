@@ -52,6 +52,8 @@ _SCORE_FIRST = [
     "dedup_clean_corpus",
     # new in r6 — zero driver evidence
     "rollup_trailing_window", "substring_dup_spans",
+    "multimodal_real_decode", "multimodal_real_resize",
+    "multimodal_real_features",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -2783,6 +2785,115 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import multimodal as _mm
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _mm.sample_frames(_mm.attach_payload(docs), step=3)
+
+
+# REAL codec path (r6): payloads are genuine PNG/WAV bytes
+# (sources/media.py stdlib codecs) of doc_id-derived content — decode
+# actually inflates/unfilters pixels and walks RIFF chunks; the
+# oracles recompute the closed-form dims and exact integer statistics
+# the content was generated from, so a codec bug (wrong unfilter,
+# wrong slice) breaks the value match.
+
+_REAL_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+         AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 17
+            ELSE 64 + doc_id % 193 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 13
+            ELSE 1 END AS height,
+       CAST(1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
+@query("multimodal_real_decode", oracle=_REAL_DECODE_ORACLE)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG/WAV decode: width/height are the PIXEL dims parsed out
+    of the zlib-inflated, row-unfiltered image (sample/channel counts
+    for audio), not metadata echoes — the oracle knows what dims the
+    generator used, so the decode must recover them exactly."""
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    dec = _mm.decode_media(_mm.attach_real_payload(docs), decoder="real")
+    return dec.select("doc_id", "media_type", "width", "height",
+                      "n_frames")
+
+
+_REAL_RESIZE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+         AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 17
+            ELSE 64 + doc_id % 193 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 13
+            ELSE 1 END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN least(16 + doc_id % 17, 20)
+            ELSE least(64 + doc_id % 193, 20) END AS out_w,
+       CASE WHEN doc_id % 2 = 0 THEN least(8 + doc_id % 13, 10)
+            ELSE 1 END AS out_h
+FROM documents
+"""
+
+
+@query("multimodal_real_resize", oracle=_REAL_RESIZE_ORACLE)
+def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize: PNGs are decoded and nearest-neighbor downsampled
+    to the (20, 10) cap, audio truncated to 20 samples; the projected
+    dims must match the closed form (fingerprints of the resized
+    pixels are computed but not oracle-projected — md5 of a pixel
+    grid is not SQL)."""
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    rs = _mm.resize_media(_mm.attach_real_payload(docs), max_w=20,
+                          max_h=10, decoder="real")
+    return rs.select("doc_id", "media_type", "width", "height",
+                     "out_w", "out_h")
+
+
+_REAL_FEATURES_ORACLE = """
+WITH m AS (SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
+                  64 + doc_id % 193 AS n
+           FROM documents),
+img AS (
+  SELECT m.doc_id, 'image' AS media_type,
+         (CAST(SUM(v.v) AS DOUBLE) / (m.w * m.h)) / 255.0 AS f0,
+         CAST(MAX(v.v) AS DOUBLE) / 255.0 AS f1,
+         CAST(MIN(v.v) AS DOUBLE) / 255.0 AS f2
+  FROM m,
+       LATERAL (SELECT unnest(range(0, m.h)) AS i) ii,
+       LATERAL (SELECT unnest(range(0, m.w)) AS j) jj,
+       LATERAL (SELECT (m.doc_id * 31 + ii.i * 7 + jj.j * 13) % 256
+                AS v) v
+  WHERE m.doc_id % 2 = 0
+  GROUP BY m.doc_id, m.w, m.h),
+aud AS (
+  SELECT m.doc_id, 'audio' AS media_type,
+         (CAST(SUM(v.v) AS DOUBLE) / m.n) / 32768.0 AS f0,
+         CAST(MAX(v.v) AS DOUBLE) / 32768.0 AS f1,
+         CAST(MIN(v.v) AS DOUBLE) / 32768.0 AS f2
+  FROM m,
+       LATERAL (SELECT unnest(range(0, m.n)) AS i) ii,
+       LATERAL (SELECT (m.doc_id * 97 + ii.i * 17) % 65536 - 32768
+                AS v) v
+  WHERE m.doc_id % 2 = 1
+  GROUP BY m.doc_id, m.n)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
+
+
+@query("multimodal_real_features", oracle=_REAL_FEATURES_ORACLE)
+def multimodal_real_features(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Real pixel/sample statistics from decoded media: f0/f1/f2 =
+    normalized mean/max/min — exact int reductions + one or two IEEE
+    divisions, bit-equal to the oracle's enumeration of the same
+    generated content. A wrong Paeth branch or slice in the codec
+    shifts the sums and fails the value hash."""
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _mm.extract_features(_mm.attach_real_payload(docs),
+                                extractor="real")
 
 
 # Feature extraction (the model-forward-pass stage, deterministic fake):

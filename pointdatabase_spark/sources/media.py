@@ -1,0 +1,202 @@
+"""Minimal stdlib media codecs — un-stub the multimodal decode path
+(operators/multimodal.py) in a container that ships neither PIL nor
+cv2 nor soundfile, the same way sources/hdf5.py and sources/geotiff.py
+un-gate the science-file scans without libhdf5/libtiff.
+
+PNG (ISO/IEC 15948): 8-bit greyscale / RGB / RGBA, non-interlaced.
+ - decode: chunk walk (IHDR/IDAT*/IEND), zlib inflate, and all five
+   row filters (None/Sub/Up/Average/Paeth) un-applied vectorized per
+   row; palette, 16-bit, and Adam7 interlace raise NotImplementedError
+   naming the gap.
+ - encode: filter 0 rows by default (any filter type accepted, so the
+   decoder's filter branches are round-trip pinned), one zlib IDAT.
+
+WAV (RIFF/WAVE): PCM integer, mono or interleaved multichannel.
+ - decode: RIFF walk to fmt /data, 8-bit unsigned or 16/32-bit signed
+   little-endian samples as an (n_samples, n_channels) int array;
+   float/extensible formats raise.
+ - encode: 16-bit PCM.
+
+Everything is `bytes` + NumPy — no JVM, no C extensions — so these
+ship inside Arrow-batched `mapInPandas` closures and decode fans out
+across executors, one batch per codec call."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit greyscale (H,W), RGB (H,W,3) or RGBA (H,W,4) -> PNG.
+    ``filter_type`` applies the same filter to every row (0-4) so
+    decode branches can be pinned individually."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError("expect (H,W), (H,W,3) or (H,W,4) uint8")
+    h, w = a.shape[:2]
+    if not 0 <= filter_type <= 4:
+        raise ValueError("PNG filter type must be 0-4")
+    raw = bytearray()
+    prev = np.zeros((w, ch), np.uint8)
+    for y in range(h):
+        row = a[y]
+        raw.append(filter_type)
+        raw += _filter_row(row, prev, ch, filter_type).tobytes()
+        prev = row
+    out = bytearray(_PNG_SIG)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    for tag, body in ((b"IHDR", ihdr),
+                      (b"IDAT", zlib.compress(bytes(raw), 6)),
+                      (b"IEND", b"")):
+        out += struct.pack(">I", len(body)) + tag + body
+        out += struct.pack(">I", zlib.crc32(tag + body))
+    return bytes(out)
+
+
+def _filter_row(row: np.ndarray, prev: np.ndarray, ch: int,
+                ft: int) -> np.ndarray:
+    r = row.astype(np.int16)
+    p = prev.astype(np.int16)
+    left = np.zeros_like(r)
+    left[1:] = r[:-1]
+    upleft = np.zeros_like(p)
+    upleft[1:] = p[:-1]
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - left
+    elif ft == 2:
+        out = r - p
+    elif ft == 3:
+        out = r - (left + p) // 2
+    else:
+        out = r - _paeth(left, p, upleft)
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    pp = a + b - c
+    pa, pb, pc = np.abs(pp - a), np.abs(pp - b), np.abs(pp - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (H,W) for greyscale, (H,W,C) else."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, comp, flt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if color not in _CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color} (palette/alpha-grey unsupported)")
+            if inter:
+                raise NotImplementedError("Adam7 interlaced PNG")
+            if comp or flt:
+                raise ValueError("bad PNG compression/filter method")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, w, ch), np.uint8)
+    prev = np.zeros((w, ch), np.int16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride,
+                            y * (stride + 1) + 1).reshape(w, ch)
+        if ft == 0:
+            cur = row.astype(np.int16)
+        elif ft == 2:
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-referencing filters are sequential per pixel
+            cur = np.empty((w, ch), np.int16)
+            left = np.zeros(ch, np.int16)
+            upleft = np.zeros(ch, np.int16)
+            for x in range(w):
+                up = prev[x]
+                if ft == 1:
+                    rec = row[x] + left
+                elif ft == 3:
+                    rec = row[x] + (left + up) // 2
+                else:
+                    rec = row[x] + _paeth(left, up, upleft)
+                cur[x] = rec % 256
+                left = cur[x]
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG row filter {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out[:, :, 0] if ch == 1 else out
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 PCM -> WAV bytes."""
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    data = np.ascontiguousarray(s).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * nch * 2, nch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n_samples, n_channels) int array, sample rate).
+    PCM 8/16/32-bit; float and WAVE_FORMAT_EXTENSIBLE raise."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        tag, ln = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)   # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif tag == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, nch, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAV format {audio_fmt} (only PCM=1; float/extensible "
+            "unsupported)")
+    dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if dt is None:
+        raise NotImplementedError(f"WAV bit depth {bits}")
+    s = np.frombuffer(raw, dt)
+    n = len(s) // nch
+    return s[:n * nch].reshape(n, nch), rate
