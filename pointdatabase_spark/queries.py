@@ -52,8 +52,8 @@ _SCORE_FIRST = [
     "dedup_clean_corpus",
     # new in r6 — zero driver evidence
     "rollup_trailing_window", "substring_dup_spans",
-    "multimodal_real_decode", "multimodal_real_resize",
-    "multimodal_real_features",
+    "dup_span_doc_stats", "multimodal_real_decode",
+    "multimodal_real_resize", "multimodal_real_features",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -1486,6 +1486,51 @@ def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes and the identical touch-or-overlap merge rule."""
     return _dedup.substring_dup_spans(testkit.syn_corpus(spark, sf_dir),
                                       k=_SUB_K)
+
+
+_SPAN_STATS_ORACLE = _SUBSTR_ORACLE.replace(
+    "SELECT id AS doc_id, MIN(pos) AS span_start,",
+    """, spans AS (SELECT id AS doc_id, MIN(pos) AS span_start,""").replace(
+    "FROM grp GROUP BY id, g",
+    "FROM grp GROUP BY id, g)") + f"""
+, nt AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+'))
+                             AS BIGINT) AS n_tokens
+         FROM corpus),
+agg AS (SELECT doc_id,
+               SUM(span_end - span_start + 1) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT nt.doc_id, nt.n_tokens,
+       CAST(COALESCE(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE) / nt.n_tokens
+         AS dup_frac
+FROM nt LEFT JOIN agg ON nt.doc_id = agg.doc_id
+"""
+
+
+@query("dup_span_doc_stats", oracle=_SPAN_STATS_ORACLE)
+def dup_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision built on the spans: per-document count of
+    tokens inside cross-document duplicated spans and its fraction of
+    the document (merged spans never overlap, so a plain SUM is the
+    exact coverage) — the number a pipeline thresholds to drop or
+    trim boilerplate-heavy documents. One division of two exact ints,
+    bit-equal to the oracle."""
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    spans = _dedup.substring_dup_spans(corpus, k=_SUB_K)
+    agg = (spans.groupBy("doc_id")
+           .agg(F.sum(F.col("span_end") - F.col("span_start") + 1)
+                .alias("dup_tokens")))
+    nt = corpus.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    out = (nt.join(agg, "doc_id", "left")
+           .withColumn("dup_tokens",
+                       F.coalesce(F.col("dup_tokens"), F.lit(0))))
+    return out.select(
+        "doc_id", "n_tokens", "dup_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens"))
+        .alias("dup_frac"))
 
 
 # --------------------------------------------------------------------------
