@@ -314,6 +314,74 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select(q_id, "vec_id", "cell", "cos", "rank"))
 
 
+def write_ann_index(corpus: DataFrame, path: str,
+                    cents: list[list[float]],
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    mode: str = "overwrite") -> None:
+    """Materialize the IVF ANN INDEX as parquet under ``path`` — the
+    production form of :func:`ivf_ann_topk`'s corpus side, computed
+    once so serving a query batch never rescans or reassigns corpus
+    embeddings (the stored-index counterpart of
+    dedup.write_dedup_index):
+
+    - ``cells/`` — (vec_id, embedding, norm) PARTITIONED BY the
+      coarse cell: a probe touching nprobe cells reads nprobe
+      directories, O(probed fraction) of the index, via dynamic
+      partition pruning against the broadcast query side
+      (plan-asserted in tests/test_plans.py);
+    - ``meta/`` — the centroid table (n_centroids rows), so the
+      probe expression is rebuilt from storage, not trusted from the
+      caller.
+
+    Cell assignment and norms use the same expressions as the inline
+    operator; doubles round-trip parquet exactly, so a stored-index
+    query returns bit-identical results to the inline plan."""
+    c = (corpus.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding"))
+         .withColumn("cell", F.expr(cell_expr("embedding", cents)))
+         .withColumn("norm", F.expr(norm_expr("embedding"))))
+    c.write.partitionBy("cell").mode(mode).parquet(f"{path}/cells")
+    meta = corpus.sparkSession.createDataFrame(
+        [(i, [float(w) for w in ck]) for i, ck in enumerate(cents)],
+        "cell bigint, centroid array<double>")
+    meta.write.mode(mode).parquet(f"{path}/meta")
+
+
+def ann_topk_against_index(spark, path: str, queries: DataFrame,
+                           k: int, nprobe: int = 1,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           q_id: str = "q_id") -> DataFrame:
+    """Approximate top-k served from a STORED index
+    (:func:`write_ann_index`): centroids come from ``meta/`` (a
+    bounded n_centroids-row collect), the query side explodes to its
+    probe cells, and the equi-join against the partitioned ``cells/``
+    table dynamically prunes to the probed directories — per-batch
+    cost is O(queries × probed cells), independent of corpus size.
+    Output matches :func:`ivf_ann_topk` bit-for-bit."""
+    from pyspark.sql.window import Window
+    meta = sorted(spark.read.parquet(f"{path}/meta").collect(),
+                  key=lambda r: r.cell)
+    cents = [list(r.centroid) for r in meta]
+    c = (spark.read.parquet(f"{path}/cells")
+         .select("vec_id", F.col("embedding").alias("_cv"),
+                 F.col("norm").alias("_cn"),
+                 F.col("cell").cast("long").alias("cell")))
+    q = (queries.select(F.col(id_col).alias(q_id),
+                        F.col(vec_col).alias("_qv"))
+         .withColumn("cell", F.explode(
+             F.expr(probe_cells_expr("_qv", cents, nprobe))))
+         .withColumn("_qn", F.expr(norm_expr("_qv"))))
+    joined = (c.join(F.broadcast(q), "cell")
+              .withColumn("cos", F.expr(dot_expr("_qv", "_cv"))
+                          / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (joined.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(q_id, "vec_id", "cell", "cos", "rank"))
+
+
 def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          planes: list[list[float]] | None = None,
                          id_col: str = "vec_id",

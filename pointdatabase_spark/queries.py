@@ -54,6 +54,7 @@ _SCORE_FIRST = [
     "rollup_trailing_window", "substring_dup_spans",
     "dup_span_doc_stats", "multimodal_real_decode",
     "multimodal_real_resize", "multimodal_real_features",
+    "ann_index_topk",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -1702,6 +1703,27 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = testkit.load_table(spark, sf_dir, "embeddings")
     return _sim.ivf_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5,
                              cents=_CENTS, nprobe=2)
+
+
+@query("ann_index_topk", oracle=_IVF_ANN_ORACLE)
+def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index serving path (similarity.write_ann_index /
+    ann_topk_against_index): embeddings are written partitioned by
+    coarse cell once, then the query batch probes nprobe cells via
+    dynamic partition pruning — per-batch cost independent of corpus
+    size, the continuous-serving design. Same oracle as ivf_ann_topk:
+    the store-then-query roundtrip must be bit-identical to the
+    inline plan."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    path = (f"/tmp/pdb_annidx_{_os.getpid()}_"
+            f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    _sh.rmtree(path, ignore_errors=True)
+    _sim.write_ann_index(emb, path, _CENTS)
+    return _sim.ann_topk_against_index(
+        spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=2)
 
 
 # ANN recall audit: recall@5 of the SRP-LSH path against the exact

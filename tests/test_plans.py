@@ -239,6 +239,18 @@ def test_frequent_ngrams_single_shuffle_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ann_index_query_prunes_partitions_dynamically(spark):
+    """Stored ANN index: the probe join against the cell-partitioned
+    cells/ table must carry a dynamic partition pruning filter — the
+    property that makes per-batch cost O(probed cells), not O(index)."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["ann_index_topk"](
+        spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters" in plan
+
+
 def test_rollup_trailing_two_exchanges_one_base_scan(spark):
     """Dense-key trailing scale path: one exchange for the bucket
     rollup, one for the key-partitioned window over BUCKETS — the
