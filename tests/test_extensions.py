@@ -196,6 +196,43 @@ def test_exact_dedup_finds_planted(spark):
     assert out.keep_id[0] == 1 and out.n_copies[0] == 2
 
 
+def test_substring_dup_spans_hand_case(spark):
+    """k=3 windows shared across docs: two shared regions separated by
+    a >k gap stay separate spans; a single shared trigram yields a
+    k-wide span; a doc with no cross-doc window yields nothing."""
+    shared_a = "a1 a2 a3 a4"           # 2 windows -> span width 4
+    shared_b = "b1 b2 b3"              # 1 window  -> span width 3
+    d1 = f"{shared_a} x1 x2 x3 x4 {shared_b}"  # gap 4 > k: two spans
+    d2 = f"y1 {shared_a} y2 y3 {shared_b}"
+    d3 = "z1 z2 z3 z4 z5"              # unique
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)],
+                               "doc_id long, text string")
+    out = dedup.substring_dup_spans(df, k=3).toPandas()
+    spans = {(r.doc_id, r.span_start, r.span_end, r.n_grams)
+             for r in out.itertuples()}
+    # d1: "a1..a4" at tokens 1-4 (2 windows), "b1..b3" at 9-11
+    # d2: "a1..a4" at tokens 2-5, "b1..b3" at 8-10
+    assert spans == {(1, 1, 4, 2), (1, 9, 11, 1),
+                     (2, 2, 5, 2), (2, 8, 10, 1)}
+
+
+def test_substring_dup_spans_touching_windows_merge(spark):
+    """Shared windows whose covers touch (gap == k) merge into one
+    contiguous duplicated region."""
+    # doc 1 shares tokens 1-3 with doc 2 and tokens 4-6 with doc 3:
+    # spans [1,3] and [4,6] touch -> one [1,6] span of 2 windows
+    df = spark.createDataFrame(
+        [(1, "p1 p2 p3 q1 q2 q3"),
+         (2, "p1 p2 p3 r1 r2 r3"),
+         (3, "s1 s2 s3 q1 q2 q3")],
+        "doc_id long, text string")
+    out = dedup.substring_dup_spans(df, k=3).toPandas()
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1
+    assert (int(d1.span_start.iloc[0]), int(d1.span_end.iloc[0]),
+            int(d1.n_grams.iloc[0])) == (1, 6, 2)
+
+
 def test_minhash_neardup_identical_docs(spark):
     base = "w%d " * 30
     t1 = " ".join(f"w{i}" for i in range(30))
