@@ -58,15 +58,21 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id",
 
 def attach_real_payload(docs: DataFrame,
                         id_col: str = "doc_id") -> DataFrame:
-    """Binary payloads that are REAL PNG / WAV encodings
+    """Binary payloads that are REAL PNG / WAV / APNG encodings
     (sources/media.py) of deterministic doc_id-derived content:
-    even ids get a greyscale PNG of (8 + id%13) x (16 + id%17) pixels
-    p[i,j] = (id*31 + 7i + 13j) mod 256; odd ids get a 16-bit PCM WAV
-    of 64 + id%193 samples s[i] = (id*97 + 17i) mod 65536 - 32768.
-    The bytes go through the full encoder (zlib/RIFF), so downstream
-    decode is a genuine codec exercise — while dims, sample counts,
-    and exact integer statistics remain closed-form in doc_id,
-    keeping SQL oracles possible."""
+
+    - id%3==0 (image): greyscale PNG, (8 + id%13) x (16 + id%17),
+      p[i,j] = (id*31 + 7i + 13j) mod 256;
+    - id%3==1 (audio): 16-bit PCM WAV of 64 + id%193 samples,
+      s[i] = (id*97 + 17i) mod 65536 - 32768;
+    - id%3==2 (video): greyscale APNG animation of 2 + id%7 frames,
+      (6 + id%9) x (8 + id%11), p[f,i,j] = (id*31 + 11f + 7i + 13j)
+      mod 256.
+
+    The bytes go through the full encoders (zlib/RIFF/APNG chunks),
+    so downstream decode is a genuine codec exercise — while dims,
+    sample/frame counts, and exact integer statistics remain
+    closed-form in doc_id, keeping SQL oracles possible."""
     from pointdatabase_spark.sources import media
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -74,18 +80,26 @@ def attach_real_payload(docs: DataFrame,
             rows = []
             for doc_id in b["doc_id"]:
                 did = int(doc_id)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     w, h = 16 + did % 17, 8 + did % 13
                     i = np.arange(h)[:, None]
                     j = np.arange(w)[None, :]
                     px = ((did * 31 + i * 7 + j * 13) % 256
                           ).astype(np.uint8)
                     rows.append((did, media.encode_png(px), "image"))
-                else:
+                elif did % 3 == 1:
                     n = 64 + did % 193
                     s = ((did * 97 + np.arange(n) * 17) % 65536
                          - 32768).astype(np.int16)
                     rows.append((did, media.encode_wav(s), "audio"))
+                else:
+                    nf, h, w = 2 + did % 7, 6 + did % 9, 8 + did % 11
+                    f = np.arange(nf)[:, None, None]
+                    i = np.arange(h)[None, :, None]
+                    j = np.arange(w)[None, None, :]
+                    px = ((did * 31 + f * 11 + i * 7 + j * 13) % 256
+                          ).astype(np.uint8)
+                    rows.append((did, media.encode_apng(px), "video"))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"])
 
@@ -96,8 +110,9 @@ def attach_real_payload(docs: DataFrame,
 
 
 def _real_decode_row(payload: bytes, media_type: str) -> tuple:
-    """Genuine codec parse: PNG -> (h, w) pixels, WAV -> samples.
-    Video stays gated — ffmpeg is not in the container."""
+    """Genuine codec parse: PNG -> (h, w) pixels, WAV -> samples,
+    video -> APNG frames (non-APNG containers — mp4 etc. — raise:
+    ffmpeg is not in the container)."""
     from pointdatabase_spark.sources import media
     if media_type == "image":
         a = media.decode_png(payload)
@@ -107,10 +122,15 @@ def _real_decode_row(payload: bytes, media_type: str) -> tuple:
         s, _rate = media.decode_wav(payload)
         return (len(payload), s.shape[0], s.shape[1], 1,
                 hashlib.md5(s.tobytes()).hexdigest())
-    raise NotImplementedError(
-        "video decode needs ffmpeg — not shipped in this container; "
-        "image (PNG) and audio (WAV) decode are real "
-        "(sources/media.py)")
+    try:
+        fr = media.decode_apng(payload)
+    except ValueError as exc:
+        raise NotImplementedError(
+            "video container is not APNG — other containers (mp4, "
+            "webm, ...) need ffmpeg, which is not shipped; APNG "
+            "decode is real (sources/media.py)") from exc
+    return (len(payload), fr.shape[2], fr.shape[1], fr.shape[0],
+            hashlib.md5(fr.tobytes()).hexdigest())
 
 
 def _fake_decode_row(payload: bytes, media_type: str) -> tuple:
@@ -188,8 +208,11 @@ def extract_features(df: DataFrame, dim: int = 8,
                                      float(s.max()) / 32768.0,
                                      float(s.min()) / 32768.0))
                     else:
-                        raise NotImplementedError(
-                            "video features need ffmpeg — not shipped")
+                        fr = media.decode_apng(pb).astype(np.int64)
+                        rows.append((int(doc_id), mt,
+                                     (float(fr.sum()) / fr.size) / 255.0,
+                                     float(fr.max()) / 255.0,
+                                     float(fr.min()) / 255.0))
                 yield pd.DataFrame(
                     rows, columns=["doc_id", "media_type",
                                    "f0", "f1", "f2"])
@@ -259,8 +282,13 @@ def resize_media(df: DataFrame, max_w: int, max_h: int,
                         on = min(n, max_w)
                         emit(int(doc_id), mt, n, nch, on, nch, s[:on])
                     else:
-                        raise NotImplementedError(
-                            "video resize needs ffmpeg — not shipped")
+                        fr = media.decode_apng(pb)
+                        nf, h, w = fr.shape[:3]
+                        ow, oh = min(w, max_w), min(h, max_h)
+                        yi = (np.arange(oh) * h) // oh
+                        xi = (np.arange(ow) * w) // ow
+                        emit(int(doc_id), mt, w, h, ow, oh,
+                             fr[:, yi][:, :, xi])
                 out = pd.DataFrame(
                     rows, columns=["doc_id", "media_type", "width",
                                    "height", "out_w", "out_h", "fp"])
@@ -296,10 +324,37 @@ def sample_frames(df: DataFrame, step: int,
     replaces the fingerprint with the decoded frame bytes at the marked
     point. Narrow map: the explode happens inside the task, so row
     blowup never shuffles."""
-    if decoder == "real":  # pragma: no cover - integration point
-        raise NotImplementedError(
-            "real frame extraction needs ffmpeg/cv2 — wire in here.")
     step_ = int(step)
+    if decoder == "real":
+        # APNG frames genuinely decoded; per-frame mean luma is an
+        # exact int reduction + two IEEE divisions (SQL-oracle-able,
+        # unlike an md5 of the pixel grid). Non-APNG video containers
+        # raise inside decode_apng — ffmpeg is not shipped.
+        from pointdatabase_spark.sources import media
+
+        def _frames_real(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                ids, idxs, means = [], [], []
+                for doc_id, payload, mt in zip(b["doc_id"],
+                                               b["payload"],
+                                               b["media_type"]):
+                    if mt != "video":
+                        continue
+                    fr = media.decode_apng(bytes(payload)).astype(
+                        np.int64)
+                    per = fr.shape[1] * fr.shape[2]
+                    for k in range(0, fr.shape[0], step_):
+                        ids.append(int(doc_id))
+                        idxs.append(k)
+                        means.append(
+                            (float(fr[k].sum()) / per) / 255.0)
+                yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                    "f_mean": means})
+
+        return df.mapInPandas(
+            _frames_real,
+            schema="doc_id bigint, frame_idx bigint, f_mean double")
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

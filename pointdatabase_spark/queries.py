@@ -54,7 +54,7 @@ _SCORE_FIRST = [
     "rollup_trailing_window", "substring_dup_spans",
     "dup_span_doc_stats", "multimodal_real_decode",
     "multimodal_real_resize", "multimodal_real_features",
-    "ann_index_topk",
+    "multimodal_real_frames", "ann_index_topk",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -2863,23 +2863,28 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REAL_DECODE_ORACLE = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
-         AS media_type,
-       CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 17
-            ELSE 64 + doc_id % 193 END AS width,
-       CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 13
-            ELSE 1 END AS height,
-       CAST(1 AS BIGINT) AS n_frames
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 17
+            WHEN 1 THEN 64 + doc_id % 193
+            ELSE 8 + doc_id % 11 END AS width,
+       CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 13
+            WHEN 1 THEN CAST(1 AS BIGINT)
+            ELSE 6 + doc_id % 9 END AS height,
+       CASE doc_id % 3 WHEN 2 THEN 2 + doc_id % 7
+            ELSE CAST(1 AS BIGINT) END AS n_frames
 FROM documents
 """
 
 
 @query("multimodal_real_decode", oracle=_REAL_DECODE_ORACLE)
 def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real PNG/WAV decode: width/height are the PIXEL dims parsed out
-    of the zlib-inflated, row-unfiltered image (sample/channel counts
-    for audio), not metadata echoes — the oracle knows what dims the
-    generator used, so the decode must recover them exactly."""
+    """Real PNG/WAV/APNG decode: width/height are the PIXEL dims
+    parsed out of the zlib-inflated, row-unfiltered image
+    (sample/channel counts for audio, frame count from the APNG
+    animation-control chunk for video), not metadata echoes — the
+    oracle knows what dims the generator used, so the decode must
+    recover them exactly."""
     from pointdatabase_spark.operators import multimodal as _mm
     docs = testkit.load_table(spark, sf_dir, "documents")
     dec = _mm.decode_media(_mm.attach_real_payload(docs), decoder="real")
@@ -2889,16 +2894,20 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REAL_RESIZE_ORACLE = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
-         AS media_type,
-       CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 17
-            ELSE 64 + doc_id % 193 END AS width,
-       CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 13
-            ELSE 1 END AS height,
-       CASE WHEN doc_id % 2 = 0 THEN least(16 + doc_id % 17, 20)
-            ELSE least(64 + doc_id % 193, 20) END AS out_w,
-       CASE WHEN doc_id % 2 = 0 THEN least(8 + doc_id % 13, 10)
-            ELSE 1 END AS out_h
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 17
+            WHEN 1 THEN 64 + doc_id % 193
+            ELSE 8 + doc_id % 11 END AS width,
+       CASE doc_id % 3 WHEN 0 THEN 8 + doc_id % 13
+            WHEN 1 THEN CAST(1 AS BIGINT)
+            ELSE 6 + doc_id % 9 END AS height,
+       CASE doc_id % 3 WHEN 0 THEN least(16 + doc_id % 17, 20)
+            WHEN 1 THEN least(64 + doc_id % 193, 20)
+            ELSE least(8 + doc_id % 11, 20) END AS out_w,
+       CASE doc_id % 3 WHEN 0 THEN least(8 + doc_id % 13, 10)
+            WHEN 1 THEN CAST(1 AS BIGINT)
+            ELSE least(6 + doc_id % 9, 10) END AS out_h
 FROM documents
 """
 
@@ -2920,7 +2929,9 @@ def multimodal_real_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REAL_FEATURES_ORACLE = """
 WITH m AS (SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
-                  64 + doc_id % 193 AS n
+                  64 + doc_id % 193 AS n,
+                  2 + doc_id % 7 AS nf, 6 + doc_id % 9 AS vh,
+                  8 + doc_id % 11 AS vw
            FROM documents),
 img AS (
   SELECT m.doc_id, 'image' AS media_type,
@@ -2932,7 +2943,7 @@ img AS (
        LATERAL (SELECT unnest(range(0, m.w)) AS j) jj,
        LATERAL (SELECT (m.doc_id * 31 + ii.i * 7 + jj.j * 13) % 256
                 AS v) v
-  WHERE m.doc_id % 2 = 0
+  WHERE m.doc_id % 3 = 0
   GROUP BY m.doc_id, m.w, m.h),
 aud AS (
   SELECT m.doc_id, 'audio' AS media_type,
@@ -2943,9 +2954,24 @@ aud AS (
        LATERAL (SELECT unnest(range(0, m.n)) AS i) ii,
        LATERAL (SELECT (m.doc_id * 97 + ii.i * 17) % 65536 - 32768
                 AS v) v
-  WHERE m.doc_id % 2 = 1
-  GROUP BY m.doc_id, m.n)
+  WHERE m.doc_id % 3 = 1
+  GROUP BY m.doc_id, m.n),
+vid AS (
+  SELECT m.doc_id, 'video' AS media_type,
+         (CAST(SUM(v.v) AS DOUBLE) / (m.nf * m.vh * m.vw)) / 255.0
+           AS f0,
+         CAST(MAX(v.v) AS DOUBLE) / 255.0 AS f1,
+         CAST(MIN(v.v) AS DOUBLE) / 255.0 AS f2
+  FROM m,
+       LATERAL (SELECT unnest(range(0, m.nf)) AS f) ff,
+       LATERAL (SELECT unnest(range(0, m.vh)) AS i) ii,
+       LATERAL (SELECT unnest(range(0, m.vw)) AS j) jj,
+       LATERAL (SELECT (m.doc_id * 31 + ff.f * 11 + ii.i * 7
+                        + jj.j * 13) % 256 AS v) v
+  WHERE m.doc_id % 3 = 2
+  GROUP BY m.doc_id, m.nf, m.vh, m.vw)
 SELECT * FROM img UNION ALL SELECT * FROM aud
+UNION ALL SELECT * FROM vid
 """
 
 
@@ -2955,12 +2981,45 @@ def multimodal_real_features(spark: SparkSession, sf_dir: str
     """Real pixel/sample statistics from decoded media: f0/f1/f2 =
     normalized mean/max/min — exact int reductions + one or two IEEE
     divisions, bit-equal to the oracle's enumeration of the same
-    generated content. A wrong Paeth branch or slice in the codec
-    shifts the sums and fails the value hash."""
+    generated content (image pixels, PCM samples, APNG frame voxels).
+    A wrong Paeth branch or slice in the codec shifts the sums and
+    fails the value hash."""
     from pointdatabase_spark.operators import multimodal as _mm
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _mm.extract_features(_mm.attach_real_payload(docs),
                                 extractor="real")
+
+
+_REAL_FRAMES_ORACLE = """
+WITH m AS (SELECT doc_id, 2 + doc_id % 7 AS nf, 6 + doc_id % 9 AS h,
+                  8 + doc_id % 11 AS w
+           FROM documents WHERE doc_id % 3 = 2),
+fr AS (SELECT doc_id, nf, h, w, unnest(range(0, nf)) AS f FROM m),
+keep AS (SELECT * FROM fr WHERE f % 2 = 0)
+SELECT k.doc_id, k.f AS frame_idx,
+       (CAST(SUM(v.v) AS DOUBLE) / (k.h * k.w)) / 255.0 AS f_mean
+FROM keep k,
+     LATERAL (SELECT unnest(range(0, k.h)) AS i) ii,
+     LATERAL (SELECT unnest(range(0, k.w)) AS j) jj,
+     LATERAL (SELECT (k.doc_id * 31 + k.f * 11 + ii.i * 7
+                      + jj.j * 13) % 256 AS v) v
+GROUP BY k.doc_id, k.f, k.h, k.w
+"""
+
+
+@query("multimodal_real_frames", oracle=_REAL_FRAMES_ORACLE)
+def multimodal_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame sampling: APNG animations are genuinely
+    decoded (acTL/fcTL/fdAT chunk walk, per-frame zlib streams) and
+    every 2nd frame's mean luma is emitted — an exact int reduction,
+    bit-equal to the oracle's per-frame voxel enumeration. The
+    non-APNG container path stays NotImplementedError (ffmpeg absent);
+    the UDTF row-explosion shape matches the fake-path
+    multimodal_frame_sample."""
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _mm.sample_frames(_mm.attach_real_payload(docs), step=2,
+                             decoder="real")
 
 
 # Feature extraction (the model-forward-pass stage, deterministic fake):

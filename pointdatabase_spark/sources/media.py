@@ -122,7 +122,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    out = _unfilter_stream(zlib.decompress(bytes(idat)), w, h, ch)
+    return out[:, :, 0] if ch == 1 else out
+
+
+def _unfilter_stream(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Filtered scanline stream -> (h, w, ch) uint8 (all 5 filters)."""
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
@@ -156,7 +161,115 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG row filter {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return out[:, :, 0] if ch == 1 else out
+    return out
+
+
+def encode_apng(frames: np.ndarray, delay_den: int = 30) -> bytes:
+    """(n_frames, H, W) or (n_frames, H, W, C) uint8 -> animated PNG
+    (APNG, PNG third edition): acTL + per-frame fcTL, first frame in
+    IDAT, subsequent frames in fdAT — all frames full-canvas,
+    dispose none / blend source."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim == 3:
+        color, ch = 0, 1
+        f = f[:, :, :, None]
+    elif f.ndim == 4 and f.shape[3] in (3, 4):
+        color, ch = (2, 3) if f.shape[3] == 3 else (6, 4)
+    else:
+        raise ValueError("expect (N,H,W[,C]) uint8 frames")
+    n, h, w = f.shape[:3]
+    if n < 1:
+        raise ValueError("need at least one frame")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    def raw_stream(img: np.ndarray) -> bytes:
+        out = bytearray()
+        for y in range(h):
+            out.append(0)
+            out += img[y].tobytes()
+        return zlib.compress(bytes(out), 6)
+
+    def fctl(seq: int) -> bytes:
+        return struct.pack(">IIIIIHHBB", seq, w, h, 0, 0,
+                           1, delay_den, 0, 0)  # dispose=0, blend=0
+
+    out = bytearray(_PNG_SIG)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color,
+                                      0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", n, 0))
+    out += chunk(b"fcTL", fctl(0))
+    out += chunk(b"IDAT", raw_stream(f[0]))
+    seq = 1                        # fcTL/fdAT share one 0-based counter
+    for k in range(1, n):
+        out += chunk(b"fcTL", fctl(seq))
+        seq += 1
+        out += chunk(b"fdAT",
+                     struct.pack(">I", seq) + raw_stream(f[k]))
+        seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(data: bytes) -> np.ndarray:
+    """APNG bytes -> (n_frames, H, W[, C]) uint8. Restricted to the
+    shape :func:`encode_apng` emits and most simple animations use:
+    every frame full-canvas at offset (0,0); region updates
+    (x/y offsets or sub-canvas frames) raise NotImplementedError.
+    A plain PNG (no acTL) decodes as one frame."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    n_frames = 1
+    streams: list[bytearray] = []
+    cur: bytearray | None = None
+    idat = bytearray()
+    saw_fctl_before_idat = False
+    while pos + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, comp, flt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color not in _CHANNELS or inter:
+                raise NotImplementedError(
+                    "APNG depth/color/interlace outside the 8-bit "
+                    "grey/RGB/RGBA non-interlaced subset")
+        elif tag == b"acTL":
+            n_frames = struct.unpack_from(">I", body)[0]
+        elif tag == b"fcTL":
+            _seq, fw, fh, fx, fy = struct.unpack_from(">IIIII", body)
+            if (fw, fh, fx, fy) != (w, h, 0, 0):
+                raise NotImplementedError(
+                    "APNG region-update frames (only full-canvas "
+                    "frames supported)")
+            if idat:
+                cur = bytearray()          # fcTL after IDAT: new frame
+                streams.append(cur)
+            else:
+                saw_fctl_before_idat = True
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"fdAT":
+            if cur is None:
+                raise ValueError("APNG fdAT before any post-IDAT fcTL")
+            cur += body[4:]                # skip sequence number
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    del saw_fctl_before_idat
+    ch = _CHANNELS[color]
+    frames = [_unfilter_stream(zlib.decompress(bytes(s)), w, h, ch)
+              for s in [idat, *streams]]
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"APNG declared {n_frames} frames, found {len(frames)}")
+    out = np.stack(frames)
+    return out[:, :, :, 0] if ch == 1 else out
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

@@ -78,7 +78,24 @@ def test_wav_gates_are_named():
         media.decode_wav(b"OggS not a wav")
 
 
-def test_real_decode_rejects_video():
+def test_apng_roundtrip_and_plain_png_single_frame():
+    rng = np.random.default_rng(11)
+    for shape in [(1, 5, 4), (4, 6, 5), (3, 4, 4, 3), (2, 3, 3, 4)]:
+        f = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = media.decode_apng(media.encode_apng(f))
+        np.testing.assert_array_equal(d, f)
+    a = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    d = media.decode_apng(media.encode_png(a))
+    assert d.shape == (1, 5, 7)
+    np.testing.assert_array_equal(d[0], a)
+
+
+def test_real_decode_video_is_apng_or_gated():
     from pointdatabase_spark.operators.multimodal import _real_decode_row
+    frames = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    n, w, h, nf, _fp = _real_decode_row(media.encode_apng(frames),
+                                        "video")
+    assert (w, h, nf) == (4, 3, 2)
+    # non-APNG containers (mp4 etc.) stay gated on ffmpeg
     with pytest.raises(NotImplementedError, match="ffmpeg"):
-        _real_decode_row(b"anything", "video")
+        _real_decode_row(b"\x00\x00\x00 ftypisom....", "video")
