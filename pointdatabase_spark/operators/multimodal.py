@@ -16,14 +16,15 @@ The Spark-side architecture is the real thing and fully tested:
 
 The codec step has two modes:
 
-- ``decoder="real"`` (r6): REAL PNG and WAV parsing via the stdlib
-  codecs in `sources/media.py` (zlib inflate + row un-filtering /
-  RIFF walk) — no PIL/cv2 needed. Video remains gated behind
-  NotImplementedError (ffmpeg genuinely absent from the container).
-  `attach_real_payload` builds payloads that are real PNG/WAV
-  encodings of doc_id-derived content, so decode is a genuine codec
-  exercise while the recovered metadata and the exact integer
-  features stay SQL-oracle-checkable.
+- ``decoder="real"`` (r6): REAL PNG / WAV / APNG parsing via the
+  stdlib codecs in `sources/media.py` (zlib inflate + row
+  un-filtering / RIFF walk / animation chunk walk) — no PIL/cv2
+  needed. Only non-APNG video containers (mp4, webm) remain gated
+  behind NotImplementedError (ffmpeg genuinely absent from the
+  container). `attach_real_payload` builds payloads that are real
+  PNG/WAV/APNG encodings of doc_id-derived content, so decode is a
+  genuine codec exercise while the recovered metadata and the exact
+  integer features stay SQL-oracle-checkable.
 - ``decoder="fake"`` (default): deterministic metadata from the
   payload bytes (length + md5) — keeps the video path and the
   model-forward-pass feature stage testable end-to-end.
