@@ -196,6 +196,27 @@ def test_exact_dedup_finds_planted(spark):
     assert out.keep_id[0] == 1 and out.n_copies[0] == 2
 
 
+def test_ngram_jaccard_prefix_equals_unpruned(spark):
+    """Prefix filtering is pure pruning: at several thresholds the
+    candidate-pruned plan must return exactly the unpruned inverted-
+    index result (including a threshold where t*n lands on integers,
+    the float-ceil edge the 1e-9 nudge guards)."""
+    from pointdatabase_spark import testkit
+    from tests.conftest import SF_SMOKE
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    for t in (0.2, 0.25, 0.5):
+        a = (dedup.ngram_jaccard_pairs(docs, ["lang"], n=2, threshold=t)
+             .toPandas().sort_values(["id_a", "id_b"],
+                                     ignore_index=True))
+        b = (dedup.ngram_jaccard_prefix(docs, ["lang"], n=2, threshold=t)
+             .toPandas().sort_values(["id_a", "id_b"],
+                                     ignore_index=True))
+        assert a.shape == b.shape, t
+        assert (a.id_a == b.id_a).all() and (a.id_b == b.id_b).all()
+        assert (a.jaccard == b.jaccard).all()
+    spark.catalog.clearCache()
+
+
 def test_substring_dup_spans_hand_case(spark):
     """k=3 windows shared across docs: two shared regions separated by
     a >k gap stay separate spans; a single shared trigram yields a
