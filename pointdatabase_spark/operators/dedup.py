@@ -687,10 +687,14 @@ def substring_dup_spans(df: DataFrame, id_col: str = "doc_id",
     grams = (f"CASE WHEN size(t) >= {k} THEN "
              f"transform(sequence(1, size(t) - {k - 1}), "
              f"i -> concat_ws(' ', {parts})) ELSE array() END")
+    # persisted: the positioned postings feed both the df aggregate
+    # and the semi-join probe side (same rationale as the
+    # ngram_jaccard_pairs posting persist)
     pos_h = (tok.select("id", F.posexplode(F.expr(grams))
                         .alias("p0", "g"))
              .select("id", (F.col("p0") + 1).cast("long").alias("pos"),
-                     F.expr(_H32.format(s="g")).alias("h")))
+                     F.expr(_H32.format(s="g")).alias("h"))
+             .persist())
     shared = (pos_h.groupBy("h")
               .agg(F.countDistinct("id").alias("_df"))
               .where(F.col("_df") >= min_df)
