@@ -43,6 +43,58 @@ def profile_columns(df: DataFrame, cols: list[str],
         "AS (col_name, n_null, n_distinct, vmin, vmax)"))
 
 
+def scalar_dq(df: DataFrame,
+              rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Data-quality expectations over ONE table in ONE aggregation:
+    each rule is (name, boolean Column that is true when the row
+    VIOLATES the expectation); output is (rule string, violations
+    bigint), one row per rule. All rules share a single scan + single
+    partial-aggregate pass regardless of rule count — the `stack`
+    unpivot is a zero-shuffle projection of the 1-row aggregate."""
+    aggs = [F.sum(cond.cast("long")).alias(f"_v{i}")
+            for i, (_n, cond) in enumerate(rules)]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', COALESCE(_v{i}, 0)"
+                      for i, (n, _c) in enumerate(rules))
+    return row.select(F.expr(
+        f"stack({len(rules)}, {stack}) AS (rule, violations)"))
+
+
+def duplicate_key_count(df: DataFrame, name: str,
+                        keys: list[str]) -> DataFrame:
+    """(rule, violations) where violations = rows carrying a
+    non-unique key — count(*) - count(distinct keys) via a two-level
+    aggregate (per-key counts map-combine; no Expand, no driver
+    work), the uniqueness expectation at any scale."""
+    per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    return per.agg(
+        F.lit(name).alias("rule"),
+        F.coalesce(F.sum(F.when(F.col("_n") > 1, F.col("_n"))),
+                   F.lit(0)).alias("violations"))
+
+
+def ref_integrity_count(child: DataFrame, name: str, child_key: str,
+                        parent: DataFrame,
+                        parent_key: str) -> DataFrame:
+    """(rule, violations) where violations = child rows whose key has
+    no parent — a LEFT ANTI join (broadcast when the parent is
+    dimension-sized, AQE decides) folded to one count."""
+    par = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    orphans = child.select(child_key).join(par, child_key, "left_anti")
+    return orphans.agg(F.lit(name).alias("rule"),
+                       F.count(F.lit(1)).alias("violations"))
+
+
+def dq_report(parts: list[DataFrame]) -> DataFrame:
+    """Union the per-table/per-shape expectation results into one
+    (rule, violations) report — each part is already reduced to rule
+    granularity, so the union moves rule-count rows, not data."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def distinctive_terms(df: DataFrame, group_col: str = "source",
                       id_col: str = "doc_id", text_col: str = "text",
                       k: int = 5) -> DataFrame:

@@ -55,6 +55,7 @@ _SCORE_FIRST = [
     "dup_span_doc_stats", "multimodal_real_decode",
     "multimodal_real_resize", "multimodal_real_features",
     "multimodal_real_frames", "ann_index_topk",
+    "data_quality_report",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -913,6 +914,79 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import profile as _prof
     li = testkit.load_table(spark, sf_dir, "lineitem")
     return _prof.profile_columns(li, _PROFILE_COLS)
+
+
+_DQ_ORACLE = """
+SELECT 'li_discount_range' AS rule,
+       CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'li_quantity_le_30',
+       CAST(COALESCE(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END),
+                     0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'li_returnflag_domain',
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'li_shipdate_not_null',
+       CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0
+                          END), 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                          END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'orders_custkey_ri', CAST(COUNT(*) AS BIGINT)
+FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_orderkey_ri', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@query("data_quality_report", oracle=_DQ_ORACLE)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations validation (operators/profile.scalar_dq /
+    duplicate_key_count / ref_integrity_count): null, range, and
+    accepted-value rules fused into ONE aggregation pass per table,
+    key uniqueness as a two-level aggregate (no Expand), and
+    referential integrity as anti-join counts — the pre-training
+    data-contract gate. Every part reduces to rule-granularity rows
+    before the union, so the report moves |rules| rows total."""
+    from pointdatabase_spark.operators import profile as _prof
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    li_rules = _prof.scalar_dq(li, [
+        ("li_discount_range", (F.col("l_discount") < 0)
+         | (F.col("l_discount") > 0.1)),
+        ("li_quantity_le_30", F.col("l_quantity") > 30),
+        ("li_returnflag_domain",
+         ~F.col("l_returnflag").isin("A", "N", "R")),
+        ("li_shipdate_not_null", F.col("l_shipdate").isNull()),
+    ])
+    o_rules = _prof.scalar_dq(orders, [
+        ("orders_custkey_not_null", F.col("o_custkey").isNull()),
+    ])
+    return _prof.dq_report([
+        li_rules, o_rules,
+        _prof.duplicate_key_count(orders, "orders_orderkey_unique",
+                                  ["o_orderkey"]),
+        _prof.ref_integrity_count(orders, "orders_custkey_ri",
+                                  "o_custkey", cust, "c_custkey"),
+        _prof.ref_integrity_count(li, "lineitem_orderkey_ri",
+                                  "l_orderkey", orders, "o_orderkey"),
+    ])
 
 
 # Distinctive vocabulary per source: tf-idf-style lift score as a pure
