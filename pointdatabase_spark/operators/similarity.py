@@ -347,6 +347,29 @@ def write_ann_index(corpus: DataFrame, path: str,
     meta.write.mode(mode).parquet(f"{path}/meta")
 
 
+def append_ann_index(delta: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Append a batch of new embeddings to a stored ANN index
+    (:func:`write_ann_index`) — the continuous-ingest path: cell
+    assignment for the delta uses the CENTROIDS ALREADY IN THE INDEX
+    (read from ``meta/``, bounded rows), so the stored corpus is
+    never rescanned or reassigned and per-batch cost is O(delta).
+    New cell directories appear as plain partition appends; the
+    serving query's dynamic partition pruning picks them up with no
+    index rebuild. (Centroids are fixed at index creation — the IVF
+    contract; re-training centroids means rebuilding the index.)"""
+    spark = delta.sparkSession
+    meta = sorted(spark.read.parquet(f"{path}/meta").collect(),
+                  key=lambda r: r.cell)
+    cents = [list(r.centroid) for r in meta]
+    c = (delta.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding"))
+         .withColumn("cell", F.expr(cell_expr("embedding", cents)))
+         .withColumn("norm", F.expr(norm_expr("embedding"))))
+    c.write.partitionBy("cell").mode("append").parquet(f"{path}/cells")
+
+
 def ann_topk_against_index(spark, path: str, queries: DataFrame,
                            k: int, nprobe: int = 1,
                            id_col: str = "vec_id",

@@ -55,6 +55,7 @@ _SCORE_FIRST = [
     "dup_span_doc_stats", "multimodal_real_decode",
     "multimodal_real_resize", "multimodal_real_features",
     "multimodal_real_frames", "ann_index_topk",
+    "ann_index_incremental", "streaming_ann_index",
     "data_quality_report",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
@@ -1796,6 +1797,56 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
     _sh.rmtree(path, ignore_errors=True)
     _sim.write_ann_index(emb, path, _CENTS)
+    return _sim.ann_topk_against_index(
+        spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=2)
+
+
+@query("ann_index_incremental", oracle=_IVF_ANN_ORACLE)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest ANN (similarity.append_ann_index): the index
+    is built from PART of the corpus, the rest arrives as an appended
+    delta — cell-assigned against the centroids stored in the index
+    meta, O(delta) per batch, stored corpus never rescanned. Same
+    oracle as ivf_ann_topk: base + delta must serve bit-identically
+    to an index built from everything at once."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    path = (f"/tmp/pdb_annincr_{_os.getpid()}_"
+            f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    _sh.rmtree(path, ignore_errors=True)
+    _sim.write_ann_index(emb.where(F.col("vec_id") >= 100), path, _CENTS)
+    _sim.append_ann_index(emb.where(F.col("vec_id") < 100), path)
+    return _sim.ann_topk_against_index(
+        spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=2)
+
+
+@query("streaming_ann_index", oracle=_IVF_ANN_ORACLE)
+def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance (streaming/annindex.py): new
+    vectors land as files, an availableNow foreachBatch stream
+    appends them to the cell-partitioned index with a per-batch
+    idempotency anti-join; the served top-k must equal the
+    build-everything-at-once oracle."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.streaming.annindex import (
+        run_ann_index_maintenance)
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    tag = (f"{_os.getpid()}_"
+           f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    path = f"/tmp/pdb_annstream_{tag}_idx"
+    landing = f"/tmp/pdb_annstream_{tag}_landing"
+    ckpt = f"/tmp/pdb_annstream_{tag}_ckpt"
+    for p in (path, landing, ckpt):
+        _sh.rmtree(p, ignore_errors=True)
+    _sim.write_ann_index(emb.where(F.col("vec_id") >= 100), path, _CENTS)
+    emb.where(F.col("vec_id") < 100).repartition(2).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    run_ann_index_maintenance(spark, landing, "*.parquet", schema, path,
+                              ckpt)
     return _sim.ann_topk_against_index(
         spark, path, emb.where(F.col("vec_id") < 5), k=5, nprobe=2)
 

@@ -267,3 +267,40 @@ def test_rollup_maintenance_incremental_and_late(spark, tmp_path):
               for r in temporal.multires_rollup(
                   raw, "tus", ["g"], "v", [3600]).collect()}
     assert hourly == direct
+
+
+def test_ann_index_maintenance_idempotent_replay(spark, tmp_path):
+    """Re-draining the same landing files with a FRESH checkpoint
+    (simulating a crash that lost the offsets, the at-least-once
+    worst case) must not duplicate index rows: the per-batch
+    anti-join against stored ids in the touched cells makes the
+    append idempotent at vec_id granularity, and the served top-k
+    stays identical."""
+    import numpy as np
+    from pointdatabase_spark.operators import similarity as sim
+    from pointdatabase_spark.streaming.annindex import (
+        run_ann_index_maintenance)
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = sim.centroids(4, 8)
+    idx = str(tmp_path / "idx")
+    landing = str(tmp_path / "landing")
+    sim.write_ann_index(emb.where("vec_id >= 30"), idx, cents)
+    emb.where("vec_id < 30").repartition(2).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    run_ann_index_maintenance(spark, landing, "*.parquet", schema, idx,
+                              str(tmp_path / "ck1"))
+    first = spark.read.parquet(f"{idx}/cells").count()
+    assert first == 60
+    # replay everything with a fresh checkpoint — no duplicates
+    run_ann_index_maintenance(spark, landing, "*.parquet", schema, idx,
+                              str(tmp_path / "ck2"))
+    assert spark.read.parquet(f"{idx}/cells").count() == 60
+    served = sim.ann_topk_against_index(
+        spark, idx, emb.where("vec_id < 3"), k=3, nprobe=2).collect()
+    inline = sim.ivf_ann_topk(emb, emb.where("vec_id < 3"), k=3,
+                              cents=cents, nprobe=2).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, inline))
