@@ -67,6 +67,36 @@ SELECT * REPLACE (l_orderkey + {r} * 10000000 AS l_orderkey,
 FROM read_parquet('{SF01}/lineitem.parquet')""")
     con.execute(f"COPY ({' UNION ALL '.join(li_parts)}) TO "
                 f"'{SF1}/lineitem.parquet' (FORMAT PARQUET)")
+    # events: more users, same per-user density and time range
+    ev_parts = ["SELECT * FROM read_parquet('%s/events.parquet')" % SF01]
+    for r in range(1, 10):
+        ev_parts.append(f"""
+SELECT * REPLACE (event_id + {r} * 10000000 AS event_id,
+                  user_id + {r} * 1000000 AS user_id)
+FROM read_parquet('{SF01}/events.parquet')""")
+    con.execute(f"COPY ({' UNION ALL '.join(ev_parts)}) TO "
+                f"'{SF1}/events.parquet' (FORMAT PARQUET)")
+    # orders: same customer domain (more orders per customer, like a
+    # longer business history); customer stays the dimension it is
+    o_parts = ["SELECT * FROM read_parquet('%s/orders.parquet')" % SF01]
+    for r in range(1, 10):
+        o_parts.append(f"""
+SELECT * REPLACE (o_orderkey + {r} * 10000000 AS o_orderkey)
+FROM read_parquet('{SF01}/orders.parquet')""")
+    con.execute(f"COPY ({' UNION ALL '.join(o_parts)}) TO "
+                f"'{SF1}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY (SELECT * FROM read_parquet("
+                f"'{SF01}/customer.parquet')) TO "
+                f"'{SF1}/customer.parquet' (FORMAT PARQUET)")
+    # embeddings: 10x vectors, identical distribution -> cell sizes 10x
+    e_parts = ["SELECT * FROM read_parquet('%s/embeddings.parquet')"
+               % SF01]
+    for r in range(1, 10):
+        e_parts.append(f"""
+SELECT * REPLACE (vec_id + {r} * 10000000 AS vec_id)
+FROM read_parquet('{SF01}/embeddings.parquet')""")
+    con.execute(f"COPY ({' UNION ALL '.join(e_parts)}) TO "
+                f"'{SF1}/embeddings.parquet' (FORMAT PARQUET)")
     con.close()
 
 
@@ -119,7 +149,54 @@ def main() -> None:
             _text.spark_expr("top_bigram_cover", "text", "_toks").alias("b"),
             _text.spark_expr("max_token_run", "text", "_toks").alias("c"))
 
+    def rollup_trailing_op(sf_dir):
+        from pointdatabase_spark.functions import timeconv
+        from pointdatabase_spark.operators import temporal
+        ev = testkit.load_table(spark, sf_dir, "events")
+        ev = ev.select("event_type", timeconv.events_tus(ev).alias("tus"),
+                       "value")
+        return temporal.rollup_trailing(ev, ts="tus",
+                                        keys=["event_type"],
+                                        value="value", res_s=3600,
+                                        span_us=7 * 86_400_000_000)
+
+    def ann_index_op(sf_dir):
+        import hashlib as hl
+        from pointdatabase_spark.operators import similarity as sim
+        emb = testkit.load_table(spark, sf_dir, "embeddings")
+        cents = sim.centroids(8, 64)
+        path = (f"/tmp/pdb_scale_ann_{os.getpid()}_"
+                f"{hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        sim.write_ann_index(emb, path, cents)
+        from pyspark.sql import functions as FF
+        # fixed 5-query batch at every scale: the exponent then
+        # measures serving cost vs INDEX size alone
+        return sim.ann_topk_against_index(
+            spark, path, emb.where(FF.col("vec_id") < 5), k=5, nprobe=2)
+
+    def dq_op(sf_dir):
+        from pointdatabase_spark.operators import profile as prof
+        l = li(sf_dir)
+        orders = testkit.load_table(spark, sf_dir, "orders")
+        cust = testkit.load_table(spark, sf_dir, "customer")
+        return prof.dq_report([
+            prof.scalar_dq(l, [
+                ("r1", (F.col("l_discount") < 0)
+                 | (F.col("l_discount") > 0.1)),
+                ("r2", F.col("l_quantity") > 30)]),
+            prof.duplicate_key_count(orders, "r3", ["o_orderkey"]),
+            prof.ref_integrity_count(orders, "r4", "o_custkey", cust,
+                                     "c_custkey"),
+        ])
+
     ops = {
+        "substring_dup_spans": lambda sf: dedup.substring_dup_spans(
+            docs(sf), k=8),
+        "rollup_trailing": rollup_trailing_op,
+        "ann_index_query": ann_index_op,
+        "dq_report": dq_op,
         "ngram_jaccard_exact": lambda sf: dedup.ngram_jaccard_pairs(
             docs(sf), ["lang"], n=2, threshold=0.2),
         "ngram_jaccard_capped": lambda sf: dedup.ngram_jaccard_pairs(
