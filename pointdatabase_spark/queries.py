@@ -56,7 +56,8 @@ _SCORE_FIRST = [
     "multimodal_real_resize", "multimodal_real_features",
     "multimodal_real_frames", "ann_index_topk",
     "ann_index_incremental", "streaming_ann_index",
-    "data_quality_report",
+    "data_quality_report", "q3_shipping_priority",
+    "q5_local_supplier_volume",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -114,6 +115,109 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
+
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension (filtered customer)
+    broadcast into orders, the survivors broadcast into the lineitem
+    scan — the fact table shuffles once, for the final aggregate only.
+    Top-k plans as TakeOrderedAndProject (no global sort
+    materialization); deterministic tiebreak on (date, orderkey)."""
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-03-15").cast("timestamp")
+    j = (li.where(F.col("l_shipdate") > cut)
+         .join(F.broadcast(
+             orders.where(F.col("o_orderdate") < cut)
+             .join(F.broadcast(
+                 cust.where(F.col("c_mktsegment") == "BUILDING")
+                 .select("c_custkey")),
+                 F.col("o_custkey") == F.col("c_custkey"))
+             .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+             F.col("l_orderkey") == F.col("o_orderkey")))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """TPC-H Q5 shape — the 6-way join: region/nation/supplier/
+    customer are all dimension-sized and broadcast; the only shuffle
+    the fact table pays is the lineitem->orders key join (AQE turns
+    even that into a broadcast at small SF) plus the final per-nation
+    aggregate. Join order follows selectivity: region filter shrinks
+    nation before anything touches the fact table."""
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    nat = testkit.load_table(spark, sf_dir, "nation")
+    reg = testkit.load_table(spark, sf_dir, "region")
+    asia_nat = (nat.join(F.broadcast(
+        reg.where(F.col("r_name") == "ASIA").select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    o_win = (orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        .select("o_orderkey", "o_custkey"))
+    j = (li.select("l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount")
+         .join(o_win, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+               (F.col("o_custkey") == F.col("c_custkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(asia_nat),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
 
 
 # --------------------------------------------------------------------------

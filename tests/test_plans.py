@@ -239,6 +239,19 @@ def test_frequent_ngrams_single_shuffle_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q5_broadcasts_every_dimension(spark):
+    """The 6-way TPC-H Q5 shape: region/nation/supplier/customer are
+    dimension-sized and must build broadcast sides — the fact table
+    never shuffles for them (its only exchanges are the orders key
+    join and the final aggregate)."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["q5_local_supplier_volume"](
+        spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert plan.count("BroadcastExchange") >= 4
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_ann_index_query_prunes_partitions_dynamically(spark):
     """Stored ANN index: the probe join against the cell-partitioned
     cells/ table must carry a dynamic partition pruning filter — the
