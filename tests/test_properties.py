@@ -696,3 +696,98 @@ def test_bm25_matches_reference(spark, docs, terms):
     assert set(got) == set(exp)
     for i in exp:
         assert abs(got[i] - exp[i]) < 2e-6, (i, got[i], exp[i])
+
+
+# -------------------------------------------------------------------
+# Substring dup spans vs a pure-Python reference: k-gram positions,
+# cross-doc document frequency, touch-or-overlap span merging.
+# -------------------------------------------------------------------
+
+_span_corpora = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0,
+             max_size=12).map(" ".join),
+    min_size=2, max_size=6)
+
+
+def _ref_spans(texts, k):
+    grams = []
+    for did, text in enumerate(texts):
+        toks = text.split(" ") if text else [""]
+        gs = [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        grams.append(gs)
+    df = defaultdict(set)
+    for did, gs in enumerate(grams):
+        for g in set(gs):
+            df[g].add(did)
+    out = []
+    for did, gs in enumerate(grams):
+        pos = sorted({i + 1 for i, g in enumerate(gs)
+                      if len(df[g]) >= 2})
+        if not pos:
+            continue
+        cs, ce, n = pos[0], pos[0] + k - 1, 1
+        for p in pos[1:]:
+            if p <= ce + 1:
+                ce = p + k - 1
+                n += 1
+            else:
+                out.append((did, cs, ce, n))
+                cs, ce, n = p, p + k - 1, 1
+        out.append((did, cs, ce, n))
+    return sorted(out)
+
+
+@settings(**_SETTINGS)
+@given(_span_corpora)
+def test_substring_dup_spans_matches_reference(spark, texts):
+    from pointdatabase_spark.operators import dedup
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = sorted((r.doc_id, r.span_start, r.span_end, r.n_grams)
+                 for r in dedup.substring_dup_spans(df, k=3).collect())
+    assert got == _ref_spans(texts, 3)
+    spark.catalog.clearCache()
+
+
+# -------------------------------------------------------------------
+# rollup_trailing vs brute force over the bucket aggregates: every
+# (key, bucket) row's trailing count/sum covers buckets whose start
+# lies within span of the current bucket start, inclusive.
+# -------------------------------------------------------------------
+
+_rt_events = st.lists(
+    st.tuples(st.sampled_from(["x", "y"]),
+              st.integers(0, 50),            # ts in "seconds"
+              st.integers(-5, 5)),
+    min_size=1, max_size=30)
+
+
+@settings(**_SETTINGS)
+@given(_rt_events)
+def test_rollup_trailing_matches_brute_force(spark, evts):
+    from pointdatabase_spark.operators import temporal
+    res_s, span_us = 4, 10 * 1_000_000   # 4-second buckets, 10 s span
+    rows = [(k, t * 1_000_000, float(v)) for k, t, v in evts]
+    df = spark.createDataFrame(rows, "k string, tus long, v double")
+    got = {(r.k, r.bucket_us): (r.n_trail, r.sum_trail)
+           for r in temporal.rollup_trailing(
+               df, ts="tus", keys=["k"], value="v", res_s=res_s,
+               span_us=span_us).collect()}
+    # brute force: bucket aggregates, then trailing over buckets
+    buckets = defaultdict(lambda: [0, 0.0])
+    for k, tus, v in rows:
+        b = (tus // (res_s * 1_000_000)) * res_s * 1_000_000
+        buckets[(k, b)][0] += 1
+        buckets[(k, b)][1] += v
+    expect = {}
+    for (k, b) in buckets:
+        n = sum(c for (k2, b2), (c, _s) in buckets.items()
+                if k2 == k and b - span_us <= b2 <= b)
+        sv = sum(s for (k2, b2), (_c, s) in buckets.items()
+                 if k2 == k and b - span_us <= b2 <= b)
+        expect[(k, b)] = (n, sv)
+    assert set(got) == set(expect)
+    for key in got:
+        assert got[key][0] == expect[key][0]
+        assert math.isclose(got[key][1], expect[key][1],
+                            rel_tol=1e-12, abs_tol=1e-12)
