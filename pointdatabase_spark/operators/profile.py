@@ -43,6 +43,26 @@ def profile_columns(df: DataFrame, cols: list[str],
         "AS (col_name, n_null, n_distinct, vmin, vmax)"))
 
 
+def numeric_histogram(df: DataFrame, col: str, lo: float, hi: float,
+                      nbins: int) -> DataFrame:
+    """Equal-width histogram with EXPLICIT bounds — no data-dependent
+    min/max discovery job precedes the scan (the same
+    no-discovery-pass rule as the explicit-values pivot). One
+    map-side bin expression + one count aggregate; only occupied bins
+    emit rows. Out-of-range values land in underflow/overflow bins
+    -1 / nbins. Bin edges are computed with one subtraction and one
+    division in IEEE order, so an oracle repeating the identical
+    arithmetic agrees bit-for-bit even at edge-rounding boundaries."""
+    w = (float(hi) - float(lo)) / int(nbins)
+    bin_ = (F.when(F.col(col) < lo, F.lit(-1).cast("long"))
+            .when(F.col(col) >= hi, F.lit(int(nbins)).cast("long"))
+            .otherwise(F.floor((F.col(col) - lo) / F.lit(w))))
+    return (df.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bin_lo", F.lit(float(lo))
+                        + F.col("bin") * F.lit(w)))
+
+
 def scalar_dq(df: DataFrame,
               rules: list[tuple[str, "F.Column"]]) -> DataFrame:
     """Data-quality expectations over ONE table in ONE aggregation:

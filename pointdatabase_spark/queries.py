@@ -57,7 +57,8 @@ _SCORE_FIRST = [
     "multimodal_real_frames", "ann_index_topk",
     "ann_index_incremental", "streaming_ann_index",
     "data_quality_report", "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    "q5_local_supplier_volume", "price_histogram",
+    "rollup_spike_flags",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -1092,6 +1093,100 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prof.ref_integrity_count(li, "lineitem_orderkey_ri",
                                   "l_orderkey", orders, "o_orderkey"),
     ])
+
+
+_HIST_LO, _HIST_HI, _HIST_NBINS = 0.0, 110000.0, 22
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NBINS
+
+_HIST_ORACLE = f"""
+SELECT CASE WHEN l_extendedprice < {_HIST_LO!r} THEN CAST(-1 AS BIGINT)
+            WHEN l_extendedprice >= {_HIST_HI!r}
+              THEN CAST({_HIST_NBINS} AS BIGINT)
+            ELSE CAST(FLOOR((l_extendedprice - {_HIST_LO!r})
+                            / {_HIST_W!r}) AS BIGINT) END AS bin,
+       COUNT(*) AS n,
+       {_HIST_LO!r} + CASE WHEN l_extendedprice < {_HIST_LO!r}
+                           THEN CAST(-1 AS BIGINT)
+            WHEN l_extendedprice >= {_HIST_HI!r}
+              THEN CAST({_HIST_NBINS} AS BIGINT)
+            ELSE CAST(FLOOR((l_extendedprice - {_HIST_LO!r})
+                            / {_HIST_W!r}) AS BIGINT) END
+         * {_HIST_W!r} AS bin_lo
+FROM lineitem
+GROUP BY 1, 3
+"""
+
+
+@query("price_histogram", oracle=_HIST_ORACLE)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (operators/profile.numeric_histogram)
+    over l_extendedprice with explicit bounds — one map-side bin
+    expression and one count aggregate, no min/max discovery job;
+    under/overflow land in bins -1/nbins. The oracle repeats the
+    identical IEEE bin arithmetic, so edges agree bit-for-bit."""
+    from pointdatabase_spark.operators import profile as _prof
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    return _prof.numeric_histogram(li, "l_extendedprice", _HIST_LO,
+                                   _HIST_HI, _HIST_NBINS)
+
+
+_SPIKE_RES_S = 3600
+_SPIKE_LOOKBACK_US = 24 * 3600 * 1_000_000
+
+_SPIKE_ORACLE = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+b AS (SELECT event_type,
+             (tus // {_SPIKE_RES_S * 1_000_000})
+               * {_SPIKE_RES_S * 1_000_000} AS bucket_us,
+             COUNT(*) AS n
+      FROM e GROUP BY event_type, bucket_us),
+w AS (SELECT event_type, bucket_us, n,
+             SUM(n) OVER win AS sum_w, COUNT(n) OVER win AS cnt_w
+      FROM b
+      WINDOW win AS (PARTITION BY event_type ORDER BY bucket_us
+                     RANGE BETWEEN {_SPIKE_LOOKBACK_US} PRECEDING
+                               AND 1 PRECEDING))
+SELECT event_type, bucket_us, n,
+       ROUND(CAST(sum_w AS DOUBLE) / cnt_w, 6) AS trailing_avg,
+       CAST(cnt_w >= 3 AND CAST(n AS DOUBLE)
+            > 3.0 * (CAST(sum_w AS DOUBLE) / cnt_w) AS BIGINT)
+         AS is_spike
+FROM w WHERE cnt_w >= 1
+"""
+
+
+@query("rollup_spike_flags", oracle=_SPIKE_ORACLE)
+def rollup_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike detection on the continuous-aggregate ladder:
+    per (event_type, hour bucket), flag buckets whose event count
+    exceeds 3x the preceding-24h trailing average (>= 3 prior
+    buckets) — the alerting query a monitoring pipeline runs on the
+    ROLLUP, never the base table: window input is |keys| x buckets
+    rows. The exclusive-of-current RANGE frame ends at 1 microsecond
+    before the bucket start."""
+    from pointdatabase_spark.operators import temporal as _t
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ev = ev.select("event_type", timeconv.events_tus(ev).alias("tus"),
+                   "value")
+    fine = _t.multires_rollup(ev, ts="tus", keys=["event_type"],
+                              value="value",
+                              resolutions_s=[_SPIKE_RES_S])
+    from pyspark.sql.window import Window as _W
+    win = (_W.partitionBy("event_type").orderBy(F.col("bucket_us"))
+           .rangeBetween(-_SPIKE_LOOKBACK_US, -1))
+    sum_w = F.sum("n").over(win)
+    cnt_w = F.count("n").over(win)
+    avg = sum_w.cast("double") / cnt_w
+    out = (fine.select("event_type", "bucket_us", "n")
+           .withColumn("_cnt_w", cnt_w)
+           .withColumn("trailing_avg", F.round(avg, 6))
+           .withColumn("is_spike",
+                       ((cnt_w >= 3)
+                        & (F.col("n").cast("double") > 3.0 * avg))
+                       .cast("long"))
+           .where(F.col("_cnt_w") >= 1)
+           .drop("_cnt_w"))
+    return out
 
 
 # Distinctive vocabulary per source: tf-idf-style lift score as a pure
