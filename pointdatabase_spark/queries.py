@@ -58,7 +58,7 @@ _SCORE_FIRST = [
     "ann_index_incremental", "streaming_ann_index",
     "data_quality_report", "q3_shipping_priority",
     "q5_local_supplier_volume", "price_histogram",
-    "rollup_spike_flags",
+    "rollup_spike_flags", "quality_decile_census",
     # Everything green in the r5 driver sweep is pruned from this list,
     # so the rest of the ~50-query window falls through to registry
     # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
@@ -1093,6 +1093,58 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prof.ref_integrity_count(li, "lineitem_orderkey_ri",
                                   "l_orderkey", orders, "o_orderkey"),
     ])
+
+
+_DECILE_PS = [i / 10.0 for i in range(1, 10)]
+
+_DECILE_ORACLE = f"""
+WITH q AS (SELECT doc_id, {{qsql}} AS quality FROM documents),
+th AS (SELECT {", ".join(
+    f"ROUND(quantile_cont(quality, {p!r}), 9) AS t{i}"
+    for i, p in enumerate(_DECILE_PS))} FROM q),
+b AS (SELECT q.doc_id, q.quality,
+             {" + ".join(
+    f"(CASE WHEN q.quality > th.t{i} THEN 1 ELSE 0 END)"
+    for i in range(9))} AS decile
+      FROM q, th)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       ROUND(MIN(quality), 6) AS q_min,
+       ROUND(MAX(quality), 6) AS q_max
+FROM b GROUP BY decile
+"""
+
+
+@query("quality_decile_census")
+def quality_decile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: assign each document a quality DECILE by
+    comparing its score against exact percentile thresholds (rounded
+    to 9 decimals on both engines so the decision boundary is
+    deterministic), then census the bins. Value-based bucketing — not
+    a global NTILE window, which would drag the whole corpus into ONE
+    window partition; here the nine thresholds reduce via one
+    percentile aggregate and broadcast back (1-row crossJoin), so the
+    corpus never shuffles. approx_percentile swaps in for the
+    threshold pass at 100 TB (table_profile precedent)."""
+    docs = _text.with_tokens(
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
+    q = docs.select("doc_id",
+                    _text.quality_score("text", "_toks").alias("quality"))
+    th = q.agg(*[F.round(F.expr(
+        f"percentile(quality, {p!r})"), 9).alias(f"t{i}")
+        for i, p in enumerate(_DECILE_PS)])
+    b = q.crossJoin(F.broadcast(th))
+    decile = sum((F.col("quality") > F.col(f"t{i}")).cast("int")
+                 for i in range(9))
+    return (b.withColumn("decile", decile.cast("long"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.min("quality"), 6).alias("q_min"),
+                 F.round(F.max("quality"), 6).alias("q_max")))
+
+
+_ORACLES["quality_decile_census"] = _DECILE_ORACLE.format(
+    qsql=_text.quality_score_sql("text"))
 
 
 _HIST_LO, _HIST_HI, _HIST_NBINS = 0.0, 110000.0, 22
