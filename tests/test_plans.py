@@ -239,6 +239,20 @@ def test_frequent_ngrams_single_shuffle_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_quality_deciles_have_no_global_window(spark):
+    """Curriculum binning must bucket by VALUE against broadcast
+    percentile thresholds — a global NTILE would appear as a Window
+    with an empty partition spec, dragging the corpus into one
+    partition. The plan must contain no Window operator at all and
+    broadcast the 1-row threshold frame."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["quality_decile_census"](
+        spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_q5_broadcasts_every_dimension(spark):
     """The 6-way TPC-H Q5 shape: region/nation/supplier/customer are
     dimension-sized and must build broadcast sides — the fact table
