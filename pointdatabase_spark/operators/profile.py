@@ -74,18 +74,23 @@ def scalar_dq(df: DataFrame,
     aggs = [F.sum(cond.cast("long")).alias(f"_v{i}")
             for i, (_n, cond) in enumerate(rules)]
     row = df.agg(*aggs)
-    stack = ", ".join(f"'{n}', COALESCE(_v{i}, 0)"
-                      for i, (n, _c) in enumerate(rules))
+    # rule names are interpolated into a SQL expr — escape embedded
+    # single quotes so a name like "don't" can't break the expression
+    stack = ", ".join(
+        f"""'{n.replace("'", "''")}', COALESCE(_v{i}, 0)"""
+        for i, (n, _c) in enumerate(rules))
     return row.select(F.expr(
         f"stack({len(rules)}, {stack}) AS (rule, violations)"))
 
 
 def duplicate_key_count(df: DataFrame, name: str,
                         keys: list[str]) -> DataFrame:
-    """(rule, violations) where violations = rows carrying a
-    non-unique key — count(*) - count(distinct keys) via a two-level
-    aggregate (per-key counts map-combine; no Expand, no driver
-    work), the uniqueness expectation at any scale."""
+    """(rule, violations) where violations = the TOTAL number of rows
+    carrying a non-unique key (sum of group sizes over groups with
+    size > 1 — every member of a duplicated group counts, not just
+    the excess copies).  Two-level aggregate: per-key counts
+    map-combine, then one reduce; no Expand, no driver work — the
+    uniqueness expectation at any scale."""
     per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
     return per.agg(
         F.lit(name).alias("rule"),

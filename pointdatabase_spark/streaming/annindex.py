@@ -50,14 +50,23 @@ def run_ann_index_maintenance(spark: SparkSession, landing: str,
              .withColumn("cell", F.expr(cell_expr("embedding", cents)))
              .withColumn("norm", F.expr(norm_expr("embedding"))))
         cells = [r.cell for r in c.select("cell").distinct().collect()]
-        try:
-            stored = (batch.sparkSession.read
-                      .parquet(f"{index_path}/cells")
+        # Idempotency guard: dedup against stored ids in the touched
+        # cells.  The only legitimate skip is "cells/ does not exist
+        # yet" (first batch of a fresh index) — probe for that case
+        # EXPLICITLY via the Hadoop FS API rather than a broad
+        # except, so a real read failure (corrupt footer, transient
+        # IO, permissions) fails the batch and gets retried instead
+        # of silently appending duplicates.
+        sess = batch.sparkSession
+        jvm = sess._jvm
+        hconf = sess._jsc.hadoopConfiguration()
+        cells_dir = f"{index_path}/cells"
+        jpath = jvm.org.apache.hadoop.fs.Path(cells_dir)
+        if jpath.getFileSystem(hconf).exists(jpath):
+            stored = (sess.read.parquet(cells_dir)
                       .where(F.col("cell").isin(cells))
                       .select("vec_id"))
             c = c.join(stored, "vec_id", "left_anti")
-        except Exception:
-            pass  # cells/ not written yet: nothing to dedup against
         (c.write.partitionBy("cell").mode("append")
          .parquet(f"{index_path}/cells"))
 

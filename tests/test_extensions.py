@@ -806,6 +806,26 @@ def test_band_join_boundaries_exactly_once(spark):
     assert pairs == [("L1", "Redge"), ("L1", "Rin"), ("L2", "Rb")]
 
 
+def test_band_join_ts_column_is_the_join_key(spark):
+    """Regression (ADVICE r6): when left_ts/right_ts EQUALS the join
+    key `on`, the key is excluded from suffixing — the band
+    predicates must still resolve (a suffixed alias of the key is
+    emitted) instead of failing with an unresolved column."""
+    from pointdatabase_spark.operators import temporal
+    left = spark.createDataFrame([(100, "L1"), (205, "L2")],
+                                 "tus long, tag string")
+    right = spark.createDataFrame([(100, "Ra"), (205, "Rb"),
+                                   (96, "Rc"), (215, "Rd")],
+                                  "tus long, tag string")
+    out = temporal.band_join(left, right, on="tus",
+                             left_ts="tus", right_ts="tus",
+                             lo=-5, hi=5)
+    # equal `on` forces tus_l == tus_r, so only the exact matches
+    pairs = sorted((r["tag_l"], r["tag_r"]) for r in out.collect())
+    assert pairs == [("L1", "Ra"), ("L2", "Rb")]
+    assert {"tus", "tus_l", "tus_r"} <= set(out.columns)
+
+
 def test_band_join_plan_is_equi_join(spark):
     from pointdatabase_spark.operators import temporal
     left = spark.range(100).select((F.col("id") % 5).alias("k"),
@@ -1079,3 +1099,16 @@ def test_asof_join_composite_key(spark):
     assert out["L1"]["v_m"] == 1.0
     assert out["L2"]["v_m"] == 2.0
     assert out["L3"]["v_m"] is None       # (2,'a') has no right rows
+
+
+def test_scalar_dq_rule_name_with_single_quote(spark):
+    """Regression (ADVICE r6): rule names are interpolated into a SQL
+    stack() expr — an embedded single quote must be escaped, not
+    break (or inject into) the expression."""
+    from pointdatabase_spark.operators import profile as prof
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    out = prof.scalar_dq(df, [
+        ("v isn't negative", F.col("v") < 0),
+        ("v < 5", F.col("v") >= 5)])
+    got = {r["rule"]: r["violations"] for r in out.collect()}
+    assert got == {"v isn't negative": 0, "v < 5": 5}

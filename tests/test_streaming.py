@@ -304,3 +304,81 @@ def test_ann_index_maintenance_idempotent_replay(spark, tmp_path):
     inline = sim.ivf_ann_topk(emb, emb.where("vec_id < 3"), k=3,
                               cents=cents, nprobe=2).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, inline))
+
+
+def test_ann_index_maintenance_guard_fails_loud_on_corrupt_index(
+        spark, tmp_path):
+    """The idempotency guard must distinguish 'cells/ not written
+    yet' (fine — fresh index, nothing to dedup against) from a REAL
+    read failure.  A corrupt parquet footer in cells/ must fail the
+    batch (so the stream retries) rather than silently skipping the
+    dedup and appending duplicate vec_ids; after restoring the file,
+    a replay with a fresh checkpoint converges to zero duplicates."""
+    import numpy as np
+    import pytest as _pytest
+    from pointdatabase_spark.operators import similarity as sim
+    from pointdatabase_spark.streaming.annindex import (
+        run_ann_index_maintenance)
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = sim.centroids(4, 8)
+    idx = str(tmp_path / "idx")
+    landing = str(tmp_path / "landing")
+    sim.write_ann_index(emb.where("vec_id >= 20"), idx, cents)
+    emb.where("vec_id < 20").coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    # corrupt one stored cell file (truncate its footer)
+    import glob as _glob
+    victim = sorted(_glob.glob(f"{idx}/cells/cell=*/*.parquet"))[0]
+    orig = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(orig[: len(orig) // 2])
+    with _pytest.raises(Exception):
+        run_ann_index_maintenance(spark, landing, "*.parquet", schema,
+                                  idx, str(tmp_path / "ck1"))
+    # restore and replay (fresh checkpoint = at-least-once worst case)
+    with open(victim, "wb") as fh:
+        fh.write(orig)
+    run_ann_index_maintenance(spark, landing, "*.parquet", schema, idx,
+                              str(tmp_path / "ck2"))
+    run_ann_index_maintenance(spark, landing, "*.parquet", schema, idx,
+                              str(tmp_path / "ck3"))
+    got = spark.read.parquet(f"{idx}/cells")
+    assert got.count() == 40
+    assert got.select("vec_id").distinct().count() == 40
+
+
+def test_ann_index_maintenance_fresh_index_no_cells_dir(spark, tmp_path):
+    """First batch against an index whose cells/ directory does not
+    exist yet: the explicit existence probe must take the no-dedup
+    path without raising, and the second drain of the same files must
+    still converge to unique vec_ids."""
+    import numpy as np
+    from pointdatabase_spark.operators import similarity as sim
+    from pointdatabase_spark.streaming.annindex import (
+        run_ann_index_maintenance)
+    rng = np.random.default_rng(12)
+    rows = [(i, [float(x) for x in rng.normal(size=8)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = sim.centroids(3, 8)
+    idx = str(tmp_path / "idx")
+    landing = str(tmp_path / "landing")
+    # write ONLY meta/ (centroids) — no cells/ yet
+    sim.write_ann_index(emb.limit(0), idx, cents)
+    import shutil, os
+    if os.path.exists(f"{idx}/cells"):
+        shutil.rmtree(f"{idx}/cells")
+    emb.coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    run_ann_index_maintenance(spark, landing, "*.parquet", schema, idx,
+                              str(tmp_path / "ck1"))
+    run_ann_index_maintenance(spark, landing, "*.parquet", schema, idx,
+                              str(tmp_path / "ck2"))
+    got = spark.read.parquet(f"{idx}/cells")
+    assert got.count() == 20
+    assert got.select("vec_id").distinct().count() == 20
