@@ -62,10 +62,17 @@ def attach_real_payload(docs: DataFrame,
     """Binary payloads that are REAL PNG / WAV / APNG encodings
     (sources/media.py) of deterministic doc_id-derived content:
 
-    - id%3==0 (image): greyscale PNG, (8 + id%13) x (16 + id%17),
-      p[i,j] = (id*31 + 7i + 13j) mod 256;
-    - id%3==1 (audio): 16-bit PCM WAV of 64 + id%193 samples,
-      s[i] = (id*97 + 17i) mod 65536 - 32768;
+    - id%3==0 (image): PNG, (8 + id%13) x (16 + id%17), base pattern
+      k[i,j] = (id*31 + 7i + 13j) mod 256 — encoded per id%9 as a
+      REAL format-variant mix (the corners real corpora contain):
+      id%9==0 -> 16-BIT greyscale (p = k*257, big-endian samples),
+      id%9==3 -> PALETTE (color type 3; index k into the 256-entry
+      palette (k, 3k mod 256, 7k mod 256), decoded expanded to RGB),
+      id%9==6 -> 8-bit greyscale (p = k);
+    - id%3==1 (audio): WAV of 64 + id%193 samples with integer
+      pattern v[i] = (id*97 + 17i) mod 65536 - 32768 — id%9==1 ->
+      32-bit IEEE-FLOAT samples v/32768 (format code 3; exact in
+      float32, so statistics stay closed-form), else 16-bit PCM;
     - id%3==2 (video): greyscale APNG animation of 2 + id%7 frames,
       (6 + id%9) x (8 + id%11), p[f,i,j] = (id*31 + 11f + 7i + 13j)
       mod 256.
@@ -85,14 +92,34 @@ def attach_real_payload(docs: DataFrame,
                     w, h = 16 + did % 17, 8 + did % 13
                     i = np.arange(h)[:, None]
                     j = np.arange(w)[None, :]
-                    px = ((did * 31 + i * 7 + j * 13) % 256
-                          ).astype(np.uint8)
-                    rows.append((did, media.encode_png(px), "image"))
+                    k = ((did * 31 + i * 7 + j * 13) % 256
+                         ).astype(np.uint8)
+                    if did % 9 == 0:
+                        payload = media.encode_png(
+                            k.astype(np.uint16) * 257)
+                    elif did % 9 == 3:
+                        pk = np.arange(256)
+                        pal = np.stack([pk, (pk * 3) % 256,
+                                        (pk * 7) % 256],
+                                       axis=1).astype(np.uint8)
+                        payload = media.encode_png_palette(k, pal)
+                    else:
+                        payload = media.encode_png(k)
+                    rows.append((did, payload, "image"))
                 elif did % 3 == 1:
                     n = 64 + did % 193
-                    s = ((did * 97 + np.arange(n) * 17) % 65536
-                         - 32768).astype(np.int16)
-                    rows.append((did, media.encode_wav(s), "audio"))
+                    v = ((did * 97 + np.arange(n) * 17) % 65536
+                         - 32768)
+                    if did % 9 == 1:
+                        s32 = (v / 32768.0).astype(np.float32)
+                        rows.append((did,
+                                     media.encode_wav_float32(s32),
+                                     "audio"))
+                    else:
+                        rows.append((did,
+                                     media.encode_wav(
+                                         v.astype(np.int16)),
+                                     "audio"))
                 else:
                     nf, h, w = 2 + did % 7, 6 + did % 9, 8 + did % 11
                     f = np.arange(nf)[:, None, None]
@@ -197,17 +224,33 @@ def extract_features(df: DataFrame, dim: int = 8,
                                          b["media_type"]):
                     pb = bytes(p)
                     if mt == "image":
-                        a = media.decode_png(pb).astype(np.int64)
+                        raw = media.decode_png(pb)
+                        # normalize by the sample dtype's full scale
+                        # (depth-16 images decode to uint16)
+                        den = (65535.0 if raw.dtype == np.uint16
+                               else 255.0)
+                        a = raw.astype(np.int64)
                         rows.append((int(doc_id), mt,
-                                     (float(a.sum()) / a.size) / 255.0,
-                                     float(a.max()) / 255.0,
-                                     float(a.min()) / 255.0))
+                                     (float(a.sum()) / a.size) / den,
+                                     float(a.max()) / den,
+                                     float(a.min()) / den))
                     elif mt == "audio":
-                        s = media.decode_wav(pb)[0].astype(np.int64)
-                        rows.append((int(doc_id), mt,
-                                     (float(s.sum()) / s.size) / 32768.0,
-                                     float(s.max()) / 32768.0,
-                                     float(s.min()) / 32768.0))
+                        sr = media.decode_wav(pb)[0]
+                        if np.issubdtype(sr.dtype, np.floating):
+                            # IEEE-float WAV: samples are already
+                            # normalized; exact in float64
+                            s = sr.astype(np.float64)
+                            rows.append((int(doc_id), mt,
+                                         float(s.sum()) / s.size,
+                                         float(s.max()),
+                                         float(s.min())))
+                        else:
+                            s = sr.astype(np.int64)
+                            rows.append(
+                                (int(doc_id), mt,
+                                 (float(s.sum()) / s.size) / 32768.0,
+                                 float(s.max()) / 32768.0,
+                                 float(s.min()) / 32768.0))
                     else:
                         fr = media.decode_apng(pb).astype(np.int64)
                         rows.append((int(doc_id), mt,

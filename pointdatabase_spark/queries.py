@@ -3377,10 +3377,33 @@ WITH m AS (SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 13 AS h,
                   8 + doc_id % 11 AS vw
            FROM documents),
 img AS (
+  -- format-variant mix (attach_real_payload): id%9==0 is a 16-BIT
+  -- PNG of k*257 (normalize /65535), id%9==3 a PALETTE PNG whose
+  -- decoded RGB components are (k, 3k%256, 7k%256) (3 samples per
+  -- pixel), id%9==6 plain 8-bit grey
   SELECT m.doc_id, 'image' AS media_type,
-         (CAST(SUM(v.v) AS DOUBLE) / (m.w * m.h)) / 255.0 AS f0,
-         CAST(MAX(v.v) AS DOUBLE) / 255.0 AS f1,
-         CAST(MIN(v.v) AS DOUBLE) / 255.0 AS f2
+         CASE m.doc_id % 9
+           WHEN 0 THEN (CAST(SUM(v.v * 257) AS DOUBLE)
+                        / (m.w * m.h)) / 65535.0
+           WHEN 3 THEN (CAST(SUM(v.v + (v.v * 3) % 256
+                                 + (v.v * 7) % 256) AS DOUBLE)
+                        / (m.w * m.h * 3)) / 255.0
+           ELSE (CAST(SUM(v.v) AS DOUBLE) / (m.w * m.h)) / 255.0
+         END AS f0,
+         CASE m.doc_id % 9
+           WHEN 0 THEN CAST(MAX(v.v * 257) AS DOUBLE) / 65535.0
+           WHEN 3 THEN CAST(MAX(GREATEST(v.v, (v.v * 3) % 256,
+                                         (v.v * 7) % 256))
+                            AS DOUBLE) / 255.0
+           ELSE CAST(MAX(v.v) AS DOUBLE) / 255.0
+         END AS f1,
+         CASE m.doc_id % 9
+           WHEN 0 THEN CAST(MIN(v.v * 257) AS DOUBLE) / 65535.0
+           WHEN 3 THEN CAST(MIN(LEAST(v.v, (v.v * 3) % 256,
+                                      (v.v * 7) % 256))
+                            AS DOUBLE) / 255.0
+           ELSE CAST(MIN(v.v) AS DOUBLE) / 255.0
+         END AS f2
   FROM m,
        LATERAL (SELECT unnest(range(0, m.h)) AS i) ii,
        LATERAL (SELECT unnest(range(0, m.w)) AS j) jj,

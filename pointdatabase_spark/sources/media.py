@@ -3,19 +3,25 @@
 cv2 nor soundfile, the same way sources/hdf5.py and sources/geotiff.py
 un-gate the science-file scans without libhdf5/libtiff.
 
-PNG (ISO/IEC 15948): 8-bit greyscale / RGB / RGBA, non-interlaced.
- - decode: chunk walk (IHDR/IDAT*/IEND), zlib inflate, and all five
-   row filters (None/Sub/Up/Average/Paeth) un-applied vectorized per
-   row; palette, 16-bit, and Adam7 interlace raise NotImplementedError
-   naming the gap.
+PNG (ISO/IEC 15948): 8- and 16-bit greyscale / RGB / RGBA plus
+8-bit palette (color type 3, PLTE expanded to RGB), non-interlaced.
+ - decode: chunk walk (IHDR/PLTE/IDAT*/IEND), zlib inflate, and all
+   five row filters (None/Sub/Up/Average/Paeth) un-applied at BYTE
+   granularity (bpp = channels x bytes-per-sample, per the spec, so
+   the same unfilter loop serves every depth); 16-bit samples are
+   big-endian per the spec; sub-byte depths and Adam7 interlace
+   raise NotImplementedError naming the gap.
  - encode: filter 0 rows by default (any filter type accepted, so the
-   decoder's filter branches are round-trip pinned), one zlib IDAT.
+   decoder's filter branches are round-trip pinned), one zlib IDAT;
+   uint16 input emits depth-16, encode_png_palette emits type 3.
 
-WAV (RIFF/WAVE): PCM integer, mono or interleaved multichannel.
- - decode: RIFF walk to fmt /data, 8-bit unsigned or 16/32-bit signed
-   little-endian samples as an (n_samples, n_channels) int array;
-   float/extensible formats raise.
- - encode: 16-bit PCM.
+WAV (RIFF/WAVE): PCM integer or IEEE-float, mono or interleaved
+multichannel.
+ - decode: RIFF walk to fmt /data; 8-bit unsigned, 16/32-bit signed
+   little-endian, or 32/64-bit IEEE float (format code 3) samples as
+   an (n_samples, n_channels) array; WAVE_FORMAT_EXTENSIBLE raises.
+ - encode: 16-bit PCM (encode_wav) or 32-bit float
+   (encode_wav_float32).
 
 Everything is `bytes` + NumPy — no JVM, no C extensions — so these
 ship inside Arrow-batched `mapInPandas` closures and decode fans out
@@ -33,10 +39,15 @@ _CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """8-bit greyscale (H,W), RGB (H,W,3) or RGBA (H,W,4) -> PNG.
-    ``filter_type`` applies the same filter to every row (0-4) so
-    decode branches can be pinned individually."""
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    """Greyscale (H,W), RGB (H,W,3) or RGBA (H,W,4) -> PNG.
+    uint8 input emits bit depth 8; uint16 emits depth 16 (big-endian
+    samples per the spec).  ``filter_type`` applies the same filter
+    to every row (0-4) so decode branches can be pinned
+    individually."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = np.ascontiguousarray(
+        a, dtype=np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         color, ch = 0, 1
         a = a[:, :, None]
@@ -45,25 +56,66 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     elif a.ndim == 3 and a.shape[2] == 4:
         color, ch = 6, 4
     else:
-        raise ValueError("expect (H,W), (H,W,3) or (H,W,4) uint8")
+        raise ValueError("expect (H,W), (H,W,3) or (H,W,4)")
     h, w = a.shape[:2]
-    if not 0 <= filter_type <= 4:
-        raise ValueError("PNG filter type must be 0-4")
-    raw = bytearray()
-    prev = np.zeros((w, ch), np.uint8)
-    for y in range(h):
-        row = a[y]
-        raw.append(filter_type)
-        raw += _filter_row(row, prev, ch, filter_type).tobytes()
-        prev = row
+    if depth == 16:
+        # big-endian sample bytes; filtering operates on raw bytes
+        # with bpp = ch * 2 (PNG spec: "bpp is defined as the number
+        # of bytes per complete pixel")
+        rows_bytes = (a.astype(">u2").view(np.uint8)
+                      .reshape(h, w, ch * 2))
+        bpp = ch * 2
+    else:
+        rows_bytes = a
+        bpp = ch
+    raw = _filter_stream(rows_bytes.reshape(h, w * ch * (depth // 8)),
+                         bpp, filter_type)
     out = bytearray(_PNG_SIG)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     for tag, body in ((b"IHDR", ihdr),
-                      (b"IDAT", zlib.compress(bytes(raw), 6)),
+                      (b"IDAT", zlib.compress(raw, 6)),
                       (b"IEND", b"")):
         out += struct.pack(">I", len(body)) + tag + body
         out += struct.pack(">I", zlib.crc32(tag + body))
     return bytes(out)
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
+                       filter_type: int = 0) -> bytes:
+    """(H,W) uint8 palette indices + (n<=256, 3) uint8 palette ->
+    color-type-3 PNG (8-bit indices, PLTE chunk)."""
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("expect (H,W) indices and (n,3) palette")
+    if len(pal) > 256 or idx.max(initial=0) >= len(pal):
+        raise ValueError("palette must cover all indices, n<=256")
+    h, w = idx.shape
+    raw = _filter_stream(idx, 1, filter_type)
+    out = bytearray(_PNG_SIG)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    for tag, body in ((b"IHDR", ihdr), (b"PLTE", pal.tobytes()),
+                      (b"IDAT", zlib.compress(raw, 6)),
+                      (b"IEND", b"")):
+        out += struct.pack(">I", len(body)) + tag + body
+        out += struct.pack(">I", zlib.crc32(tag + body))
+    return bytes(out)
+
+
+def _filter_stream(rows: np.ndarray, bpp: int,
+                   filter_type: int) -> bytes:
+    """(h, stride) uint8 scanlines -> filtered PNG stream bytes."""
+    if not 0 <= filter_type <= 4:
+        raise ValueError("PNG filter type must be 0-4")
+    h, stride = rows.shape
+    raw = bytearray()
+    prev = np.zeros((stride // bpp, bpp), np.uint8)
+    for y in range(h):
+        row = rows[y].reshape(stride // bpp, bpp)
+        raw.append(filter_type)
+        raw += _filter_row(row, prev, bpp, filter_type).tobytes()
+        prev = row
+    return bytes(raw)
 
 
 def _filter_row(row: np.ndarray, prev: np.ndarray, ch: int,
@@ -94,11 +146,14 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (H,W) for greyscale, (H,W,C) else."""
+    """PNG bytes -> pixel array: (H,W) for greyscale, (H,W,C) for
+    RGB/RGBA (uint8 at depth 8, uint16 at depth 16); palette images
+    (color type 3) decode expanded to (H,W,3) uint8 RGB."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, w = 8, None
     idat = bytearray()
+    plte: bytes | None = None
     while pos + 8 <= len(data):
         ln, tag = struct.unpack_from(">I4s", data, pos)
         body = data[pos + 8:pos + 8 + ln]
@@ -106,46 +161,70 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color, comp, flt, inter = struct.unpack(
                 ">IIBBBBB", body)
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-            if color not in _CHANNELS:
+            if depth not in (8, 16):
                 raise NotImplementedError(
-                    f"PNG color type {color} (palette/alpha-grey unsupported)")
+                    f"PNG bit depth {depth} (only 8/16)")
+            if color == 3 and depth != 8:
+                raise NotImplementedError(
+                    f"palette PNG with bit depth {depth} (only 8)")
+            if color != 3 and color not in _CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color} (alpha-grey unsupported)")
             if inter:
                 raise NotImplementedError("Adam7 interlaced PNG")
             if comp or flt:
                 raise ValueError("bad PNG compression/filter method")
+        elif tag == b"PLTE":
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        idx = _unfilter_stream(zlib.decompress(bytes(idat)), w, h, 1)
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx[:, :, 0]]
     ch = _CHANNELS[color]
-    out = _unfilter_stream(zlib.decompress(bytes(idat)), w, h, ch)
+    sw = depth // 8                     # sample width in bytes
+    out = _unfilter_stream(zlib.decompress(bytes(idat)), w, h, ch * sw)
+    if depth == 16:
+        # big-endian sample bytes -> uint16 (h, w, ch)
+        u16 = (out.astype(np.uint16).reshape(h, w, ch, 2))
+        pix = (u16[..., 0] << 8) | u16[..., 1]
+        return pix[:, :, 0] if ch == 1 else pix
+    out = out.reshape(h, w, ch)
     return out[:, :, 0] if ch == 1 else out
 
 
-def _unfilter_stream(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
-    """Filtered scanline stream -> (h, w, ch) uint8 (all 5 filters)."""
-    stride = w * ch
+def _unfilter_stream(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Filtered scanline stream -> (h, w, bpp) uint8 (all 5 filters).
+    ``bpp`` = bytes per complete pixel (channels x bytes-per-sample):
+    PNG filters reference the byte bpp positions to the left, so one
+    byte-granular loop serves every depth/color combination."""
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
-    out = np.empty((h, w, ch), np.uint8)
-    prev = np.zeros((w, ch), np.int16)
+    out = np.empty((h, w, bpp), np.uint8)
+    prev = np.zeros((w, bpp), np.int16)
     for y in range(h):
         ft = raw[y * (stride + 1)]
         row = np.frombuffer(raw, np.uint8, stride,
-                            y * (stride + 1) + 1).reshape(w, ch)
+                            y * (stride + 1) + 1).reshape(w, bpp)
         if ft == 0:
             cur = row.astype(np.int16)
         elif ft == 2:
             cur = (row + prev) % 256
         elif ft in (1, 3, 4):
             # left-referencing filters are sequential per pixel
-            cur = np.empty((w, ch), np.int16)
-            left = np.zeros(ch, np.int16)
-            upleft = np.zeros(ch, np.int16)
+            cur = np.empty((w, bpp), np.int16)
+            left = np.zeros(bpp, np.int16)
+            upleft = np.zeros(bpp, np.int16)
             for x in range(w):
                 up = prev[x]
                 if ft == 1:
@@ -286,9 +365,27 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_float32(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) float32 -> IEEE-float WAV bytes
+    (format code 3, 32-bit little-endian samples)."""
+    s = np.asarray(samples, np.float32)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    data = np.ascontiguousarray(s.astype("<f4")).tobytes()
+    fmt = struct.pack("<HHIIHH", 3, nch, rate, rate * nch * 4,
+                      nch * 4, 32)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes -> ((n_samples, n_channels) int array, sample rate).
-    PCM 8/16/32-bit; float and WAVE_FORMAT_EXTENSIBLE raise."""
+    """WAV bytes -> ((n_samples, n_channels) array, sample rate).
+    Integer PCM (format 1: 8-bit unsigned, 16/32-bit signed) decodes
+    to an int array; IEEE float (format 3: 32/64-bit) decodes to a
+    float array.  WAVE_FORMAT_EXTENSIBLE raises."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, raw = 12, None, None
@@ -303,13 +400,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, nch, rate, _, _, bits = fmt
-    if audio_fmt != 1:
+    if audio_fmt == 1:
+        dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+        if dt is None:
+            raise NotImplementedError(f"WAV PCM bit depth {bits}")
+    elif audio_fmt == 3:
+        dt = {32: np.dtype("<f4"), 64: np.dtype("<f8")}.get(bits)
+        if dt is None:
+            raise NotImplementedError(f"WAV float bit depth {bits}")
+    else:
         raise NotImplementedError(
-            f"WAV format {audio_fmt} (only PCM=1; float/extensible "
-            "unsupported)")
-    dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
-    if dt is None:
-        raise NotImplementedError(f"WAV bit depth {bits}")
+            f"WAV format {audio_fmt} (only PCM=1 / IEEE-float=3; "
+            "extensible unsupported)")
     s = np.frombuffer(raw, dt)
     n = len(s) // nch
     return s[:n * nch].reshape(n, nch), rate

@@ -38,20 +38,46 @@ def test_png_known_pixels_gradient():
     assert len({b for b in blobs.values()}) == 5
 
 
+def test_png_16bit_palette_roundtrip():
+    """r7: 16-bit and palette PNGs are now real decode paths (VERDICT
+    r6 item 4) — roundtrip across all five row filters."""
+    rng = np.random.default_rng(21)
+    a16 = rng.integers(0, 65536, (6, 9), dtype=np.uint16)
+    rgb16 = rng.integers(0, 65536, (5, 4, 3), dtype=np.uint16)
+    for ft in range(5):
+        np.testing.assert_array_equal(
+            media.decode_png(media.encode_png(a16, filter_type=ft)), a16)
+        np.testing.assert_array_equal(
+            media.decode_png(media.encode_png(rgb16, filter_type=ft)),
+            rgb16)
+    idx = rng.integers(0, 100, (7, 11), dtype=np.uint8)
+    pal = rng.integers(0, 256, (100, 3), dtype=np.uint8)
+    for ft in range(5):
+        out = media.decode_png(
+            media.encode_png_palette(idx, pal, filter_type=ft))
+        np.testing.assert_array_equal(out, pal[idx])
+
+
 def test_png_gates_are_named():
     a = np.zeros((4, 4), np.uint8)
     blob = bytearray(media.encode_png(a))
     # IHDR body starts at offset 16: w(4) h(4) depth colortype ...
-    blob[24] = 16                                       # bit depth 16
+    blob[24] = 4                                        # bit depth 4
     blob[29:33] = struct.pack(
         ">I", zlib.crc32(bytes(blob[12:29])))
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
+    with pytest.raises(NotImplementedError, match="bit depth 4"):
         media.decode_png(bytes(blob))
     blob = bytearray(media.encode_png(a))
-    blob[25] = 3                                        # palette
+    blob[25] = 4                                        # grey+alpha
     blob[29:33] = struct.pack(
         ">I", zlib.crc32(bytes(blob[12:29])))
-    with pytest.raises(NotImplementedError, match="color type 3"):
+    with pytest.raises(NotImplementedError, match="color type 4"):
+        media.decode_png(bytes(blob))
+    blob = bytearray(media.encode_png(a))
+    blob[28] = 1                                        # Adam7
+    blob[29:33] = struct.pack(
+        ">I", zlib.crc32(bytes(blob[12:29])))
+    with pytest.raises(NotImplementedError, match="Adam7"):
         media.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="signature"):
         media.decode_png(b"JFIF not a png")
@@ -68,11 +94,29 @@ def test_wav_roundtrip_mono_stereo():
     np.testing.assert_array_equal(d2, stereo)
 
 
+def test_wav_float_roundtrip():
+    """r7: IEEE-float WAV (format code 3) is now a real decode path."""
+    rng = np.random.default_rng(22)
+    mono = rng.normal(size=333).astype(np.float32)
+    d, rate = media.decode_wav(media.encode_wav_float32(mono, 44100))
+    assert rate == 44100 and d.shape == (333, 1)
+    assert d.dtype == np.dtype("<f4")
+    np.testing.assert_array_equal(d[:, 0], mono)
+    stereo = rng.normal(size=(80, 2)).astype(np.float32)
+    d2, _ = media.decode_wav(media.encode_wav_float32(stereo))
+    np.testing.assert_array_equal(d2, stereo)
+
+
 def test_wav_gates_are_named():
     blob = bytearray(media.encode_wav(np.zeros(8, np.int16)))
     fmt_at = blob.index(b"fmt ") + 8
-    struct.pack_into("<H", blob, fmt_at, 3)             # IEEE float
-    with pytest.raises(NotImplementedError, match="format 3"):
+    struct.pack_into("<H", blob, fmt_at, 0xFFFE)        # extensible
+    with pytest.raises(NotImplementedError, match="format 65534"):
+        media.decode_wav(bytes(blob))
+    blob = bytearray(media.encode_wav_float32(np.zeros(8, np.float32)))
+    fmt_at = blob.index(b"fmt ") + 8
+    struct.pack_into("<H", blob, fmt_at + 14, 16)       # float16
+    with pytest.raises(NotImplementedError, match="float bit depth 16"):
         media.decode_wav(bytes(blob))
     with pytest.raises(ValueError, match="RIFF"):
         media.decode_wav(b"OggS not a wav")
