@@ -43,11 +43,19 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/scale_sf1"
 
 
-def build_sf1() -> None:
+def build_sf1(tables: list[str] | None = None) -> None:
+    """Materialize the derived-sf1 fixture (10x sf0.1, df-preserving
+    construction — see module docstring).  ``tables`` limits the build
+    to a subset (tests/test_scale.py builds only what it times); None
+    builds everything."""
     import duckdb
     os.makedirs(SF1, exist_ok=True)
-    if os.path.exists(f"{SF1}/documents.parquet") and \
-            os.path.exists(f"{SF1}/lineitem.parquet"):
+    want = set(tables) if tables is not None else {
+        "documents", "lineitem", "events", "orders", "customer",
+        "supplier", "nation", "region", "embeddings"}
+    want = {t for t in want
+            if not os.path.exists(f"{SF1}/{t}.parquet")}
+    if not want:
         return
     con = duckdb.connect()
     docs_parts = ["SELECT * FROM read_parquet('%s/documents.parquet')" % SF01]
@@ -57,16 +65,18 @@ SELECT doc_id + {r} * 100000000 AS doc_id,
        'x{r}' || replace(text, ' ', ' x{r}') AS text,
        lang, source, n_chars
 FROM read_parquet('{SF01}/documents.parquet')""")
-    con.execute(f"COPY ({' UNION ALL '.join(docs_parts)}) TO "
-                f"'{SF1}/documents.parquet' (FORMAT PARQUET)")
+    if "documents" in want:
+        con.execute(f"COPY ({' UNION ALL '.join(docs_parts)}) TO "
+                    f"'{SF1}/documents.parquet' (FORMAT PARQUET)")
     li_parts = ["SELECT * FROM read_parquet('%s/lineitem.parquet')" % SF01]
     for r in range(1, 10):
         li_parts.append(f"""
 SELECT * REPLACE (l_orderkey + {r} * 10000000 AS l_orderkey,
                   l_extendedprice + {r} / 10000.0 AS l_extendedprice)
 FROM read_parquet('{SF01}/lineitem.parquet')""")
-    con.execute(f"COPY ({' UNION ALL '.join(li_parts)}) TO "
-                f"'{SF1}/lineitem.parquet' (FORMAT PARQUET)")
+    if "lineitem" in want:
+        con.execute(f"COPY ({' UNION ALL '.join(li_parts)}) TO "
+                    f"'{SF1}/lineitem.parquet' (FORMAT PARQUET)")
     # events: more users, same per-user density and time range
     ev_parts = ["SELECT * FROM read_parquet('%s/events.parquet')" % SF01]
     for r in range(1, 10):
@@ -74,8 +84,9 @@ FROM read_parquet('{SF01}/lineitem.parquet')""")
 SELECT * REPLACE (event_id + {r} * 10000000 AS event_id,
                   user_id + {r} * 1000000 AS user_id)
 FROM read_parquet('{SF01}/events.parquet')""")
-    con.execute(f"COPY ({' UNION ALL '.join(ev_parts)}) TO "
-                f"'{SF1}/events.parquet' (FORMAT PARQUET)")
+    if "events" in want:
+        con.execute(f"COPY ({' UNION ALL '.join(ev_parts)}) TO "
+                    f"'{SF1}/events.parquet' (FORMAT PARQUET)")
     # orders: same customer domain (more orders per customer, like a
     # longer business history); customer stays the dimension it is
     o_parts = ["SELECT * FROM read_parquet('%s/orders.parquet')" % SF01]
@@ -83,11 +94,13 @@ FROM read_parquet('{SF01}/events.parquet')""")
         o_parts.append(f"""
 SELECT * REPLACE (o_orderkey + {r} * 10000000 AS o_orderkey)
 FROM read_parquet('{SF01}/orders.parquet')""")
-    con.execute(f"COPY ({' UNION ALL '.join(o_parts)}) TO "
-                f"'{SF1}/orders.parquet' (FORMAT PARQUET)")
-    con.execute(f"COPY (SELECT * FROM read_parquet("
-                f"'{SF01}/customer.parquet')) TO "
-                f"'{SF1}/customer.parquet' (FORMAT PARQUET)")
+    if "orders" in want:
+        con.execute(f"COPY ({' UNION ALL '.join(o_parts)}) TO "
+                    f"'{SF1}/orders.parquet' (FORMAT PARQUET)")
+    if "customer" in want:
+        con.execute(f"COPY (SELECT * FROM read_parquet("
+                    f"'{SF01}/customer.parquet')) TO "
+                    f"'{SF1}/customer.parquet' (FORMAT PARQUET)")
     # embeddings: 10x vectors, identical distribution -> cell sizes 10x
     e_parts = ["SELECT * FROM read_parquet('%s/embeddings.parquet')"
                % SF01]
@@ -95,8 +108,18 @@ FROM read_parquet('{SF01}/orders.parquet')""")
         e_parts.append(f"""
 SELECT * REPLACE (vec_id + {r} * 10000000 AS vec_id)
 FROM read_parquet('{SF01}/embeddings.parquet')""")
-    con.execute(f"COPY ({' UNION ALL '.join(e_parts)}) TO "
-                f"'{SF1}/embeddings.parquet' (FORMAT PARQUET)")
+    if "embeddings" in want:
+        con.execute(f"COPY ({' UNION ALL '.join(e_parts)}) TO "
+                    f"'{SF1}/embeddings.parquet' (FORMAT PARQUET)")
+    # fixed-size TPC-H dimensions: copied as-is (supplier is SF x 10k
+    # in real TPC-H, but the derived fixture holds it constant so the
+    # q3/q5 exponents isolate FACT-side growth — the property the
+    # de-hinted plans must survive)
+    for t in ("supplier", "nation", "region"):
+        if t in want:
+            con.execute(f"COPY (SELECT * FROM read_parquet("
+                        f"'{SF01}/{t}.parquet')) TO "
+                        f"'{SF1}/{t}.parquet' (FORMAT PARQUET)")
     con.close()
 
 
@@ -130,6 +153,7 @@ def main() -> None:
     from pointdatabase_spark.functions import text as _text
     from pointdatabase_spark.operators import crossover, dedup, profile
     from pointdatabase_spark.partitioning import spread
+    from pointdatabase_spark import queries as _registry
 
     build_sf1()
     spark = get_spark("scale-check")
@@ -210,6 +234,14 @@ def main() -> None:
         "profile_approx": lambda sf: profile.profile_columns(
             li(sf), ["l_orderkey", "l_quantity", "l_extendedprice",
                      "l_discount", "l_tax"], exact=False),
+        # TPC-H shapes with the r7 de-hinted joins: exponents prove
+        # the AQE-decided plans hold across a decade of fact growth
+        "q1_pricing_summary": lambda sf: _registry.all_queries()[
+            "q1_pricing_summary"](spark, sf),
+        "q3_shipping_priority": lambda sf: _registry.all_queries()[
+            "q3_shipping_priority"](spark, sf),
+        "q5_local_supplier_volume": lambda sf: _registry.all_queries()[
+            "q5_local_supplier_volume"](spark, sf),
     }
     scales = [("sf0.01", SF001), ("sf0.1", SF01), ("sf1", SF1)]
     results: dict[str, dict[str, float]] = {}

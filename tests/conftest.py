@@ -11,6 +11,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale/timing tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pointdatabase_spark.session import get_spark
