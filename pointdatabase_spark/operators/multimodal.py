@@ -68,7 +68,9 @@ def attach_real_payload(docs: DataFrame,
       id%9==0 -> 16-BIT greyscale (p = k*257, big-endian samples),
       id%9==3 -> PALETTE (color type 3; index k into the 256-entry
       palette (k, 3k mod 256, 7k mod 256), decoded expanded to RGB),
-      id%9==6 -> 8-bit greyscale (p = k);
+      id%9==6 -> 8-bit greyscale, ADAM7-INTERLACED (p = k; the
+      7-pass layout real web corpora contain — decoded pixels are
+      identical, so the closed-form oracles are untouched);
     - id%3==1 (audio): WAV of 64 + id%193 samples with integer
       pattern v[i] = (id*97 + 17i) mod 65536 - 32768 — id%9==1 ->
       32-bit IEEE-FLOAT samples v/32768 (format code 3; exact in
@@ -104,7 +106,7 @@ def attach_real_payload(docs: DataFrame,
                                        axis=1).astype(np.uint8)
                         payload = media.encode_png_palette(k, pal)
                     else:
-                        payload = media.encode_png(k)
+                        payload = media.encode_png(k, interlace=True)
                     rows.append((did, payload, "image"))
                 elif did % 3 == 1:
                     n = 64 + did % 193
@@ -137,13 +139,55 @@ def attach_real_payload(docs: DataFrame,
                                 "media_type string"))
 
 
+def attach_jpeg_payload(docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Binary payloads that are REAL baseline JFIF encodings
+    (sources/jpeg.py) of the same deterministic (8 + id%13) x
+    (16 + id%17) pattern attach_real_payload uses, cycling the three
+    baseline profiles wild corpora contain: id%3==0 -> grayscale,
+    id%3==1 -> RGB 4:4:4, id%3==2 -> RGB 4:2:0 with restart markers
+    every 2 MCUs.  JPEG is lossy, so unlike the PNG mix only the
+    DIMENSIONS are closed-form in doc_id — which is exactly what the
+    oracle for multimodal_jpeg_decode checks; pixel-level behavior is
+    pinned by tests/test_jpeg.py roundtrip bounds instead."""
+    from pointdatabase_spark.sources import jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                did = int(doc_id)
+                w, h = 16 + did % 17, 8 + did % 13
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                k = ((did * 31 + i * 7 + j * 13) % 256).astype(np.uint8)
+                if did % 3 == 0:
+                    payload = jpeg.encode_jpeg(k)
+                else:
+                    rgb = np.stack([k, (k * 3) % 256, (k * 7) % 256],
+                                   axis=-1).astype(np.uint8)
+                    if did % 3 == 1:
+                        payload = jpeg.encode_jpeg(rgb, subsample="444")
+                    else:
+                        payload = jpeg.encode_jpeg(rgb, subsample="420",
+                                                   restart_interval=2)
+                rows.append((did, payload, "image"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"])
+
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .mapInPandas(_gen,
+                         schema="doc_id bigint, payload binary, "
+                                "media_type string"))
+
+
 def _real_decode_row(payload: bytes, media_type: str) -> tuple:
-    """Genuine codec parse: PNG -> (h, w) pixels, WAV -> samples,
-    video -> APNG frames (non-APNG containers — mp4 etc. — raise:
-    ffmpeg is not in the container)."""
+    """Genuine codec parse: PNG/JPEG -> (h, w) pixels, WAV ->
+    samples, video -> APNG frames (non-APNG containers — mp4 etc. —
+    raise: ffmpeg is not in the container)."""
     from pointdatabase_spark.sources import media
     if media_type == "image":
-        a = media.decode_png(payload)
+        a = media.decode_image(payload)
         return (len(payload), a.shape[1], a.shape[0], 1,
                 hashlib.md5(a.tobytes()).hexdigest())
     if media_type == "audio":
@@ -224,7 +268,7 @@ def extract_features(df: DataFrame, dim: int = 8,
                                          b["media_type"]):
                     pb = bytes(p)
                     if mt == "image":
-                        raw = media.decode_png(pb)
+                        raw = media.decode_image(pb)
                         # normalize by the sample dtype's full scale
                         # (depth-16 images decode to uint16)
                         den = (65535.0 if raw.dtype == np.uint16
@@ -313,7 +357,7 @@ def resize_media(df: DataFrame, max_w: int, max_h: int,
                                          b["media_type"]):
                     pb = bytes(p)
                     if mt == "image":
-                        a = media.decode_png(pb)
+                        a = media.decode_image(pb)
                         h, w = a.shape[:2]
                         ow, oh = min(w, max_w), min(h, max_h)
                         yi = (np.arange(oh) * h) // oh

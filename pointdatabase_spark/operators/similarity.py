@@ -467,6 +467,56 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
                     F.col("b.id").alias("id_b"), "cos"))
 
 
+def semantic_dedup(emb: DataFrame, cents: list[list[float]],
+                   threshold: float, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    within each cluster drop every vector that is τ-cosine-similar to
+    a higher-priority clustermate, where priority = farther from the
+    cluster centroid (the paper's keep-the-edge-points rule: extreme
+    examples carry more training signal than the cluster core),
+    tie-broken on id.
+
+    Semantics (deterministic, one pass — no iterative greedy): a
+    vector is REMOVED iff some vector in the same cell with strictly
+    higher priority is ``cos >= threshold`` similar to it; survivors
+    are everything else.  This is the standard practical reading of
+    the paper's per-cluster dedup and is order-independent.
+
+    Scale shape: cell assignment is a map-side expression over the
+    literal centroid table (zero shuffle — same kernel as
+    :func:`ivf_ann_topk`); the pairwise test is a self-join ON THE
+    CELL KEY, so the quadratic term is Σ|cell|², not corpus² — the
+    whole point of clustering first (the paper runs k≈11k clusters
+    over 233M embeddings for exactly this reason).  At 100 TB: train
+    data-adaptive centroids (:func:`train_centroids`) with k scaled
+    to hold E[|cell|] at a few thousand, write the corpus
+    cell-partitioned (:func:`write_ann_index`), and the self-join
+    becomes per-partition local with no skew valve needed beyond k.
+
+    Returns the SURVIVORS as (id_col, cell)."""
+    base = (spread(emb.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("v")))
+            .withColumn("cell", F.expr(cell_expr("v", cents)))
+            .withColumn("cdist",
+                        F.expr(f"array_min({_cell_scores('v', cents)})"))
+            .withColumn("n", F.expr(norm_expr("v"))))
+    a, b = base.alias("a"), base.alias("b")
+    higher_priority = ((F.col("b.cdist") > F.col("a.cdist"))
+                       | ((F.col("b.cdist") == F.col("a.cdist"))
+                          & (F.col("b.id") < F.col("a.id"))))
+    cos = (F.expr(dot_expr("a.v", "b.v"))
+           / (F.col("a.n") * F.col("b.n")))
+    removed = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                      & higher_priority)
+               .where(cos >= threshold)
+               .select(F.col("a.id").alias("id"))
+               .distinct())
+    return (base.join(removed, "id", "left_anti")
+            .select(F.col("id").alias(id_col), "cell"))
+
+
 def label_centroid_stats(emb: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          label_col: str = "label") -> DataFrame:

@@ -66,6 +66,15 @@ _SCORE_FIRST = [
     "topk_per_group",
     # new in r7 — zero driver evidence yet
     "quality_decile_approx",
+    # new in r8 — TPC-H plan shapes (scan-agg pushdown, two-role
+    # dimension, conditional agg, decorrelated scalar subquery,
+    # HAVING semi, agg-max scalar) — zero driver evidence yet
+    "q6_revenue_delta", "q7_volume_shipping", "q14_promo_revenue",
+    "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q15_top_supplier",
+    # new in r8 — SemDeDup cluster-blocked embedding dedup; real
+    # baseline-JPEG decode
+    "semantic_dedup", "semantic_dedup_stats", "multimodal_jpeg_decode",
     # The rest of the ~50-query window falls through to registry
     # order (q1, box_query, crossover_analysis, blockmedian/window/
     # filter family — all r6-green).
@@ -229,6 +238,269 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), "n_name"))
+
+
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04999 AND 0.07001
+  AND l_quantity < 24
+"""
+
+
+@query("q6_revenue_delta", oracle=_Q6_ORACLE)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-aggregate.  All three predicates
+    and the 4-column projection reach the parquet scan (plan-asserted
+    in tests/test_plans.py), so at 100 TB this reads only the row
+    groups whose min/max straddle the ship-date window — no join, no
+    wide shuffle, one single-row exchange for the final agg merge.
+    The discount band uses epsilon-widened literals (0.04999/0.07001)
+    so binary-double representability of 0.05/0.07 cannot differ
+    between engines."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04999)
+        & (F.col("l_discount") <= 0.07001)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     2).alias("revenue")))
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — two-nation trade volume by year.  The nation
+    pair predicate is pushed THROUGH the join graph before the fact
+    table is touched: nation (25 rows, fixed size — broadcast hint is
+    safe at any SF) filters supplier and customer down to 2/25 of
+    their rows first, so the lineitem⨝supplier and orders⨝customer
+    joins see pre-shrunk build sides.  Those survivors still scale
+    with SF, so they carry NO forced-broadcast hint — AQE broadcasts
+    them while small and falls back to shuffle joins at cluster SF.
+    The disjunctive pair filter runs after both nation names are
+    attached (2×2 candidate rows per pairing, map-side)."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    nat = testkit.load_table(spark, sf_dir, "nation")
+    pair = nat.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    s_nat = (supp.join(F.broadcast(pair.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation"))
+    c_nat = (cust.join(F.broadcast(pair.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"))
+        .select("c_custkey", "cust_nation"))
+    j = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+        .join(s_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c_nat, F.col("o_custkey") == F.col("c_custkey"))
+        .where(((F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7"))
+               | ((F.col("supp_nation") == "NATION_7")
+                  & (F.col("cust_nation") == "NATION_3"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+_Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+@query("q14_promo_revenue", oracle=_Q14_ORACLE)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation over a fact⨝dim
+    join.  The one-month ship-date window prunes lineitem at the scan;
+    part scales with SF (SF×200k in TPC-H), so it carries no forced
+    broadcast — AQE picks broadcast while part fits and shuffle-join
+    beyond.  Both branches of the CASE fold into ONE aggregate pass
+    (no second scan for the denominator)."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    part = testkit.load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(part.select("p_partkey", "p_type"),
+              F.col("l_partkey") == F.col("p_partkey")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return j.agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4)
+                 .alias("promo_revenue"))
+
+
+_Q17_ORACLE = """
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+), part_lim AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_lim
+  FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part_lim pl ON l.l_partkey = pl.l_partkey
+WHERE l.l_quantity < pl.qty_lim
+"""
+
+
+@query("q17_small_qty_revenue", oracle=_Q17_ORACLE)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity), decorrelated by hand the way Catalyst would: the brand
+    filter is a SEMI restriction applied BEFORE the per-part aggregate,
+    so the avg is computed only for the ~1/25 of parts that can ever
+    match, not the whole fact table; the aggregated (partkey, 0.2*avg)
+    frame then joins back to the same pre-restricted lineitem slice.
+    Quantities are whole-number doubles, so SUM/AVG are exact in IEEE
+    double regardless of summation order — the `< 0.2*avg` boundary
+    cannot flip between engines.  At 100 TB this is two shuffles on
+    l_partkey (agg + join), both over the brand-restricted slice."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    part = testkit.load_table(spark, sf_dir, "part")
+    bp = (part.where(F.col("p_brand") == "Brand#13")
+          .select("p_partkey"))
+    li_brand = (li.select("l_partkey", "l_quantity", "l_extendedprice")
+                .join(bp, F.col("l_partkey") == F.col("p_partkey"))
+                .drop("p_partkey"))
+    lim = (li_brand.groupBy("l_partkey")
+           .agg((0.2 * F.avg("l_quantity")).alias("qty_lim"))
+           .withColumnRenamed("l_partkey", "lim_partkey"))
+    return (li_brand
+            .join(lim, F.col("l_partkey") == F.col("lim_partkey"))
+            .where(F.col("l_quantity") < F.col("qty_lim"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS s
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, ROUND(big.s, 2) AS sum_qty
+FROM big
+JOIN orders o   ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_volume_customer", oracle=_Q18_ORACLE)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered aggregate driving a semi
+    restriction.  The textbook form scans lineitem twice (once for the
+    IN-subquery, once for the outer SUM); since the outer group key is
+    the order key, the two aggregates are the SAME aggregate, so this
+    plan computes it once: one lineitem scan → groupBy(l_orderkey) →
+    HAVING survivors (a handful of orders at any SF) carry their
+    sum_qty forward into AQE-decided joins against orders and
+    customer.  Top-k plans as TakeOrderedAndProject."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+           .where(F.col("sum_qty") > 300))
+    return (big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+            .limit(100))
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+         AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — scalar subquery over an aggregate (suppliers
+    whose quarterly revenue equals the global max).  The revenue CTE is
+    computed ONCE and reused for both the max and the equality probe:
+    the 1-row MAX frame comes back as a broadcast cross-join (the
+    registry's standard stats-frame pattern — 1 row is broadcastable at
+    any SF), so there is exactly one shuffle on l_suppkey plus the
+    final supplier join.  Revenues are rounded to 2dp on BOTH the probe
+    and the max before comparison, so the float-equality is between
+    identically-derived doubles, not raw accumulations."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    rev = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (rev.join(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("max_rev"))
+            .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
 
 
 # --------------------------------------------------------------------------
@@ -2266,6 +2538,67 @@ def embedding_cosine_neardup_blocked(spark: SparkSession,
     return _sim.cosine_neardup_pairs(emb, threshold=0.4, planes=_PLANES)
 
 
+# SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
+# then within each cell drop vectors τ-similar to a clustermate that
+# sits farther from the centroid (keep-the-edge-points rule).  The
+# fixture embeddings are near-orthogonal synthetic vectors (p99 global
+# cosine ≈ 0.29), so the fixture threshold is 0.3 — on real model
+# embeddings the paper operates at ~0.95+; the PLAN is identical.
+_SEMDEDUP_CTE = f"""
+WITH c AS (SELECT vec_id, embedding, {_duck_cell('embedding')} AS cell,
+                  list_aggregate({_duck_cell_scores('embedding')}, 'min')
+                  AS cdist
+           FROM embeddings),
+rm AS (SELECT DISTINCT a.vec_id
+       FROM c a JOIN c b
+         ON a.cell = b.cell
+        AND (b.cdist > a.cdist
+             OR (b.cdist = a.cdist AND b.vec_id < a.vec_id))
+       WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.3)
+"""
+
+_SEMDEDUP_ORACLE = _SEMDEDUP_CTE + """
+SELECT c.vec_id, c.cell FROM c
+WHERE c.vec_id NOT IN (SELECT vec_id FROM rm)
+"""
+
+
+@query("semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup(emb, _CENTS, threshold=0.3)
+
+
+_SEMDEDUP_STATS_ORACLE = _SEMDEDUP_CTE + """
+SELECT c.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM c LEFT JOIN rm ON c.vec_id = rm.vec_id
+GROUP BY c.cell
+"""
+
+
+@query("semantic_dedup_stats", oracle=_SEMDEDUP_STATS_ORACLE)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell retention report for semantic_dedup — |cells| rows
+    (the monitoring view a corpus-prep run logs: which regions of
+    embedding space are collapsing).  Composes the operator's
+    survivors against the map-side cell assignment; both aggregates
+    shuffle only |cells| keys."""
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    cells = (emb.select("vec_id",
+                        F.expr(_sim.cell_expr("embedding", _CENTS))
+                        .alias("cell")))
+    kept = (_sim.semantic_dedup(emb, _CENTS, threshold=0.3)
+            .select("vec_id").withColumn("_k", F.lit(1)))
+    return (cells.join(kept, "vec_id", "left")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.coalesce(F.col("_k"), F.lit(0)))
+                 .cast("long").alias("n_kept")))
+
+
 # Embedding-space health check: per-label centroid norm, mean member
 # cosine to the OWN centroid, and nearest-centroid purity — the
 # diagnostics run before trusting an embedding column for clustering /
@@ -3486,6 +3819,32 @@ def multimodal_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _mm.sample_frames(_mm.attach_real_payload(docs), step=2,
                              decoder="real")
+
+
+_JPEG_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(16 + doc_id % 17 AS BIGINT) AS width,
+       CAST(8 + doc_id % 13 AS BIGINT) AS height
+FROM documents
+"""
+
+
+@query("multimodal_jpeg_decode", oracle=_JPEG_DECODE_ORACLE)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode (sources/jpeg.py — new r8): every
+    payload is a genuine JFIF bitstream (Huffman entropy decode,
+    dequantize, IDCT, chroma upsample, YCbCr->RGB), cycling
+    grayscale / RGB 4:4:4 / RGB 4:2:0-with-restart-markers across
+    doc_ids.  JPEG is lossy, so the oracle checks the decoded PIXEL
+    dimensions (exact by construction); pixel error bounds are pinned
+    in tests/test_jpeg.py.  Scale shape: same as every multimodal
+    stage — the codec runs inside Arrow-batched mapInPandas, one
+    file per row, embarrassingly parallel across executors."""
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    dec = _mm.decode_media(_mm.attach_jpeg_payload(docs),
+                           decoder="real")
+    return dec.select("doc_id", "width", "height")
 
 
 # Feature extraction (the model-forward-pass stage, deterministic fake):

@@ -9,8 +9,9 @@ PNG (ISO/IEC 15948): 8- and 16-bit greyscale / RGB / RGBA plus
    five row filters (None/Sub/Up/Average/Paeth) un-applied at BYTE
    granularity (bpp = channels x bytes-per-sample, per the spec, so
    the same unfilter loop serves every depth); 16-bit samples are
-   big-endian per the spec; sub-byte depths and Adam7 interlace
-   raise NotImplementedError naming the gap.
+   big-endian per the spec; Adam7 interlace decodes via the shared
+   per-pass scanline machinery; sub-byte depths raise
+   NotImplementedError naming the gap.
  - encode: filter 0 rows by default (any filter type accepted, so the
    decoder's filter branches are round-trip pinned), one zlib IDAT;
    uint16 input emits depth-16, encode_png_palette emits type 3.
@@ -37,13 +38,56 @@ import numpy as np
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — the spec's 8x8 tile
+#   1 6 4 6 2 6 4 6
+#   7 7 7 7 7 7 7 7   (rows 1,3,5,7)
+#   5 6 5 6 5 6 5 6   ...
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+
+def _adam7_stream(rows_bytes: np.ndarray, bpp: int,
+                  filter_type: int) -> bytes:
+    """(h, w, bpp) byte pixels -> concatenated filtered scanline
+    streams of the 7 Adam7 passes (one zlib stream per spec; empty
+    passes contribute no scanlines)."""
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = rows_bytes[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph and pw:
+            raw += _filter_stream(sub.reshape(ph, pw * bpp), bpp,
+                                  filter_type)
+    return bytes(raw)
+
+
+def _adam7_unpack(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Inverse of _adam7_stream: walk the 7 passes, unfilter each
+    with the shared byte-granular scanline machinery, scatter into
+    the (h, w, bpp) canvas."""
+    out = np.zeros((h, w, bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        ph = (h - y0 + dy - 1) // dy
+        pw = (w - x0 + dx - 1) // dx
+        if ph <= 0 or pw <= 0:
+            continue
+        n = ph * (1 + pw * bpp)
+        out[y0::dy, x0::dx] = _unfilter_stream(raw[pos:pos + n],
+                                               pw, ph, bpp)
+        pos += n
+    if pos != len(raw):
+        raise ValueError("PNG interlaced pixel data length mismatch")
+    return out
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
     """Greyscale (H,W), RGB (H,W,3) or RGBA (H,W,4) -> PNG.
     uint8 input emits bit depth 8; uint16 emits depth 16 (big-endian
     samples per the spec).  ``filter_type`` applies the same filter
     to every row (0-4) so decode branches can be pinned
-    individually."""
+    individually; ``interlace`` emits the Adam7 7-pass layout."""
     a = np.asarray(arr)
     depth = 16 if a.dtype == np.uint16 else 8
     a = np.ascontiguousarray(
@@ -68,10 +112,13 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     else:
         rows_bytes = a
         bpp = ch
-    raw = _filter_stream(rows_bytes.reshape(h, w * ch * (depth // 8)),
-                         bpp, filter_type)
+    px = rows_bytes.reshape(h, w, bpp)
+    raw = (_adam7_stream(px, bpp, filter_type) if interlace
+           else _filter_stream(px.reshape(h, w * bpp), bpp,
+                               filter_type))
     out = bytearray(_PNG_SIG)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlace else 0)
     for tag, body in ((b"IHDR", ihdr),
                       (b"IDAT", zlib.compress(raw, 6)),
                       (b"IEND", b"")):
@@ -81,9 +128,11 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
-                       filter_type: int = 0) -> bytes:
+                       filter_type: int = 0,
+                       interlace: bool = False) -> bytes:
     """(H,W) uint8 palette indices + (n<=256, 3) uint8 palette ->
-    color-type-3 PNG (8-bit indices, PLTE chunk)."""
+    color-type-3 PNG (8-bit indices, PLTE chunk; optionally
+    Adam7-interlaced)."""
     idx = np.ascontiguousarray(indices, dtype=np.uint8)
     pal = np.ascontiguousarray(palette, dtype=np.uint8)
     if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
@@ -91,9 +140,11 @@ def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
     if len(pal) > 256 or idx.max(initial=0) >= len(pal):
         raise ValueError("palette must cover all indices, n<=256")
     h, w = idx.shape
-    raw = _filter_stream(idx, 1, filter_type)
+    raw = (_adam7_stream(idx[:, :, None], 1, filter_type) if interlace
+           else _filter_stream(idx, 1, filter_type))
     out = bytearray(_PNG_SIG)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0,
+                       1 if interlace else 0)
     for tag, body in ((b"IHDR", ihdr), (b"PLTE", pal.tobytes()),
                       (b"IDAT", zlib.compress(raw, 6)),
                       (b"IEND", b"")):
@@ -170,8 +221,6 @@ def decode_png(data: bytes) -> np.ndarray:
             if color != 3 and color not in _CHANNELS:
                 raise NotImplementedError(
                     f"PNG color type {color} (alpha-grey unsupported)")
-            if inter:
-                raise NotImplementedError("Adam7 interlaced PNG")
             if comp or flt:
                 raise ValueError("bad PNG compression/filter method")
         elif tag == b"PLTE":
@@ -185,14 +234,18 @@ def decode_png(data: bytes) -> np.ndarray:
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE")
-        idx = _unfilter_stream(zlib.decompress(bytes(idat)), w, h, 1)
+        ridx = zlib.decompress(bytes(idat))
+        idx = (_adam7_unpack(ridx, w, h, 1) if inter
+               else _unfilter_stream(ridx, w, h, 1))
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
         return pal[idx[:, :, 0]]
     ch = _CHANNELS[color]
     sw = depth // 8                     # sample width in bytes
-    out = _unfilter_stream(zlib.decompress(bytes(idat)), w, h, ch * sw)
+    rawpx = zlib.decompress(bytes(idat))
+    out = (_adam7_unpack(rawpx, w, h, ch * sw) if inter
+           else _unfilter_stream(rawpx, w, h, ch * sw))
     if depth == 16:
         # big-endian sample bytes -> uint16 (h, w, ch)
         u16 = (out.astype(np.uint16).reshape(h, w, ch, 2))
@@ -415,3 +468,17 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     s = np.frombuffer(raw, dt)
     n = len(s) // nch
     return s[:n * nch].reshape(n, nch), rate
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff-and-dispatch image decode: PNG by signature, JPEG by
+    SOI marker — the two formats that dominate web corpora (both
+    decoded by the real stdlib+NumPy codecs in this package)."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"\xFF\xD8":
+        from pointdatabase_spark.sources.jpeg import decode_jpeg
+        return decode_jpeg(data)
+    raise NotImplementedError(
+        "image format is neither PNG nor JPEG (webp/gif/avif need "
+        "codecs not shipped in this container)")

@@ -242,6 +242,12 @@ def main() -> None:
             "q3_shipping_priority"](spark, sf),
         "q5_local_supplier_volume": lambda sf: _registry.all_queries()[
             "q5_local_supplier_volume"](spark, sf),
+        # r8 shapes: two-role dimension join and single-scan HAVING
+        # semi — both join the 10x fact against held-constant dims
+        "q7_volume_shipping": lambda sf: _registry.all_queries()[
+            "q7_volume_shipping"](spark, sf),
+        "q18_large_volume_customer": lambda sf: _registry.all_queries()[
+            "q18_large_volume_customer"](spark, sf),
     }
     scales = [("sf0.01", SF001), ("sf0.1", SF01), ("sf1", SF1)]
     results: dict[str, dict[str, float]] = {}

@@ -1,0 +1,108 @@
+"""Baseline JPEG codec (sources/jpeg.py — r8): dims are exact,
+pixel error is bounded by profile, the restart path is bit-identical,
+and the non-baseline gates are named."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pointdatabase_spark.sources import jpeg, media
+
+
+def _grad(h, w, c=None):
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    g = (i * 3 + j * 2) % 256
+    if c is None:
+        return g.astype(np.uint8)
+    return np.stack([(g + k * 10) % 256 for k in range(c)],
+                    axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape,sub", [
+    ((24, 33), "444"), ((17, 25, 3), "444"), ((32, 48, 3), "420"),
+    ((19, 21, 3), "420"), ((3, 5, 3), "420"), ((1, 1), "444"),
+    ((8, 8, 3), "444"), ((16, 16, 3), "420")])
+def test_gradient_roundtrip_error_bound(shape, sub):
+    """Smooth images at q92: every sample within 2 of the source —
+    the DCT basis represents low-frequency ramps almost exactly, so
+    a larger error means a transform/quant/entropy bug, not loss."""
+    a = _grad(*shape) if len(shape) == 2 else _grad(shape[0], shape[1], 3)
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg(a, quality=92, subsample=sub))
+    assert d.shape == a.shape and d.dtype == np.uint8
+    assert np.abs(d.astype(int) - a.astype(int)).max() <= 2
+
+
+def test_noise_q100_error_bound():
+    """At quality 100 every quant step is 1, so 4:4:4 error is pure
+    DCT/color-transform rounding: <= 1 grayscale, <= 3 RGB."""
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    dg = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=100))
+    assert np.abs(dg.astype(int) - g.astype(int)).max() <= 1
+    a = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    da = jpeg.decode_jpeg(jpeg.encode_jpeg(a, quality=100,
+                                           subsample="444"))
+    assert np.abs(da.astype(int) - a.astype(int)).max() <= 3
+
+
+def test_restart_markers_are_transparent():
+    """DRI/RSTn layouts must decode bit-identically to the same image
+    without restarts (predictor resets exactly cancel)."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(a, quality=100,
+                                                 subsample=sub))
+        for ri in (1, 3, 7):
+            d = jpeg.decode_jpeg(jpeg.encode_jpeg(
+                a, quality=100, subsample=sub, restart_interval=ri))
+            np.testing.assert_array_equal(d, base)
+    g = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=100,
+                                          restart_interval=2)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=100)))
+
+
+def test_pinned_fixture_bitstream_and_decode():
+    """Cross-version stability pin: a fixed input must encode to the
+    same bytes and decode to the same pixels, forever."""
+    a = _grad(12, 20, 3)
+    b = jpeg.encode_jpeg(a, quality=90, subsample="420",
+                         restart_interval=2)
+    assert jpeg.encode_jpeg(a, quality=90, subsample="420",
+                            restart_interval=2) == b
+    d = jpeg.decode_jpeg(b)
+    pin = hashlib.md5(b).hexdigest(), hashlib.md5(d.tobytes()).hexdigest()
+    # regenerate with: python -c "...print(pin)" after any deliberate
+    # codec change; an accidental diff here is a codec regression
+    assert pin == ("4811b4febaa92381dc3d89756e7ac7b6",
+                   "44f0ca7f40b67ad9c74771a66a0fa795"), pin
+
+
+def test_non_baseline_gates_are_named():
+    a = _grad(8, 8)
+    blob = bytearray(jpeg.encode_jpeg(a))
+    sof = blob.index(b"\xFF\xC0")
+    blob[sof + 1] = 0xC2                               # progressive
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg.decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(NotImplementedError, match="neither PNG nor"):
+        media.decode_image(b"GIF89a.....")
+
+
+def test_decode_image_dispatch():
+    """media.decode_image sniffs PNG vs JPEG and routes to the right
+    codec."""
+    g = _grad(9, 7)
+    np.testing.assert_array_equal(media.decode_image(media.encode_png(g)),
+                                  g)
+    d = media.decode_image(jpeg.encode_jpeg(g, quality=95))
+    assert d.shape == g.shape
+    assert np.abs(d.astype(int) - g.astype(int)).max() <= 2

@@ -73,14 +73,34 @@ def test_png_gates_are_named():
         ">I", zlib.crc32(bytes(blob[12:29])))
     with pytest.raises(NotImplementedError, match="color type 4"):
         media.decode_png(bytes(blob))
-    blob = bytearray(media.encode_png(a))
-    blob[28] = 1                                        # Adam7
-    blob[29:33] = struct.pack(
-        ">I", zlib.crc32(bytes(blob[12:29])))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        media.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="signature"):
         media.decode_png(b"JFIF not a png")
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r8: Adam7 interlace is a real decode path — per-pass
+    scanline streams through the shared filter machinery, all five
+    filters, all depths/colors, including dimensions where late
+    passes are empty."""
+    rng = np.random.default_rng(8)
+    cases = [rng.integers(0, 256, (13, 17), dtype=np.uint8),
+             rng.integers(0, 256, (9, 5, 3)).astype(np.uint8),
+             rng.integers(0, 256, (8, 8, 4)).astype(np.uint8),
+             rng.integers(0, 65536, (11, 7), dtype=np.uint16),
+             rng.integers(0, 65536, (6, 10, 3)).astype(np.uint16),
+             rng.integers(0, 256, (3, 2, 3)).astype(np.uint8),
+             rng.integers(0, 256, (1, 1), dtype=np.uint8)]
+    for a in cases:
+        for ft in range(5):
+            out = media.decode_png(
+                media.encode_png(a, filter_type=ft, interlace=True))
+            np.testing.assert_array_equal(out, a)
+    idx = rng.integers(0, 16, (14, 9), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for ft in range(5):
+        out = media.decode_png(media.encode_png_palette(
+            idx, pal, filter_type=ft, interlace=True))
+        np.testing.assert_array_equal(out, pal[idx])
 
 
 def test_wav_roundtrip_mono_stereo():

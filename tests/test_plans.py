@@ -310,3 +310,65 @@ def test_rollup_trailing_two_exchanges_one_base_scan(spark):
     # the window sits ABOVE the aggregate in the tree: the aggregate
     # must appear deeper (later in the printed plan) than the window
     assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_q6_scan_aggregate_is_fully_pushed(spark):
+    """TPC-H Q6 shape: all three predicates and the 4-column
+    projection must reach the parquet reader, and the only exchange is
+    the SinglePartition merge of the global aggregate — the plan that
+    reads row-group stats instead of data at 100 TB."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["q6_revenue_delta"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.04999)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp") in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_new_tpch_shapes_hint_only_fixed_size_tables(spark):
+    """Same scale-safety contract as Q3/Q5: a forced broadcast hint is
+    allowed only on genuinely fixed-size inputs — nation (25 rows) in
+    Q7 and the 1-row MAX stats frame in Q15.  part/customer/supplier/
+    orders all scale with SF and must be left to AQE."""
+    from pointdatabase_spark import queries as registry
+    for qname, n_hints_max in [("q7_volume_shipping", 2),   # nation x2
+                               ("q14_promo_revenue", 0),
+                               ("q17_small_qty_revenue", 0),
+                               ("q18_large_volume_customer", 0),
+                               ("q15_top_supplier", 1)]:    # 1-row max
+        df = registry.all_queries()[qname](spark, SF_SMOKE)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        n_hints = logical.count("ResolvedHint")
+        assert n_hints <= n_hints_max, (
+            f"{qname}: {n_hints} broadcast hints (max {n_hints_max}) "
+            "— an SF-scaled table got a forced broadcast")
+
+
+def test_q18_computes_the_order_aggregate_once(spark):
+    """The textbook Q18 scans lineitem twice (HAVING subquery + outer
+    SUM); because the outer group key is the order key they are the
+    same aggregate, and the plan must contain exactly ONE lineitem
+    scan."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["q18_large_volume_customer"](
+        spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q7_prunes_fact_columns_and_orders_projection(spark):
+    """Q7's lineitem scan must read only the 5 needed columns and
+    orders only its 2 join keys — at 100 TB the projection IS the
+    I/O budget."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["q7_volume_shipping"](spark, SF_SMOKE)
+    plan = _plan(df)
+    li = plan[plan.index("lineitem.parquet"):]
+    li = li[li.index("ReadSchema"):][:300]
+    assert "l_extendedprice" in li and "l_partkey" not in li
+    od = plan[plan.index("orders.parquet"):]
+    od = od[od.index("ReadSchema"):][:200]
+    assert "o_orderkey" in od and "o_totalprice" not in od
