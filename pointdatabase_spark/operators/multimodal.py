@@ -143,10 +143,12 @@ def attach_jpeg_payload(docs: DataFrame,
                         id_col: str = "doc_id") -> DataFrame:
     """Binary payloads that are REAL baseline JFIF encodings
     (sources/jpeg.py) of the same deterministic (8 + id%13) x
-    (16 + id%17) pattern attach_real_payload uses, cycling the three
-    baseline profiles wild corpora contain: id%3==0 -> grayscale,
-    id%3==1 -> RGB 4:4:4, id%3==2 -> RGB 4:2:0 with restart markers
-    every 2 MCUs.  JPEG is lossy, so unlike the PNG mix only the
+    (16 + id%17) pattern attach_real_payload uses, cycling the six
+    profiles wild corpora contain: id%6 in {0,1,2} -> BASELINE
+    grayscale / RGB 4:4:4 / RGB 4:2:0-with-restart-markers; id%6 in
+    {3,4,5} -> the same three as PROGRESSIVE (SOF2 spectral
+    selection + successive approximation, multi-scan).  JPEG is
+    lossy, so unlike the PNG mix only the
     DIMENSIONS are closed-form in doc_id — which is exactly what the
     oracle for multimodal_jpeg_decode checks; pixel-level behavior is
     pinned by tests/test_jpeg.py roundtrip bounds instead."""
@@ -161,16 +163,19 @@ def attach_jpeg_payload(docs: DataFrame,
                 i = np.arange(h)[:, None]
                 j = np.arange(w)[None, :]
                 k = ((did * 31 + i * 7 + j * 13) % 256).astype(np.uint8)
+                prog = did % 6 >= 3
                 if did % 3 == 0:
-                    payload = jpeg.encode_jpeg(k)
+                    payload = jpeg.encode_jpeg(k, progressive=prog)
                 else:
                     rgb = np.stack([k, (k * 3) % 256, (k * 7) % 256],
                                    axis=-1).astype(np.uint8)
                     if did % 3 == 1:
-                        payload = jpeg.encode_jpeg(rgb, subsample="444")
+                        payload = jpeg.encode_jpeg(rgb, subsample="444",
+                                                   progressive=prog)
                     else:
-                        payload = jpeg.encode_jpeg(rgb, subsample="420",
-                                                   restart_interval=2)
+                        payload = jpeg.encode_jpeg(
+                            rgb, subsample="420", progressive=prog,
+                            restart_interval=0 if prog else 2)
                 rows.append((did, payload, "image"))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"])

@@ -223,3 +223,39 @@ def weighted_sample(df: DataFrame, weight_col: str, budget_frac: float,
     return (df.crossJoin(F.broadcast(mean))
             .where(_hash_frac(id_col, salt) < p)
             .drop("_mw"))
+
+
+def cluster_balanced_sample(emb: DataFrame, cents: list[list[float]],
+                            target_per_cell: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            salt: str = "cb1") -> DataFrame:
+    """Cluster-balanced corpus downsampling: assign each embedding to
+    its nearest coarse centroid (map-side expression — the IVF kernel
+    from operators/similarity.py), then keep each row with probability
+    ``min(1, target_per_cell / |cell|)`` via the package's
+    deterministic md5-hash threshold.  Dense regions of embedding
+    space are thinned toward ``target_per_cell`` while sparse regions
+    are kept whole — the diversity-flattening pass pre-training
+    pipelines run after dedup (cluster-balanced reweighting a la
+    DataComp / SSL-prototypes) so near-duplicate-free but
+    topic-skewed corpora don't drown rare domains.
+
+    Scale shape: one groupBy on the cell key produces a counts frame
+    BOUNDED BY n_centroids (a config constant, not a function of
+    corpus size), which is broadcast back; the corpus itself never
+    shuffles — assignment, threshold, and filter are all map-side.
+    Deterministic and stable under incremental ingest: a row's fate
+    depends only on (id, salt, its cell's census), so re-running
+    after an append only re-rolls cells whose counts changed.
+
+    Returns the kept (id_col, cell) rows."""
+    from pointdatabase_spark.operators.similarity import cell_expr
+    c = (emb.select(F.col(id_col).alias("id"),
+                    F.expr(cell_expr(vec_col, cents)).alias("cell")))
+    counts = c.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
+    keep_p = F.least(F.lit(1.0), F.lit(float(target_per_cell))
+                     / F.col("n_c"))
+    return (c.join(F.broadcast(counts), "cell")
+            .where(_hash_frac("id", salt) < keep_p)
+            .select(F.col("id").alias(id_col), "cell"))

@@ -75,6 +75,7 @@ _SCORE_FIRST = [
     # new in r8 — SemDeDup cluster-blocked embedding dedup; real
     # baseline-JPEG decode
     "semantic_dedup", "semantic_dedup_stats", "multimodal_jpeg_decode",
+    "cluster_balanced_sample",
     # The rest of the ~50-query window falls through to registry
     # order (q1, box_query, crossover_analysis, blockmedian/window/
     # filter family — all r6-green).
@@ -3174,6 +3175,33 @@ def _duck_h32_id(id_expr: str, salt: str) -> str:
         "md5(x)", f"md5(CAST({id_expr} AS VARCHAR) || '{salt}')")
 
 
+_CB_SAMPLE_ORACLE = f"""
+WITH c AS (SELECT vec_id, {_duck_cell('embedding')} AS cell
+           FROM embeddings),
+n AS (SELECT cell, COUNT(*) AS n_c FROM c GROUP BY cell)
+SELECT c.vec_id, c.cell
+FROM c JOIN n ON c.cell = n.cell
+WHERE {_duck_h32_id('c.vec_id', 'cb1')} / {float(1 << 32)!r}
+      < LEAST(1.0, 40.0 / n.n_c)
+"""
+
+
+@query("cluster_balanced_sample", oracle=_CB_SAMPLE_ORACLE)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Diversity-flattening downsample (sampling.py): IVF-cell census
+    caps each embedding-space region at ~40 rows via the
+    deterministic hash threshold — dense topics thin, rare ones stay
+    whole (cluster-balanced reweighting, the post-dedup diversity
+    pass).  The corpus never shuffles; the census frame is bounded by
+    n_centroids (a config constant), so its broadcast is scale-safe
+    by construction."""
+    from pointdatabase_spark.operators import sampling as _samp2
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _samp2.cluster_balanced_sample(emb, _CENTS,
+                                          target_per_cell=40)
+
+
 _SPLIT_CASE = ("CASE " + " ".join(
     f"WHEN u < {ub!r} THEN '{nm}'" for nm, ub in _SPLIT_UB)
     + f" ELSE '{_SPLITS[-1][0]}' END")
@@ -3831,11 +3859,12 @@ FROM documents
 
 @query("multimodal_jpeg_decode", oracle=_JPEG_DECODE_ORACLE)
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real baseline-JPEG decode (sources/jpeg.py — new r8): every
-    payload is a genuine JFIF bitstream (Huffman entropy decode,
-    dequantize, IDCT, chroma upsample, YCbCr->RGB), cycling
-    grayscale / RGB 4:4:4 / RGB 4:2:0-with-restart-markers across
-    doc_ids.  JPEG is lossy, so the oracle checks the decoded PIXEL
+    """Real JPEG decode (sources/jpeg.py — new r8): every payload is
+    a genuine JFIF bitstream (Huffman entropy decode, dequantize,
+    IDCT, chroma upsample, YCbCr->RGB), cycling six profiles across
+    doc_ids — grayscale / RGB 4:4:4 / RGB 4:2:0-with-restart-markers,
+    each as BASELINE and as PROGRESSIVE (SOF2 multi-scan: spectral
+    selection + successive approximation).  JPEG is lossy, so the oracle checks the decoded PIXEL
     dimensions (exact by construction); pixel error bounds are pinned
     in tests/test_jpeg.py.  Scale shape: same as every multimodal
     stage — the codec runs inside Arrow-batched mapInPandas, one

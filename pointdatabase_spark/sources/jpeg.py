@@ -1,5 +1,6 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec — stdlib + NumPy,
-no PIL/libjpeg, same container constraints as sources/media.py.
+"""JPEG (ITU-T T.81 / ISO 10918-1) codec — baseline AND progressive,
+stdlib + NumPy, no PIL/libjpeg, same container constraints as
+sources/media.py.
 
 Closes the "real corpora contain JPEG" gap named in VERDICT r6
 (What's missing #2): web-scraped multimodal corpora are dominated by
@@ -7,19 +8,25 @@ JFIF files, so the decode path in operators/multimodal.py needs a
 genuine entropy-decode → dequantize → IDCT → upsample → color-convert
 pipeline, not a gate.
 
-Scope (the baseline profile that covers the overwhelming majority of
-wild JPEGs):
- - decode: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/RSTn/EOI marker walk;
-   8-bit baseline sequential DCT, 1 or 3 components, arbitrary
-   sampling factors h,v in {1,2} (4:4:4, 4:2:2, 4:2:0, grayscale);
-   byte-stuffing and restart-marker handling; Huffman tables read
-   from the stream (any valid tables, not just Annex K); chroma
-   upsampled by sample replication; JFIF YCbCr -> RGB.
-   Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-   modes raise NotImplementedError naming the gap.
- - encode: baseline JFIF with the Annex K quantization tables (IJG
-   quality scaling) and Annex K Huffman tables; 4:4:4 or 4:2:0
-   (2x2-mean chroma downsample); grayscale for 2-D input.
+Scope (the two profiles that cover effectively all wild JPEGs):
+ - decode: SOI/APPn/COM/DQT/DHT/DRI/SOF/SOS/RSTn/EOI marker walk;
+   8-bit sequential baseline (SOF0/1) AND progressive (SOF2:
+   spectral-selection bands, successive-approximation first +
+   refinement scans with EOB runs, interleaved DC / non-interleaved
+   AC geometry), 1 or 3 components, sampling factors h,v in {1,2}
+   (4:4:4, 4:2:2, 4:2:0, grayscale); byte-stuffing and
+   restart-marker handling; Huffman tables read from the stream (any
+   valid tables, not just Annex K); chroma upsampled by sample
+   replication; JFIF YCbCr -> RGB.  Arithmetic coding, 12-bit,
+   lossless, and hierarchical modes raise NotImplementedError naming
+   the gap.
+ - encode: baseline or progressive JFIF with the Annex K
+   quantization tables (IJG quality scaling) and Annex K Huffman
+   tables; 4:4:4 or 4:2:0 (2x2-mean chroma downsample); grayscale
+   for 2-D input.  The progressive scan script refines Al=1 -> 0 in
+   both DC and AC, so every decoder scan kind is exercised; its
+   final coefficients equal the baseline encoding exactly, making
+   progressive-vs-baseline pixel identity a testable invariant.
 
 Everything entropy-coded is sequential per file (Huffman has a bit-
 serial data dependency — true of every JPEG library); parallelism at
@@ -233,13 +240,21 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 subsample: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(H,W) grayscale or (H,W,3) RGB uint8 -> baseline JFIF bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(H,W) grayscale or (H,W,3) RGB uint8 -> JFIF bytes.
     ``subsample``: "444" (no chroma subsampling) or "420" (2x2-mean
     chroma downsample, the web-corpus default).  ``restart_interval``
     > 0 emits DRI + RSTn markers every N MCUs (the error-resilience
     layout many camera JPEGs use — exercises the decoder's restart
-    path)."""
+    path; baseline only).  ``progressive`` emits SOF2 with a 4-phase
+    scan script exercising BOTH progressive dimensions — spectral
+    selection (DC scan, then per-component AC bands) and successive
+    approximation (Al=1 first pass, then DC/AC refinement scans) —
+    with EOB runs capped at one block so the Annex K tables suffice.
+    The final coefficients equal the baseline encoding's exactly, so
+    progressive and baseline files of the same input decode to
+    IDENTICAL pixels (pinned in tests)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3):
         raise ValueError("expect uint8 (H,W) or (H,W,3)")
@@ -284,42 +299,107 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 
     dc_l, ac_l = _build_codes(*_DC_LUM), _build_codes(*_AC_LUM)
     dc_c, ac_c = _build_codes(*_DC_CHR), _build_codes(*_AC_CHR)
-    wr = _BitWriter()
-    dc_prev = [0] * len(planes)
-    rst = [0]
+    nc = len(planes)
+    bw = [p.shape[1] // 8 for p in padded]
+    mcux = padded[0].shape[1] // (8 * samp[0][0])
+    mcuy = padded[0].shape[0] // (8 * samp[0][1])
+    hmax = max(sp[0] for sp in samp)
+    vmax = max(sp[1] for sp in samp)
 
-    def _maybe_restart(mcu_idx: int) -> None:
-        if restart_interval and mcu_idx and \
-                mcu_idx % restart_interval == 0:
-            wr.flush()
-            wr.buf += bytes([0xFF, 0xD0 + rst[0] % 8])
-            rst[0] += 1
-            for i in range(len(dc_prev)):
-                dc_prev[i] = 0
-
-    if gray:
-        for mi, blk in enumerate(zz_all[0]):
-            _maybe_restart(mi)
-            dc_prev[0] = _encode_block(blk, dc_prev[0], wr, dc_l, ac_l)
-    else:
-        # interleaved MCUs
-        bw = [p.shape[1] // 8 for p in padded]
-        mcux = padded[0].shape[1] // (16 if two else 8)
-        mcuy = padded[0].shape[0] // (16 if two else 8)
+    def _mcu_blocks():
+        """(ci, bi) in interleaved MCU order over the padded grids."""
         for my in range(mcuy):
             for mx in range(mcux):
-                _maybe_restart(my * mcux + mx)
-                for ci in range(3):
+                for ci in range(nc):
                     hi, vi = samp[ci]
-                    dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
                     for by in range(vi):
                         for bx in range(hi):
-                            bi = ((my * vi + by) * bw[ci]
-                                  + mx * hi + bx)
-                            dc_prev[ci] = _encode_block(
-                                zz_all[ci][bi], dc_prev[ci], wr,
-                                dct, act)
-    wr.flush()
+                            yield ci, ((my * vi + by) * bw[ci]
+                                       + mx * hi + bx)
+
+    def _nonint_blocks(ci):
+        """bi in the component's own (non-MCU-padded) raster order —
+        the block geometry of non-interleaved progressive scans."""
+        hi, vi = samp[ci]
+        nbw = -(-(-(-(w * hi) // hmax)) // 8)
+        nbh = -(-(-(-(h * vi) // vmax)) // 8)
+        for r_ in range(nbh):
+            for c_ in range(nbw):
+                yield r_ * bw[ci] + c_
+
+    def _sos(spec, ss, se, ah, al):
+        body = bytes([len(spec)])
+        for ci, td, ta in spec:
+            body += bytes([ci + 1, (td << 4) | ta])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    scans: list[tuple[bytes, bytes]] = []   # (sos body, entropy)
+    if not progressive:
+        wr = _BitWriter()
+        dc_prev = [0] * nc
+        mcu_idx = -1
+        blocks_per_mcu = sum(hi * vi for hi, vi in samp)
+        for n_, (ci, bi) in enumerate(_mcu_blocks()):
+            if n_ % blocks_per_mcu == 0:
+                mcu_idx += 1
+                if restart_interval and mcu_idx and \
+                        mcu_idx % restart_interval == 0:
+                    wr.flush()
+                    wr.buf += bytes([
+                        0xFF, 0xD0 + (mcu_idx // restart_interval - 1) % 8])
+                    dc_prev = [0] * nc
+            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            dc_prev[ci] = _encode_block(zz_all[ci][bi], dc_prev[ci],
+                                        wr, dct, act)
+        wr.flush()
+        scans.append((_sos([(ci, 0 if ci == 0 else 1,
+                             0 if ci == 0 else 1) for ci in range(nc)],
+                           0, 63, 0, 0), bytes(wr.buf)))
+    else:
+        if restart_interval:
+            raise ValueError(
+                "restart markers are supported for baseline encode only")
+        # scan 1: DC first, all components interleaved, Al=1
+        wr = _BitWriter()
+        pred = [0] * nc
+        for ci, bi in _mcu_blocks():
+            dct = dc_l if ci == 0 else dc_c
+            dcv = int(zz_all[ci][bi][0]) >> 1
+            s, b = _mag_bits(dcv - pred[ci])
+            pred[ci] = dcv
+            c_, ln = dct[s]
+            wr.write(c_, ln)
+            if s:
+                wr.write(b, s)
+        wr.flush()
+        scans.append((_sos([(ci, 0 if ci == 0 else 1, 0)
+                            for ci in range(nc)], 0, 0, 0, 1),
+                      bytes(wr.buf)))
+        # scans 2..: AC first per component, band 1-63, Al=1
+        for ci in range(nc):
+            act = ac_l if ci == 0 else ac_c
+            wr = _BitWriter()
+            for bi in _nonint_blocks(ci):
+                _enc_ac_first(wr, act, zz_all[ci][bi], 1, 63, 1)
+            wr.flush()
+            scans.append((_sos([(ci, 0, 0 if ci == 0 else 1)],
+                               1, 63, 0, 1), bytes(wr.buf)))
+        # DC refinement: one raw bit per block, no Huffman
+        wr = _BitWriter()
+        for ci, bi in _mcu_blocks():
+            wr.write(int(zz_all[ci][bi][0]) & 1, 1)
+        wr.flush()
+        scans.append((_sos([(ci, 0, 0) for ci in range(nc)],
+                           0, 0, 1, 0), bytes(wr.buf)))
+        # AC refinement per component, Ah=1 -> Al=0
+        for ci in range(nc):
+            act = ac_l if ci == 0 else ac_c
+            wr = _BitWriter()
+            for bi in _nonint_blocks(ci):
+                _enc_ac_refine(wr, act, zz_all[ci][bi], 1, 63, 0)
+            wr.flush()
+            scans.append((_sos([(ci, 0, 0 if ci == 0 else 1)],
+                               1, 63, 1, 0), bytes(wr.buf)))
 
     out = bytearray(b"\xFF\xD8")                        # SOI
     out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
@@ -330,26 +410,97 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         out += b"\xFF\xDB" + struct.pack(">H", len(body) + 2) + body
     if restart_interval:
         out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
-    nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
-    out += b"\xFF\xC0" + struct.pack(">H", len(sof) + 2) + sof
+    out += ((b"\xFF\xC2" if progressive else b"\xFF\xC0")
+            + struct.pack(">H", len(sof) + 2) + sof)
     hts = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
     if not gray:
         hts += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
     for tc, (bits, vals) in hts:
         body = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3F\x00"
-    out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
-    out += wr.buf
+    for sos_body, entropy in scans:
+        out += b"\xFF\xDA" + struct.pack(">H", len(sos_body) + 2)
+        out += sos_body
+        out += entropy
     out += b"\xFF\xD9"                                  # EOI
     return bytes(out)
+
+
+def _enc_ac_first(wr: _BitWriter, tab: dict, blk: np.ndarray,
+                  ss: int, se: int, al: int) -> None:
+    """AC first progressive scan for one block: baseline-style RLE on
+    the point-transformed magnitudes (truncate-toward-zero by Al),
+    EOB run capped at one block."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        tv = abs(v) >> al
+        if tv == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = tab[0xF0]
+            wr.write(c, ln)
+            r -= 16
+        s = tv.bit_length()
+        _, bits = _mag_bits(tv if v > 0 else -tv)
+        c, ln = tab[(r << 4) | s]
+        wr.write(c, ln)
+        wr.write(bits, s)
+        r = 0
+    if r:
+        c, ln = tab[0x00]
+        wr.write(c, ln)
+
+
+def _enc_ac_refine(wr: _BitWriter, tab: dict, blk: np.ndarray,
+                   ss: int, se: int, al: int) -> None:
+    """AC refinement scan for one block (T.81 G.1.2.3): newly
+    significant coefficients (shifted magnitude == 1) get run+sign
+    symbols; already-significant ones append correction bits after
+    the next emitted symbol; trailing history folds into EOB.  ZRLs
+    are emitted at any nonzero coefficient once the pending zero run
+    exceeds 15 (but never past the last newly-significant index, so
+    the tail folds into the EOB) — this keeps buffered correction
+    bits positionally inside the decoder's run walk."""
+    vals = [int(blk[k]) for k in range(ss, se + 1)]
+    shifted = [abs(v) >> al for v in vals]
+    eobk = -1
+    for i, tv in enumerate(shifted):
+        if tv == 1:
+            eobk = i
+    r = 0
+    br: list[int] = []
+    for i, (v, tv) in enumerate(zip(vals, shifted)):
+        if tv == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eobk:
+            c, ln = tab[0xF0]
+            wr.write(c, ln)
+            for b in br:
+                wr.write(b, 1)
+            br = []
+            r -= 16
+        if tv > 1:
+            br.append(tv & 1)
+            continue
+        c, ln = tab[(r << 4) | 1]
+        wr.write(c, ln)
+        wr.write(1 if v > 0 else 0, 1)
+        for b in br:
+            wr.write(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        c, ln = tab[0x00]
+        wr.write(c, ln)
+        for b in br:
+            wr.write(b, 1)
 
 
 # ---------------------------------------------------------------- decoder
@@ -434,9 +585,150 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _ac_refine_block(rd: _BitReader, tab: dict, blk: np.ndarray,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """Decode one block of an AC successive-approximation refinement
+    scan (T.81 G.2; mirror of _enc_ac_refine).  Returns the updated
+    EOB run counter."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(rd, tab)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                val = 0                       # ZRL: pass 16 zero-history
+            else:
+                if sz != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if rd.bit() and ((abs(v) >> al) & 1) == 0:
+                        blk[k] = v + (p1 if v > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and rd.bit() and ((abs(v) >> al) & 1) == 0:
+                blk[k] = v + (p1 if v > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(data: bytes, pos: int, scan: list, ss: int, se: int,
+                 ah: int, al: int, huff_dc: dict, huff_ac: dict,
+                 restart: int, mcux: int, mcuy: int, w: int, h: int,
+                 hmax: int, vmax: int, progressive: bool) -> int:
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays; returns the stream position of the next marker.  Handles
+    interleaved and non-interleaved geometry, restart intervals, and
+    all four progressive scan kinds (DC/AC x first/refine)."""
+    rd = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        nmcu = mcux * mcuy
+        if progressive and ss > 0:
+            raise ValueError("interleaved progressive AC scan")
+    else:
+        comp0 = scan[0][0]
+        cw = -(-(w * comp0["h"]) // hmax)
+        ch = -(-(h * comp0["v"]) // vmax)
+        nbw, nbh = -(-cw // 8), -(-ch // 8)
+        nmcu = nbw * nbh
+    try:
+        for m in range(nmcu):
+            if restart and m and m % restart == 0:
+                rd.align_restart()
+                pred = {c["id"]: 0 for c, _, _ in scan}
+                eobrun = 0
+            for comp, td, ta in scan:
+                if interleaved:
+                    hi, vi = comp["h"], comp["v"]
+                    blist = [(((m // mcux) * vi + by) * comp["bw"]
+                              + (m % mcux) * hi + bx)
+                             for by in range(vi) for bx in range(hi)]
+                else:
+                    blist = [(m // nbw) * comp["bw"] + (m % nbw)]
+                for bi in blist:
+                    blk = comp["coef"][bi]
+                    if not progressive:
+                        sz = _read_symbol(rd, huff_dc[td])
+                        diff = _extend(rd.bits(sz), sz) if sz else 0
+                        pred[comp["id"]] += diff
+                        blk[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(rd, huff_ac[ta])
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                     # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            blk[k] = _extend(rd.bits(sz), sz)
+                            k += 1
+                    elif ss == 0 and ah == 0:            # DC first
+                        sz = _read_symbol(rd, huff_dc[td])
+                        diff = _extend(rd.bits(sz), sz) if sz else 0
+                        pred[comp["id"]] += diff
+                        blk[0] = pred[comp["id"]] << al
+                    elif ss == 0:                        # DC refine
+                        if rd.bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+                    elif ah == 0:                        # AC first
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _read_symbol(rd, huff_ac[ta])
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += rd.bits(r)
+                                    break
+                                k += 16
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run overflow")
+                            blk[k] = _extend(rd.bits(sz), sz) << al
+                            k += 1
+                    else:                                # AC refine
+                        eobrun = _ac_refine_block(
+                            rd, huff_ac[ta], blk, ss, se, al, eobrun)
+    except _MarkerHit:
+        pass                                             # truncated pad
+    return rd.pos
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H,W) uint8 grayscale or (H,W,3) uint8
-    RGB.  See module docstring for the supported profile."""
+    """JFIF bytes -> (H,W) uint8 grayscale or (H,W,3) uint8 RGB.
+    Baseline (SOF0/1) and progressive (SOF2: spectral selection +
+    successive approximation, multi-scan) profiles; see the module
+    docstring for the full supported envelope."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -445,15 +737,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
     h = w = 0
+    hmax = vmax = mcux = mcuy = 0
     restart = 0
-    while True:
+    progressive = False
+    n_scans = 0
+    while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         mk = data[pos + 1]
         pos += 2
         if mk == 0xD9:                                   # EOI
-            raise ValueError("JPEG has no scan data")
-        if mk in (0x01,) or 0xD0 <= mk <= 0xD7:
+            break
+        if mk == 0x01 or 0xD0 <= mk <= 0xD7:
             continue
         ln = struct.unpack_from(">H", data, pos)[0]
         body = data[pos + 2:pos + ln]
@@ -480,7 +775,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tab = _build_decode_tree(bits, vals)
                 (huff_ac if tc else huff_dc)[th] = tab
                 bp += 17 + n
-        elif mk == 0xC0 or mk == 0xC1:                   # SOF0/1
+        elif mk in (0xC0, 0xC1, 0xC2):                   # SOF0/1/2
+            progressive = mk == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -493,73 +789,44 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         f"sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-        elif mk in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64),
+                                     np.float64)
+        elif mk in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                     0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/arithmetic/"
-                "hierarchical)")
+                "non-baseline/non-progressive JPEG (arithmetic/"
+                "lossless/hierarchical)")
         elif mk == 0xDD:                                 # DRI
             restart = struct.unpack_from(">H", body, 0)[0]
         elif mk == 0xDA:                                 # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next(c for c in comps if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
-            break
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(data, pos, scan, ss, se, ah, al,
+                               huff_dc, huff_ac, restart, mcux, mcuy,
+                               w, h, hmax, vmax, progressive)
+            n_scans += 1
         # APPn / COM / others: skipped via ln
     if not comps:
         raise ValueError("JPEG missing SOF")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.float64)
-
-    rd = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c in comps}
-    nmcu = mcux * mcuy
-    interleaved = len(scan) > 1
-    try:
-        for m in range(nmcu):
-            if restart and m and m % restart == 0:
-                rd.align_restart()
-                pred = {c["id"]: 0 for c in comps}
-            for comp, td, ta in scan:
-                hi, vi = (comp["h"], comp["v"]) if interleaved else (1, 1)
-                for by in range(vi):
-                    for bx in range(hi):
-                        if interleaved:
-                            bi = (((m // mcux) * vi + by) * comp["bw"]
-                                  + (m % mcux) * hi + bx)
-                        else:
-                            bi = m
-                        blk = comp["coef"][bi]
-                        s = _read_symbol(rd, huff_dc[td])
-                        diff = _extend(rd.bits(s), s) if s else 0
-                        pred[comp["id"]] += diff
-                        blk[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(rd, huff_ac[ta])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break                     # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            blk[k] = _extend(rd.bits(s), s)
-                            k += 1
-    except _MarkerHit:
-        pass                                             # truncated pad
+    if not n_scans:
+        raise ValueError("JPEG has no scan data")
 
     planes = []
     for c in comps:

@@ -88,8 +88,8 @@ def test_non_baseline_gates_are_named():
     a = _grad(8, 8)
     blob = bytearray(jpeg.encode_jpeg(a))
     sof = blob.index(b"\xFF\xC0")
-    blob[sof + 1] = 0xC2                               # progressive
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    blob[sof + 1] = 0xC9                               # arithmetic
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"\x89PNG not a jpeg")
@@ -106,3 +106,33 @@ def test_decode_image_dispatch():
     d = media.decode_image(jpeg.encode_jpeg(g, quality=95))
     assert d.shape == g.shape
     assert np.abs(d.astype(int) - g.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("shape,sub", [
+    ((24, 33), "444"), ((17, 25, 3), "444"), ((19, 21, 3), "420"),
+    ((32, 48, 3), "420"), ((3, 5, 3), "420"), ((1, 1), "444")])
+def test_progressive_equals_baseline(shape, sub):
+    """The progressive scan script (DC/AC spectral selection +
+    Al=1->0 successive approximation) reconstructs the SAME
+    coefficients as the baseline encoding, so the decoded pixels must
+    be bit-identical — on smooth and adversarial content alike."""
+    rng = np.random.default_rng(11)
+    for a in (_grad(*shape[:2]) if len(shape) == 2
+              else _grad(shape[0], shape[1], 3),
+              rng.integers(0, 256, shape).astype(np.uint8)):
+        for q in (30, 90, 100):
+            base = jpeg.decode_jpeg(
+                jpeg.encode_jpeg(a, quality=q, subsample=sub))
+            prog = jpeg.decode_jpeg(jpeg.encode_jpeg(
+                a, quality=q, subsample=sub, progressive=True))
+            np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_marker_structure():
+    """SOF2 + one SOS per scan-script phase (color: 1 DC + 3 AC +
+    1 DC-refine + 3 AC-refine = 8)."""
+    b = jpeg.encode_jpeg(_grad(16, 16, 3), progressive=True)
+    assert b.count(b"\xFF\xC2") == 1 and b.count(b"\xFF\xC0") == 0
+    assert b.count(b"\xFF\xDA") == 8
+    g = jpeg.encode_jpeg(_grad(16, 16), progressive=True)
+    assert g.count(b"\xFF\xDA") == 4

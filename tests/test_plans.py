@@ -372,3 +372,31 @@ def test_q7_prunes_fact_columns_and_orders_projection(spark):
     od = plan[plan.index("orders.parquet"):]
     od = od[od.index("ReadSchema"):][:200]
     assert "o_orderkey" in od and "o_totalprice" not in od
+
+
+def test_semantic_dedup_pairs_join_on_cell_key(spark):
+    """SemDeDup's quadratic term must be cell-blocked: the pairwise
+    cosine stage plans as an equi-join ON THE CELL KEY (hash or
+    sort-merge), never a cartesian/nested-loop product — the property
+    that makes the cost Σ|cell|² instead of corpus²."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["semantic_dedup"](spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan
+
+
+def test_cluster_balanced_sample_census_is_broadcast(spark):
+    """The per-cell census frame (bounded by n_centroids, a config
+    constant) joins back by broadcast; the corpus side must carry no
+    hash-partition exchange — assignment, threshold and filter are
+    map-side."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["cluster_balanced_sample"](
+        spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan and "cell" in plan
+    # exactly one hash exchange: the |cells|-row census aggregate;
+    # the corpus side streams map-side into the broadcast join
+    assert plan.count("Exchange hashpartitioning") <= 1
