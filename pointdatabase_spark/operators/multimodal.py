@@ -144,14 +144,16 @@ def attach_jpeg_payload(docs: DataFrame,
     """Binary payloads that are REAL baseline JFIF encodings
     (sources/jpeg.py) of the same deterministic (8 + id%13) x
     (16 + id%17) pattern attach_real_payload uses, cycling the six
-    profiles wild corpora contain: id%6 in {0,1,2} -> BASELINE
-    grayscale / RGB 4:4:4 / RGB 4:2:0-with-restart-markers; id%6 in
-    {3,4,5} -> the same three as PROGRESSIVE (SOF2 spectral
-    selection + successive approximation, multi-scan).  JPEG is
-    lossy, so unlike the PNG mix only the
-    DIMENSIONS are closed-form in doc_id — which is exactly what the
-    oracle for multimodal_jpeg_decode checks; pixel-level behavior is
-    pinned by tests/test_jpeg.py roundtrip bounds instead."""
+    profiles wild corpora contain — BASELINE grayscale / RGB 4:4:4 /
+    RGB 4:2:0-with-restart-markers, then the same three as
+    PROGRESSIVE (SOF2 spectral selection + successive approximation,
+    multi-scan).  The profile cycles on id//3 so the image-typed
+    subset of the corpus (ids ≡ 0 mod 3, the attach_payload
+    convention) still walks all six.  JPEG is lossy, so unlike the
+    PNG mix only the DIMENSIONS are closed-form in doc_id — which is
+    exactly what the oracle for multimodal_jpeg_decode checks;
+    pixel-level behavior is pinned by tests/test_jpeg.py roundtrip
+    bounds instead."""
     from pointdatabase_spark.sources import jpeg
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -163,13 +165,14 @@ def attach_jpeg_payload(docs: DataFrame,
                 i = np.arange(h)[:, None]
                 j = np.arange(w)[None, :]
                 k = ((did * 31 + i * 7 + j * 13) % 256).astype(np.uint8)
-                prog = did % 6 >= 3
-                if did % 3 == 0:
+                prof = (did // 3) % 6
+                prog = prof >= 3
+                if prof % 3 == 0:
                     payload = jpeg.encode_jpeg(k, progressive=prog)
                 else:
                     rgb = np.stack([k, (k * 3) % 256, (k * 7) % 256],
                                    axis=-1).astype(np.uint8)
-                    if did % 3 == 1:
+                    if prof % 3 == 1:
                         payload = jpeg.encode_jpeg(rgb, subsample="444",
                                                    progressive=prog)
                     else:
@@ -177,6 +180,40 @@ def attach_jpeg_payload(docs: DataFrame,
                             rgb, subsample="420", progressive=prog,
                             restart_interval=0 if prog else 2)
                 rows.append((did, payload, "image"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"])
+
+    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
+            .mapInPandas(_gen,
+                         schema="doc_id bigint, payload binary, "
+                                "media_type string"))
+
+
+def attach_gif_payload(docs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Binary payloads that are REAL animated-GIF encodings
+    (sources/gif.py) of the SAME deterministic voxel pattern the APNG
+    video branch uses — nf = 2 + id%7 frames of (6 + id%9) x
+    (8 + id%11), p[f,i,j] = (id*31 + 11f + 7i + 13j) mod 256 as
+    gray-ramp palette indices; odd ids are row-INTERLACED.  GIF
+    decodes to channel-replicated RGB, so every mean-luma statistic
+    equals the grayscale pattern's exactly and the APNG frames oracle
+    carries over unchanged."""
+    from pointdatabase_spark.sources import gif
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                did = int(doc_id)
+                nf, h, w = 2 + did % 7, 6 + did % 9, 8 + did % 11
+                f = np.arange(nf)[:, None, None]
+                i = np.arange(h)[None, :, None]
+                j = np.arange(w)[None, None, :]
+                px = ((did * 31 + f * 11 + i * 7 + j * 13) % 256
+                      ).astype(np.uint8)
+                rows.append((did, gif.encode_gif(
+                    px, interlace=bool(did % 2)), "video"))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"])
 
@@ -200,12 +237,13 @@ def _real_decode_row(payload: bytes, media_type: str) -> tuple:
         return (len(payload), s.shape[0], s.shape[1], 1,
                 hashlib.md5(s.tobytes()).hexdigest())
     try:
-        fr = media.decode_apng(payload)
+        fr = media.decode_frames(payload)
     except ValueError as exc:
         raise NotImplementedError(
-            "video container is not APNG — other containers (mp4, "
-            "webm, ...) need ffmpeg, which is not shipped; APNG "
-            "decode is real (sources/media.py)") from exc
+            "video container is not APNG/GIF — other containers "
+            "(mp4, webm, ...) need ffmpeg, which is not shipped; "
+            "APNG and animated-GIF decode are real "
+            "(sources/media.py, sources/gif.py)") from exc
     return (len(payload), fr.shape[2], fr.shape[1], fr.shape[0],
             hashlib.md5(fr.tobytes()).hexdigest())
 
@@ -301,7 +339,7 @@ def extract_features(df: DataFrame, dim: int = 8,
                                  float(s.max()) / 32768.0,
                                  float(s.min()) / 32768.0))
                     else:
-                        fr = media.decode_apng(pb).astype(np.int64)
+                        fr = media.decode_frames(pb).astype(np.int64)
                         rows.append((int(doc_id), mt,
                                      (float(fr.sum()) / fr.size) / 255.0,
                                      float(fr.max()) / 255.0,
@@ -375,7 +413,7 @@ def resize_media(df: DataFrame, max_w: int, max_h: int,
                         on = min(n, max_w)
                         emit(int(doc_id), mt, n, nch, on, nch, s[:on])
                     else:
-                        fr = media.decode_apng(pb)
+                        fr = media.decode_frames(pb)
                         nf, h, w = fr.shape[:3]
                         ow, oh = min(w, max_w), min(h, max_h)
                         yi = (np.arange(oh) * h) // oh
@@ -419,10 +457,11 @@ def sample_frames(df: DataFrame, step: int,
     blowup never shuffles."""
     step_ = int(step)
     if decoder == "real":
-        # APNG frames genuinely decoded; per-frame mean luma is an
-        # exact int reduction + two IEEE divisions (SQL-oracle-able,
-        # unlike an md5 of the pixel grid). Non-APNG video containers
-        # raise inside decode_apng — ffmpeg is not shipped.
+        # APNG/GIF frames genuinely decoded; per-frame mean luma is
+        # an exact int reduction + two IEEE divisions
+        # (SQL-oracle-able, unlike an md5 of the pixel grid). Other
+        # video containers raise inside decode_frames — ffmpeg is
+        # not shipped.
         from pointdatabase_spark.sources import media
 
         def _frames_real(batches: Iterator[pd.DataFrame]
@@ -434,9 +473,13 @@ def sample_frames(df: DataFrame, step: int,
                                                b["media_type"]):
                     if mt != "video":
                         continue
-                    fr = media.decode_apng(bytes(payload)).astype(
+                    fr = media.decode_frames(bytes(payload)).astype(
                         np.int64)
-                    per = fr.shape[1] * fr.shape[2]
+                    # full per-frame element count: GIF frames carry a
+                    # replicated-channel axis, so dividing by size
+                    # yields the gray mean (3s/3hw == s/hw exactly —
+                    # IEEE division is correctly rounded)
+                    per = int(np.prod(fr.shape[1:]))
                     for k in range(0, fr.shape[0], step_):
                         ids.append(int(doc_id))
                         idxs.append(k)

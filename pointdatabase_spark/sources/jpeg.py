@@ -42,6 +42,7 @@ pinned encoded fixture.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -206,25 +207,22 @@ def _encode_block(zz: np.ndarray, dc_prev: int, wr: _BitWriter,
     wr.write(c, ln)
     if s:
         wr.write(bits, s)
-    run = 0
-    last = 63
-    while last > 0 and zz[last] == 0:
-        last -= 1
-    for k in range(1, last + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    # iterate nonzero coefficients only (typical blocks are sparse
+    # after quantization — this skips the 64-slot Python scan)
+    prev = 0
+    for k in np.nonzero(zz[1:])[0] + 1:
+        k = int(k)
+        run = k - prev - 1
         while run > 15:
             c, ln = ac_tab[0xF0]          # ZRL
             wr.write(c, ln)
             run -= 16
-        s, bits = _mag_bits(v)
+        s, bits = _mag_bits(int(zz[k]))
         c, ln = ac_tab[(run << 4) | s]
         wr.write(c, ln)
         wr.write(bits, s)
-        run = 0
-    if last < 63:
+        prev = k
+    if prev < 63:
         c, ln = ac_tab[0x00]              # EOB
         wr.write(c, ln)
     return dc
@@ -243,8 +241,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
                 progressive: bool = False) -> bytes:
     """(H,W) grayscale or (H,W,3) RGB uint8 -> JFIF bytes.
-    ``subsample``: "444" (no chroma subsampling) or "420" (2x2-mean
-    chroma downsample, the web-corpus default).  ``restart_interval``
+    ``subsample``: "444" (no chroma subsampling), "422" (2x1-mean
+    horizontal chroma downsample) or "420" (2x2-mean, the web-corpus
+    default).  ``restart_interval``
     > 0 emits DRI + RSTn markers every N MCUs (the error-resilience
     layout many camera JPEGs use — exercises the decoder's restart
     path; baseline only).  ``progressive`` emits SOF2 with a 4-phase
@@ -260,8 +259,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         raise ValueError("expect uint8 (H,W) or (H,W,3)")
     if a.ndim == 3 and a.shape[2] != 3:
         raise ValueError("expect 3 channels for color input")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
     h, w = a.shape[:2]
     if not h or not w:
         raise ValueError("empty image")
@@ -278,20 +277,24 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [yy, cb, cr]
 
-    two = (not gray) and subsample == "420"
-    # sampling factors per component
-    samp = [(2, 2), (1, 1), (1, 1)] if two else [(1, 1)] * len(planes)
-    if two:
-        ypad = _pad_to(planes[0], 16, 16)
+    # luma sampling factors (hy, vy): chroma is always (1, 1), so the
+    # chroma planes are mean-downsampled by (hy horizontal, vy
+    # vertical) and the MCU is 8*hy x 8*vy luma pixels
+    hy, vy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsample]
+    if gray:
+        hy = vy = 1
+    samp = [(hy, vy)] + [(1, 1)] * (len(planes) - 1)
+    if hy == vy == 1:
+        padded = [_pad_to(p, 8, 8) for p in planes]
+    else:
+        ypad = _pad_to(planes[0], 8 * vy, 8 * hy)
         sub = []
         for p in planes[1:]:
-            p = _pad_to(p, 16, 16)
-            p = (p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+            p = _pad_to(p, 8 * vy, 8 * hy)
+            p = (p.reshape(p.shape[0] // vy, vy, p.shape[1] // hy, hy)
                  .mean(axis=(1, 3)))
             sub.append(p)
         padded = [ypad] + sub
-    else:
-        padded = [_pad_to(p, 8, 8) for p in planes]
 
     qts = [qt_l] + [qt_c] * (len(planes) - 1)
     zz_all = [_fdct_quant(np.round(p) - 128.0, qt)
@@ -508,43 +511,64 @@ def _enc_ac_refine(wr: _BitWriter, tab: dict, blk: np.ndarray,
 
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs 0xFF00, stops at any
-    real marker (leaves pos at the 0xFF)."""
+    real marker (leaves pos at the 0xFF).  Keeps a >=16-bit lookahead
+    so a Huffman symbol resolves with ONE list probe (_read_symbol,
+    _decode_lut); lookahead past the marker is 1-padding "phantom"
+    bits — CONSUMING one raises _MarkerHit exactly where the old
+    byte-at-a-time reader raised it (the first byte past the real
+    entropy data), so truncated-scan handling is unchanged."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.d = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.phantom = 0          # 1-pad bits appended at the marker
 
-    def _fill(self) -> None:
-        b = self.d[self.pos]
-        if b == 0xFF:
-            nxt = self.d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
+    def _fill16(self) -> None:
+        d = self.d
+        pos, acc, nbits = self.pos, self.acc, self.nbits
+        phantom = self.phantom
+        while nbits < 32:          # refill to 32 so ~2 symbols/refill
+            b = d[pos]
+            if b == 0xFF:
+                if d[pos + 1] == 0x00:
+                    pos += 2          # stuffed data byte
+                else:                 # real marker: phantom 1-pad
+                    acc = (acc << 8) | 0xFF
+                    nbits += 8
+                    phantom += 8
+                    continue
             else:
-                raise _MarkerHit()
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        self.pos, self.acc, self.nbits = pos, acc, nbits
+        self.phantom = phantom
 
     def bit(self) -> int:
-        if not self.nbits:
-            self._fill()
+        if self.nbits < 1:
+            self._fill16()
         self.nbits -= 1
+        if self.nbits < self.phantom:
+            raise _MarkerHit()
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        if not n:
+            return 0
+        if self.nbits < n:
+            self._fill16()
+        self.nbits -= n
+        if self.nbits < self.phantom:
+            raise _MarkerHit()
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_restart(self) -> None:
         """Byte-align and consume an RSTn marker."""
         self.acc = 0
         self.nbits = 0
+        self.phantom = 0
         if (self.d[self.pos] == 0xFF
                 and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
             self.pos += 2
@@ -556,29 +580,40 @@ class _MarkerHit(Exception):
     pass
 
 
-def _build_decode_tree(bits: list[int], vals: list[int]
-                       ) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    out: dict[tuple[int, int], int] = {}
+@functools.lru_cache(maxsize=None)
+def _decode_lut(bits: tuple, vals: tuple) -> list:
+    """DHT (bits, vals) -> 65536-entry list mapping every 16-bit
+    lookahead to (code_length << 8) | symbol (0 = invalid prefix).
+    Cached across files: real corpora reuse a handful of tables (the
+    Annex-K defaults dominate), so the one-time 64 KiB build
+    amortizes to zero and each symbol decode is a single probe."""
+    lut = np.zeros(65536, np.int32)
     code, i = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[i]
+            lo = code << (16 - ln)
+            lut[lo:lo + (1 << (16 - ln))] = (ln << 8) | vals[i]
             code += 1
             i += 1
         code <<= 1
-    return out
+    return lut.tolist()
 
 
-def _read_symbol(rd: _BitReader, tab: dict[tuple[int, int], int]) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | rd.bit()
-        ln += 1
-        sym = tab.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad Huffman code")
+def _read_symbol(rd: _BitReader, tab: list) -> int:
+    if rd.nbits < 16:
+        rd._fill16()
+    e = tab[(rd.acc >> (rd.nbits - 16)) & 0xFFFF]
+    if not e:
+        # all-real-bit prefixes that match no code are corrupt data;
+        # prefixes reaching into the 1-pad lookahead mean the scan
+        # data ended (truncated stream) — the old reader's _MarkerHit
+        if rd.nbits - rd.phantom < 16:
+            raise _MarkerHit()
+        raise ValueError("bad Huffman code")
+    rd.nbits -= e >> 8
+    if rd.nbits < rd.phantom:
+        raise _MarkerHit()
+    return e & 0xFF
 
 
 def _extend(v: int, s: int) -> int:
@@ -772,7 +807,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[bp + 1:bp + 17])
                 n = sum(bits)
                 vals = list(body[bp + 17:bp + 17 + n])
-                tab = _build_decode_tree(bits, vals)
+                tab = _decode_lut(tuple(bits), tuple(vals))
                 (huff_ac if tc else huff_dc)[th] = tab
                 bp += 17 + n
         elif mk in (0xC0, 0xC1, 0xC2):                   # SOF0/1/2

@@ -472,13 +472,32 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff-and-dispatch image decode: PNG by signature, JPEG by
-    SOI marker — the two formats that dominate web corpora (both
-    decoded by the real stdlib+NumPy codecs in this package)."""
+    SOI marker, GIF by header — the formats that dominate web
+    corpora, all decoded by the real stdlib+NumPy codecs in this
+    package.  Multi-frame GIFs return their FIRST frame here; the
+    video path (decode_frames) keeps the animation."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xFF\xD8":
         from pointdatabase_spark.sources.jpeg import decode_jpeg
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from pointdatabase_spark.sources.gif import decode_gif
+        return decode_gif(data)[0]
     raise NotImplementedError(
-        "image format is neither PNG nor JPEG (webp/gif/avif need "
-        "codecs not shipped in this container)")
+        "image format is not PNG/JPEG/GIF (webp/avif need codecs "
+        "not shipped in this container)")
+
+
+def decode_frames(data: bytes) -> np.ndarray:
+    """Sniff-and-dispatch ANIMATION decode: APNG -> (n,H,W[,C])
+    frames, GIF -> (n,H,W,3) composited frames.  Other containers
+    (mp4, webm, ...) need ffmpeg, which is not shipped."""
+    if data[:8] == _PNG_SIG:
+        return decode_apng(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from pointdatabase_spark.sources.gif import decode_gif
+        return decode_gif(data)
+    raise NotImplementedError(
+        "video container is neither APNG nor GIF — mp4/webm need "
+        "ffmpeg, which is not shipped in this container")

@@ -25,7 +25,8 @@ def _grad(h, w, c=None):
 @pytest.mark.parametrize("shape,sub", [
     ((24, 33), "444"), ((17, 25, 3), "444"), ((32, 48, 3), "420"),
     ((19, 21, 3), "420"), ((3, 5, 3), "420"), ((1, 1), "444"),
-    ((8, 8, 3), "444"), ((16, 16, 3), "420")])
+    ((8, 8, 3), "444"), ((16, 16, 3), "420"),
+    ((19, 21, 3), "422"), ((16, 48, 3), "422"), ((3, 5, 3), "422")])
 def test_gradient_roundtrip_error_bound(shape, sub):
     """Smooth images at q92: every sample within 2 of the source —
     the DCT basis represents low-frequency ramps almost exactly, so
@@ -54,7 +55,7 @@ def test_restart_markers_are_transparent():
     without restarts (predictor resets exactly cancel)."""
     rng = np.random.default_rng(9)
     a = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         base = jpeg.decode_jpeg(jpeg.encode_jpeg(a, quality=100,
                                                  subsample=sub))
         for ri in (1, 3, 7):
@@ -93,8 +94,8 @@ def test_non_baseline_gates_are_named():
         jpeg.decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"\x89PNG not a jpeg")
-    with pytest.raises(NotImplementedError, match="neither PNG nor"):
-        media.decode_image(b"GIF89a.....")
+    with pytest.raises(NotImplementedError, match="not PNG/JPEG/GIF"):
+        media.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_decode_image_dispatch():
@@ -110,7 +111,8 @@ def test_decode_image_dispatch():
 
 @pytest.mark.parametrize("shape,sub", [
     ((24, 33), "444"), ((17, 25, 3), "444"), ((19, 21, 3), "420"),
-    ((32, 48, 3), "420"), ((3, 5, 3), "420"), ((1, 1), "444")])
+    ((32, 48, 3), "420"), ((3, 5, 3), "420"), ((1, 1), "444"),
+    ((19, 21, 3), "422"), ((16, 48, 3), "422")])
 def test_progressive_equals_baseline(shape, sub):
     """The progressive scan script (DC/AC spectral selection +
     Al=1->0 successive approximation) reconstructs the SAME

@@ -163,3 +163,35 @@ def test_real_decode_video_is_apng_or_gated():
     # non-APNG containers (mp4 etc.) stay gated on ffmpeg
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         _real_decode_row(b"\x00\x00\x00 ftypisom....", "video")
+
+
+def test_gif_roundtrips_and_dispatch():
+    """r8: GIF codec (sources/gif.py) — lossless roundtrips across
+    gray ramp / small palette / interlace / animation / the LZW
+    dictionary-reset path, and sniffing through decode_image (first
+    frame) / decode_frames (animation)."""
+    from pointdatabase_spark.sources import gif
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    d = gif.decode_gif(gif.encode_gif(a))
+    assert d.shape == (1, 23, 31, 3)
+    np.testing.assert_array_equal(d[0, :, :, 0], a)
+    np.testing.assert_array_equal(
+        gif.decode_gif(gif.encode_gif(a, interlace=True)), d)
+    idx = rng.integers(0, 5, (9, 14), dtype=np.uint8)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        gif.decode_gif(gif.encode_gif(idx, pal))[0], pal[idx])
+    fr = rng.integers(0, 256, (4, 12, 17), dtype=np.uint8)
+    d4 = gif.decode_gif(gif.encode_gif(fr, delay_cs=5))
+    assert d4.shape == (4, 12, 17, 3)
+    for i in range(4):
+        np.testing.assert_array_equal(d4[i, :, :, 0], fr[i])
+    big = rng.integers(0, 256, (80, 200), dtype=np.uint8)  # LZW reset
+    np.testing.assert_array_equal(
+        gif.decode_gif(gif.encode_gif(big))[0, :, :, 0], big)
+    np.testing.assert_array_equal(
+        media.decode_image(gif.encode_gif(a))[:, :, 0], a)
+    assert media.decode_frames(gif.encode_gif(fr)).shape == (4, 12, 17, 3)
+    with pytest.raises(NotImplementedError, match="APNG nor GIF"):
+        media.decode_frames(b"\x00\x00\x00\x20ftypmp42 fake mp4")
