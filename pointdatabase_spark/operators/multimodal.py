@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.partitioning import spread as _spread
+
 DECODE_SCHEMA = ("doc_id bigint, media_type string, byte_len bigint, "
                  "width bigint, height bigint, n_frames bigint, fp string")
 
@@ -133,10 +135,11 @@ def attach_real_payload(docs: DataFrame,
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"])
 
-    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
-            .mapInPandas(_gen,
-                         schema="doc_id bigint, payload binary, "
-                                "media_type string"))
+    ids = _spread(docs.select(F.col(id_col).cast("long")
+                              .alias("doc_id")))
+    return ids.mapInPandas(_gen,
+                           schema="doc_id bigint, payload binary, "
+                                  "media_type string")
 
 
 def attach_jpeg_payload(docs: DataFrame,
@@ -183,10 +186,11 @@ def attach_jpeg_payload(docs: DataFrame,
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"])
 
-    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
-            .mapInPandas(_gen,
-                         schema="doc_id bigint, payload binary, "
-                                "media_type string"))
+    ids = _spread(docs.select(F.col(id_col).cast("long")
+                              .alias("doc_id")))
+    return ids.mapInPandas(_gen,
+                           schema="doc_id bigint, payload binary, "
+                                  "media_type string")
 
 
 def attach_gif_payload(docs: DataFrame,
@@ -217,10 +221,11 @@ def attach_gif_payload(docs: DataFrame,
             yield pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"])
 
-    return (docs.select(F.col(id_col).cast("long").alias("doc_id"))
-            .mapInPandas(_gen,
-                         schema="doc_id bigint, payload binary, "
-                                "media_type string"))
+    ids = _spread(docs.select(F.col(id_col).cast("long")
+                              .alias("doc_id")))
+    return ids.mapInPandas(_gen,
+                           schema="doc_id bigint, payload binary, "
+                                  "media_type string")
 
 
 def _real_decode_row(payload: bytes, media_type: str) -> tuple:

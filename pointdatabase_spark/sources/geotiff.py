@@ -23,9 +23,13 @@ engine splits the operator the Spark-first way:
 - ``read_geotiff`` parses the same family back into a
   :class:`~pointdatabase_spark.operators.raster.Grid`, which also
   un-stubs the S4/S5 GeoTIFF scan (read_DEM.py:14-69) for GDAL's
-  common outputs: strips or tiles × none/LZW/deflate × predictor
-  1/2/3 × float/int samples.  Exotic layouts (JPEG, palette, planar)
-  still raise with a pointer at rasterio.
+  common outputs: strips or tiles × none/LZW/deflate/JPEG ×
+  predictor 1/2/3 × float/int samples × chunky or planar
+  (band-separate) interleave, plus palette-color files (index band
+  + ``read_palette`` colormap, GDAL's band-1 semantics).  JPEG uses
+  the package's own baseline codec (sources/jpeg.py) and understands
+  the shared-JPEGTables abbreviated-stream layout GDAL writes.  Only
+  old-style JPEG (compression 6) still raises.
 
 The LZW codec is a from-scratch TIFF 6.0 §13 implementation
 (MSB-first variable-width codes, early change) — both directions, so
@@ -65,12 +69,18 @@ _MODEL_TIEPOINT = 33922
 _GEO_KEY_DIRECTORY = 34735
 _GDAL_NODATA = 42113
 
-_T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
-_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
+_T_ASCII, _T_SHORT, _T_LONG, _T_UNDEF, _T_DOUBLE = 2, 3, 4, 7, 12
+_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_UNDEF: 1,
+              _T_DOUBLE: 8}
 _TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
 
-# compression codes: 1 none, 5 LZW, 8 Adobe deflate, 32946 old deflate
+_COLORMAP = 320
+_JPEG_TABLES = 347
+
+# compression codes: 1 none, 5 LZW, 7 new-style JPEG, 8 Adobe deflate,
+# 32946 old deflate, 6 old-style JPEG (broken by design, never written)
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 5, 8, 32946
+_COMP_JPEG, _COMP_JPEG_OLD = 7, 6
 
 
 # ---------------------------------------------------------------------------
@@ -298,8 +308,56 @@ def _compress_segment(raw: bytes, compression: int) -> bytes:
     raise ValueError(f"unsupported write compression {compression}")
 
 
+def _split_jpeg_stream(full: bytes) -> tuple[bytes, bytes]:
+    """Full JFIF stream -> (JPEGTables stream, abbreviated segment
+    stream), the TIFF-TechNote-2 layout GDAL writes: the quantization
+    and Huffman tables move to the shared tag (they are identical for
+    every strip/tile of an image), each segment keeps SOI + frame +
+    scan markers only."""
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 1 < len(full):
+        if full[pos] != 0xFF:
+            raise ValueError("marker expected in JPEG stream")
+        mk = full[pos + 1]
+        if mk == 0xD9:                                   # EOI
+            rest += full[pos:pos + 2]
+            break
+        ln = struct.unpack_from(">H", full, pos + 2)[0]
+        if mk == 0xDA:                                   # SOS: rest is
+            rest += full[pos:]                           # entropy + EOI
+            break
+        seg = full[pos:pos + 2 + ln]
+        (tables if mk in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def _merge_jpeg_tables(tables: bytes, seg: bytes) -> bytes:
+    """Abbreviated segment stream + JPEGTables -> decodable full
+    stream (tables markers spliced after the segment's SOI).  Full
+    per-segment streams (writers that skip tag 347) pass through."""
+    if not tables or len(tables) <= 4:
+        return seg
+    has_tables = False
+    pos = 2
+    while pos + 3 < len(seg) and seg[pos] == 0xFF:
+        mk = seg[pos + 1]
+        if mk in (0xDB, 0xC4):
+            has_tables = True
+            break
+        if mk in (0xDA, 0xD9):
+            break
+        pos += 2 + struct.unpack_from(">H", seg, pos + 2)[0]
+    if has_tables:
+        return seg
+    return seg[:2] + tables[2:-2] + seg[2:]
+
+
 def _entry_raw(typ: int, vals) -> tuple[bytes, int]:
-    if typ == _T_ASCII:
+    if typ in (_T_ASCII, _T_UNDEF):
         return vals[0], len(vals[0])
     return (b"".join(struct.pack("<" + _TYPE_FMT[typ], v) for v in vals),
             len(vals))
@@ -310,34 +368,64 @@ def write_geotiff(grid: Grid, path: str, epsg: int = 3413,
                   nodata: float | None = None,
                   compress: str | None = None,
                   predictor: int = 1,
-                  tile: tuple[int, int] | None = None) -> None:
+                  tile: tuple[int, int] | None = None,
+                  planar: bool = False,
+                  palette: np.ndarray | None = None,
+                  jpeg_quality: int = 95) -> None:
     """S14 sink: encode ``grid`` as a GeoTIFF (mapData.py:125-158;
     float32 matches GDT_Float32; float64 for lossless round-trips;
     integer dtypes write SampleFormat int/uint). A (ny, nx, n_bands)
     z array writes a multiband file, matching mapData.py:152-156.
 
-    ``compress``: None | "lzw" | "deflate" — "lzw" matches the
-    reference's ``compress=LZW`` GDAL option (mapData.py:135), all
-    pure stdlib. ``predictor``: 1 none, 2 horizontal differencing
-    (integer dtypes), 3 floating-point (float dtypes) — what GDAL
-    writes with ``-co PREDICTOR=2/3``. ``tile=(tw, th)`` writes a
-    tiled layout (dims must be multiples of 16 per TIFF 6.0)
-    instead of a single strip."""
+    ``compress``: None | "lzw" | "deflate" | "jpeg" — "lzw" matches
+    the reference's ``compress=LZW`` GDAL option (mapData.py:135),
+    all pure stdlib; "jpeg" (uint8 samples, 1 or 3 bands) writes
+    new-style JPEG-in-TIFF with a shared JPEGTables tag (347) and
+    abbreviated per-segment streams, the TIFF-TechNote-2 layout GDAL
+    emits — lossy, quality via ``jpeg_quality``. ``predictor``: 1
+    none, 2 horizontal differencing (integer dtypes), 3
+    floating-point (float dtypes) — what GDAL writes with
+    ``-co PREDICTOR=2/3``. ``tile=(tw, th)`` writes a tiled layout
+    (dims must be multiples of 16 per TIFF 6.0) instead of a single
+    strip. ``planar=True`` writes band-separate planes
+    (PlanarConfiguration 2, GDAL ``-co INTERLEAVE=BAND``).
+    ``palette`` ((256, 3) uint16 colormap) writes a
+    palette-color file (Photometric 3) from uint8 index samples."""
     dt = np.dtype(dtype).newbyteorder("<")
     if dt.kind not in "fiu":
         raise ValueError("write_geotiff supports float/int/uint dtypes")
     key = compress.lower() if isinstance(compress, str) else compress
     comp_table = {None: _COMP_NONE, "none": _COMP_NONE,
-                  "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}
+                  "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE,
+                  "jpeg": _COMP_JPEG}
     if key not in comp_table:  # accepts the reference's 'LZW' spelling
         raise ValueError(
             f"compress={compress!r}: use None, 'none', 'lzw' "
-            "(GDAL's COMPRESS=LZW), or 'deflate'")
+            "(GDAL's COMPRESS=LZW), 'deflate', or 'jpeg'")
     comp = comp_table[key]
     z = np.asarray(grid.z)
     if z.ndim == 2:
         z = z[:, :, None]
     ny, nx, n_bands = z.shape
+    if palette is not None:
+        palette = np.asarray(palette)
+        if palette.shape != (256, 3):
+            raise ValueError("palette must be a (256, 3) uint16 colormap")
+        if n_bands != 1 or dt != np.dtype("<u1"):
+            raise ValueError("palette GeoTIFF needs uint8 single-band "
+                             "index samples (dtype='uint8')")
+        if planar or comp == _COMP_JPEG:
+            raise ValueError("palette combines with chunky "
+                             "none/lzw/deflate layouts only")
+    if comp == _COMP_JPEG:
+        if dt != np.dtype("<u1"):
+            raise ValueError("JPEG compression requires uint8 samples")
+        if n_bands not in (1, 3):
+            raise ValueError("JPEG compression supports 1 or 3 bands")
+        if planar:
+            raise ValueError("JPEG-in-TIFF is chunky-interleave only")
+        if predictor != 1:
+            raise ValueError("TIFF predictors do not apply to JPEG")
     # reference writes rows top-first: flip the y-ascending array
     img = np.ascontiguousarray(z[::-1, :, :]).astype(dt)
 
@@ -354,9 +442,25 @@ def write_geotiff(grid: Grid, path: str, epsg: int = 3413,
                 segs.append(block)
     else:
         segs = [img]
-    payloads = [_compress_segment(
-        np.ascontiguousarray(_predictor_encode(s, predictor)).tobytes(),
-        comp) for s in segs]
+    if planar:
+        # TIFF 6.0: for PlanarConfiguration 2 the offsets array holds
+        # all of band 0's segments, then band 1's, ... — each segment
+        # a single-sample plane
+        segs = [np.ascontiguousarray(s[:, :, b:b + 1])
+                for b in range(n_bands) for s in segs]
+    jpeg_tables = b""
+    if comp == _COMP_JPEG:
+        from pointdatabase_spark.sources.jpeg import encode_jpeg
+        split = [_split_jpeg_stream(encode_jpeg(
+            s[:, :, 0] if n_bands == 1 else s,
+            quality=jpeg_quality, subsample="444")) for s in segs]
+        jpeg_tables = split[0][0]   # identical tables for every segment
+        payloads = [ab for _, ab in split]
+    else:
+        payloads = [_compress_segment(
+            np.ascontiguousarray(
+                _predictor_encode(s, predictor)).tobytes(),
+            comp) for s in segs]
 
     fmt = {"f": 3, "i": 2, "u": 1}[dt.kind]
     entries = [
@@ -364,9 +468,12 @@ def write_geotiff(grid: Grid, path: str, epsg: int = 3413,
         (_IMAGE_LENGTH, _T_LONG, [ny]),
         (_BITS_PER_SAMPLE, _T_SHORT, [dt.itemsize * 8] * n_bands),
         (_COMPRESSION, _T_SHORT, [comp]),
-        (_PHOTOMETRIC, _T_SHORT, [1]),           # min-is-black
+        # min-is-black / palette-color / YCbCr (3-band JPEG)
+        (_PHOTOMETRIC, _T_SHORT,
+         [3 if palette is not None
+          else 6 if comp == _COMP_JPEG and n_bands == 3 else 1]),
         (_SAMPLES_PER_PIXEL, _T_SHORT, [n_bands]),
-        (_PLANAR_CONFIG, _T_SHORT, [1]),         # chunky (interleaved)
+        (_PLANAR_CONFIG, _T_SHORT, [2 if planar else 1]),
         (_SAMPLE_FORMAT, _T_SHORT, [fmt] * n_bands),
         (_MODEL_PIXEL_SCALE, _T_DOUBLE,
          [abs(grid.dx), abs(grid.dy), 0.0]),
@@ -390,6 +497,12 @@ def write_geotiff(grid: Grid, path: str, epsg: int = 3413,
     ]
     if predictor != 1:
         entries.append((_PREDICTOR, _T_SHORT, [predictor]))
+    if palette is not None:
+        # R[256] then G[256] then B[256], 16-bit per channel
+        entries.append((_COLORMAP, _T_SHORT,
+                        list(palette.T.astype(np.uint16).ravel())))
+    if jpeg_tables:
+        entries.append((_JPEG_TABLES, _T_UNDEF, [jpeg_tables]))
     if tile is not None:
         entries.append((_TILE_WIDTH, _T_LONG, [tw]))
         entries.append((_TILE_LENGTH, _T_LONG, [th]))
@@ -461,6 +574,8 @@ def _read_ifd(buf: bytes, order: str):
             raw = buf[voff:voff + size]
         if typ == _T_ASCII:
             tags[tag] = raw.rstrip(b"\x00").decode("ascii")
+        elif typ == _T_UNDEF:
+            tags[tag] = raw                      # opaque (JPEGTables)
         else:
             tags[tag] = list(struct.unpack(
                 order + _TYPE_FMT[typ] * count, raw))
@@ -469,11 +584,13 @@ def _read_ifd(buf: bytes, order: str):
 
 def read_geotiff(path: str, band: int = 1) -> Grid:
     """S4/S5 GeoTIFF scan (read_DEM.py:14-69 parity for GDAL's common
-    outputs): strip- or tile-organized, uncompressed / LZW / deflate,
-    predictor 1/2/3, IEEE-float or integer samples, chunky interleave.
-    Anything beyond that (JPEG compression, palette images, planar
-    interleave) raises NotImplementedError with a pointer at rasterio
-    (the container does not ship it)."""
+    outputs): strip- or tile-organized, uncompressed / LZW / deflate /
+    new-style JPEG (7, incl. shared JPEGTables), predictor 1/2/3,
+    IEEE-float or integer samples, chunky OR planar (band-separate)
+    interleave.  Palette-color files return the raw INDEX values as
+    band 1 — exactly GDAL's palette band semantics; resolve colors
+    with :func:`read_palette`.  Only old-style JPEG (6) and exotic
+    sample formats still raise with a pointer at rasterio."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:2] == b"II":
@@ -486,9 +603,14 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     comp = tags.get(_COMPRESSION, [1])[0]
     predictor = tags.get(_PREDICTOR, [1])[0]
     fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
-    if tags.get(_PLANAR_CONFIG, [1])[0] != 1:
+    if comp == _COMP_JPEG_OLD:
         raise NotImplementedError(
-            "planar (band-separate) GeoTIFF needs rasterio")
+            "old-style JPEG-in-TIFF (compression 6) is unreadably "
+            "underspecified and long deprecated; re-export with "
+            "new-style JPEG (7)")
+    planar = tags.get(_PLANAR_CONFIG, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"bad PlanarConfiguration {planar}")
     kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
     if kind is None:
         raise NotImplementedError(
@@ -504,34 +626,62 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
             f"{bits}-bit {kind!r} samples not supported")
     dt = np.dtype(order + kind + str(bits // 8))
     item = dt.itemsize
+    jtables = tags.get(_JPEG_TABLES, b"")
 
+    def _seg_pixels(raw: bytes, rows: int, cols: int,
+                    bands: int) -> np.ndarray:
+        """One strip/tile -> (rows, cols, bands) float64."""
+        if comp == _COMP_JPEG:
+            if bits != 8 or kind != "u":
+                raise NotImplementedError(
+                    "JPEG-in-TIFF is 8-bit unsigned only")
+            from pointdatabase_spark.sources.jpeg import decode_jpeg
+            px = decode_jpeg(_merge_jpeg_tables(jtables, raw))
+            if px.ndim == 2:
+                px = px[:, :, None]
+            if px.shape[2] != bands:
+                raise ValueError(
+                    f"JPEG segment has {px.shape[2]} channels, "
+                    f"IFD declares {bands}")
+            out = np.zeros((rows, cols, bands), np.float64)
+            out[:min(rows, px.shape[0]), :min(cols, px.shape[1]), :] = (
+                px[:rows, :cols, :])
+            return out
+        dec = _decompress_segment(raw, comp, rows * cols * bands * item)
+        return np.asarray(_predictor_decode(
+            dec, predictor, rows, cols, bands, dt), dtype=np.float64)
+
+    # planar config 2: the offsets array is band-major — all of band
+    # 0's segments, then band 1's, ...; each segment holds one sample
+    n_planes = n_bands if planar == 2 else 1
+    seg_bands = 1 if planar == 2 else n_bands
     if _TILE_WIDTH in tags:
         tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         offs = tags[_TILE_OFFSETS]
         counts = tags[_TILE_BYTE_COUNTS]
         across = (nx + tw - 1) // tw
         down = (ny + th - 1) // th
+        per_plane = across * down
         full = np.zeros((down * th, across * tw, n_bands), np.float64)
         for idx, (o, c) in enumerate(zip(offs, counts)):
-            raw = _decompress_segment(buf[o:o + c], comp,
-                                      th * tw * n_bands * item)
-            seg = _predictor_decode(raw, predictor, th, tw, n_bands, dt)
-            r, cpos = divmod(idx, across)
-            full[r * th:(r + 1) * th,
-                 cpos * tw:(cpos + 1) * tw, :] = seg
+            plane, pidx = divmod(idx, per_plane)
+            seg = _seg_pixels(buf[o:o + c], th, tw, seg_bands)
+            r, cpos = divmod(pidx, across)
+            full[r * th:(r + 1) * th, cpos * tw:(cpos + 1) * tw,
+                 plane * seg_bands:plane * seg_bands + seg_bands] = seg
         z = full[:ny, :nx, :]
     else:
         rps = tags.get(_ROWS_PER_STRIP, [ny])[0]
         offs = tags[_STRIP_OFFSETS]
         counts = tags[_STRIP_BYTE_COUNTS]
-        parts = []
-        for i, (o, c) in enumerate(zip(offs, counts)):
-            rows = min(rps, ny - i * rps)
-            raw = _decompress_segment(buf[o:o + c], comp,
-                                      rows * nx * n_bands * item)
-            parts.append(np.asarray(_predictor_decode(
-                raw, predictor, rows, nx, n_bands, dt), dtype=np.float64))
-        z = np.concatenate(parts, axis=0)
+        per_plane = len(offs) // n_planes
+        z = np.zeros((ny, nx, n_bands), np.float64)
+        for idx, (o, c) in enumerate(zip(offs, counts)):
+            plane, pidx = divmod(idx, per_plane)
+            rows = min(rps, ny - pidx * rps)
+            seg = _seg_pixels(buf[o:o + c], rows, nx, seg_bands)
+            z[pidx * rps:pidx * rps + rows, :,
+              plane * seg_bands:plane * seg_bands + seg_bands] = seg
     if not 1 <= band <= n_bands:
         raise ValueError(f"band {band} out of range 1..{n_bands}")
     z = np.ascontiguousarray(z[:, :, band - 1], dtype=np.float64)
@@ -554,3 +704,24 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
                 y0=float(y_edge - (ny - 1) * sy - sy / 2.0),
                 dx=float(sx), dy=float(sy),
                 z=np.ascontiguousarray(z[::-1, :]))
+
+
+def read_palette(path: str) -> np.ndarray:
+    """ColorMap (tag 320) of a palette-color GeoTIFF as a (256, 3)
+    uint16 array — pair with the index band :func:`read_geotiff`
+    returns to resolve RGB, the same two-step GDAL exposes as band 1
+    + GetColorTable()."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:2] == b"II":
+        order = "<"
+    elif buf[:2] == b"MM":
+        order = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    tags = _read_ifd(buf, order)
+    if tags.get(_PHOTOMETRIC, [1])[0] != 3 or _COLORMAP not in tags:
+        raise ValueError("not a palette-color TIFF (Photometric 3 "
+                         "with a ColorMap)")
+    cm = np.asarray(tags[_COLORMAP], np.uint16)
+    return cm.reshape(3, -1).T

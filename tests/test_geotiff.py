@@ -286,3 +286,67 @@ def test_multiband_predictor_roundtrips(tmp_path):
             np.testing.assert_allclose(r.z, want[:, :, b - 1], rtol=1e-6)
     with _pytest.raises(ValueError, match="compress"):
         gt.write_geotiff(g, str(tmp_path / "bad.tif"), compress="jpeg")
+
+
+def test_planar_interleave_roundtrips(tmp_path):
+    """r8: PlanarConfiguration 2 (GDAL -co INTERLEAVE=BAND) — strips
+    and tiles, compressed and predicted, multiband: band-major
+    segment order reassembles bit-exactly."""
+    rng = np.random.default_rng(5)
+    z = rng.integers(0, 4000, (21, 17, 3)).astype(np.float64)
+    g = Grid(x0=0.0, y0=0.0, dx=100.0, dy=100.0, z=z)
+    for kw in (dict(), dict(compress="lzw", predictor=2),
+               dict(compress="deflate"),
+               dict(tile=(16, 16), compress="lzw")):
+        path = str(tmp_path / "planar.tif")
+        write_geotiff(g, path, dtype="int32", planar=True, **kw)
+        for band in (1, 2, 3):
+            np.testing.assert_array_equal(
+                read_geotiff(path, band=band).z, z[:, :, band - 1])
+
+
+def test_palette_color_roundtrips(tmp_path):
+    """r8: Photometric 3 + ColorMap — the index band reads back
+    exactly (GDAL band-1 semantics) and read_palette returns the
+    16-bit colormap verbatim."""
+    from pointdatabase_spark.sources.geotiff import read_palette
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 256, (9, 13)).astype(np.float64)
+    pal = rng.integers(0, 65536, (256, 3)).astype(np.uint16)
+    g = Grid(x0=0.0, y0=0.0, dx=10.0, dy=10.0, z=idx)
+    path = str(tmp_path / "pal.tif")
+    write_geotiff(g, path, dtype="uint8", palette=pal, compress="lzw")
+    np.testing.assert_array_equal(read_geotiff(path).z, idx)
+    np.testing.assert_array_equal(read_palette(path), pal)
+    with pytest.raises(ValueError, match="uint8 single-band"):
+        write_geotiff(g, path, dtype="int32", palette=pal)
+
+
+def test_jpeg_in_tiff_reads_back_within_codec_error(tmp_path):
+    """r8: new-style JPEG-in-TIFF (compression 7) with shared
+    JPEGTables + abbreviated per-segment streams — gray strips, gray
+    tiles, and 3-band YCbCr: smooth data reads back within the JPEG
+    q95 error bound of the same codec standalone."""
+    yy, xx = np.mgrid[0:24, 0:33]
+    smooth = (yy * 3 + xx * 2) % 200 + 20.0
+    g1 = Grid(x0=0.0, y0=0.0, dx=1.0, dy=1.0, z=smooth)
+    for kw in (dict(), dict(tile=(16, 16))):
+        path = str(tmp_path / "jpg.tif")
+        write_geotiff(g1, path, dtype="uint8", compress="jpeg", **kw)
+        r = read_geotiff(path)
+        assert np.abs(r.z - smooth).max() <= 4
+    rgb = np.stack([smooth, smooth[::-1], smooth.T[:24, :24].repeat(
+        2, 1)[:, :33]], axis=-1)
+    g3 = Grid(x0=0.0, y0=0.0, dx=1.0, dy=1.0, z=rgb)
+    path3 = str(tmp_path / "jpg3.tif")
+    write_geotiff(g3, path3, dtype="uint8", compress="jpeg")
+    for b in (1, 2, 3):
+        assert np.abs(read_geotiff(path3, band=b).z
+                      - rgb[:, :, b - 1]).max() <= 6
+    # the shared-tables layout is actually on disk
+    from pointdatabase_spark.sources.geotiff import _read_ifd
+    buf = open(path3, "rb").read()
+    tags = _read_ifd(buf, "<")
+    assert isinstance(tags[347], bytes) and b"\xff\xc4" in tags[347]
+    with pytest.raises(ValueError, match="uint8"):
+        write_geotiff(g1, path, dtype="float32", compress="jpeg")
