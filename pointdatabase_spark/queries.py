@@ -83,6 +83,17 @@ _SCORE_FIRST = [
     "q4_order_priority", "q13_customer_distribution",
     "q16_parts_supplier_count", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q22_global_sales_opportunity",
+    # new in r8 wave 3 — the suite-completing TPC-H shapes
+    # (correlated min, two-role dimension share, profit rollup,
+    # returned-items top-k, scalar-avg threshold, latency-class
+    # conditional counts, nested dominance semi-join)
+    "q2_min_cost_supplier", "q8_national_market_share",
+    "q9_product_type_profit", "q10_returned_items",
+    "q11_important_part_volume", "q12_shipping_priority_classes",
+    "q20_dominant_part_supplier",
+    # new in r8 wave 4 — manual skew/shuffle valves (salted join,
+    # Bloom-prefiltered semi join)
+    "skew_salted_join", "bloom_semi_join",
     # The rest of the ~50-query window falls through to registry
     # order (q1, box_query, crossover_analysis, blockmedian/window/
     # filter family — all r6-green).
@@ -725,12 +736,16 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a late flag, per order count suppliers and late suppliers, keep
     the late supplier of multi-supplier single-late orders.  The
     double-EXISTS becomes arithmetic on two aggregates instead of
-    two extra fact-table joins — the per-order frame re-joins the
-    per-pair frame on the SAME key it was derived from, so AQE sees
-    co-partitioned exchange reuse.  Lateness is ship>order+120d (no
+    two extra fact-table joins — and the per-order stats come from a
+    WINDOW over the per-pair frame's own grouping key, so lineitem is
+    scanned exactly ONCE (tests/test_plans.py pins it) instead of the
+    textbook three times.  Per-order partitions are bounded by
+    suppliers-per-order (≤ #lineitems of one order), so the window
+    state is tiny at any SF.  Lateness is ship>order+120d (no
     receipt/commit dates in the testdata).  At 100 TB: two shuffles
     on orderkey + one terminal agg on s_name; supplier join is
     AQE-decided."""
+    from pyspark.sql import Window
     li = testkit.load_table(spark, sf_dir, "lineitem")
     orders = testkit.load_table(spark, sf_dir, "orders")
     supp = testkit.load_table(spark, sf_dir, "supplier")
@@ -744,11 +759,11 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                      > F.col("o_orderdate")
                      + F.expr("INTERVAL 120 DAYS"), 1)
                .otherwise(0)).alias("late")))
-    ordstat = (ls.groupBy("l_orderkey")
-               .agg(F.count("*").alias("ns"), F.sum("late").alias("nl")))
-    return (ls.join(ordstat, "l_orderkey")
-            .where((F.col("ns") > 1) & (F.col("nl") == 1)
-                   & (F.col("late") == 1))
+    w = Window.partitionBy("l_orderkey")
+    ls = ls.withColumn("ns", F.count("*").over(w)) \
+           .withColumn("nl", F.sum("late").over(w))
+    return (ls.where((F.col("ns") > 1) & (F.col("nl") == 1)
+                     & (F.col("late") == 1))
             .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
             .groupBy("s_name")
             .agg(F.count("*").alias("numwait"))
@@ -803,6 +818,508 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
             .orderBy("cust_seg"))
+
+
+# --------------------------------------------------------------------------
+# r8 wave 3: the remaining TPC-H shapes (Q2/Q8/Q9/Q10/Q11/Q12/Q20),
+# completing the 22-query suite.  The testdata has no partsupp table and
+# no shipmode/receiptdate/supplycost columns, so the partsupp-backed
+# queries derive the supply relation from lineitem (every (partkey,
+# suppkey) pair that actually shipped) — the PLAN SHAPES the originals
+# exercise (correlated min, market-share conditional agg, scalar-avg
+# threshold over an aggregate, nested agg-fraction semi-join) are
+# preserved exactly; only the source relation is adapted.
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'),
+sc AS (
+  SELECT supply.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name,
+         supply.unit_cost,
+         MIN(supply.unit_cost) OVER (PARTITION BY supply.p_partkey)
+           AS min_cost
+  FROM supply JOIN eu ON supply.s_suppkey = eu.s_suppkey)
+SELECT sc.s_acctbal, sc.s_name, sc.n_name, p.p_partkey, p.p_type,
+       ROUND(sc.unit_cost, 6) AS unit_cost
+FROM sc JOIN part p ON sc.p_partkey = p.p_partkey
+WHERE sc.unit_cost = sc.min_cost
+  AND p.p_size = 15 AND p.p_type = 'STANDARD'
+ORDER BY sc.s_acctbal DESC, sc.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated scalar-min subquery ("the supplier
+    whose cost IS the minimum for that part"), decorrelated the
+    single-scan way: the supply relation (derived from lineitem — no
+    partsupp in the testdata) is aggregated ONCE and the per-part
+    minimum comes from a window over its own grouping key, so no
+    second scan and no self-join.  Partitions are bounded by
+    suppliers-per-part.  Part predicates (p_size, p_type) push to the
+    part scan; region restriction shrinks the supplier dim before the
+    fact join; nation/region get broadcast hints (fixed-size),
+    everything SF-scaled stays hint-free for AQE.  Equality on the
+    min is exact: MIN picks an element of the same double set on both
+    engines."""
+    from pyspark.sql import Window
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    part = testkit.load_table(spark, sf_dir, "part")
+    nation = testkit.load_table(spark, sf_dir, "nation")
+    region = testkit.load_table(spark, sf_dir, "region")
+    supply = (li.groupBy(F.col("l_partkey").alias("p_partkey"),
+                         F.col("l_suppkey").alias("s_suppkey"))
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    eu = (supp.join(F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    w = Window.partitionBy("p_partkey")
+    sc = (supply.join(eu, "s_suppkey")
+          .withColumn("min_cost", F.min("unit_cost").over(w)))
+    return (sc.where(F.col("unit_cost") == F.col("min_cost"))
+            .join(part.where((F.col("p_size") == 15)
+                             & (F.col("p_type") == "STANDARD"))
+                  .select("p_partkey", "p_type"), "p_partkey")
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_type", F.round("unit_cost", 6).alias("unit_cost"))
+            .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+            .limit(100))
+
+
+_Q8_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+         AS mkt_share
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+                AND r.r_name = 'AMERICA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                        AND TIMESTAMP '1997-12-31'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q8_national_market_share", oracle=_Q8_ORACLE)
+def q8_national_market_share(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """TPC-H Q8 shape — national market share: an 8-way join where
+    nation plays TWO roles (customer's region restricts the rows,
+    supplier's nation feeds the CASE numerator), then a share =
+    conditional-sum / sum conditional aggregation per year.  The two
+    nation legs are separate broadcast-hinted copies (25 rows, fixed
+    at any SF); part/orders/customer/supplier are SF-scaled and stay
+    hint-free.  The date window pushes to the orders scan and the
+    type filter to the part scan.  At 100 TB the plan is a chain of
+    shuffle joins on the fact keys with two map-side broadcast
+    probes and a 2-row result."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    part = testkit.load_table(spark, sf_dir, "part")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    nation = testkit.load_table(spark, sf_dir, "nation")
+    region = testkit.load_table(spark, sf_dir, "region")
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_regionkey").alias("cn_region"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(part.where(F.col("p_type") == "ECONOMY")
+                 .select("p_partkey"),
+                 F.col("l_partkey") == F.col("p_partkey"))
+         .join(orders.where(
+             F.col("o_orderdate").between(
+                 F.lit("1996-01-01").cast("timestamp"),
+                 F.lit("1997-12-31").cast("timestamp")))
+               .select("o_orderkey", "o_custkey", "o_orderdate"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cust.select("c_custkey", "c_nationkey"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+         .join(F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+               F.col("cn_region") == F.col("r_regionkey"))
+         .join(supp.select("s_suppkey", "s_nationkey"),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")))
+    return (j.withColumn("vol", vol)
+            .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("vol")).otherwise(0.0))
+                / F.sum("vol"), 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+                AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+
+@query("q9_product_type_profit", oracle=_Q9_ORACLE)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """TPC-H Q9 shape — profit by supplier nation and order year over
+    a part-name LIKE restriction.  (The testdata has no
+    ps_supplycost, so profit is the discounted revenue — the join
+    graph and agg shape are Q9's.)  The LIKE '%bolt%' cannot prune
+    parquet row groups (no leading prefix) but DOES evaluate in the
+    scan before the join; the surviving part keys are a small
+    fraction, which AQE sizes at runtime.  nation broadcast-hinted;
+    part/supplier/orders hint-free.  Group count is bounded by
+    nations x years — tiny at any SF."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    part = testkit.load_table(spark, sf_dir, "part")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    nation = testkit.load_table(spark, sf_dir, "nation")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    return (li.join(part.where(F.col("p_name").contains("bolt"))
+                    .select("p_partkey"),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(supp.select("s_suppkey", "s_nationkey"),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+_Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: quarter of orders x
+    returnflag='R' lineitems, revenue per customer, top 20.  Both
+    selective filters push to their scans before any join; the
+    orderkey join runs on the date-quarter survivors (~4% of orders),
+    AQE-sized.  Top-k plans as TakeOrderedAndProject — no global sort
+    of the customer aggregate.  nation broadcast-hinted (fixed 25
+    rows)."""
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    nation = testkit.load_table(spark, sf_dir, "nation")
+    return (li.where(F.col("l_returnflag") == "R")
+            .join(orders.where(
+                (F.col("o_orderdate")
+                 >= F.lit("1996-10-01").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit("1997-01-01").cast("timestamp")))
+                  .select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust.select("c_custkey", "c_name", "c_acctbal",
+                              "c_nationkey"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal",
+                    "n_name")
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+_Q11_ORACLE = """
+WITH v AS (
+  SELECT l.l_partkey AS p_partkey, SUM(l.l_quantity) AS part_qty
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+                  AND r.r_name = 'EUROPE'
+  GROUP BY 1)
+SELECT p_partkey, part_qty
+FROM v
+WHERE part_qty > 1.5 * (SELECT AVG(part_qty) FROM v)
+ORDER BY part_qty DESC, p_partkey
+"""
+
+
+@query("q11_important_part_volume", oracle=_Q11_ORACLE)
+def q11_important_part_volume(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """TPC-H Q11 shape — an aggregate filtered by a SCALAR SUBQUERY
+    over the same aggregate (parts whose regional volume exceeds 1.5x
+    the average part's).  The scalar is evaluated as its own 1-row job
+    and re-enters the main plan as a LITERAL — the declarative
+    broadcast-join alternative duplicates the whole aggregate subtree
+    (two lineitem scans in the plan, exchange reuse not guaranteed
+    pre-AQE), while a 1-row driver fetch is bounded at any SF (the
+    IVF-centroid pattern).  The main plan then scans lineitem exactly
+    once.  Adaptations for the testdata: the supply relation is
+    lineitem (no partsupp); the threshold is avg-relative rather than
+    TPC-H's SF-dependent fraction constant, which keeps the predicate
+    meaningful at every SF; the value metric is SUM(l_quantity),
+    integral-valued doubles, so the threshold comparison is exact on
+    both engines (no float-boundary flakiness).  At 100 TB: one
+    shuffle to (partkey), a 1-row broadcast, and a |parts|-row
+    order-by."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    nation = testkit.load_table(spark, sf_dir, "nation")
+    region = testkit.load_table(spark, sf_dir, "region")
+    eu = (supp.join(F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey"))
+    v = (li.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+         .groupBy(F.col("l_partkey").alias("p_partkey"))
+         .agg(F.sum("l_quantity").alias("part_qty")))
+    cut = v.agg((F.avg("part_qty") * 1.5).alias("cut")).first()["cut"]
+    return (v.where(F.col("part_qty") > F.lit(cut))
+            .select("p_partkey", "part_qty")
+            .orderBy(F.desc("part_qty"), "p_partkey"))
+
+
+_Q12_ORACLE = """
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 365
+            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("q12_shipping_priority_classes", oracle=_Q12_ORACLE)
+def q12_shipping_priority_classes(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """TPC-H Q12 shape — order-priority class counts per shipping
+    class.  (No l_shipmode/receiptdate in the testdata: the shipping
+    class is derived — order-to-ship latency over/under a year —
+    which preserves the join + dual conditional-count shape.)  The
+    ship-year filter pushes to the lineitem scan; one shuffle join on
+    orderkey; 2-row result.  Everything SF-scaled is hint-free."""
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")))
+        .select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate",
+                            "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.when(F.datediff("l_shipdate", "o_orderdate") > 365,
+                        "SLOW").otherwise("FAST").alias("ship_bucket"))
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("ship_bucket"))
+
+
+_Q20_ORACLE = """
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    AND l_shipdate <  TIMESTAMP '2000-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2),
+dom AS (
+  SELECT l_suppkey, supp_qty,
+         SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM sq)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom
+                      WHERE supp_qty > 0.1 * part_qty)
+ORDER BY s_suppkey
+"""
+
+
+@query("q20_dominant_part_supplier", oracle=_Q20_ORACLE)
+def q20_dominant_part_supplier(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """TPC-H Q20 shape — the nested aggregate-threshold semi-join
+    chain: suppliers who shipped more than 10% of some filtered
+    part's yearly volume, restricted to a region.  (availqty > half
+    of sold qty in the original; the testdata has no partsupp, so
+    dominance is supplier share of the part's shipped volume.)
+    Decorrelated single-scan: per-(part, supplier) quantities
+    aggregate once, the per-part total is a window over the SAME
+    grouping key (q21's pattern — partitions bounded by
+    suppliers-per-part), and the survivors semi-join into the
+    region-restricted supplier dim.  The part-name restriction
+    applies as a semi-join BEFORE the agg so the shuffle carries only
+    matching parts.  Threshold quantities are integral-valued
+    doubles — the 0.1x comparison is deterministic across engines.
+    nation/region broadcast-hinted; lineitem/part/supplier
+    hint-free."""
+    from pyspark.sql import Window
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    part = testkit.load_table(spark, sf_dir, "part")
+    supp = testkit.load_table(spark, sf_dir, "supplier")
+    nation = testkit.load_table(spark, sf_dir, "nation")
+    region = testkit.load_table(spark, sf_dir, "region")
+    sq = (li.where(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp")))
+        .join(part.where(F.col("p_name").startswith("small"))
+              .select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty")))
+    w = Window.partitionBy("l_partkey")
+    dom = (sq.withColumn("part_qty", F.sum("supp_qty").over(w))
+           .where(F.col("supp_qty") > 0.1 * F.col("part_qty"))
+           .select("l_suppkey").distinct())
+    return (supp.join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(dom, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
+# --------------------------------------------------------------------------
+# Skew/shuffle valves (operators/joins.py): manual key salting and
+# Bloom-prefiltered semi join — the 100 TB techniques the session's
+# automatic machinery (AQE skew split, runtime bloom) cannot reach.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import joins as _joins  # noqa: E402
+
+_SKEW_SALTED_ORACLE = """
+WITH fact AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 0
+              ELSE user_id % 97 END AS k, value
+  FROM events),
+dim AS (
+  SELECT c_custkey % 97 AS k, MAX(c_acctbal) AS w
+  FROM customer GROUP BY 1)
+SELECT f.k, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(f.value * d.w), 2) AS weighted
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("skew_salted_join", oracle=_SKEW_SALTED_ORACLE)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via the manual salting rewrite
+    (operators/joins.py salted_join).  The fact side is events with a
+    planted hot key (a third of all rows collapse onto k=0 — the
+    skew shape AQE's split cannot fix when the join feeds a per-key
+    stateful stage or grouped-map cogroup); the build side is a
+    per-key weight.  Salting spreads k=0's rows across 8 buckets by
+    hashing the event id, replicates the 97-row build side 8x, and
+    joins on (k, salt) — bit-identical to the plain join, verified by
+    the oracle, with the hot key's probe work spread across 8 tasks
+    instead of one.  At 100 TB the build-side replication cost is
+    8 x |dim| rows — the deliberate, bounded price of the rewrite.
+    (Reference parity: single-node NumPy needs no such valve;
+    this belongs to the distributed execution model.)"""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    cust = testkit.load_table(spark, sf_dir, "customer")
+    fact = ev.select(
+        F.expr("CASE WHEN user_id % 3 = 0 THEN 0 "
+               "ELSE user_id % 97 END").alias("k"),
+        "value", "event_id")
+    dim = (cust.select((F.col("c_custkey") % 97).alias("k"), "c_acctbal")
+           .groupBy("k").agg(F.max("c_acctbal").alias("w")))
+    j = _joins.salted_join(fact, dim, ["k"], buckets=8,
+                           distributor="event_id")
+    return (j.groupBy("k")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value") * F.col("w")), 2)
+                 .alias("weighted"))
+            .orderBy("k"))
+
+
+_BLOOM_SEMI_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part
+                    WHERE p_name LIKE 'small%')
+"""
+
+
+@query("bloom_semi_join", oracle=_BLOOM_SEMI_ORACLE)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a distributed Bloom pre-filter
+    (operators/joins.py bloom_semi_join): lineitem restricted to the
+    'small%' part keys.  The key set aggregates into a 2^17-bit
+    bitmap (bit_or over 64-bit words, map-side combinable, never
+    collected); three broadcast word-probes filter the fact scan
+    MAP-SIDE before any exchange; the exact left-semi join removes
+    the fpp-bounded false positives, so the result is exactly the
+    IN-subquery — with the fact shuffle carrying only survivors.
+    The 100 TB case this valve exists for: a dim key set too large
+    to broadcast as a hash relation (100 M keys ~ 1.5 GB) whose
+    bitmap still broadcasts (32 MB at 1% fpp)."""
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    part = testkit.load_table(spark, sf_dir, "part")
+    dim = part.where(F.col("p_name").startswith("small"))
+    j = _joins.bloom_semi_join(li, dim, "l_partkey", "p_partkey",
+                               bits=1 << 17, k=3)
+    return j.agg(F.count("*").alias("n_rows"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.countDistinct("l_partkey").alias("n_parts"))
 
 
 # --------------------------------------------------------------------------

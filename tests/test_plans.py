@@ -347,6 +347,115 @@ def test_new_tpch_shapes_hint_only_fixed_size_tables(spark):
             "— an SF-scaled table got a forced broadcast")
 
 
+def test_r8_wave2_tpch_shapes_hint_only_fixed_size_tables(spark):
+    """Scale-safety for the Q4/Q13/Q16/Q19/Q21/Q22 analogues: the only
+    permitted broadcast hint is Q22's 1-row AVG stats frame; every
+    SF-scaled side (orders, customer, lineitem, part, supplier, the
+    filtered bad-supplier list) stays hint-free for AQE."""
+    from pointdatabase_spark import queries as registry
+    for qname, n_hints_max in [("q4_order_priority", 0),
+                               ("q13_customer_distribution", 0),
+                               ("q16_parts_supplier_count", 0),
+                               ("q19_disjunctive_revenue", 0),
+                               ("q21_waiting_supplier", 0),
+                               ("q22_global_sales_opportunity", 1)]:
+        df = registry.all_queries()[qname](spark, SF_SMOKE)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        n_hints = logical.count("ResolvedHint")
+        assert n_hints <= n_hints_max, (
+            f"{qname}: {n_hints} broadcast hints (max {n_hints_max}) "
+            "— an SF-scaled table got a forced broadcast")
+
+
+def test_r8_wave2_join_strategies_and_pushdown(spark):
+    """The subquery rewrites must surface as the right JOIN TYPES
+    (semi for EXISTS, outer for Q13's zero-preserving count, anti for
+    NOT IN / NOT EXISTS) and the scan-pushable residuals must reach
+    the parquet readers — for Q19 that includes the factored
+    implications of the OR-of-ANDs on BOTH scans."""
+    from pointdatabase_spark import queries as registry
+    q = registry.all_queries()
+    p4 = _plan(q["q4_order_priority"](spark, SF_SMOKE))
+    assert "LeftSemi" in p4
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in p4
+    p13 = _plan(q["q13_customer_distribution"](spark, SF_SMOKE))
+    assert "LeftOuter" in p13
+    assert "GreaterThanOrEqual(o_orderdate,2001-01-01" in p13
+    p16 = _plan(q["q16_parts_supplier_count"](spark, SF_SMOKE))
+    assert "LeftAnti" in p16
+    assert "LessThan(s_acctbal,0.0)" in p16          # anti side filtered
+    assert "In(p_size, " in p16                       # IN-list pushed
+    p19 = _plan(q["q19_disjunctive_revenue"](spark, SF_SMOKE))
+    assert "In(p_brand, [Brand#12,Brand#23,Brand#34])" in p19
+    assert ("GreaterThanOrEqual(l_quantity,1.0)" in p19
+            and "LessThanOrEqual(l_quantity,30.0)" in p19)
+    p22 = _plan(q["q22_global_sales_opportunity"](spark, SF_SMOKE))
+    assert "LeftAnti" in p22
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p22
+
+
+def test_r8_wave3_tpch_shapes_hint_only_fixed_size_tables(spark):
+    """Scale-safety for the suite-completing Q2/Q8/Q9/Q10/Q11/Q12/Q20
+    analogues: broadcast hints are allowed ONLY on fixed-size inputs —
+    nation (25 rows) and the filtered region row (Q11's scalar
+    threshold enters as a driver literal, not a hinted frame).
+    Every SF-scaled side (lineitem, orders, part,
+    supplier, customer, the derived supply aggregates) stays hint-free
+    so AQE picks the join strategy from runtime sizes."""
+    from pointdatabase_spark import queries as registry
+    for qname, n_hints_max in [("q2_min_cost_supplier", 2),
+                               ("q8_national_market_share", 3),
+                               ("q9_product_type_profit", 1),
+                               ("q10_returned_items", 1),
+                               ("q11_important_part_volume", 2),
+                               ("q12_shipping_priority_classes", 0),
+                               ("q20_dominant_part_supplier", 2)]:
+        df = registry.all_queries()[qname](spark, SF_SMOKE)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        n_hints = logical.count("ResolvedHint")
+        assert n_hints <= n_hints_max, (
+            f"{qname}: {n_hints} broadcast hints (max {n_hints_max}) "
+            "— an SF-scaled table got a forced broadcast")
+
+
+def test_r8_wave3_pushdown_and_single_scan_decorrelation(spark):
+    """The wave-3 shapes' load-bearing plan properties: selective
+    predicates reach the parquet scans, and the correlated-subquery
+    rewrites (Q2's per-part min, Q20's per-part total) come from a
+    window over the aggregate's OWN grouping key — exactly one
+    lineitem scan each, never a self-join re-scan."""
+    from pointdatabase_spark import queries as registry
+    q = registry.all_queries()
+    p2 = _plan(q["q2_min_cost_supplier"](spark, SF_SMOKE))
+    assert p2.count("lineitem.parquet") == 1
+    assert "EqualTo(p_size,15)" in p2
+    assert "EqualTo(p_type,STANDARD)" in p2
+    p10 = _plan(q["q10_returned_items"](spark, SF_SMOKE))
+    assert "EqualTo(l_returnflag,R)" in p10
+    assert "GreaterThanOrEqual(o_orderdate,1996-10-01" in p10
+    assert "TakeOrderedAndProject" in p10
+    p12 = _plan(q["q12_shipping_priority_classes"](spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_shipdate,1998-01-01" in p12
+    p20 = _plan(q["q20_dominant_part_supplier"](spark, SF_SMOKE))
+    assert p20.count("lineitem.parquet") == 1
+    assert "StringStartsWith(p_name,small)" in p20
+    p11 = _plan(q["q11_important_part_volume"](spark, SF_SMOKE))
+    assert p11.count("lineitem.parquet") == 1
+
+
+def test_q21_scans_lineitem_once(spark):
+    """The textbook Q21 touches lineitem three times (outer + EXISTS +
+    NOT EXISTS).  The decorrelated plan computes per-(order, supplier)
+    lateness once and derives the per-order supplier/late counts with
+    a window over the SAME grouped frame — exactly one lineitem scan
+    and one orders scan in the plan."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["q21_waiting_supplier"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+
+
 def test_q18_computes_the_order_aggregate_once(spark):
     """The textbook Q18 scans lineitem twice (HAVING subquery + outer
     SUM); because the outer group key is the order key they are the
