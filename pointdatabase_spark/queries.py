@@ -94,6 +94,9 @@ _SCORE_FIRST = [
     # new in r8 wave 4 — manual skew/shuffle valves (salted join,
     # Bloom-prefiltered semi join)
     "skew_salted_join", "bloom_semi_join",
+    # new in r8 wave 4 — sub-document cleaning (C4 line rules,
+    # CCNet paragraph dedup)
+    "c4_line_filter", "paragraph_dedup",
     # The rest of the ~50-query window falls through to registry
     # order (q1, box_query, crossover_analysis, blockmedian/window/
     # filter family — all r6-green).
@@ -1320,6 +1323,88 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(F.count("*").alias("n_rows"),
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.countDistinct("l_partkey").alias("n_parts"))
+
+
+# --------------------------------------------------------------------------
+# Corpus cleaning (operators/cleaning.py): C4 line filter + CCNet
+# paragraph dedup — sub-document cleaning stages of a training-data
+# pipeline (structure synthesized deterministically; see module doc).
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import cleaning as _cleaning  # noqa: E402
+
+_C4_LINE_ORACLE = """
+WITH nums AS (SELECT n_nationkey AS ln FROM nation),
+lines AS (
+  SELECT d.doc_id, n.ln,
+         substr(d.text, n.ln * 80 + 1, 80)
+           || (CASE WHEN (d.doc_id + n.ln) % 3 = 0
+                    THEN '' ELSE '.' END) AS line
+  FROM documents d JOIN nums n ON n.ln * 80 < length(d.text))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(keep) AS BIGINT) AS kept_lines,
+       CAST(SUM(CASE WHEN keep = 1 THEN length(line) ELSE 0 END)
+            AS BIGINT) AS clean_chars
+FROM (SELECT doc_id, line,
+             CASE WHEN substr(line, length(line), 1) = '.'
+                   AND length(line)
+                       - length(replace(line, ' ', '')) >= 4
+                   AND line NOT LIKE '%slow%'
+                  THEN 1 ELSE 0 END AS keep
+      FROM lines) j
+GROUP BY doc_id HAVING SUM(keep) >= 2 ORDER BY doc_id
+"""
+
+
+@query("c4_line_filter", oracle=_C4_LINE_ORACLE)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) over
+    synthesized lines: terminal-punctuation, min-word-count, and
+    boilerplate-marker rules per line, then the page-level drop of
+    documents keeping < 2 lines.  All rules are scan-local codegen
+    string expressions (operators/cleaning.py c4_line_stats); the
+    chunk explode is narrow; the only shuffle is the per-doc stats
+    groupBy — at 100 TB the pass is scan-proportional with zero
+    corpus-sized state.  The oracle reproduces the identical line
+    synthesis via a nation-table numbers join."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _cleaning.c4_line_stats(docs)
+
+
+_PARA_DEDUP_ORACLE = testkit.syn_corpus_cte() + """,
+nums AS (SELECT n_nationkey AS pn FROM nation),
+paras AS (
+  SELECT d.doc_id, n.pn,
+         substr(d.text, n.pn * 160 + 1, 160) AS para
+  FROM corpus d JOIN nums n ON n.pn * 160 < length(d.text)),
+ranked AS (
+  SELECT doc_id, pn,
+         ROW_NUMBER() OVER (PARTITION BY para
+                            ORDER BY doc_id, pn) AS rn
+  FROM paras)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS uniq_paras,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_paras
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("paragraph_dedup", oracle=_PARA_DEDUP_ORACLE)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style exact paragraph dedup (Wenzek et al. 2020 §3.1)
+    on the planted-duplicate corpus: the first occurrence of each
+    distinct paragraph survives, later copies count as duplicates.
+    The Spark plan projects paragraphs down to xxhash64 keys BEFORE
+    the window exchange (operators/cleaning.py) so the shuffle
+    carries 8 bytes per paragraph instead of the text — the oracle
+    partitions by the paragraph itself, identical short of a 64-bit
+    collision (~1e-12 at any realistic corpus)."""
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    return _cleaning.paragraph_dedup_stats(corpus)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,67 @@
+"""Unit + plan tests for corpus cleaning (operators/cleaning.py):
+chunker coverage, C4 rule behavior, paragraph-dedup first-occurrence
+semantics, and the scale-shape plan properties (no joins in the line
+pass; hash-keyed window exchange for the paragraph pass)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pointdatabase_spark.operators import cleaning
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        Row(doc_id=0, text="a b c d e f " * 20),          # 240 chars
+        Row(doc_id=1, text="x " * 24),                    # 48 chars, 1 line
+        Row(doc_id=2, text=("slow " * 16 + "ok ") * 4),   # marker-heavy
+    ])
+
+
+def test_fixed_chunks_cover_text_exactly(spark, docs):
+    chunks = cleaning.fixed_chunks(docs, 80)
+    back = (chunks.groupBy("doc_id")
+            .agg(F.sum(F.length("line")).alias("n")).collect())
+    lens = {r.doc_id: r.n for r in back}
+    for r in docs.collect():
+        assert lens[r.doc_id] == len(r.text)
+
+
+def test_c4_drops_marker_lines_and_thin_docs(spark, docs):
+    out = {r.doc_id: r for r in cleaning.c4_line_stats(docs).collect()}
+    assert 2 not in out           # every line carries the marker
+    assert 1 not in out           # single line < min_kept
+    assert out[0].kept_lines <= out[0].n_lines
+
+
+def test_c4_is_join_free_single_agg_exchange(spark, docs):
+    plan = (cleaning.c4_line_stats(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan                       # scan-local rules
+    assert plan.count("Exchange hashpartitioning") == 1  # the groupBy
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text="P" * 160 + "Q" * 160),
+        Row(doc_id=1, text="P" * 160),               # dup of doc 0 para 0
+        Row(doc_id=2, text="R" * 160 + "P" * 160),   # dup in 2nd slot
+    ])
+    out = {r.doc_id: r for r in
+           cleaning.paragraph_dedup_stats(corpus).collect()}
+    assert (out[0].uniq_paras, out[0].dup_paras) == (2, 0)
+    assert (out[1].uniq_paras, out[1].dup_paras) == (0, 1)
+    assert (out[2].uniq_paras, out[2].dup_paras) == (1, 1)
+
+
+def test_paragraph_window_exchange_is_hash_keyed(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text="w" * 300) for i in range(10)])
+    plan = (cleaning.paragraph_dedup_stats(corpus)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the window shuffle partitions on the 64-bit hash, the paragraph
+    # text having been projected away before the exchange
+    assert "hashpartitioning(ph" in plan
