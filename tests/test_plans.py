@@ -509,3 +509,15 @@ def test_cluster_balanced_sample_census_is_broadcast(spark):
     # exactly one hash exchange: the |cells|-row census aggregate;
     # the corpus side streams map-side into the broadcast join
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_knn_join_data_side_never_shuffles(spark):
+    """knn_join broadcasts the 9x-exploded query batch; the data
+    table must reach the join without a hash exchange — the only
+    shuffle is the per-query candidate window."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["knn_join"](spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    # one exchange for the window partitionBy(_qid); none for the join
+    assert plan.count("Exchange hashpartitioning") == 1
