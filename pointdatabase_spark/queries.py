@@ -94,8 +94,10 @@ _SCORE_FIRST = [
     # CCNet paragraph dedup, CCNet LM perplexity filter)
     "c4_line_filter", "paragraph_dedup", "bigram_lm_perplexity",
     # new in r8 wave 5 — radius-bounded kNN join (O5 generalized),
-    # Misra-Gries exact heavy hitters (vocab-unbounded term census)
-    "knn_join", "heavy_hitter_terms",
+    # Misra-Gries exact heavy hitters (vocab-unbounded term census),
+    # distributed BPE tokenizer training
+    "knn_join", "heavy_hitter_terms", "bpe_train_merges",
+    "bpe_encode_stats",
     # de-hinted plans (VERDICT r6 item 1) — last of the rotation
     # head: their r6 evidence predates the r7 de-hinting, but the
     # de-hint left results identical, so never-scored queries above
@@ -2622,6 +2624,87 @@ SELECT gram, COUNT(*) AS df
 FROM g GROUP BY gram
 ORDER BY df DESC, gram LIMIT 20
 """
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled n-round BPE oracle: per round, a pair-count aggregate,
+    a 1-row argmax, and the identical greedy left-to-right merge fold
+    (DuckDB list_reduce over a '|'-delimited accumulator — symbols are
+    word-soup letters, so the delimiter never collides)."""
+    return _bpe_oracle_prefix(n_merges) + "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS left, r AS right,"
+        f" pc AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)) + "\nORDER BY step"
+
+
+def _bpe_oracle_prefix(n_merges: int) -> str:
+    """The shared CTE chain: word counts, then per round a pair-count
+    aggregate, a 1-row argmax, and the greedy merge fold (carrying
+    the word through so the encode oracle can join back)."""
+    parts = [r"""
+WITH w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
+        FROM documents) GROUP BY w),
+s0 AS (SELECT w, cnt, regexp_extract_all(w, '.') AS syms FROM w0)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (SELECT s.l AS l, s.r AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+       FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                    i -> {{'l': syms[i], 'r': syms[i+1]}})) AS s
+             FROM s{i - 1} WHERE len(syms) >= 2)
+       GROUP BY 1, 2),
+b{i} AS (SELECT l, r, pc FROM p{i} ORDER BY pc DESC, l, r LIMIT 1),
+s{i} AS (SELECT w, cnt, string_split(list_reduce(syms, (acc, x) ->
+         CASE WHEN regexp_extract(acc, '[^|]*$') = b.l AND x = b.r
+              THEN regexp_replace(acc, '[^|]*$', b.l || b.r)
+              ELSE acc || '|' || x END), '|') AS syms
+       FROM s{i - 1}, b{i} b)""")
+    return "".join(parts)
+
+
+_BPE_ORACLE = _bpe_oracle(3)
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 3 merges
+    (operators/tokenizer.bpe_train, Sennrich et al. 2016): ONE corpus
+    scan builds the word-count table; every merge round after that is
+    an aggregate over the VOCABULARY-bounded word table plus a 1-row
+    argmax collect — corpus growth changes counts, not loop cost.
+    The greedy left-to-right merge is a codegen aggregate() fold
+    (['a','a','a','a'] + (a,a) -> ['aa','aa']); the oracle unrolls
+    the identical rounds with DuckDB list_reduce.  Ties break by
+    (count desc, left, right) on both engines."""
+    from pointdatabase_spark.operators import tokenizer as _bpe
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _bpe.bpe_train(spark, docs, n_merges=3)
+
+
+_BPE_ENCODE_ORACLE = _bpe_oracle_prefix(3) + r""",
+enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM s3),
+dw AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+       FROM documents)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_tokens
+FROM dw JOIN enc USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("bpe_encode_stats", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the 3 just-learned BPE merges
+    (operators/tokenizer.bpe_encode_doc_stats): each DISTINCT word is
+    encoded ONCE by chained codegen merge folds (vocabulary-bounded
+    work), the corpus maps word -> encoded length through a broadcast
+    join, and one per-doc aggregate returns (n_words, n_tokens) —
+    documents never shuffle.  The oracle replays the identical train
+    rounds and encode join in DuckDB."""
+    from pointdatabase_spark.operators import tokenizer as _bpe
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _bpe.bpe_encode_doc_stats(spark, docs, n_merges=3)
 
 
 _HEAVY_HITTERS_ORACLE = r"""

@@ -1150,3 +1150,38 @@ def test_heavy_hitters_exact_under_eviction(spark):
     got = [(r.term, r.freq) for r in
            profile.heavy_hitter_terms(df, k=3, capacity=4).collect()]
     assert got == [("alpha", 60), ("beta", 50), ("gamma", 40)]
+
+
+def test_bpe_greedy_overlap_and_chained_merges(spark):
+    """'aaaa' x40: round 1 learns (a,a) with greedy left-to-right
+    count 2 per word (overlaps don't double-count via the fold);
+    round 2 learns (aa,aa) — a merged symbol participating in a later
+    merge."""
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import tokenizer
+    docs = spark.createDataFrame([Row(text="aaaa")] * 40)
+    got = [(r.step, r.left, r.right, r.pair_count)
+           for r in tokenizer.bpe_train(spark, docs, 2).collect()]
+    # round 1: pairs of 'aaaa' = (a,a) x3 -> count 120; after the
+    # greedy merge every word is [aa, aa]; round 2: (aa,aa) x40
+    assert got == [(1, "a", "a", 120), (2, "aa", "aa", 40)]
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import tokenizer
+    docs = spark.createDataFrame(
+        [Row(text="zy ba")] * 7)       # pairs (z,y) and (b,a), tied
+    [r] = tokenizer.bpe_train(spark, docs, 1).collect()
+    assert (r.left, r.right, r.pair_count) == ("b", "a", 7)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import tokenizer
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="aaaa aaaa") for i in range(10)])
+    got = {r.doc_id: (r.n_words, r.n_tokens) for r in
+           tokenizer.bpe_encode_doc_stats(spark, docs, 2).collect()}
+    # merges (a,a) then (aa,aa): 'aaaa' encodes to ONE token
+    assert got == {i: (2, 2) for i in range(10)}
