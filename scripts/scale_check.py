@@ -125,11 +125,16 @@ FROM read_parquet('{SF01}/embeddings.parquet')""")
 
 
 def timed(df) -> float:
-    df.write.format("noop").mode("overwrite").save()  # warm-up / codegen
+    """Best-of-3 warm noop-sink writes.  ``df`` may be a DataFrame or
+    a zero-arg builder returning one — builders re-run per repetition
+    so operators that do driver-side work at construction time (the
+    BPE trainer's per-round argmax collects) are timed end-to-end."""
+    build = df if callable(df) else (lambda: df)
+    build().write.format("noop").mode("overwrite").save()  # warm-up
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
@@ -262,6 +267,23 @@ def main() -> None:
             "c4_line_filter"](spark, sf),
         "paragraph_dedup": lambda sf: _registry.all_queries()[
             "paragraph_dedup"](spark, sf),
+        # r8 wave 5: LM scoring, MG heavy hitters, BPE train/encode,
+        # kNN join (fixed 40-query batch vs 10x points)
+        "bigram_lm_perplexity": lambda sf: _registry.all_queries()[
+            "bigram_lm_perplexity"](spark, sf),
+        "heavy_hitter_terms": lambda sf: _registry.all_queries()[
+            "heavy_hitter_terms"](spark, sf),
+        # BPE ops train at construction time (per-round argmax
+        # collects), so hand timed() a BUILDER — each repetition
+        # reruns the full train loop end-to-end
+        "bpe_train_merges": lambda sf: (
+            lambda: _registry.all_queries()["bpe_train_merges"](
+                spark, sf)),
+        "bpe_encode_stats": lambda sf: (
+            lambda: _registry.all_queries()["bpe_encode_stats"](
+                spark, sf)),
+        "knn_join": lambda sf: _registry.all_queries()[
+            "knn_join"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare

@@ -112,3 +112,35 @@ def test_stored_ann_serving_scales_sublinearly(spark, tmp_path):
                                               nprobe=2)), FLOOR_S)
     e = math.log10(times["sf1"] / times["sf0.1"])
     assert e < EXP_BOUND, f"stored-ANN serving exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_paragraph_dedup_scales_sublinearly(spark):
+    """The dedup window shuffles 8-byte paragraph hashes, never
+    bodies — measured exponent ~0.4 (scan-bound)."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import cleaning
+
+    def op(s, sf):
+        return cleaning.paragraph_dedup_stats(testkit.syn_corpus(s, sf))
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"paragraph_dedup exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_bigram_lm_scales_sublinearly(spark):
+    """LM tables are vocabulary-bounded; scoring is scan + per-doc
+    agg — a posting-style self-join regression (corpus joined to
+    corpus) would blow past the bound."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import cleaning
+
+    def op(s, sf):
+        docs = testkit.load_table(s, sf, "documents")
+        return cleaning.bigram_lm_scores(
+            docs, docs.where(F.col("lang") == "en"))
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"bigram_lm exponent {e:.2f}"
