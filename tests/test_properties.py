@@ -791,3 +791,96 @@ def test_rollup_trailing_matches_brute_force(spark, evts):
         assert got[key][0] == expect[key][0]
         assert math.isclose(got[key][1], expect[key][1],
                             rel_tol=1e-12, abs_tol=1e-12)
+
+
+# -------------------------------------------------------------------
+# BPE training vs a pure-Python reference (Sennrich et al. 2016,
+# algorithm 1): greedy left-to-right pair replacement, argmax by
+# (count, then lexicographic (left, right)) per round.
+# -------------------------------------------------------------------
+
+bpe_corpora = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=8),
+    min_size=1, max_size=12)
+
+
+def _ref_bpe(words, n_merges):
+    from collections import Counter
+    wc = Counter(words)
+    seqs = {w: list(w) for w in wc}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        merges.append((step, l, r, n))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges, {w: len(s) for w, s in seqs.items()}
+
+
+@given(words=bpe_corpora)
+@settings(**_SETTINGS)
+def test_bpe_matches_reference(spark, words):
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import tokenizer
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=w) for i, w in enumerate(words)])
+    want_merges, want_lens = _ref_bpe(words, 3)
+    got = [(r.step, r.left, r.right, r.pair_count)
+           for r in tokenizer.bpe_train(spark, docs, 3).collect()]
+    assert got == want_merges
+    enc = {r.doc_id: r.n_tokens for r in
+           tokenizer.bpe_encode_doc_stats(spark, docs, 3).collect()}
+    assert enc == {i: want_lens[w] for i, w in enumerate(words)}
+
+
+# -------------------------------------------------------------------
+# knn_join vs brute force: random points + queries, cell-straddling
+# coordinates, radius-boundary inclusion, (dist2, id) tie rule.
+# -------------------------------------------------------------------
+
+knn_pts = st.lists(
+    st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+    min_size=1, max_size=40)
+knn_qs = st.lists(
+    st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+    min_size=1, max_size=5)
+
+
+@given(pts=knn_pts, qs=knn_qs, k=st.integers(1, 4),
+       radius=st.sampled_from([5.0, 10.0, 17.0]))
+@settings(**_SETTINGS)
+def test_knn_join_matches_brute_force(spark, pts, qs, k, radius):
+    from pyspark.sql import Row
+    pdf = spark.createDataFrame(
+        [Row(row_id=i, x=float(x), y=float(y))
+         for i, (x, y) in enumerate(pts)])
+    qdf = spark.createDataFrame(
+        [Row(q_id=j, x=float(x), y=float(y))
+         for j, (x, y) in enumerate(qs)])
+    want = set()
+    for j, (qx, qy) in enumerate(qs):
+        cand = sorted(
+            ((float((px - qx) ** 2 + (py - qy) ** 2), i)
+             for i, (px, py) in enumerate(pts)
+             if (px - qx) ** 2 + (py - qy) ** 2 <= radius * radius))
+        for rank, (d2, i) in enumerate(cand[:k], 1):
+            want.add((j, i, rank, d2))
+    got = {(r.q_id, r.nbr_id, r.nn_rank, r.dist2) for r in
+           spatial.knn_join(pdf, qdf, k=k, radius=radius).collect()}
+    assert got == want
