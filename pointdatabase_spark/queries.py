@@ -97,7 +97,7 @@ _SCORE_FIRST = [
     # Misra-Gries exact heavy hitters (vocab-unbounded term census),
     # distributed BPE tokenizer training
     "knn_join", "heavy_hitter_terms", "bpe_train_merges",
-    "bpe_encode_stats",
+    "bpe_encode_stats", "corpus_prep_v2",
     # de-hinted plans (VERDICT r6 item 1) — last of the rotation
     # head: their r6 evidence predates the r7 de-hinting, but the
     # de-hint left results identical, so never-scored queries above
@@ -1461,6 +1461,98 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _cleaning.bigram_lm_scores(
         docs, docs.where(F.col("lang") == "en"))
+
+
+_PREP2_ORACLE = testkit.syn_corpus_cte() + r""",
+nums AS (SELECT n_nationkey AS ln FROM nation),
+lines AS (
+  SELECT d.doc_id, n.ln,
+         substr(d.text, n.ln * 80 + 1, 80)
+           || (CASE WHEN (d.doc_id + n.ln) % 3 = 0
+                    THEN '' ELSE '.' END) AS line
+  FROM corpus d JOIN nums n ON n.ln * 80 < length(d.text)),
+c4 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(keep) AS BIGINT) AS kept_lines,
+         CAST(SUM(CASE WHEN keep = 1 THEN length(line) ELSE 0 END)
+              AS BIGINT) AS clean_chars
+  FROM (SELECT doc_id, line,
+               CASE WHEN substr(line, length(line), 1) = '.'
+                     AND length(line)
+                         - length(replace(line, ' ', '')) >= 4
+                     AND line NOT LIKE '%slow%'
+                    THEN 1 ELSE 0 END AS keep
+        FROM lines) j
+  GROUP BY doc_id HAVING SUM(keep) >= 2),
+pnums AS (SELECT n_nationkey AS pn FROM nation),
+paras AS (
+  SELECT d.doc_id, p.pn, substr(d.text, p.pn * 160 + 1, 160) AS para
+  FROM corpus d JOIN pnums p ON p.pn * 160 < length(d.text)),
+pranked AS (
+  SELECT doc_id, pn,
+         ROW_NUMBER() OVER (PARTITION BY para
+                            ORDER BY doc_id, pn) AS rn
+  FROM paras),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS uniq_paras,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_paras
+  FROM pranked GROUP BY doc_id),
+ltok AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS t
+         FROM corpus),
+lbgi AS (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+         FROM ltok),
+lbg AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM lbgi),
+lch AS (SELECT w1, COUNT(*) AS ch FROM lbg WHERE lang = 'en'
+        GROUP BY 1),
+lcb AS (SELECT w1, w2, COUNT(*) AS cb FROM lbg WHERE lang = 'en'
+        GROUP BY 1, 2),
+lv AS (SELECT COUNT(DISTINCT u) AS v
+       FROM (SELECT unnest(t) AS u FROM ltok WHERE lang = 'en')),
+lsc AS (
+  SELECT b.doc_id,
+         ln((COALESCE(lcb.cb, 0) + 0.5)
+            / (COALESCE(lch.ch, 0) + 0.5 * lv.v)) AS lp
+  FROM lbg b
+  LEFT JOIN lcb ON b.w1 = lcb.w1 AND b.w2 = lcb.w2
+  LEFT JOIN lch ON b.w1 = lch.w1
+  CROSS JOIN lv),
+lm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              ROUND(-AVG(lp), 6) AS nll,
+              ROUND(EXP(-AVG(lp)), 4) AS ppl
+       FROM lsc GROUP BY doc_id)
+SELECT c4.doc_id, n_lines, kept_lines, clean_chars,
+       n_paras, uniq_paras, dup_paras, n_bigrams, nll, ppl
+FROM c4 JOIN pd USING (doc_id) JOIN lm USING (doc_id)
+WHERE dup_paras * 2 <= n_paras AND nll <= 3.5
+ORDER BY doc_id
+"""
+
+
+@query("corpus_prep_v2", oracle=_PREP2_ORACLE)
+def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone for the r8 cleaning stack — the CCNet/C4 order of
+    operations composed end-to-end on the planted-duplicate corpus:
+    C4 line rules with the page-level drop, paragraph dedup dropping
+    majority-duplicate pages (the planted verbatim copies die here;
+    first occurrences survive), and the in-engine bigram-LM
+    perplexity gate (trained on the corpus's lang='en' slice,
+    threshold on the 6-dp-rounded score so the cut is deterministic
+    across engines).  Composition is STATS-LEVEL: each stage scans
+    the corpus once and reduces to per-doc rows; the three joins
+    move skinny aggregates keyed by doc_id, never document text —
+    at 100 TB this is three scans plus doc-count-sized joins."""
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    c4 = _cleaning.c4_line_stats(corpus)
+    pdd = _cleaning.paragraph_dedup_stats(corpus)
+    lm = _cleaning.bigram_lm_scores(
+        corpus, corpus.where(F.col("lang") == "en"))
+    return (c4.join(pdd, "doc_id").join(lm, "doc_id")
+            .where((F.col("dup_paras") * 2 <= F.col("n_paras"))
+                   & (F.col("nll") <= 3.5))
+            .orderBy("doc_id"))
 
 
 # --------------------------------------------------------------------------

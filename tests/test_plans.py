@@ -521,3 +521,17 @@ def test_knn_join_data_side_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     # one exchange for the window partitionBy(_qid); none for the join
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    """The exact recount must semi-join the token stream against the
+    BROADCAST candidate set — a hash-exchange semi (or a full-vocab
+    aggregate before the filter) would reintroduce the |vocab|
+    shuffle the operator exists to avoid."""
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["heavy_hitter_terms"](spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # exchanges: candidate distinct + final count agg (+ TakeOrdered);
+    # the token stream itself reaches the semi join map-side
+    assert plan.count("Exchange hashpartitioning") <= 2
