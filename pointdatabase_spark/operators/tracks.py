@@ -68,3 +68,46 @@ def pair_collapse(df: DataFrame, pair_cols: list[str],
     if dh_fit_dy is not None:
         aggs.append(F.avg(dh_fit_dy).alias("dh_dy"))
     return df.groupBy(*pair_cols).agg(*aggs)
+
+
+def track_resample(pts: DataFrame, step: int, key: str = "rgt",
+                   t: str = "t", h: str = "h") -> DataFrame:
+    """Along-track resampling: linear interpolation of ``h`` onto a
+    fixed-step grid per track — the gridded-product step the
+    reference's per-track NumPy kernels feed (regular sampling of an
+    irregular track).
+
+    Plan: points dedupe to one row per (track, t) (equal-ts
+    duplicates make "the" bracketing row ill-defined — same rule as
+    asof_join); per-track [min, max] bounds explode into the grid (a
+    narrow sequence over an aggregate, grid size = track span / step,
+    never point count); two single-exchange as-of joins
+    (operators/temporal.asof_join backward + forward) attach the
+    bracketing samples; interpolation is a scan-local expression.
+    At 100 TB: two key-hash exchanges of points + grid, no range-join
+    candidate blowup, no per-track collect."""
+    from pointdatabase_spark.operators.temporal import asof_join
+    p = (pts.where(F.col(h).isNotNull() & F.col(t).isNotNull())
+         .groupBy(key, F.col(t).cast("long").alias("_t"))
+         .agg(F.max(h).alias("_h")))
+    rng = p.groupBy(key).agg(F.min("_t").alias("_t0"),
+                             F.max("_t").alias("_t1"))
+    grid = (rng.select(key, F.explode(F.sequence(
+                F.ceil(F.col("_t0") / step).cast("long"),
+                F.floor(F.col("_t1") / step).cast("long"))).alias("_k"))
+            .select(key, (F.col("_k") * step).alias("gt")))
+    b = asof_join(grid, p, on=key, left_ts="gt", right_ts="_t",
+                  right_cols=["_h"], suffix="_b", direction="backward")
+    f = asof_join(b, p, on=key, left_ts="gt", right_ts="_t",
+                  right_cols=["_h"], suffix="_f", direction="forward")
+    interp = F.when(
+        F.col("_t_f") == F.col("_t_b"), F.col("_h_b")).otherwise(
+        F.col("_h_b") + (F.col("_h_f") - F.col("_h_b"))
+        * (F.col("gt") - F.col("_t_b"))
+        / (F.col("_t_f") - F.col("_t_b")))
+    return (f.where(F.col("_t_b").isNotNull()
+                    & F.col("_t_f").isNotNull())
+            .select(key, "gt",
+                    F.col("_t_b").alias("t_before"),
+                    F.col("_t_f").alias("t_after"),
+                    F.round(interp, 6).alias("h_interp")))

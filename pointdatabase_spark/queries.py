@@ -97,7 +97,7 @@ _SCORE_FIRST = [
     # Misra-Gries exact heavy hitters (vocab-unbounded term census),
     # distributed BPE tokenizer training
     "knn_join", "heavy_hitter_terms", "bpe_train_merges",
-    "bpe_encode_stats", "corpus_prep_v2",
+    "bpe_encode_stats", "corpus_prep_v2", "track_resample",
     # de-hinted plans (VERDICT r6 item 1) — last of the rotation
     # head: their r6 evidence predates the r7 de-hinting, but the
     # de-hint left results identical, so never-scored queries above
@@ -1553,6 +1553,49 @@ def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("dup_paras") * 2 <= F.col("n_paras"))
                    & (F.col("nll") <= 3.5))
             .orderBy("doc_id"))
+
+
+_RESAMPLE_ORACLE = testkit.syn_points_cte() + """
+, p AS (SELECT rgt, CAST(t AS BIGINT) AS t, MAX(h) AS h
+        FROM pts WHERE h IS NOT NULL AND t IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT rgt, MIN(t) AS t0, MAX(t) AS t1 FROM p GROUP BY rgt),
+g AS (SELECT rgt, k * 1000 AS gt
+      FROM (SELECT rgt,
+                   unnest(range(CAST(ceil(t0 / 1000.0) AS BIGINT),
+                                CAST(floor(t1 / 1000.0) AS BIGINT) + 1))
+                     AS k
+            FROM r)),
+b AS (SELECT g.rgt, g.gt, MAX(p.t) AS tb
+      FROM g JOIN p ON p.rgt = g.rgt AND p.t <= g.gt GROUP BY 1, 2),
+fwd AS (SELECT g.rgt, g.gt, MIN(p.t) AS tf
+        FROM g JOIN p ON p.rgt = g.rgt AND p.t >= g.gt GROUP BY 1, 2)
+SELECT b.rgt, b.gt, b.tb AS t_before, fwd.tf AS t_after,
+       ROUND(CASE WHEN fwd.tf = b.tb THEN pb.h
+             ELSE pb.h + (pf.h - pb.h) * (b.gt - b.tb)
+                  / (fwd.tf - b.tb) END, 6) AS h_interp
+FROM b JOIN fwd ON b.rgt = fwd.rgt AND b.gt = fwd.gt
+JOIN p pb ON pb.rgt = b.rgt AND pb.t = b.tb
+JOIN p pf ON pf.rgt = fwd.rgt AND pf.t = fwd.tf
+ORDER BY b.rgt, b.gt
+"""
+
+
+@query("track_resample", oracle=_RESAMPLE_ORACLE)
+def track_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Along-track resampling (operators/tracks.track_resample):
+    linear interpolation of h onto a fixed 1000-unit grid per track —
+    the regular-sampling step the reference's per-track kernels feed.
+    Grid size is span/step per track (a narrow sequence over a
+    per-track aggregate, never point-count-sized); the bracketing
+    samples come from TWO single-exchange as-of joins (backward +
+    forward, operators/temporal.py — no range-join candidate
+    blowup); interpolation is scan-local.  The oracle brute-forces
+    the brackets with inequality joins; the engine's asof path must
+    agree exactly, including grid points landing ON a sample
+    (t_before == t_after)."""
+    pts = testkit.syn_points(spark, sf_dir)
+    return (tracks.track_resample(pts, step=1000)
+            .orderBy("rgt", "gt"))
 
 
 # --------------------------------------------------------------------------

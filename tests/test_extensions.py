@@ -1185,3 +1185,20 @@ def test_bpe_encode_applies_merges_in_order(spark):
            tokenizer.bpe_encode_doc_stats(spark, docs, 2).collect()}
     # merges (a,a) then (aa,aa): 'aaaa' encodes to ONE token
     assert got == {i: (2, 2) for i in range(10)}
+
+
+def test_track_resample_hand_case(spark):
+    """Grid 0,10,20 over samples at t=0(h=1), t=15(h=4), t=20(h=8):
+    gt=0 lands ON a sample (h=1); gt=10 interpolates 1+(4-1)*10/15=3;
+    gt=20 on-sample (h=8).  Equal-t duplicates collapse to max(h)."""
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import tracks
+    pts = spark.createDataFrame([
+        Row(rgt=1, t=0.0, h=1.0),
+        Row(rgt=1, t=0.0, h=0.5),    # dup ts -> max(h)=1.0 survives
+        Row(rgt=1, t=15.0, h=4.0),
+        Row(rgt=1, t=20.0, h=8.0),
+    ])
+    got = {r.gt: (r.t_before, r.t_after, r.h_interp) for r in
+           tracks.track_resample(pts, step=10).collect()}
+    assert got == {0: (0, 0, 1.0), 10: (0, 15, 3.0), 20: (20, 20, 8.0)}
