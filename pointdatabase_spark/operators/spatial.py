@@ -200,7 +200,9 @@ def extent(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
 
 def knn_join(pts: DataFrame, queries: DataFrame, k: int, radius: float,
              pt_id: str = "row_id", q_id: str = "q_id",
-             x: str = "x", y: str = "y") -> DataFrame:
+             x: str = "x", y: str = "y",
+             broadcast_queries: bool = True,
+             exclude_self: bool = False) -> DataFrame:
     """Radius-bounded k-nearest-neighbor join: for each query point,
     the k nearest data points within Euclidean ``radius``, ties broken
     by ``pt_id`` (the multi-neighbor generalization of the reference's
@@ -213,12 +215,15 @@ def knn_join(pts: DataFrame, queries: DataFrame, k: int, radius: float,
     a bin equi-join yields candidates, the exact distance predicate
     filters them, and a per-query window keeps rank <= k.
 
-    100 TB shape: the query batch is USER-bounded (a picker's clicks,
-    a probe set), not SF-bounded, so its 9x explode broadcasts and the
-    data side never shuffles for the join — the only exchange is the
-    per-query window over candidates (|Q| x E[cell density x 9] rows,
-    never the corpus).  For SF-scaled query sides, drop the broadcast
-    hint and AQE shuffle-joins on the bin key.
+    100 TB shape: with ``broadcast_queries`` (default), the query
+    batch is USER-bounded (a picker's clicks, a probe set), not
+    SF-bounded, so its 9x explode broadcasts and the data side never
+    shuffles for the join — the only exchange is the per-query window
+    over candidates (|Q| x E[cell density x 9] rows, never the
+    corpus).  ``broadcast_queries=False`` is the kNN-GRAPH mode
+    (queries = the points themselves, SF-scaled): no hint, AQE picks
+    the bin-key join strategy — shuffle join at scale instead of a
+    forced-broadcast OOM.
     """
     r = float(radius)
     p = pts.select(F.col(pt_id).alias("nbr_id"),
@@ -233,9 +238,12 @@ def knn_join(pts: DataFrame, queries: DataFrame, k: int, radius: float,
             F.floor(F.col("qy") / r) + F.lit(i) for i in (-1, 0, 1)]))))
     d2 = ((F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
           + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy")))
-    cand = (p.join(F.broadcast(q), ["bx", "by"])
+    qj = F.broadcast(q) if broadcast_queries else q
+    cand = (p.join(qj, ["bx", "by"])
             .withColumn("dist2", d2)
             .where(F.col("dist2") <= F.lit(r * r)))
+    if exclude_self:       # kNN-graph mode: a point is not its own
+        cand = cand.where(F.col("nbr_id") != F.col("_qid"))  # neighbor
     w = Window.partitionBy("_qid").orderBy("dist2", "nbr_id")
     return (cand.withColumn("nn_rank", F.row_number().over(w))
             .where(F.col("nn_rank") <= k)

@@ -98,6 +98,7 @@ _SCORE_FIRST = [
     # distributed BPE tokenizer training
     "knn_join", "heavy_hitter_terms", "bpe_train_merges",
     "bpe_encode_stats", "corpus_prep_v2", "track_resample",
+    "knn_graph",
     # de-hinted plans (VERDICT r6 item 1) — last of the rotation
     # head: their r6 evidence predates the r7 de-hinting, but the
     # de-hint left results identical, so never-scored queries above
@@ -1553,6 +1554,50 @@ def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where((F.col("dup_paras") * 2 <= F.col("n_paras"))
                    & (F.col("nll") <= 3.5))
             .orderBy("doc_id"))
+
+
+_KNN_GRAPH_ORACLE = testkit.syn_points_cte() + """
+, sub AS (SELECT row_id, x, y FROM pts
+          WHERE x BETWEEN 0 AND 30000 AND y BETWEEN 0 AND 30000),
+cand AS (
+  SELECT q.row_id AS q_id, p.row_id AS nbr_id,
+         (p.x - q.x) * (p.x - q.x)
+           + (p.y - q.y) * (p.y - q.y) AS dist2
+  FROM sub q JOIN sub p
+    ON p.row_id <> q.row_id
+   AND (p.x - q.x) * (p.x - q.x)
+         + (p.y - q.y) * (p.y - q.y) <= 25000000.0),
+ranked AS (
+  SELECT q_id, nbr_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dist2, nbr_id) AS rn
+  FROM cand)
+SELECT q_id, nbr_id, CAST(rn AS INT) AS nn_rank, dist2
+FROM ranked WHERE rn <= 4 ORDER BY q_id, nn_rank
+"""
+
+
+@query("knn_graph", oracle=_KNN_GRAPH_ORACLE)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH (self-join mode of spatial.knn_join): the 4 nearest
+    other points within 5 km of EVERY point in a 30 km box — the
+    build step for graph-based methods (mesh neighbors, label prop,
+    density estimates).  Unlike `knn_join`'s user-bounded probe
+    batch, the query side here is SF-scaled, so the operator runs
+    UNHINTED (broadcast_queries=False) and AQE picks the bin-key
+    join strategy — it broadcasts while small and degrades to a
+    shuffle join at cluster SF instead of a forced-broadcast OOM
+    (the q3/q5 de-hinting lesson applied at birth).  Self matches
+    are excluded BEFORE ranking on both engines."""
+    pts = testkit.syn_points(spark, sf_dir)
+    sub = (spatial.box_query(pts, (0.0, 30000.0), (0.0, 30000.0))
+           .select("row_id", "x", "y"))
+    return (spatial.knn_join(
+                sub, sub.select(F.col("row_id").alias("q_id"),
+                                "x", "y"),
+                k=4, radius=5000.0, broadcast_queries=False,
+                exclude_self=True)
+            .orderBy("q_id", "nn_rank"))
 
 
 _RESAMPLE_ORACLE = testkit.syn_points_cte() + """

@@ -55,6 +55,10 @@ def build_sf1(tables: list[str] | None = None) -> None:
         "supplier", "part", "nation", "region", "embeddings"}
     want = {t for t in want
             if not os.path.exists(f"{SF1}/{t}.parquet")}
+    if not os.path.exists(f"{SF1}_dense/lineitem.parquet") and (
+            tables is None or "lineitem" in tables
+            or "lineitem_dense" in tables):
+        want.add("lineitem_dense")
     if not want:
         return
     con = duckdb.connect()
@@ -77,6 +81,24 @@ FROM read_parquet('{SF01}/lineitem.parquet')""")
     if "lineitem" in want:
         con.execute(f"COPY ({' UNION ALL '.join(li_parts)}) TO "
                     f"'{SF1}/lineitem.parquet' (FORMAT PARQUET)")
+    # lineitem_dense: replicas offset by the ORIGINAL key range
+    # (1.6M), not 10M — the derived t-span then grows ~10x like the
+    # row count.  The sparse 10M offsets (above) inflate the span
+    # 600x, which is right for key-cardinality ops but would make any
+    # span-proportional operator (track_resample's grid) look
+    # super-linear purely by fixture construction.
+    ld_parts = ["SELECT * FROM read_parquet('%s/lineitem.parquet')"
+                % SF01]
+    for r in range(1, 10):
+        ld_parts.append(f"""
+SELECT * REPLACE (l_orderkey + {r} * 1600000 AS l_orderkey)
+FROM read_parquet('{SF01}/lineitem.parquet')""")
+    if "lineitem" in want or "lineitem_dense" in want:
+        os.makedirs(f"{SF1}_dense", exist_ok=True)
+        if not os.path.exists(f"{SF1}_dense/lineitem.parquet"):
+            con.execute(f"COPY ({' UNION ALL '.join(ld_parts)}) TO "
+                        f"'{SF1}_dense/lineitem.parquet' "
+                        f"(FORMAT PARQUET)")
     # events: more users, same per-user density and time range
     ev_parts = ["SELECT * FROM read_parquet('%s/events.parquet')" % SF01]
     for r in range(1, 10):
@@ -284,6 +306,14 @@ def main() -> None:
                 spark, sf)),
         "knn_join": lambda sf: _registry.all_queries()[
             "knn_join"](spark, sf),
+        # span-faithful fixture: at sf1 the dense replica keeps grid
+        # size ~10x (see build_sf1 lineitem_dense); the sparse-key
+        # sf1 would grow the grid 600x by construction
+        "track_resample": lambda sf: _registry.all_queries()[
+            "track_resample"](spark,
+                              SF1 + "_dense" if sf == SF1 else sf),
+        "corpus_prep_v2": lambda sf: _registry.all_queries()[
+            "corpus_prep_v2"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare

@@ -535,3 +535,18 @@ def test_heavy_hitters_recount_is_broadcast_semi(spark):
     # exchanges: candidate distinct + final count agg (+ TakeOrdered);
     # the token stream itself reaches the semi join map-side
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_knn_graph_unhinted_vs_knn_join_broadcast(spark):
+    """knn_graph's query side is SF-scaled (the points themselves),
+    so it must carry NO broadcast hint (AQE decides); knn_join's
+    user-bounded probe batch keeps its hint and the data side reaches
+    that join without a hash exchange."""
+    from pointdatabase_spark import queries as registry
+    g = registry.all_queries()["knn_graph"](spark, SF_SMOKE)
+    logical = g._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 0, (
+        "kNN graph forced a broadcast of an SF-scaled side")
+    j = registry.all_queries()["knn_join"](spark, SF_SMOKE)
+    assert "ResolvedHint" in \
+        j._jdf.queryExecution().analyzed().toString()
