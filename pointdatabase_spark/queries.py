@@ -1558,7 +1558,7 @@ def corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_GRAPH_ORACLE = testkit.syn_points_cte() + """
 , sub AS (SELECT row_id, x, y FROM pts
-          WHERE x BETWEEN 0 AND 30000 AND y BETWEEN 0 AND 30000),
+          WHERE x BETWEEN 0 AND 20000 AND y BETWEEN 0 AND 20000),
 cand AS (
   SELECT q.row_id AS q_id, p.row_id AS nbr_id,
          (p.x - q.x) * (p.x - q.x)
@@ -1566,7 +1566,7 @@ cand AS (
   FROM sub q JOIN sub p
     ON p.row_id <> q.row_id
    AND (p.x - q.x) * (p.x - q.x)
-         + (p.y - q.y) * (p.y - q.y) <= 25000000.0),
+         + (p.y - q.y) * (p.y - q.y) <= 6250000.0),
 ranked AS (
   SELECT q_id, nbr_id, dist2,
          ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1590,12 +1590,12 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q3/q5 de-hinting lesson applied at birth).  Self matches
     are excluded BEFORE ranking on both engines."""
     pts = testkit.syn_points(spark, sf_dir)
-    sub = (spatial.box_query(pts, (0.0, 30000.0), (0.0, 30000.0))
+    sub = (spatial.box_query(pts, (0.0, 20000.0), (0.0, 20000.0))
            .select("row_id", "x", "y"))
     return (spatial.knn_join(
                 sub, sub.select(F.col("row_id").alias("q_id"),
                                 "x", "y"),
-                k=4, radius=5000.0, broadcast_queries=False,
+                k=4, radius=2500.0, broadcast_queries=False,
                 exclude_self=True)
             .orderBy("q_id", "nn_rank"))
 
