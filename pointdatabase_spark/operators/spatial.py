@@ -249,3 +249,54 @@ def knn_join(pts: DataFrame, queries: DataFrame, k: int, radius: float,
             .where(F.col("nn_rank") <= k)
             .select(F.col("_qid").alias(q_id), "nbr_id", "nn_rank",
                     "dist2"))
+
+
+def grid_cluster(pts: DataFrame, delta: float, min_pts: int,
+                 x: str = "x", y: str = "y") -> DataFrame:
+    """Grid-density clustering (the grid formulation of DBSCAN:
+    cells with >= ``min_pts`` points are dense; 8-adjacent dense
+    cells merge into clusters).  Returns per-cluster stats keyed by
+    the component-min cell id.
+
+    Plan: ONE count aggregate reduces points to cells (the only
+    point-sized shuffle); everything after runs on the CELL table —
+    adjacency via a 8-offset explode + self-join, components via the
+    dedup family's pointer-jumping CC (O(log diameter) rounds,
+    operators/dedup.duplicate_clusters_converged), stats via one
+    cell-level aggregate.  At 100 TB the cell table is
+    area/delta²-bounded, not point-bounded — the classic density
+    clustering shape for point clouds."""
+    from pointdatabase_spark.operators.dedup import (
+        duplicate_clusters_converged)
+    d = float(delta)
+    key = ((F.col("cx") + 1000) * 1_000_000
+           + (F.col("cy") + 1000)).alias("cell_id")
+    dense = (pts.groupBy(F.floor(F.col(x) / d).cast("long").alias("cx"),
+                         F.floor(F.col(y) / d).cast("long").alias("cy"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") >= int(min_pts))
+             .select(key, "cx", "cy", "n"))
+    off = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+           if (dx, dy) != (0, 0)]
+    nb = (dense.select("cell_id", "cx", "cy")
+          .withColumn("o", F.explode(F.array(*[
+              F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+              for dx, dy in off])))
+          .select("cell_id", (F.col("cx") + F.col("o.dx")).alias("nx"),
+                  (F.col("cy") + F.col("o.dy")).alias("ny")))
+    other = dense.select(F.col("cell_id").alias("nbr_cell"),
+                         F.col("cx").alias("nx"), F.col("cy").alias("ny"))
+    edges = (nb.join(other, ["nx", "ny"])
+             .where(F.col("cell_id") < F.col("nbr_cell"))
+             .select(F.col("cell_id").alias("id_a"),
+                     F.col("nbr_cell").alias("id_b")))
+    cc = duplicate_clusters_converged(edges)
+    lab = (dense.join(cc, dense.cell_id == cc.doc_id, "left")
+           .select(F.coalesce("cluster_id", "cell_id").alias("cluster_id"),
+                   "n", "cx", "cy"))
+    return (lab.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("n").alias("n_points"),
+                 F.min("cx").alias("cx_min"), F.max("cx").alias("cx_max"),
+                 F.min("cy").alias("cy_min"), F.max("cy").alias("cy_max"))
+            .orderBy("cluster_id"))

@@ -1202,3 +1202,21 @@ def test_track_resample_hand_case(spark):
     got = {r.gt: (r.t_before, r.t_after, r.h_interp) for r in
            tracks.track_resample(pts, step=10).collect()}
     assert got == {0: (0, 0, 1.0), 10: (0, 15, 3.0), 20: (20, 20, 8.0)}
+
+
+def test_grid_cluster_hand_case(spark):
+    """Three dense cells — (0,0) and (1,1) touch diagonally, (5,5) is
+    isolated; a 2-point cell stays below min_pts and is dropped."""
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import spatial
+    rows = []
+    for cx, cy, n in [(0, 0, 3), (1, 1, 4), (5, 5, 3), (8, 8, 2)]:
+        rows += [Row(x=cx * 10.0 + 1.0, y=cy * 10.0 + 1.0)] * n
+    got = {r.cluster_id: (r.n_cells, r.n_points,
+                          r.cx_min, r.cx_max, r.cy_min, r.cy_max)
+           for r in spatial.grid_cluster(
+               spark.createDataFrame(rows), delta=10.0, min_pts=3
+           ).collect()}
+    k00 = 1000 * 1_000_000 + 1000          # cell (0,0)
+    k55 = 1005 * 1_000_000 + 1005          # cell (5,5)
+    assert got == {k00: (2, 7, 0, 1, 0, 1), k55: (1, 3, 5, 5, 5, 5)}
