@@ -314,6 +314,8 @@ def main() -> None:
                               SF1 + "_dense" if sf == SF1 else sf),
         "corpus_prep_v2": lambda sf: _registry.all_queries()[
             "corpus_prep_v2"](spark, sf),
+        "grid_cluster": lambda sf: _registry.all_queries()[
+            "grid_cluster"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare
