@@ -46,20 +46,16 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
-    # r7 rotation (VERDICT r6 item 2): the 19 queries whose latest
-    # driver evidence is r4-era — led by the ones whose PLANS were
-    # materially reworked since that evidence (persisted posting
-    # table for ngram_jaccard, checkpointed pointer-jumping for
-    # dedup_clusters).  After this window every registry query has
-    # driver evidence <= 2 rounds old.
+    # Rotation priority, 61 names vs a ~50-query window: (1) the
+    # three r4-era queries whose PLANS were materially reworked
+    # since their last driver row (persisted posting table for
+    # ngram_jaccard, checkpointed pointer-jumping for
+    # dedup_clusters); (2) every never-scored r7/r8 query (zero
+    # driver evidence); (3) the remaining r4-era stale-but-green
+    # queries; (4) the de-hinted TPC-H trio (r6-green, results
+    # unchanged by the de-hint).  Whatever the window cuts comes
+    # from (3)/(4), which at least have old green evidence.
     "ngram_jaccard_neardup", "ngram_jaccard_capped", "dedup_clusters",
-    "minhash_lsh_neardup", "minhash_lsh_capped", "exact_dedup",
-    "simhash_neardup", "cosine_topk", "lsh_ann_topk",
-    "lsh_ann_multitable", "ivf_ann_topk",
-    "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
-    "crs_polar_stereo", "dem_as_points", "plane_fit_10km",
-    "raster_interp_join", "raster_interp_spline",
-    "raster_normalize_rgb", "run_coalescing",
     # new in r7 — zero driver evidence yet
     "quality_decile_approx",
     # new in r8 — TPC-H plan shapes (scan-agg pushdown, two-role
@@ -99,6 +95,15 @@ _SCORE_FIRST = [
     "knn_join", "heavy_hitter_terms", "bpe_train_merges",
     "bpe_encode_stats", "corpus_prep_v2", "track_resample",
     "knn_graph", "grid_cluster",
+    # the remaining r4-era stale queries (old green evidence, plans
+    # unchanged since) — re-scored as window capacity allows
+    "minhash_lsh_neardup", "minhash_lsh_capped", "exact_dedup",
+    "simhash_neardup", "cosine_topk", "lsh_ann_topk",
+    "lsh_ann_multitable", "ivf_ann_topk",
+    "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
+    "crs_polar_stereo", "dem_as_points", "plane_fit_10km",
+    "raster_interp_join", "raster_interp_spline",
+    "raster_normalize_rgb", "run_coalescing",
     # de-hinted plans (VERDICT r6 item 1) — last of the rotation
     # head: their r6 evidence predates the r7 de-hinting, but the
     # de-hint left results identical, so never-scored queries above
