@@ -147,3 +147,34 @@ def paragraph_dedup_stats(corpus: DataFrame) -> DataFrame:
                  F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
                  .alias("dup_paras"))
             .orderBy("doc_id"))
+
+
+def paragraph_dedup_materialize(corpus: DataFrame) -> DataFrame:
+    """The MATERIALIZATION companion of paragraph_dedup_stats: emit
+    the cleaned corpus itself — each document reassembled from its
+    SURVIVING paragraphs (first global occurrence by (doc_id, pn)),
+    in original order.  Documents whose every paragraph was a
+    duplicate vanish (CCNet drops them).
+
+    Unlike the stats pass, this one must move paragraph text through
+    the dedup window (a corpus rewrite inherently relocates text);
+    reassembly is an exact ordered fold — sort_array over (pn, para)
+    structs then a join — with no window over documents.  Returns
+    (doc_id, n_kept, clean_chars, cleaned) where ``cleaned`` is the
+    rebuilt text."""
+    paras = (fixed_chunks(corpus, PARA_WIDTH, idx="pn", chunk="para")
+             .select("doc_id", "pn", "para",
+                     F.xxhash64("para").alias("ph")))
+    w = Window.partitionBy("ph").orderBy("doc_id", "pn")
+    kept = (paras.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    return (kept.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("pn", "para"))),
+                     lambda s: s.para), "").alias("cleaned"))
+            .select("doc_id", "n_kept",
+                    F.length("cleaned").cast("long")
+                    .alias("clean_chars"), "cleaned")
+            .orderBy("doc_id"))

@@ -88,7 +88,8 @@ _SCORE_FIRST = [
     "skew_salted_join", "bloom_semi_join",
     # new in r8 wave 4 — sub-document cleaning (C4 line rules,
     # CCNet paragraph dedup, CCNet LM perplexity filter)
-    "c4_line_filter", "paragraph_dedup", "bigram_lm_perplexity",
+    "c4_line_filter", "paragraph_dedup", "paragraph_dedup_clean",
+    "bigram_lm_perplexity",
     # new in r8 wave 5 — radius-bounded kNN join (O5 generalized),
     # Misra-Gries exact heavy hitters (vocab-unbounded term census),
     # distributed BPE tokenizer training
@@ -1418,6 +1419,47 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision (~1e-12 at any realistic corpus)."""
     corpus = testkit.syn_corpus(spark, sf_dir)
     return _cleaning.paragraph_dedup_stats(corpus)
+
+
+from pointdatabase_spark.functions import text as _text  # noqa: E402
+
+_PARA_MAT_ORACLE = testkit.syn_corpus_cte() + r""",
+nums AS (SELECT n_nationkey AS pn FROM nation),
+paras AS (
+  SELECT d.doc_id, n.pn, substr(d.text, n.pn * 160 + 1, 160) AS para
+  FROM corpus d JOIN nums n ON n.pn * 160 < length(d.text)),
+ranked AS (
+  SELECT doc_id, pn, para,
+         ROW_NUMBER() OVER (PARTITION BY para
+                            ORDER BY doc_id, pn) AS rn
+  FROM paras),
+asm AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(para, '' ORDER BY pn) AS cleaned
+  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+SELECT doc_id, n_kept,
+       CAST(length(cleaned) AS BIGINT) AS clean_chars,
+       """ + _text.duckdb_expr("fp48", "cleaned") + r""" AS fp
+FROM asm ORDER BY doc_id
+"""
+
+
+@query("paragraph_dedup_clean", oracle=_PARA_MAT_ORACLE)
+def paragraph_dedup_clean(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """The paragraph-dedup MATERIALIZATION
+    (operators/cleaning.paragraph_dedup_materialize): the cleaned
+    corpus itself, each document rebuilt from its surviving
+    paragraphs in original order — fully-duplicate documents vanish.
+    Reassembly is an exact ordered fold (sort_array over (pn, para)
+    structs), no window over documents; verified against the oracle
+    through a 48-bit md5 fingerprint of the rebuilt text plus exact
+    lengths, so the byte-identical reassembly is what's checked."""
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    out = _cleaning.paragraph_dedup_materialize(corpus)
+    return out.select(
+        "doc_id", "n_kept", "clean_chars",
+        _text.spark_expr("fp48", "cleaned").alias("fp"))
 
 
 _LM_PPL_ORACLE = """

@@ -100,3 +100,18 @@ def test_bigram_lm_probe_carries_no_text(spark, docs):
     keys = [seg.split(")")[0] for seg in
             plan.split("hashpartitioning(")[1:]]
     assert keys and all("text" not in k for k in keys)
+
+
+def test_paragraph_materialize_rebuilds_in_order(spark):
+    """Survivors reassemble in original pn order; a fully-duplicate
+    document vanishes."""
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text="A" * 160 + "B" * 160),
+        Row(doc_id=1, text="A" * 160),            # all dups -> gone
+        Row(doc_id=2, text="C" * 160 + "A" * 160 + "D" * 160),
+    ])
+    got = {r.doc_id: (r.n_kept, r.cleaned) for r in
+           cleaning.paragraph_dedup_materialize(corpus).collect()}
+    assert set(got) == {0, 2}
+    assert got[0] == (2, "A" * 160 + "B" * 160)
+    assert got[2] == (2, "C" * 160 + "D" * 160)   # A dropped, order kept
