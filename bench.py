@@ -139,10 +139,11 @@ def main() -> None:
     doc = {"metric": "headline_total", "value": total,
            "unit": "sec", "queries": timings, "sf": float(sf),
            "calib": calib}
-    # The driver keeps only the last 2,000 chars of stdout, which with
-    # 100 queries truncates the JSON line mid-dict (r5 lost 31 query
-    # timings and the headline total).  Persist the full doc to a
-    # committed file so every round's complete table survives.
+    # The driver keeps only the last ~2,000 chars of stdout: a
+    # 155-query dict truncates mid-line and the driver records
+    # parsed:null (r5-r8).  Persist the FULL doc to a committed file,
+    # and make the final stdout line a compact doc (headline totals +
+    # calib + the slowest 20 queries) that fits the tail window whole.
     local = os.environ.get("SPARK_GRAFT_BENCH_LOCAL",
                            os.path.join(os.path.dirname(
                                os.path.abspath(__file__)),
@@ -153,7 +154,22 @@ def main() -> None:
     except OSError as exc:
         print(f"BENCH WARN: could not persist {local}: {exc}",
               file=sys.stderr)
-    print(json.dumps(doc))
+    ok = {n: v for n, v in timings.items() if v is not None}
+    slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:20])
+    compact = {"metric": "headline_total", "value": total,
+               "unit": "sec", "sf": float(sf), "calib": calib,
+               "n_queries": len(timings),
+               "n_errors": sum(1 for v in timings.values() if v is None),
+               "median": round(sorted(ok.values())[len(ok) // 2], 3)
+               if ok else None,
+               "queries": slowest,
+               "queries_note": f"slowest 20 of {len(timings)}; full "
+                               "table in BENCH_LOCAL_latest.json"}
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard-guard the driver tail window
+        compact["queries"] = dict(list(slowest.items())[:10])
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.functions import rounding
+
 LINE_WIDTH = 80
 PARA_WIDTH = 160
 
@@ -125,8 +127,8 @@ def bigram_lm_scores(docs: DataFrame, ref: DataFrame,
             .withColumn("lp", lp)
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
-                 F.round(-F.avg("lp"), 6).alias("nll"),
-                 F.round(F.exp(-F.avg("lp")), 4).alias("ppl"))
+                 rounding.qround(-F.avg("lp"), 6).alias("nll"),
+                 rounding.qround(F.exp(-F.avg("lp")), 4).alias("ppl"))
             .orderBy("doc_id"))
 
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.functions import rounding
+
 
 def funnel_counts(events: DataFrame, steps: list[str],
                   user_col: str = "user_id",
@@ -89,5 +91,5 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
         .agg(F.count(F.lit(1)).alias("cohort_size"))
     return (cells.join(sizes, "cohort_bucket")
             .select("cohort_bucket", "offset", "n_active", "cohort_size",
-                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    rounding.qround(F.col("n_active") / F.col("cohort_size"), 6)
                     .alias("retention")))

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.functions import rounding
+
 
 def top_k_per_group(df: DataFrame, group_cols: list[str],
                     order_col: str, k: int, ascending: bool = False,
@@ -61,7 +63,7 @@ def percentile_by_group(df: DataFrame, group_cols: list[str],
         seen.add(name)
         col = (F.percentile(value_col, F.lit(p)) if exact
                else F.approx_percentile(value_col, F.lit(p), F.lit(10000)))
-        aggs.append(F.round(col, 6).alias(name))
+        aggs.append(rounding.qround(col, 6).alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.functions import rounding
+
 
 def profile_columns(df: DataFrame, cols: list[str],
                     exact: bool = True) -> DataFrame:
@@ -156,7 +158,7 @@ def distinctive_terms(df: DataFrame, group_col: str = "source",
     return (scored.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= int(k))
             .select(F.col("grp").alias(group_col), "term", "tf", "df",
-                    F.round("score", 6).alias("score")))
+                    rounding.qround("score", 6).alias("score")))
 
 
 def heavy_hitter_terms(df: DataFrame, text_col: str = "text",
@@ -185,8 +187,11 @@ def heavy_hitter_terms(df: DataFrame, text_col: str = "text",
     The result equals the brute-force top-k whenever the k-th true
     frequency exceeds N/(capacity+1); callers size ``capacity``
     accordingly (a heavy hitter IS a term above such a threshold —
-    terms below it are not meaningfully "top" anyway, and the
-    threshold is reported so the caller can check)."""
+    terms below it are not meaningfully "top" anyway).  The output
+    carries the check: ``n_tokens`` (total N) and per-row
+    ``exact_guarantee`` = freq·(capacity+1) > N — integer
+    arithmetic, so the documented exactness condition is verifiable
+    row by row from the result itself."""
     tok = df.select(F.explode(
         F.split(F.col(text_col), r"\s+")).alias("term"))
 
@@ -205,8 +210,13 @@ def heavy_hitter_terms(df: DataFrame, text_col: str = "text",
         yield pd.DataFrame({"term": list(d.keys())})
 
     cands = tok.mapInPandas(_mg, schema="term string").distinct()
-    return (tok.join(F.broadcast(cands), "term", "left_semi")
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .orderBy(F.col("freq").desc(), F.col("term").asc())
-            .limit(int(k)))
+    stats = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    top = (tok.join(F.broadcast(cands), "term", "left_semi")
+           .groupBy("term")
+           .agg(F.count(F.lit(1)).alias("freq"))
+           .orderBy(F.col("freq").desc(), F.col("term").asc())
+           .limit(int(k)))
+    return (top.crossJoin(F.broadcast(stats))
+            .select("term", "freq", "n_tokens",
+                    (F.col("freq") * F.lit(cap + 1)
+                     > F.col("n_tokens")).alias("exact_guarantee")))

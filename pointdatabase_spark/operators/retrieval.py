@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.functions import rounding
+
 
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 id_col: str = "doc_id", text_col: str = "text",
@@ -54,7 +56,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     return (tf.join(F.broadcast(dfreq), "tok")
             .crossJoin(F.broadcast(stats))
             .groupBy("id")
-            .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+            .agg(rounding.qround(F.sum(contrib), 6).alias("bm25"))
             .withColumnRenamed("id", id_col))
 
 

@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.functions import rounding
+
 from pointdatabase_spark.partitioning import spread
 
 
@@ -559,7 +561,7 @@ def label_centroid_stats(emb: DataFrame, id_col: str = "vec_id",
     # averages are summation-order dependent across engines/runs at
     # ~1e-15, and an unrounded comparison could flip the winner
     # between two near-identical centroids; real margins dwarf 1e-12
-    w = Window.partitionBy("id").orderBy(F.round(F.col("cos"), 12).desc(),
+    w = Window.partitionBy("id").orderBy(rounding.qround(F.col("cos"), 12).desc(),
                                          F.col("clabel").asc())
     best = (cos.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
@@ -569,8 +571,8 @@ def label_centroid_stats(emb: DataFrame, id_col: str = "vec_id",
     own = cos.where(F.col("clabel") == F.col("label"))
     per_own = (own.groupBy("label")
                .agg(F.count(F.lit(1)).alias("n_vecs"),
-                    F.round(F.max("cnorm"), 6).alias("centroid_norm"),
-                    F.round(F.avg("cos"), 6).alias("mean_cos_own")))
+                    rounding.qround(F.max("cnorm"), 6).alias("centroid_norm"),
+                    rounding.qround(F.avg("cos"), 6).alias("mean_cos_own")))
     purity = (best.groupBy("label")
               .agg(F.sum("own_best").cast("bigint").alias("n_nearest_own")))
     return per_own.join(purity, "label")

@@ -269,8 +269,13 @@ def grid_cluster(pts: DataFrame, delta: float, min_pts: int,
     from pointdatabase_spark.operators.dedup import (
         duplicate_clusters_converged)
     d = float(delta)
-    key = ((F.col("cx") + 1000) * 1_000_000
-           + (F.col("cy") + 1000)).alias("cell_id")
+    # collision-free 64-bit key: cx in the high 32-bit lane, cy
+    # offset into the low lane — injective for cx, cy anywhere in
+    # [-2^31, 2^31), i.e. any Earth-scale extent at any delta (the
+    # r8 (cx+1000)*1e6+(cy+1000) packing silently collided once
+    # cx < -1000 or cy left [-1000, 998999])
+    key = (F.col("cx") * F.lit(4294967296)
+           + (F.col("cy") + F.lit(2147483648))).alias("cell_id")
     dense = (pts.groupBy(F.floor(F.col(x) / d).cast("long").alias("cx"),
                          F.floor(F.col(y) / d).cast("long").alias("cy"))
              .agg(F.count(F.lit(1)).alias("n"))

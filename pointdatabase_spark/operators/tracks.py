@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pointdatabase_spark.functions import rounding
+
 TRACK_KEY = ["cycle", "rgt", "beam_pair", "lr"]
 
 
@@ -110,4 +112,4 @@ def track_resample(pts: DataFrame, step: int, key: str = "rgt",
             .select(key, "gt",
                     F.col("_t_b").alias("t_before"),
                     F.col("_t_f").alias("t_after"),
-                    F.round(interp, 6).alias("h_interp")))
+                    rounding.qround(interp, 6).alias("h_interp")))

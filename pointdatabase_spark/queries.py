@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from pointdatabase_spark import testkit
 from pointdatabase_spark.functions import timeconv
+from pointdatabase_spark.functions.rounding import qround as _rq
+from pointdatabase_spark.functions.rounding import qround_sql as _rqs
 from pointdatabase_spark.operators import filters, setops, spatial, tracks, windows
 from pointdatabase_spark.partitioning import spread as _spread
 
@@ -138,13 +140,13 @@ def all_oracles() -> dict[str, str]:
 
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
-       ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
-       ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+       floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0                                   AS sum_qty,
+       floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0                              AS sum_base_price,
+       floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0           AS sum_disc_price,
+       floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+       floor((AVG(l_quantity)) * 1000000.0 + 0.5) / 1000000.0                                   AS avg_qty,
+       floor((AVG(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0                              AS avg_price,
+       floor((AVG(l_discount)) * 1000000.0 + 0.5) / 1000000.0                                   AS avg_disc,
        COUNT(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -158,19 +160,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            .agg(_rq(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 _rq(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 _rq(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 _rq(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 _rq(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 _rq(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 _rq(F.avg("l_discount"), 6).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
 _Q3_ORACLE = """
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -206,7 +208,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("o_orderkey", "o_orderdate", "o_orderpriority"),
                F.col("l_orderkey") == F.col("o_orderkey")))
     return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(_rq(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate",
@@ -217,7 +219,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -270,14 +272,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str
          .join(F.broadcast(asia_nat),
                F.col("s_nationkey") == F.col("n_nationkey")))
     return (j.groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(_rq(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), "n_name"))
 
 
 _Q6_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT floor((SUM(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -303,13 +305,12 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.04999)
         & (F.col("l_discount") <= 0.07001)
         & (F.col("l_quantity") < 24))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
-                     2).alias("revenue")))
+        .agg(_rq(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")))
 
 
 _Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(SUM(volume), 2) AS revenue
+       floor((SUM(volume)) * 100.0 + 0.5) / 100.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
@@ -373,17 +374,17 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("cust_nation") == "NATION_3"))))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").cast("long").alias("l_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(_rq(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
 _Q14_ORACLE = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+SELECT floor((100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+             / SUM(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -408,7 +409,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(part.select("p_partkey", "p_type"),
               F.col("l_partkey") == F.col("p_partkey")))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
-    return j.agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4)
+    return j.agg(_rq(100.0 * F.sum(promo) / F.sum(disc), 4)
                  .alias("promo_revenue"))
 
 
@@ -420,7 +421,7 @@ WITH brand_parts AS (
   FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
   GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT floor((SUM(l.l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0 AS avg_yearly
 FROM lineitem l JOIN part_lim pl ON l.l_partkey = pl.l_partkey
 WHERE l.l_quantity < pl.qty_lim
 """
@@ -451,7 +452,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li_brand
             .join(lim, F.col("l_partkey") == F.col("lim_partkey"))
             .where(F.col("l_quantity") < F.col("qty_lim"))
-            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+            .agg(_rq(F.sum("l_extendedprice") / 7.0, 2)
                  .alias("avg_yearly")))
 
 
@@ -461,7 +462,7 @@ WITH big AS (
   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
 )
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-       o.o_totalprice, ROUND(big.s, 2) AS sum_qty
+       o.o_totalprice, floor((big.s) * 100.0 + 0.5) / 100.0 AS sum_qty
 FROM big
 JOIN orders o   ON o.o_orderkey = big.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -485,7 +486,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str
     orders = testkit.load_table(spark, sf_dir, "orders")
     cust = testkit.load_table(spark, sf_dir, "customer")
     big = (li.groupBy("l_orderkey")
-           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+           .agg(_rq(F.sum("l_quantity"), 2).alias("sum_qty"))
            .where(F.col("sum_qty") > 300))
     return (big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
             .join(cust, F.col("c_custkey") == F.col("o_custkey"))
@@ -497,7 +498,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str
 
 _Q15_ORACLE = """
 WITH rev AS (
-  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+  SELECT l_suppkey, floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
          AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -528,7 +529,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice")
+        .agg(_rq(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))), 2)
              .alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
@@ -671,7 +672,7 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str
 
 
 _Q19_ORACLE = """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 1 AND 11)
@@ -716,7 +717,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str
           & F.col("l_quantity").between(20, 30))
     return (l.join(p, F.col("l_partkey") == F.col("p_partkey"))
             .where(d1 | d2 | d3)
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(_rq(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
 
@@ -801,7 +802,7 @@ eligible AS (
         AND o.o_orderpriority = '1-URGENT'
         AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
 SELECT cust_seg, count(*) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       floor((SUM(c_acctbal)) * 100.0 + 0.5) / 100.0 AS totacctbal
 FROM eligible GROUP BY cust_seg ORDER BY cust_seg
 """
 
@@ -833,7 +834,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str
                   "left_anti")
             .groupBy((F.col("c_custkey") % 10).alias("cust_seg"))
             .agg(F.count("*").alias("numcust"),
-                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+                 _rq(F.sum("c_acctbal"), 2).alias("totacctbal"))
             .orderBy("cust_seg"))
 
 
@@ -865,7 +866,7 @@ sc AS (
            AS min_cost
   FROM supply JOIN eu ON supply.s_suppkey = eu.s_suppkey)
 SELECT sc.s_acctbal, sc.s_name, sc.n_name, p.p_partkey, p.p_type,
-       ROUND(sc.unit_cost, 6) AS unit_cost
+       floor((sc.unit_cost) * 1000000.0 + 0.5) / 1000000.0 AS unit_cost
 FROM sc JOIN part p ON sc.p_partkey = p.p_partkey
 WHERE sc.unit_cost = sc.min_cost
   AND p.p_size = 15 AND p.p_type = 'STANDARD'
@@ -911,17 +912,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              & (F.col("p_type") == "STANDARD"))
                   .select("p_partkey", "p_type"), "p_partkey")
             .select("s_acctbal", "s_name", "n_name", "p_partkey",
-                    "p_type", F.round("unit_cost", 6).alias("unit_cost"))
+                    "p_type", _rq("unit_cost", 6).alias("unit_cost"))
             .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
             .limit(100))
 
 
 _Q8_ORACLE = """
 SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+       floor((SUM(CASE WHEN sn.n_name = 'NATION_3'
                       THEN l.l_extendedprice * (1 - l.l_discount)
                       ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+             / SUM(l.l_extendedprice * (1 - l.l_discount))) * 1000000.0 + 0.5) / 1000000.0
          AS mkt_share
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
@@ -982,8 +983,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str
          .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")))
     return (j.withColumn("vol", vol)
             .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+            .agg(_rq(F.sum(F.when(F.col("supp_nation") == "NATION_3",
                              F.col("vol")).otherwise(0.0))
                 / F.sum("vol"), 6).alias("mkt_share"))
             .orderBy("o_year"))
@@ -991,7 +991,7 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str
 
 _Q9_ORACLE = """
 SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_profit
+       floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS sum_profit
 FROM lineitem l
 JOIN part p     ON l.l_partkey = p.p_partkey
                 AND p.p_name LIKE '%bolt%'
@@ -1030,7 +1030,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str
                   F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(_rq(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("sum_profit"))
             .orderBy("nation", F.desc("o_year")))
@@ -1038,7 +1038,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str
 
 _Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       floor((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
        c.c_acctbal, n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -1080,7 +1080,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(nation),
                   F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
+            .agg(_rq(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "c_acctbal",
@@ -1268,7 +1268,7 @@ dim AS (
   SELECT c_custkey % 97 AS k, MAX(c_acctbal) AS w
   FROM customer GROUP BY 1)
 SELECT f.k, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(f.value * d.w), 2) AS weighted
+       floor((SUM(f.value * d.w)) * 100.0 + 0.5) / 100.0 AS weighted
 FROM fact f JOIN dim d ON f.k = d.k
 GROUP BY 1 ORDER BY 1
 """
@@ -1301,14 +1301,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                            distributor="event_id")
     return (j.groupBy("k")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.col("value") * F.col("w")), 2)
+                 _rq(F.sum(F.col("value") * F.col("w")), 2)
                  .alias("weighted"))
             .orderBy("k"))
 
 
 _BLOOM_SEMI_ORACLE = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part
@@ -1335,7 +1335,7 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = _joins.bloom_semi_join(li, dim, "l_partkey", "p_partkey",
                                bits=1 << 17, k=3)
     return j.agg(F.count("*").alias("n_rows"),
-                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 _rq(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.countDistinct("l_partkey").alias("n_parts"))
 
 
@@ -1348,7 +1348,8 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pointdatabase_spark.operators import cleaning as _cleaning  # noqa: E402
 
 _C4_LINE_ORACLE = """
-WITH nums AS (SELECT n_nationkey AS ln FROM nation),
+WITH nums AS (SELECT unnest(range(0, (SELECT CAST(ceil(MAX(length(text)) / 80.0) AS BIGINT)
+                  FROM documents))) AS ln),
 lines AS (
   SELECT d.doc_id, n.ln,
          substr(d.text, n.ln * 80 + 1, 80)
@@ -1387,7 +1388,8 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PARA_DEDUP_ORACLE = testkit.syn_corpus_cte() + """,
-nums AS (SELECT n_nationkey AS pn FROM nation),
+nums AS (SELECT unnest(range(0, (SELECT CAST(ceil(MAX(length(text)) / 160.0) AS BIGINT)
+                  FROM corpus))) AS pn),
 paras AS (
   SELECT d.doc_id, n.pn,
          substr(d.text, n.pn * 160 + 1, 160) AS para
@@ -1424,7 +1426,8 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pointdatabase_spark.functions import text as _text  # noqa: E402
 
 _PARA_MAT_ORACLE = testkit.syn_corpus_cte() + r""",
-nums AS (SELECT n_nationkey AS pn FROM nation),
+nums AS (SELECT unnest(range(0, (SELECT CAST(ceil(MAX(length(text)) / 160.0) AS BIGINT)
+                  FROM corpus))) AS pn),
 paras AS (
   SELECT d.doc_id, n.pn, substr(d.text, n.pn * 160 + 1, 160) AS para
   FROM corpus d JOIN nums n ON n.pn * 160 < length(d.text)),
@@ -1487,8 +1490,8 @@ sc AS (
   LEFT JOIN ch ON b.w1 = ch.w1
   CROSS JOIN v)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(-AVG(lp), 6) AS nll,
-       ROUND(EXP(-AVG(lp)), 4) AS ppl
+       floor((-AVG(lp)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+       floor((EXP(-AVG(lp))) * 10000.0 + 0.5) / 10000.0 AS ppl
 FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -1512,7 +1515,8 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREP2_ORACLE = testkit.syn_corpus_cte() + r""",
-nums AS (SELECT n_nationkey AS ln FROM nation),
+nums AS (SELECT unnest(range(0, (SELECT CAST(ceil(MAX(length(text)) / 80.0) AS BIGINT)
+                  FROM corpus))) AS ln),
 lines AS (
   SELECT d.doc_id, n.ln,
          substr(d.text, n.ln * 80 + 1, 80)
@@ -1532,7 +1536,8 @@ c4 AS (
                     THEN 1 ELSE 0 END AS keep
         FROM lines) j
   GROUP BY doc_id HAVING SUM(keep) >= 2),
-pnums AS (SELECT n_nationkey AS pn FROM nation),
+pnums AS (SELECT unnest(range(0, (SELECT CAST(ceil(MAX(length(text)) / 160.0) AS BIGINT)
+                  FROM corpus))) AS pn),
 paras AS (
   SELECT d.doc_id, p.pn, substr(d.text, p.pn * 160 + 1, 160) AS para
   FROM corpus d JOIN pnums p ON p.pn * 160 < length(d.text)),
@@ -1568,8 +1573,8 @@ lsc AS (
   LEFT JOIN lch ON b.w1 = lch.w1
   CROSS JOIN lv),
 lm AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-              ROUND(-AVG(lp), 6) AS nll,
-              ROUND(EXP(-AVG(lp)), 4) AS ppl
+              floor((-AVG(lp)) * 1000000.0 + 0.5) / 1000000.0 AS nll,
+              floor((EXP(-AVG(lp))) * 10000.0 + 0.5) / 10000.0 AS ppl
        FROM lsc GROUP BY doc_id)
 SELECT c4.doc_id, n_lines, kept_lines, clean_chars,
        n_paras, uniq_paras, dup_paras, n_bigrams, nll, ppl
@@ -1653,7 +1658,7 @@ _GRID_CLUSTER_ORACLE = testkit.syn_points_cte().replace(
                    CAST(floor(y / 10000) AS BIGINT) AS cy,
                    COUNT(*) AS n
             FROM pts GROUP BY 1, 2),
-dense AS (SELECT (cx + 1000) * 1000000 + (cy + 1000) AS id, cx, cy, n
+dense AS (SELECT cx * 4294967296 + (cy + 2147483648) AS id, cx, cy, n
           FROM cells WHERE n >= 165),
 edges AS (SELECT a.id AS u, b.id AS v FROM dense a JOIN dense b
           ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
@@ -1703,9 +1708,10 @@ b AS (SELECT g.rgt, g.gt, MAX(p.t) AS tb
 fwd AS (SELECT g.rgt, g.gt, MIN(p.t) AS tf
         FROM g JOIN p ON p.rgt = g.rgt AND p.t >= g.gt GROUP BY 1, 2)
 SELECT b.rgt, b.gt, b.tb AS t_before, fwd.tf AS t_after,
-       ROUND(CASE WHEN fwd.tf = b.tb THEN pb.h
-             ELSE pb.h + (pf.h - pb.h) * (b.gt - b.tb)
-                  / (fwd.tf - b.tb) END, 6) AS h_interp
+       floor((CASE WHEN fwd.tf = b.tb THEN pb.h
+              ELSE pb.h + (pf.h - pb.h) * (b.gt - b.tb)
+                   / (fwd.tf - b.tb) END) * 1000000.0 + 0.5)
+         / 1000000.0 AS h_interp
 FROM b JOIN fwd ON b.rgt = fwd.rgt AND b.gt = fwd.gt
 JOIN p pb ON pb.rgt = b.rgt AND pb.t = b.tb
 JOIN p pf ON pf.rgt = fwd.rgt AND pf.t = fwd.tf
@@ -2059,7 +2065,7 @@ def track_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_ORACLE = testkit.syn_points_cte() + """
 SELECT rgt, cycle, beam_pair,
        AVG(x) AS x, AVG(y) AS y, AVG(t) AS delta_time,
-       ROUND(AVG(h), 6) AS h_mean,
+       floor((AVG(h)) * 1000000.0 + 0.5) / 1000000.0 AS h_mean,
        CASE WHEN MAX(y) <> MIN(y)
             THEN sqrt(SUM(sigma * sigma)) / abs(MAX(y) - MIN(y)) END
          AS dh_dy_sigma,
@@ -2075,7 +2081,7 @@ def pair_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tracks.pair_collapse(pts, ["rgt", "cycle", "beam_pair"],
                                x_atc="x", y_atc="y", h="h", h_sigma="sigma",
                                delta_time="t")
-    return out.withColumn("h_mean", F.round(F.col("h_mean"), 6))
+    return out.withColumn("h_mean", _rq(F.col("h_mean"), 6))
 
 
 # --------------------------------------------------------------------------
@@ -2650,7 +2656,7 @@ _DECILE_PS = [i / 10.0 for i in range(1, 10)]
 _DECILE_ORACLE = f"""
 WITH q AS (SELECT doc_id, {{qsql}} AS quality FROM documents),
 th AS (SELECT {", ".join(
-    f"ROUND(quantile_cont(quality, {p!r}), 9) AS t{i}"
+    f"floor((quantile_cont(quality, {p!r})) * 1000000000.0 + 0.5) / 1000000000.0 AS t{i}"
     for i, p in enumerate(_DECILE_PS))} FROM q),
 b AS (SELECT q.doc_id, q.quality,
              {" + ".join(
@@ -2659,8 +2665,8 @@ b AS (SELECT q.doc_id, q.quality,
       FROM q, th)
 SELECT CAST(decile AS BIGINT) AS decile,
        COUNT(*) AS n_docs,
-       ROUND(MIN(quality), 6) AS q_min,
-       ROUND(MAX(quality), 6) AS q_max
+       floor((MIN(quality)) * 1000000.0 + 0.5) / 1000000.0 AS q_min,
+       floor((MAX(quality)) * 1000000.0 + 0.5) / 1000000.0 AS q_max
 FROM b GROUP BY decile
 """
 
@@ -2680,7 +2686,7 @@ def quality_decile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     q = docs.select("doc_id",
                     _text.quality_score("text", "_toks").alias("quality"))
-    th = q.agg(*[F.round(F.expr(
+    th = q.agg(*[_rq(F.expr(
         f"percentile(quality, {p!r})"), 9).alias(f"t{i}")
         for i, p in enumerate(_DECILE_PS)])
     b = q.crossJoin(F.broadcast(th))
@@ -2689,8 +2695,8 @@ def quality_decile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (b.withColumn("decile", decile.cast("long"))
             .groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.min("quality"), 6).alias("q_min"),
-                 F.round(F.max("quality"), 6).alias("q_max")))
+                 _rq(F.min("quality"), 6).alias("q_min"),
+                 _rq(F.max("quality"), 6).alias("q_max")))
 
 
 _ORACLES["quality_decile_census"] = _DECILE_ORACLE.format(
@@ -2700,7 +2706,7 @@ _ORACLES["quality_decile_census"] = _DECILE_ORACLE.format(
 _DECILE_APPROX_ORACLE = f"""
 WITH q AS (SELECT doc_id, {{qsql}} AS quality FROM documents),
 th AS (SELECT {", ".join(
-    f"ROUND(quantile_disc(quality, {p!r}), 9) AS t{i}"
+    f"floor((quantile_disc(quality, {p!r})) * 1000000000.0 + 0.5) / 1000000000.0 AS t{i}"
     for i, p in enumerate(_DECILE_PS))} FROM q),
 b AS (SELECT q.doc_id, q.quality,
              {" + ".join(
@@ -2709,8 +2715,8 @@ b AS (SELECT q.doc_id, q.quality,
       FROM q, th)
 SELECT CAST(decile AS BIGINT) AS decile,
        COUNT(*) AS n_docs,
-       ROUND(MIN(quality), 6) AS q_min,
-       ROUND(MAX(quality), 6) AS q_max
+       floor((MIN(quality)) * 1000000.0 + 0.5) / 1000000.0 AS q_min,
+       floor((MAX(quality)) * 1000000.0 + 0.5) / 1000000.0 AS q_max
 FROM b GROUP BY decile
 """
 
@@ -2737,7 +2743,7 @@ def quality_decile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     q = docs.select("doc_id",
                     _text.quality_score("text", "_toks").alias("quality"))
-    th = q.agg(*[F.round(F.expr(
+    th = q.agg(*[_rq(F.expr(
         f"approx_percentile(quality, {p!r}, 1000000)"), 9)
         .alias(f"t{i}") for i, p in enumerate(_DECILE_PS)])
     b = q.crossJoin(F.broadcast(th))
@@ -2746,8 +2752,8 @@ def quality_decile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (b.withColumn("decile", decile.cast("long"))
             .groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.min("quality"), 6).alias("q_min"),
-                 F.round(F.max("quality"), 6).alias("q_max")))
+                 _rq(F.min("quality"), 6).alias("q_min"),
+                 _rq(F.max("quality"), 6).alias("q_max")))
 
 
 _ORACLES["quality_decile_approx"] = _DECILE_APPROX_ORACLE.format(
@@ -2806,7 +2812,7 @@ w AS (SELECT event_type, bucket_us, n,
                      RANGE BETWEEN {_SPIKE_LOOKBACK_US} PRECEDING
                                AND 1 PRECEDING))
 SELECT event_type, bucket_us, n,
-       ROUND(CAST(sum_w AS DOUBLE) / cnt_w, 6) AS trailing_avg,
+       floor((CAST(sum_w AS DOUBLE) / cnt_w) * 1000000.0 + 0.5) / 1000000.0 AS trailing_avg,
        CAST(cnt_w >= 3 AND CAST(n AS DOUBLE)
             > 3.0 * (CAST(sum_w AS DOUBLE) / cnt_w) AS BIGINT)
          AS is_spike
@@ -2838,7 +2844,7 @@ def rollup_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg = sum_w.cast("double") / cnt_w
     out = (fine.select("event_type", "bucket_us", "n")
            .withColumn("_cnt_w", cnt_w)
-           .withColumn("trailing_avg", F.round(avg, 6))
+           .withColumn("trailing_avg", _rq(avg, 6))
            .withColumn("is_spike",
                        ((cnt_w >= 3)
                         & (F.col("n").cast("double") > 3.0 * avg))
@@ -2864,7 +2870,7 @@ s AS (SELECT grp, term, tf, df, CAST(tf AS DOUBLE) / df AS score
 r AS (SELECT *, row_number() OVER (PARTITION BY grp
                                    ORDER BY score DESC, term) AS rk
       FROM s)
-SELECT grp AS source, term, tf, df, ROUND(score, 6) AS score
+SELECT grp AS source, term, tf, df, floor((score) * 1000000.0 + 0.5) / 1000000.0 AS score
 FROM r WHERE rk <= 5
 """
 
@@ -2977,9 +2983,12 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEAVY_HITTERS_ORACLE = r"""
 WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS term
-             FROM documents)
-SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
-FROM tok GROUP BY term ORDER BY freq DESC, term LIMIT 20
+             FROM documents),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok),
+t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY term ORDER BY freq DESC, term LIMIT 20)
+SELECT term, freq, n_tokens, freq * 257 > n_tokens AS exact_guarantee
+FROM t, s
 """
 
 
@@ -3079,8 +3088,8 @@ SELECT source,
            cov=_text.duckdb_expr('top_bigram_cover', 'text'),
            run=_text.duckdb_expr('max_token_run', 'text'),
            **_REP_THRESH)}) AS BIGINT) AS n_kept,
-       ROUND(AVG({_text.duckdb_expr('dup_token_ratio', 'text')}), 6) AS avg_dup_ratio,
-       ROUND(AVG({_text.duckdb_expr('top_bigram_cover', 'text')}), 6) AS avg_bigram_cover,
+       floor((AVG({_text.duckdb_expr('dup_token_ratio', 'text')})) * 1000000.0 + 0.5) / 1000000.0 AS avg_dup_ratio,
+       floor((AVG({_text.duckdb_expr('top_bigram_cover', 'text')})) * 1000000.0 + 0.5) / 1000000.0 AS avg_bigram_cover,
        MAX({_text.duckdb_expr('max_token_run', 'text')}) AS max_run
 FROM documents
 GROUP BY source
@@ -3101,8 +3110,8 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (feats.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(keep).cast("bigint").alias("n_kept"),
-                 F.round(F.avg("dup"), 6).alias("avg_dup_ratio"),
-                 F.round(F.avg("cov"), 6).alias("avg_bigram_cover"),
+                 _rq(F.avg("dup"), 6).alias("avg_dup_ratio"),
+                 _rq(F.avg("cov"), 6).alias("avg_bigram_cover"),
                  F.max("run").alias("max_run")))
 
 
@@ -3977,7 +3986,8 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diagnostics run before trusting an embedding column for clustering /
 # near-dup / ANN. Oracle rebuilds the same centroids via DuckDB's
 # zipped-unnest and replays the identical double arithmetic; float
-# drift from engine summation order is absorbed by ROUND(.., 6).
+# drift from engine summation order is absorbed by the shared
+# bit-deterministic rounding formula (functions/rounding.py).
 _EMB_STATS_ORACLE = """
 WITH ex AS (SELECT label AS clabel, UNNEST(embedding) AS v,
                    UNNEST(range(1, len(embedding) + 1)) AS pos
@@ -3997,12 +4007,12 @@ cs AS (SELECT id, label, clabel, dot / (ne * nc) AS cos, nc AS cnorm
        FROM pairs),
 best AS (SELECT id, label, clabel,
                 row_number() OVER (PARTITION BY id
-                                   ORDER BY ROUND(cos, 12) DESC,
+                                   ORDER BY floor((cos) * 1000000000000.0 + 0.5) / 1000000000000.0 DESC,
                                             clabel) AS rk
          FROM cs),
 per_own AS (SELECT label, COUNT(*) AS n_vecs,
-                   ROUND(MAX(cnorm), 6) AS centroid_norm,
-                   ROUND(AVG(cos), 6) AS mean_cos_own
+                   floor((MAX(cnorm)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_norm,
+                   floor((AVG(cos)) * 1000000.0 + 0.5) / 1000000.0 AS mean_cos_own
             FROM cs WHERE clabel = label GROUP BY label),
 purity AS (SELECT label,
                   CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END)
@@ -4318,8 +4328,8 @@ _CRS_X, _CRS_Y = _crs.oracle_sql_exprs(1, lat="lat", lon="lon")
 _CRS_ORACLE = f"""
 WITH ll AS ({_LATLON_SQL})
 SELECT row_id, lat, lon,
-       CAST(round({_CRS_X}, 0) AS BIGINT) AS x_ps_m,
-       CAST(round({_CRS_Y}, 0) AS BIGINT) AS y_ps_m
+       CAST(floor(({_CRS_X}) + 0.5) AS BIGINT) AS x_ps_m,
+       CAST(floor(({_CRS_Y}) + 0.5) AS BIGINT) AS y_ps_m
 FROM ll
 """
 
@@ -4331,8 +4341,8 @@ def crs_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll = spark.sql(_LATLON_SQL)
     x, y = _crs.stereo_xy_columns("lat", "lon", hemisphere=1)
     return ll.select("row_id", "lat", "lon",
-                     F.round(x, 0).cast("long").alias("x_ps_m"),
-                     F.round(y, 0).cast("long").alias("y_ps_m"))
+                     F.floor(x + F.lit(0.5)).alias("x_ps_m"),
+                     F.floor(y + F.lit(0.5)).alias("y_ps_m"))
 
 
 # UTM (arbitrary-CRS surface, geo_index.py:102-112 `from_latlon` with a
@@ -4349,8 +4359,8 @@ FROM lineitem
 
 _UTM_ORACLE = f"""
 SELECT row_id, lat, lon,
-       CAST(round(x, -1) AS BIGINT) AS x_utm_10m,
-       CAST(round(y, -1) AS BIGINT) AS y_utm_10m
+       CAST(floor(x * 0.1 + 0.5) AS BIGINT) * 10 AS x_utm_10m,
+       CAST(floor(y * 0.1 + 0.5) AS BIGINT) * 10 AS y_utm_10m
 FROM ({_crs.tmerc_oracle_sql(_UTM_LATLON_SQL, -75.0)}) utm
 """
 
@@ -4382,7 +4392,7 @@ _STREAM_ORACLE = """
 WITH ev AS (SELECT ts, event_type, value FROM events),
 m AS (SELECT MAX(ts) AS max_ts FROM ev),
 w AS (SELECT date_trunc('day', ts) AS ws, event_type,
-             COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+             COUNT(*) AS n_events, floor((SUM(value)) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
       FROM ev GROUP BY 1, 2)
 SELECT strftime(ws, '%Y-%m-%d') AS window_day, event_type, n_events, sum_value
 FROM w, m
@@ -4397,7 +4407,7 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, window="1 day", delay="1 hour")
     return out.select(F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
                       "event_type", "n_events",
-                      F.round("sum_value", 6).alias("sum_value"))
+                      _rq("sum_value", 6).alias("sum_value"))
 
 
 # Streaming quality gate (streaming/quality.py): the SAME repetition /
@@ -4454,7 +4464,7 @@ g AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY tus
       FROM f),
 s AS (SELECT user_id, CAST(sid AS BIGINT) AS session_id,
              MIN(tus) AS session_start, MAX(tus) AS session_end,
-             COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+             COUNT(*) AS n_events, floor((SUM(value)) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
       FROM g GROUP BY user_id, sid)
 """
 
@@ -4497,7 +4507,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("tus").alias("session_start"),
                  F.max("tus").alias("session_end"),
                  F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"))
+                 _rq(F.sum("value"), 6).alias("sum_value"))
             .select("user_id", "session_start", "session_end",
                     "n_events", "sum_value"))
 
@@ -4698,7 +4708,7 @@ w AS (SELECT source, n, {_MIX_CASE} AS w FROM cnt),
 t AS (SELECT MIN(n / w) AS t FROM w WHERE w > 0),
 r AS (SELECT source, LEAST(1.0, w * t / n) AS rate
       FROM w, t WHERE w > 0)
-SELECT d.source, COUNT(*) AS n_kept, ROUND(MAX(r.rate), 6) AS sample_rate
+SELECT d.source, COUNT(*) AS n_kept, floor((MAX(r.rate)) * 1000000.0 + 0.5) / 1000000.0 AS sample_rate
 FROM documents d JOIN r ON d.source = r.source
 WHERE {_duck_h32_id('doc_id', 'm1')} / {float(1 << 32)!r} < r.rate
 GROUP BY d.source
@@ -4711,7 +4721,7 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = _samp.mixture_sample(docs, _MIX_WEIGHTS)
     return (kept.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_kept"),
-                 F.round(F.max("sample_rate"), 6).alias("sample_rate")))
+                 _rq(F.max("sample_rate"), 6).alias("sample_rate")))
 
 
 # Decontamination: corpus docs sharing ≥ 5 distinct 3-gram hashes with
@@ -5372,8 +5382,9 @@ b AS (SELECT CASE WHEN bx0 = 0 THEN 0.0 ELSE bx0 END AS bx,
              CASE WHEN by0 = 0 THEN 0.0 ELSE by0 END AS by FROM b0)
 SELECT CAST(bx * 10000 AS BIGINT) AS bin_x, CAST(by * 10000 AS BIGINT) AS bin_y,
        CAST(row_number() OVER (ORDER BY
-            round(sqrt(bx * bx + by * by)
-                  + (atan2(bx, by) + {_math.pi!r}) / 2 / {_math.pi!r}, 6),
+            floor((sqrt(bx * bx + by * by)
+                   + (atan2(bx, by) + {_math.pi!r}) / 2 / {_math.pi!r})
+                  * 1000000.0 + 0.5) / 1000000.0,
             bx, by) AS BIGINT) AS ord_rank
 FROM b
 """
@@ -5387,7 +5398,7 @@ def radial_bin_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (pts.select(F.round(F.col("x") / 10000, 0).alias("bx"),
                     F.round(F.col("y") / 10000, 0).alias("by"))
          .distinct())
-    w = Window.orderBy(F.round(binning.radial_angular_key("bx", "by"), 6),
+    w = Window.orderBy(_rq(binning.radial_angular_key("bx", "by"), 6),
                        "bx", "by")
     return b.select((F.col("bx") * 10000).cast("long").alias("bin_x"),
                     (F.col("by") * 10000).cast("long").alias("bin_y"),
@@ -5492,7 +5503,7 @@ fine AS (
 _MR_LEVEL = """
 SELECT event_type, CAST({res} AS BIGINT) AS res_s,
        (bucket_us // {rus}) * {rus} AS bucket_us,
-       CAST(SUM(n) AS BIGINT) AS n, ROUND(SUM(sum_v), 6) AS sum_v,
+       CAST(SUM(n) AS BIGINT) AS n, floor((SUM(sum_v)) * 1000000.0 + 0.5) / 1000000.0 AS sum_v,
        MIN(min_v) AS min_v, MAX(max_v) AS max_v
 FROM fine GROUP BY event_type, (bucket_us // {rus}) * {rus}
 """
@@ -5514,7 +5525,7 @@ def multires_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _temporal.multires_rollup(ev, ts="tus", keys=["event_type"],
                                     value="value",
                                     resolutions_s=_ROLLUP_RES)
-    return (out.withColumn("sum_v", F.round("sum_v", 6))
+    return (out.withColumn("sum_v", _rq("sum_v", 6))
             .withColumn("res_s", F.col("res_s").cast("long")))
 
 
@@ -5529,7 +5540,7 @@ _GROUPING_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS sum_total
+       floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_total
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -5545,11 +5556,11 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _olap.rollup_agg(
         orders, ["o_orderpriority", "o_orderstatus"],
         [F.count(F.lit(1)).alias("n_orders"),
-         F.round(F.sum("o_totalprice"), 2).alias("sum_total")])
+         _rq(F.sum("o_totalprice"), 2).alias("sum_total")])
 
 
 _TOPK_ORACLE = """
-WITH s AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend,
+WITH s AS (SELECT o_custkey, floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS spend,
                   COUNT(*) AS n_orders
            FROM orders GROUP BY o_custkey),
 j AS (SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
@@ -5577,7 +5588,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = testkit.load_table(spark, sf_dir, "orders")
     cust = testkit.load_table(spark, sf_dir, "customer")
     spend = (orders.groupBy("o_custkey")
-             .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"),
+             .agg(_rq(F.sum("o_totalprice"), 2).alias("spend"),
                   F.count(F.lit(1)).alias("n_orders")))
     j = (spend.join(cust.select(
             "c_custkey", F.col("c_nationkey").cast("long")
@@ -5590,9 +5601,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PCTL_ORACLE = """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.50), 6) AS p50,
-       ROUND(quantile_cont(value, 0.90), 6) AS p90,
-       ROUND(quantile_cont(value, 0.99), 6) AS p99
+       floor((quantile_cont(value, 0.50)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor((quantile_cont(value, 0.90)) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+       floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99
 FROM events GROUP BY event_type
 """
 
@@ -5747,7 +5758,7 @@ h AS (SELECT ((tus // {_HOP_SLIDE_US}) - o.o) * {_HOP_SLIDE_US}
                AS win_start_us,
              value
       FROM e, (VALUES (0), (1)) o(o))
-SELECT win_start_us, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_v
+SELECT win_start_us, COUNT(*) AS n, floor((SUM(value)) * 1000000.0 + 0.5) / 1000000.0 AS sum_v
 FROM h GROUP BY win_start_us
 """
 
@@ -5765,7 +5776,7 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.window(F.timestamp_micros("tus"), "6 hours", "3 hours")
     return (ev.groupBy(w.alias("w"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 6).alias("sum_v"))
+                 _rq(F.sum("value"), 6).alias("sum_v"))
             .select(F.unix_micros(F.col("w.start")).alias("win_start_us"),
                     "n", "sum_v"))
 
@@ -5790,8 +5801,8 @@ _LCC_X, _LCC_Y = _crs.conic_sql_exprs("lcc", **_LCC_PARAMS,
 _LCC_ORACLE = f"""
 WITH ll AS ({_LCC_LATLON_SQL})
 SELECT row_id, lat, lon,
-       CAST(round({_LCC_X}, -1) AS BIGINT) AS x_lcc_10m,
-       CAST(round({_LCC_Y}, -1) AS BIGINT) AS y_lcc_10m
+       CAST(floor(({_LCC_X}) * 0.1 + 0.5) AS BIGINT) * 10 AS x_lcc_10m,
+       CAST(floor(({_LCC_Y}) * 0.1 + 0.5) AS BIGINT) * 10 AS y_lcc_10m
 FROM ll
 """
 
@@ -5810,7 +5821,7 @@ WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, value
            FROM events)
 SELECT user_id, event_id, tus,
        COUNT(*) OVER w AS n_trail,
-       ROUND(SUM(value) OVER w, 6) AS sum_trail
+       floor((SUM(value) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS sum_trail
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY tus
              RANGE BETWEEN {_TRAIL_SPAN_US} PRECEDING AND CURRENT ROW)
@@ -5833,7 +5844,7 @@ def trailing_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _temporal.trailing_agg(ev, on="user_id", ts="tus",
                                  value="value", span_us=_TRAIL_SPAN_US)
     return out.select("user_id", "event_id", "tus", "n_trail",
-                      F.round("sum_trail", 6).alias("sum_trail"))
+                      _rq("sum_trail", 6).alias("sum_trail"))
 
 
 _RT_RES_S = 3600  # pre-reduce grain: 1 hour
@@ -5847,7 +5858,7 @@ b AS (SELECT event_type,
       FROM e GROUP BY event_type, bucket_us)
 SELECT event_type, bucket_us,
        CAST(SUM(n) OVER w AS BIGINT) AS n_trail,
-       ROUND(SUM(sum_v) OVER w, 6) AS sum_trail
+       floor((SUM(sum_v) OVER w) * 1000000.0 + 0.5) / 1000000.0 AS sum_trail
 FROM b
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
              RANGE BETWEEN {_TRAIL_SPAN_US} PRECEDING AND CURRENT ROW)
@@ -5873,7 +5884,7 @@ def rollup_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     value="value", res_s=_RT_RES_S,
                                     span_us=_TRAIL_SPAN_US)
     return out.select("event_type", "bucket_us", "n_trail",
-                      F.round("sum_trail", 6).alias("sum_trail"))
+                      _rq("sum_trail", 6).alias("sum_trail"))
 
 
 _IMP_BUDGET = 0.3
@@ -5931,12 +5942,12 @@ tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
 dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
           GROUP BY tok),
 sc AS (SELECT tf.doc_id,
-              ROUND(SUM(
+              floor((SUM(
                 ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
                 * tf.tf * {_BM25_K1 + 1.0!r}
                 / (tf.tf + {_BM25_K1!r}
                    * ({1.0 - _BM25_B!r} + {_BM25_B!r} * tf.dl
-                      / s.avgdl))), 6) AS bm25
+                      / s.avgdl)))) * 1000000.0 + 0.5) / 1000000.0 AS bm25
        FROM tf JOIN dfreq ON tf.tok = dfreq.tok, s
        GROUP BY tf.doc_id)
 SELECT doc_id, bm25 FROM sc
@@ -5994,7 +6005,7 @@ _CUBE_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS sum_total
+       floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_total
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
@@ -6008,7 +6019,7 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _olap.rollup_agg(
         orders, ["o_orderpriority", "o_orderstatus"],
         [F.count(F.lit(1)).alias("n_orders"),
-         F.round(F.sum("o_totalprice"), 2).alias("sum_total")],
+         _rq(F.sum("o_totalprice"), 2).alias("sum_total")],
         cube=True)
 
 
@@ -6033,7 +6044,7 @@ fine AS (SELECT event_type,
 SELECT event_type,
        (mb // 3600000000) * 3600000000 AS bucket_us,
        CAST(SUM(n) AS BIGINT) AS n,
-       ROUND(SUM(sum_v), 6) AS sum_v,
+       floor((SUM(sum_v)) * 1000000.0 + 0.5) / 1000000.0 AS sum_v,
        MIN(min_v) AS min_v, MAX(max_v) AS max_v
 FROM fine GROUP BY event_type, (mb // 3600000000) * 3600000000
 """
@@ -6044,7 +6055,7 @@ def streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.streaming import rollup as _rollup
     dst = _rollup.run_events_rollup_availablenow(spark, sf_dir, res_s=60)
     out = _rollup.read_rollup(spark, dst, ["event_type"], 3600, 60)
-    return (out.withColumn("sum_v", F.round("sum_v", 6))
+    return (out.withColumn("sum_v", _rq("sum_v", 6))
             .withColumn("n", F.col("n").cast("long")))
 
 
@@ -6136,7 +6147,7 @@ cells AS (SELECT f.w0 AS cohort_bucket, a.w - f.w0 AS offset,
 sizes AS (SELECT w0 AS cohort_bucket, COUNT(*) AS cohort_size
           FROM first GROUP BY w0)
 SELECT c.cohort_bucket, c.offset, c.n_active, s.cohort_size,
-       ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+       floor((CAST(c.n_active AS DOUBLE) / s.cohort_size) * 1000000.0 + 0.5) / 1000000.0 AS retention
 FROM cells c JOIN sizes s ON c.cohort_bucket = s.cohort_bucket
 """
 

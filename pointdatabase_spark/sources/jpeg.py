@@ -530,12 +530,21 @@ class _BitReader:
         pos, acc, nbits = self.pos, self.acc, self.nbits
         phantom = self.phantom
         while nbits < 32:          # refill to 32 so ~2 symbols/refill
+            if pos >= len(d):
+                # truncated entropy data (EOF, no terminating marker):
+                # phantom 1-pad exactly like the real-marker branch, so
+                # truncation surfaces as _MarkerHit/ValueError in the
+                # decoder instead of an uncontrolled IndexError
+                acc = (acc << 8) | 0xFF
+                nbits += 8
+                phantom += 8
+                continue
             b = d[pos]
             if b == 0xFF:
-                if d[pos + 1] == 0x00:
+                if pos + 1 < len(d) and d[pos + 1] == 0x00:
                     pos += 2          # stuffed data byte
-                else:                 # real marker: phantom 1-pad
-                    acc = (acc << 8) | 0xFF
+                else:                 # real marker (or lone 0xFF at
+                    acc = (acc << 8) | 0xFF   # EOF): phantom 1-pad
                     nbits += 8
                     phantom += 8
                     continue

@@ -34,6 +34,8 @@ from typing import Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pointdatabase_spark.functions import rounding
 from pyspark.sql.window import Window
 
 SESSION_SCHEMA = ("user_id bigint, session_id bigint, "
@@ -57,7 +59,7 @@ def sessionize(events: DataFrame, gap_us: int, key: str = "user_id",
             .agg(F.min(ts).alias("session_start"),
                  F.max(ts).alias("session_end"),
                  F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum(value), 6).alias("sum_value")))
+                 rounding.qround(F.sum(value), 6).alias("sum_value")))
 
 
 def _stateful_fn(gap_us: int):

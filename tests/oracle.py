@@ -55,7 +55,26 @@ def _values_close(a, b) -> bool:
     return a == b
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
+def _values_exact(a, b) -> bool:
+    """Bitwise equality — the only local predicate that predicts the
+    driver's value hash. Floats compare by bit pattern (NaN==NaN, and
+    +0.0 != -0.0 just as their hashes differ)."""
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            import struct
+            return (struct.pack("<d", float(a))
+                    == struct.pack("<d", float(b)))
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "",
+            exact: bool = True) -> None:
     got = spark_df.toPandas()
     exp = con.execute(sql).df()
     assert sorted(got.columns) == sorted(exp.columns), (
@@ -74,7 +93,17 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") 
                 f"if values match; CAST the oracle aggregate (e.g. "
                 f"CAST(SUM(..) AS BIGINT)) or the Spark column to align")
         gv, ev = g[col].tolist(), e[col].tolist()
-        bad = [i for i, (a, b) in enumerate(zip(gv, ev)) if not _values_close(a, b)]
+        pred = _values_exact if exact else _values_close
+        bad = [i for i, (a, b) in enumerate(zip(gv, ev)) if not pred(a, b)]
+        if bad and exact:
+            # Diagnose: is this real value drift or the rounding-tie
+            # class (numerically indistinguishable, hash-different)?
+            near = all(_values_close(gv[i], ev[i]) for i in bad)
+            tag = (" [isclose PASSES — rounding-tie/bit drift; the "
+                   "driver hash still rejects this]" if near else "")
+            raise AssertionError(
+                f"{name}: column {col} bitwise mismatch at rows "
+                f"{bad[:5]}{tag}: {[(gv[i], ev[i]) for i in bad[:3]]}")
         assert not bad, (
             f"{name}: column {col} mismatch at rows {bad[:5]}: "
             f"{[(gv[i], ev[i]) for i in bad[:3]]}")

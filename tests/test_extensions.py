@@ -1147,9 +1147,14 @@ def test_heavy_hitters_exact_under_eviction(spark):
     for i in range(100):                       # 100 singleton terms
         docs.append(Row(text=f"rare{i:03d}"))
     df = spark.createDataFrame(docs).repartition(4)
-    got = [(r.term, r.freq) for r in
-           profile.heavy_hitter_terms(df, k=3, capacity=4).collect()]
+    rows = profile.heavy_hitter_terms(df, k=3, capacity=4).collect()
+    got = [(r.term, r.freq) for r in rows]
     assert got == [("alpha", 60), ("beta", 50), ("gamma", 40)]
+    # the surfaced exactness check: N=250 tokens, threshold
+    # N/(cap+1)=50 — only alpha is STRICTLY above it (the flag is
+    # sufficient-for-exact, not necessary: beta/gamma survived too)
+    assert all(r.n_tokens == 250 for r in rows)
+    assert [r.exact_guarantee for r in rows] == [True, False, False]
 
 
 def test_bpe_greedy_overlap_and_chained_merges(spark):
@@ -1174,6 +1179,66 @@ def test_bpe_tie_breaks_lexicographically(spark):
         [Row(text="zy ba")] * 7)       # pairs (z,y) and (b,a), tied
     [r] = tokenizer.bpe_train(spark, docs, 1).collect()
     assert (r.left, r.right, r.pair_count) == ("b", "a", 7)
+
+
+def _bpe_sequential_reference(texts: list[str], n_merges: int):
+    """Strict one-merge-at-a-time BPE (Sennrich 2016), the semantics
+    the batched distributed trainer must reproduce exactly."""
+    import re
+    from collections import Counter
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t):
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    out = []
+    for step in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            # plain adjacent census, overlaps included ('aaaa' counts
+            # (a,a) three times) — matches the engine's _pair_counts;
+            # the fold's overlap rule only affects APPLICATION
+            c = words[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((step + 1, l, r, c))
+        for w in vocab:
+            syms, acc = vocab[w], []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            vocab[w] = acc
+    return out
+
+
+def test_bpe_batched_equals_sequential_64_merges(spark):
+    """The batched trainer (r9) must be merge-for-merge identical to
+    strict sequential BPE over >= 64 merges, while committing multiple
+    merges per driver round (the 32k-train scale fix: rounds ~
+    n_merges / mean-batch, not n_merges)."""
+    import random
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import tokenizer
+    rng = random.Random(9)
+    syll = ["ka", "to", "mi", "ru", "se", "no", "ba", "li", "du", "fo"]
+    texts = [" ".join("".join(rng.choices(syll, k=rng.randint(1, 4)))
+                      for _ in range(12)) for _ in range(300)]
+    docs = spark.createDataFrame([Row(text=t) for t in texts])
+    stats: dict = {}
+    got = [(r.step, r.left, r.right, r.pair_count) for r in
+           tokenizer.bpe_train(spark, docs, 64, batch=64,
+                               stats=stats).collect()]
+    ref = _bpe_sequential_reference(texts, 64)
+    assert got == ref[:len(got)] and len(got) == min(64, len(ref))
+    # scale property: strictly fewer driver rounds than merges
+    assert stats["rounds"] < len(got), stats
+    assert sum(stats["batch_sizes"]) == len(got)
 
 
 def test_bpe_encode_applies_merges_in_order(spark):
@@ -1217,6 +1282,32 @@ def test_grid_cluster_hand_case(spark):
            for r in spatial.grid_cluster(
                spark.createDataFrame(rows), delta=10.0, min_pts=3
            ).collect()}
-    k00 = 1000 * 1_000_000 + 1000          # cell (0,0)
-    k55 = 1005 * 1_000_000 + 1005          # cell (5,5)
-    assert got == {k00: (2, 7, 0, 1, 0, 1), k55: (1, 3, 5, 5, 5, 5)}
+    def key(cx, cy):                       # 32-bit-lane packing
+        return cx * 4294967296 + cy + 2147483648
+    assert got == {key(0, 0): (2, 7, 0, 1, 0, 1),
+                   key(5, 5): (1, 3, 5, 5, 5, 5)}
+
+
+def test_grid_cluster_key_negative_and_large_cells(spark):
+    """The r8 (cx+1000)*1e6+(cy+1000) packing collided for cx < -1000
+    or |cy| ~ 1e5; the 32-bit-lane key must keep far-negative and
+    ±1e5-magnitude cells distinct — adjacent cells still merge, cells
+    one apart in x at cy=±1e5 stay separate clusters."""
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import spatial
+    cells = [(-200_000, 100_000), (-199_999, 100_001),   # 8-adjacent
+             (-199_997, 100_000),                        # gap of 2: apart
+             (150_000, -100_000)]                        # far quadrant
+    rows = []
+    for cx, cy in cells:
+        rows += [Row(x=cx * 10.0 + 5.0, y=cy * 10.0 + 5.0)] * 3
+    got = {r.cluster_id: (r.n_cells, r.cx_min, r.cx_max)
+           for r in spatial.grid_cluster(
+               spark.createDataFrame(rows), delta=10.0, min_pts=3
+           ).collect()}
+    def key(cx, cy):
+        return cx * 4294967296 + cy + 2147483648
+    assert got == {
+        key(-200_000, 100_000): (2, -200_000, -199_999),
+        key(-199_997, 100_000): (1, -199_997, -199_997),
+        key(150_000, -100_000): (1, 150_000, 150_000)}
