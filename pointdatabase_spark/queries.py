@@ -48,74 +48,53 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
-    # Rotation priority, 61 names vs a ~50-query window: (1) the
-    # three r4-era queries whose PLANS were materially reworked
-    # since their last driver row (persisted posting table for
-    # ngram_jaccard, checkpointed pointer-jumping for
-    # dedup_clusters); (2) every never-scored r7/r8 query (zero
-    # driver evidence); (3) the remaining r4-era stale-but-green
-    # queries; (4) the de-hinted TPC-H trio (r6-green, results
-    # unchanged by the de-hint).  Whatever the window cuts comes
-    # from (3)/(4), which at least have old green evidence.
-    "ngram_jaccard_neardup", "ngram_jaccard_capped", "dedup_clusters",
-    # new in r7 — zero driver evidence yet
-    "quality_decile_approx",
-    # new in r8 — TPC-H plan shapes (scan-agg pushdown, two-role
-    # dimension, conditional agg, decorrelated scalar subquery,
-    # HAVING semi, agg-max scalar) — zero driver evidence yet
-    "q6_revenue_delta", "q7_volume_shipping", "q14_promo_revenue",
-    "q17_small_qty_revenue", "q18_large_volume_customer",
-    "q15_top_supplier",
-    # new in r8 — SemDeDup cluster-blocked embedding dedup; real
-    # baseline-JPEG decode
-    "semantic_dedup", "semantic_dedup_stats", "multimodal_jpeg_decode",
-    "cluster_balanced_sample", "multimodal_gif_frames",
-    # new in r8 wave 2 — the remaining hard TPC-H subquery shapes
-    # (EXISTS semi, outer-join distribution, NOT-IN anti +
-    # count-distinct, OR-of-ANDs pushdown, double-EXISTS
-    # decorrelation, scalar-avg + NOT EXISTS)
-    "q4_order_priority", "q13_customer_distribution",
-    "q16_parts_supplier_count", "q19_disjunctive_revenue",
-    "q21_waiting_supplier", "q22_global_sales_opportunity",
-    # new in r8 wave 3 — the suite-completing TPC-H shapes
-    # (correlated min, two-role dimension share, profit rollup,
-    # returned-items top-k, scalar-avg threshold, latency-class
-    # conditional counts, nested dominance semi-join)
-    "q2_min_cost_supplier", "q8_national_market_share",
-    "q9_product_type_profit", "q10_returned_items",
-    "q11_important_part_volume", "q12_shipping_priority_classes",
-    "q20_dominant_part_supplier",
-    # new in r8 wave 4 — manual skew/shuffle valves (salted join,
-    # Bloom-prefiltered semi join)
-    "skew_salted_join", "bloom_semi_join",
-    # new in r8 wave 4 — sub-document cleaning (C4 line rules,
-    # CCNet paragraph dedup, CCNet LM perplexity filter)
-    "c4_line_filter", "paragraph_dedup", "paragraph_dedup_clean",
-    "bigram_lm_perplexity",
-    # new in r8 wave 5 — radius-bounded kNN join (O5 generalized),
-    # Misra-Gries exact heavy hitters (vocab-unbounded term census),
-    # distributed BPE tokenizer training
-    "knn_join", "heavy_hitter_terms", "bpe_train_merges",
-    "bpe_encode_stats", "corpus_prep_v2", "track_resample",
-    "knn_graph", "grid_cluster",
-    # the remaining r4-era stale queries (old green evidence, plans
-    # unchanged since) — re-scored as window capacity allows
-    "minhash_lsh_neardup", "minhash_lsh_capped", "exact_dedup",
-    "simhash_neardup", "cosine_topk", "lsh_ann_topk",
-    "lsh_ann_multitable", "ivf_ann_topk",
-    "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
+    # r9 rotation = strict evidence age (CORRECTNESS_r01-r08), with
+    # two overrides: (1) track_resample leads — its r8 row was the
+    # round's only red (rounding-tie class, fixed this round via
+    # functions/rounding.py) and must re-score green; (2) within an
+    # age tier, queries whose ORACLE OUTPUT changed in the r9
+    # round-parity sweep go first — their old driver hashes are no
+    # longer comparable, so they need fresh rows most.
+    "track_resample",
+    # ---- last scored r4 (two plan-refactor rounds ago) ----
     "crs_polar_stereo", "dem_as_points", "plane_fit_10km",
     "raster_interp_join", "raster_interp_spline",
     "raster_normalize_rgb", "run_coalescing",
-    # de-hinted plans (VERDICT r6 item 1) — last of the rotation
-    # head: their r6 evidence predates the r7 de-hinting, but the
-    # de-hint left results identical, so never-scored queries above
-    # outrank them for the ~50-query window
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "topk_per_group",
-    # The rest of the ~50-query window falls through to registry
-    # order (q1, box_query, crossover_analysis, blockmedian/window/
-    # filter family — all r6-green).
+    "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
+    # ---- new in r9 — zero driver evidence ----
+    "atl11_cycle_stats",
+    # ---- last scored r5, oracle output changed by the r9
+    # rounding sweep ----
+    "crs_utm", "crs_lcc", "embedding_label_stats",
+    "radial_bin_ordering", "event_sessionization",
+    "session_window_agg", "streaming_window_counts",
+    "hopping_window_counts", "streaming_sessionization",
+    "streaming_rollup", "multires_rollup", "percentile_summary",
+    "trailing_window_agg", "cohort_retention", "event_funnel",
+    "bm25_search", "domain_mixture_sample", "grouping_rollup",
+    "grouping_cube", "topk_per_group", "corpus_prep_pipeline",
+    # ---- last scored r5, results unchanged ----
+    "ann_recall_audit", "asof_join_clicks", "asof_nearest",
+    "benchmark_contamination", "document_chunking",
+    "gopher_repetition_filter", "importance_sample",
+    "incremental_dedup", "interval_overlap_join",
+    "json_extract_agg", "multimodal_decode",
+    "multimodal_feature_ann", "multimodal_features",
+    "multimodal_frame_sample", "multimodal_resize", "pii_scrub",
+    "pivot_event_counts", "quota_sample", "repeat_track_dh",
+    "sample_split_counts", "sequence_packing", "streaming_neardup",
+    "streaming_quality_gate", "temporal_band_join",
+    "zorder_bin_ordering",
+    # ---- last scored r6, oracle output changed by the rounding
+    # sweep (spillover if the window stretches) ----
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "quality_decile_census",
+    "distinctive_terms", "rollup_trailing_window",
+    "pair_collapse", "table_profile",
+    # The rest falls through in registry order: remaining r6-green
+    # stalwarts, then the r8-scored set (freshest evidence, incl.
+    # grid_cluster/heavy_hitter_terms whose r9-changed outputs are
+    # covered by the local exact sweep until their next window).
 ]
 
 
@@ -6158,3 +6137,77 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = testkit.load_table(spark, sf_dir, "events")
     ev = ev.select("user_id", timeconv.events_tus(ev).alias("tus"))
     return _fun.cohort_retention(ev, bucket_us=_COHORT_W_US)
+
+
+# --------------------------------------------------------------------------
+# ATL11 corrected-height cycles (sources/atl11.py — the reference's
+# last unmapped file type, geo_index.py:245-259/542-549): tidy
+# (ref_pt, cycle_number) rows synthesized deterministically from
+# lineitem in-Spark (4 repeat cycles, planted invalid cycles), then
+# the per-point cycle collapse one-groupBy (valid-cycle count, mean
+# height, latest-cycle height, first->last dh). The H5 converter
+# itself (N x C matrices -> this tidy layout) is pinned by the
+# tests/test_hdf5.py roundtrip, mirroring the S2/S3 pattern.
+# --------------------------------------------------------------------------
+
+_ATL11_ORACLE = """
+WITH base AS (
+  -- MAX-dedup: (l_orderkey, l_linenumber) is NOT unique in the
+  -- synthetic lineitem, and duplicate ref_pt groups would make the
+  -- max_by cycle picks tie-dependent
+  SELECT l_orderkey * 10 + l_linenumber AS ref_pt,
+         CAST(l_partkey % 3 + 1 AS BIGINT) AS pair,
+         MAX(l_extendedprice / 100.0) AS h0,
+         MAX(CAST(l_suppkey % 7 AS DOUBLE)) AS slope
+  FROM lineitem GROUP BY 1, 2),
+tidy AS (
+  SELECT ref_pt, pair, CAST(c AS DOUBLE) AS cycle_number,
+         CASE WHEN (ref_pt + c) % 5 = 0 THEN NULL
+              ELSE h0 + c * slope END AS h_corr
+  FROM base, (SELECT unnest(range(1, 5)) AS c)),
+v AS (SELECT * FROM tidy WHERE h_corr IS NOT NULL)
+SELECT pair, ref_pt,
+       CAST(COUNT(*) AS BIGINT) AS n_cycles,
+       floor((AVG(h_corr)) * 1000000.0 + 0.5) / 1000000.0 AS h_mean,
+       MAX(cycle_number) AS last_cycle,
+       max_by(h_corr, cycle_number) AS h_last,
+       min_by(h_corr, cycle_number) AS h_first,
+       max_by(h_corr, cycle_number) - min_by(h_corr, cycle_number)
+         AS dh
+FROM v GROUP BY pair, ref_pt ORDER BY pair, ref_pt
+"""
+
+
+@query("atl11_cycle_stats", oracle=_ATL11_ORACLE)
+def atl11_cycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATL11-shaped corrected-height cycle statistics
+    (sources/atl11.cycle_collapse): the tidy per-cycle layout the
+    converter emits, aggregated to one row per (pair, ref_pt) —
+    valid-cycle count, mean corrected height, latest valid cycle and
+    its height, and the first->last height change (the dh/dt
+    numerator the annual land-ice products difference).  One
+    key-hash exchange; min_by/max_by keep the latest/first picks in
+    the same single pass.  h_mean rounds via the shared
+    bit-deterministic formula (4-element sums can still reorder);
+    h_last/h_first/dh compare exactly — both engines pick the same
+    element of the same double set."""
+    from pointdatabase_spark.sources import atl11 as _atl11
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    base = (li.groupBy(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ref_pt"),
+        (F.col("l_partkey") % 3 + 1).cast("long").alias("pair"))
+        .agg(F.max(F.col("l_extendedprice") / 100.0).alias("h0"),
+             F.max((F.col("l_suppkey") % 7).cast("double"))
+             .alias("slope")))
+    tidy = (base.select("ref_pt", "pair", "h0", "slope",
+                        F.explode(F.sequence(F.lit(1), F.lit(4)))
+                        .alias("c"))
+            .select("ref_pt", "pair",
+                    F.col("c").cast("double").alias("cycle_number"),
+                    F.when((F.col("ref_pt") + F.col("c")) % 5 == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.col("h0") + F.col("c") * F.col("slope"))
+                    .alias("h_corr")))
+    out = _atl11.cycle_collapse(tidy)
+    return (out.withColumn("h_mean", _rq(F.col("h_mean"), 6))
+            .orderBy("pair", "ref_pt"))

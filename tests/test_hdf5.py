@@ -644,3 +644,60 @@ def test_array_attributes_roundtrip(tmp_path):
     assert list(r["g"].attrs["f"]) == [1.5, 2.5, -3.5]
     assert list(r["g"].attrs["i"]) == [3, 1, 2]
     assert list(r["g"].attrs["s"]) == ["alpha", "b", "gamma77"]
+
+
+def test_convert_atl11_end_to_end(spark, tmp_path):
+    """ATL11 roundtrip (sources/atl11.py; reference geo_index.py:
+    245-259 dispatch): per-pair ptX groups with N-vector reference
+    points and N x C per-cycle corrected-height matrices, written by
+    the stdlib codec, read back and exploded to tidy
+    (ref_pt, cycle_number) rows with fill -> NULL."""
+    from pointdatabase_spark.sources import atl11
+    n, n_cyc = 25, 4
+    rng = np.random.default_rng(11)
+    tree = {}
+    for p in (1, 2, 3):
+        h = rng.normal(500, 20, (n, n_cyc))
+        h[::5, 1] = -9999.0                      # invalid cycle fills
+        tree[f"pt{p}"] = {
+            "cycle_number": np.arange(3, 3 + n_cyc, dtype=np.float64),
+            "corrected_h": {
+                "ref_pt": np.arange(n, dtype=np.float64) * 20 + p,
+                "latitude": rng.uniform(-80, -70, n),
+                "longitude": rng.uniform(-60, -30, n),
+                "delta_time": rng.uniform(0, 1e8, (n, n_cyc)),
+                "h_corr": h,
+                "h_corr_sigma": rng.uniform(0.01, 0.2, (n, n_cyc)),
+                "quality_summary": np.zeros((n, n_cyc)),
+            },
+            "cycle_stats": {
+                "ATL06_summary_zero_count":
+                    rng.integers(0, 5, (n, n_cyc)).astype(np.float64)},
+            "ref_surf": {"x_atc": rng.uniform(0, 1e5, n),
+                         "y_atc": rng.uniform(-100, 100, n)},
+        }
+    path = str(tmp_path / "ATL11_synth.h5")
+    hdf5.write_h5(path, tree)
+    out = str(tmp_path / "atl11_parquet")
+    atl11.convert_atl11(spark, path, out)
+    df = spark.read.parquet(out)
+    assert df.count() == 3 * n * n_cyc
+    assert set(df.columns) >= {"ref_pt", "cycle_number", "h_corr",
+                               "h_corr_sigma", "latitude", "longitude",
+                               "x_atc", "y_atc", "pair", "source_file"}
+    from pyspark.sql import functions as F
+    # real cycle ids from the granule's cycle_number vector
+    cyc = sorted(r.cycle_number for r in
+                 df.select("cycle_number").distinct().collect())
+    assert cyc == [3.0, 4.0, 5.0, 6.0]
+    # fill -> NULL: every 5th point's second cycle, per pair
+    assert df.where(F.col("h_corr").isNull()).count() == 3 * ((n + 4) // 5)
+    # per-point vectors broadcast across cycles
+    assert df.groupBy("pair", "ref_pt").count().where(
+        F.col("count") != n_cyc).count() == 0
+    # cycle_collapse over the converted tidy rows: n_cycles drops the
+    # planted invalid cycle, dh = h(last valid) - h(first valid)
+    stats = atl11.cycle_collapse(df)
+    got = {(r.pair, r.ref_pt): r.n_cycles for r in stats.collect()}
+    assert got[(1, 1.0)] == n_cyc - 1          # ref_pt row 0: one fill
+    assert got[(1, 21.0)] == n_cyc             # row 1: no fill
