@@ -192,9 +192,21 @@ def encode_gif(frames: np.ndarray, palette: np.ndarray | None = None,
 
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> (n_frames, H, W, 3) uint8 RGB composited onto the
-    logical screen (single-image files return n_frames == 1)."""
+    logical screen (single-image files return n_frames == 1).
+
+    Truncated files surface as ValueError: the block walk reads byte
+    by byte, so a cut anywhere lands on an IndexError/struct.error —
+    converted at this one boundary instead of guards at every read
+    (same wild-corpus contract as the JPEG decoder, r9)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    try:
+        return _decode_gif_body(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF: {exc}") from exc
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
     w, h, flags, bg, _asp = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct: np.ndarray | None = None

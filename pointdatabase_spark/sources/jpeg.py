@@ -794,8 +794,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         if mk == 0x01 or 0xD0 <= mk <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (marker length past EOF)")
         ln = struct.unpack_from(">H", data, pos)[0]
         body = data[pos + 2:pos + ln]
+        if len(body) != ln - 2:
+            # one guard for EVERY segment parser below: a declared
+            # length running past EOF means a truncated file — fail
+            # controlled here instead of IndexError mid-parse
+            raise ValueError("truncated JPEG segment body")
         pos += ln
         if mk == 0xDB:                                   # DQT
             bp = 0
@@ -816,6 +823,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[bp + 1:bp + 17])
                 n = sum(bits)
                 vals = list(body[bp + 17:bp + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    # truncated segment body: controlled error, not an
+                    # IndexError inside the LUT build
+                    raise ValueError("truncated DHT segment")
                 tab = _decode_lut(tuple(bits), tuple(vals))
                 (huff_ac if tc else huff_dc)[th] = tab
                 bp += 17 + n

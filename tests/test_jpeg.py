@@ -138,3 +138,21 @@ def test_progressive_marker_structure():
     assert b.count(b"\xFF\xDA") == 8
     g = jpeg.encode_jpeg(_grad(16, 16), progressive=True)
     assert g.count(b"\xFF\xDA") == 4
+
+
+@pytest.mark.parametrize("cut", [0.15, 0.55, 0.75, 0.95])
+def test_truncated_entropy_data_is_controlled(cut):
+    """A JPEG cut off mid-file (possibly ending in a lone 0xFF) must
+    surface CONTROLLED: either the decoder's ValueError (truncated
+    before the frame header) or a full-dimensions partial decode (the
+    _MarkerHit pad path — browsers do the same) — never an
+    IndexError from the bit reader running off the buffer (r9
+    ADVICE: wild corpora WILL contain truncated files)."""
+    full = jpeg.encode_jpeg(_grad(64, 64, 3), quality=90)
+    cutoff = int(len(full) * cut)
+    for blob in (full[:cutoff], full[:cutoff] + b"\xff"):
+        try:
+            img = jpeg.decode_jpeg(blob)
+        except ValueError:
+            continue
+        assert img.shape == (64, 64, 3)

@@ -195,3 +195,19 @@ def test_gif_roundtrips_and_dispatch():
     assert media.decode_frames(gif.encode_gif(fr)).shape == (4, 12, 17, 3)
     with pytest.raises(NotImplementedError, match="APNG nor GIF"):
         media.decode_frames(b"\x00\x00\x00\x20ftypmp42 fake mp4")
+
+
+def test_truncated_gif_raises_controlled():
+    """Truncation anywhere in the stream (including a cut that leaves
+    a dangling block header) must raise the decoder's ValueError,
+    never IndexError/struct.error (r9 wild-corpus contract, same as
+    the JPEG decoder)."""
+    import numpy as np
+    import pytest
+    from pointdatabase_spark.sources import gif
+    rng = np.random.default_rng(5)
+    full = gif.encode_gif(
+        (rng.integers(0, 8, (2, 16, 20)) * 30).astype("uint8"))
+    for cut in (7, len(full) // 3, len(full) - 2):
+        with pytest.raises(ValueError):
+            gif.decode_gif(full[:cut])

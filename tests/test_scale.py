@@ -144,3 +144,64 @@ def test_bigram_lm_scales_sublinearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"bigram_lm exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_knn_join_scales_sublinearly(spark):
+    """Fixed 40-query batch probed against 10x points: the data table
+    never shuffles (bin equi-join against the broadcast 9-cell query
+    explode), so cost is scan + E[cell density] work — measured
+    exponent ~0.26 (SCALE.md r8).  A regression that shuffles the
+    point table per query batch or widens the candidate join to
+    all-pairs lands near 1.0+."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["lineitem"])
+
+    def op(s, sf):
+        return registry.all_queries()["knn_join"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"knn_join exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_grid_cluster_scales_sublinearly(spark):
+    """One point-sized count shuffle reduces to cells; adjacency,
+    pointer-jumping CC and stats all run on the area-bounded cell
+    table — measured exponent ~0.21 (SCALE.md r8).  A regression
+    that keeps per-point rows past the first aggregate (or a CC
+    round that rescans points) shows up super-linear."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["lineitem"])
+
+    def op(s, sf):
+        return registry.all_queries()["grid_cluster"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"grid_cluster exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_track_resample_scales_sublinearly(spark):
+    """Grid explode + two single-exchange as-of joins — measured
+    exponent ~0.68 against the SPAN-FAITHFUL dense replica
+    (scale_check lineitem_dense: key offsets = the original key
+    range, so the derived t-span grows ~10x with the rows; the
+    sparse sf1 replica inflates the span 600x and would manufacture
+    a super-linear exponent purely by fixture construction —
+    bench-protocol memory, r8)."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["lineitem_dense"])
+
+    def op(s, sf):
+        use = scale_check.SF1 + "_dense" if sf == scale_check.SF1 else sf
+        return registry.all_queries()["track_resample"](s, use)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"track_resample exponent {e:.2f}"
