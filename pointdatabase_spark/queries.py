@@ -62,7 +62,7 @@ _SCORE_FIRST = [
     "raster_normalize_rgb", "run_coalescing",
     "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
     # ---- new in r9 — zero driver evidence ----
-    "atl11_cycle_stats",
+    "atl11_cycle_stats", "atl11_xover_diff",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -6210,4 +6210,74 @@ def atl11_cycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("h_corr")))
     out = _atl11.cycle_collapse(tidy)
     return (out.withColumn("h_mean", _rq(F.col("h_mean"), 6))
+            .orderBy("pair", "ref_pt"))
+
+
+_ATL11_XOVER_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS ref_pt,
+         CAST(l_partkey % 3 + 1 AS BIGINT) AS pair,
+         MAX(l_extendedprice / 100.0) AS h0,
+         MAX(CAST(l_suppkey % 7 AS DOUBLE)) AS slope,
+         MAX(CAST(l_suppkey AS DOUBLE)) AS srgt,
+         MAX(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2),
+tidy AS (
+  SELECT ref_pt, pair, CAST(c AS DOUBLE) AS cycle_number,
+         CASE WHEN (ref_pt + c) % 5 = 0 THEN NULL
+              ELSE h0 + c * slope END AS h_own
+  FROM base, (SELECT unnest(range(1, 5)) AS c)),
+xing AS (
+  SELECT ref_pt, pair,
+         CAST(CAST(qty AS BIGINT) % 4 + 1 AS DOUBLE) AS cycle_number,
+         srgt AS xing_rgt,
+         h0 + (CAST(qty AS BIGINT) % 4 + 1) * slope + 3.25 AS h_xing
+  FROM base WHERE qty < 10)
+SELECT x.pair, x.ref_pt, x.cycle_number, x.xing_rgt,
+       t.h_own, x.h_xing, x.h_xing - t.h_own AS dh_xo
+FROM xing x JOIN tidy t
+  ON x.pair = t.pair AND x.ref_pt = t.ref_pt
+ AND x.cycle_number = t.cycle_number
+WHERE t.h_own IS NOT NULL AND x.h_xing IS NOT NULL
+ORDER BY x.pair, x.ref_pt
+"""
+
+
+@query("atl11_xover_diff", oracle=_ATL11_XOVER_ORACLE)
+def atl11_xover_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATL11 crossover differencing (sources/atl11.xover_difference;
+    reference IndexPicker.py:137-151 get_xovers/ATL11_plot): the
+    crossing-track partner heights join the along-track corrected
+    heights on (pair, ref_pt, cycle_number) and difference — no
+    geometry recomputation, ATL11 already did the crossover search
+    upstream, so at scale this is ONE key-hash equi-join between two
+    point lists.  Heights derive identically on both engines (pure
+    IEEE column arithmetic), so dh_xo compares bitwise with no
+    rounding."""
+    from pointdatabase_spark.sources import atl11 as _atl11
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    base = (li.groupBy(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("ref_pt"),
+        (F.col("l_partkey") % 3 + 1).cast("long").alias("pair"))
+        .agg(F.max(F.col("l_extendedprice") / 100.0).alias("h0"),
+             F.max((F.col("l_suppkey") % 7).cast("double")).alias("slope"),
+             F.max(F.col("l_suppkey").cast("double")).alias("srgt"),
+             F.max("l_quantity").alias("qty")))
+    tidy = (base.select("ref_pt", "pair", "h0", "slope",
+                        F.explode(F.sequence(F.lit(1), F.lit(4)))
+                        .alias("c"))
+            .select("ref_pt", "pair",
+                    F.col("c").cast("double").alias("cycle_number"),
+                    F.when((F.col("ref_pt") + F.col("c")) % 5 == 0,
+                           F.lit(None).cast("double"))
+                    .otherwise(F.col("h0") + F.col("c") * F.col("slope"))
+                    .alias("h_corr")))
+    xc = F.col("qty").cast("long") % 4 + 1
+    xing = (base.where(F.col("qty") < 10)
+            .select("ref_pt", "pair",
+                    xc.cast("double").alias("cycle_number"),
+                    F.col("srgt").alias("rgt"),
+                    (F.col("h0") + xc * F.col("slope") + 3.25)
+                    .alias("h_corr")))
+    return (_atl11.xover_difference(tidy, xing)
             .orderBy("pair", "ref_pt"))

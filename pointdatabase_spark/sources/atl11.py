@@ -30,10 +30,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# IndexPicker.py:53-60 field dict, trimmed to the corrected-height
-# surface the index queries touch (crossing_track_data is a separate
-# point set with its own geometry; out of converter scope like the
-# reference's own index build, which uses corrected_h lat/lon only)
+# IndexPicker.py:53-60 field dict: the corrected-height surface the
+# index queries touch; crossing_track_data (the crossover partners at
+# each reference point, a separate already-tidy point list) has its
+# own frame function below
 ATL11_FIELD_DICT: dict[str | None, list[str]] = {
     "corrected_h": ["latitude", "longitude", "delta_time",
                     "h_corr", "h_corr_sigma", "ref_pt",
@@ -41,6 +41,12 @@ ATL11_FIELD_DICT: dict[str | None, list[str]] = {
     "cycle_stats": ["ATL06_summary_zero_count"],
     "ref_surf": ["x_atc", "y_atc"],
 }
+
+# crossing_track_data per IndexPicker.py:56-59 — 1-D per-crossing
+# vectors (no cycle matrix: each crossing IS one (rgt, cycle) visit)
+ATL11_XING_FIELDS = ["ref_pt", "delta_time", "h_corr", "h_corr_sigma",
+                     "rgt", "cycle_number", "spot_crossing",
+                     "along_track_rss", "atl06_quality_summary"]
 
 # per-point vectors (broadcast across cycles); everything else in the
 # field dict is an N×C per-cycle matrix
@@ -89,6 +95,32 @@ def atl11_frame(data: Mapping[str, np.ndarray], pair_num: int,
     return out
 
 
+def atl11_xing_frame(data: Mapping[str, np.ndarray], pair_num: int,
+                     fill_value: float = -9999.0) -> pd.DataFrame:
+    """Tidy rows for one pair's ``crossing_track_data`` group — the
+    crossover partners the reference differences against the
+    along-track series (IndexPicker.py:137-151 ``get_xovers``).
+    Already per-crossing 1-D vectors; fill → NaN, pair column added."""
+    beam = f"pt{pair_num}"
+    cols: dict[str, np.ndarray] = {}
+    n = None
+    for f in ATL11_XING_FIELDS:
+        arr = data.get(f"{beam}/crossing_track_data/{f}")
+        if arr is None:
+            continue
+        arr = np.asarray(arr, dtype=np.float64).reshape(-1)
+        cols[f] = np.where(arr == fill_value, np.nan, arr)
+        n = len(arr)
+    if n is None:
+        return pd.DataFrame()
+    for f in ATL11_XING_FIELDS:
+        if f not in cols:
+            cols[f] = np.full(n, np.nan)
+    out = pd.DataFrame(cols)
+    out["pair"] = pair_num
+    return out
+
+
 def load_atl11_h5(h5_path: str) -> dict[str, np.ndarray]:
     """Flat {'ptX/group/field': array} for all three pairs — stdlib
     HDF5 codec (sources/hdf5.py), h5py when importable; missing
@@ -98,6 +130,8 @@ def load_atl11_h5(h5_path: str) -> dict[str, np.ndarray]:
              for p in (1, 2, 3)
              for g, fs in ATL11_FIELD_DICT.items() for f in fs]
     paths += [f"pt{p}/cycle_number" for p in (1, 2, 3)]
+    paths += [f"pt{p}/crossing_track_data/{f}"
+              for p in (1, 2, 3) for f in ATL11_XING_FIELDS]
     try:  # pragma: no cover - h5py not shipped in this container
         import h5py
         with h5py.File(h5_path, "r") as h5:
@@ -124,6 +158,27 @@ def convert_atl11(spark: SparkSession, h5_path: str, out_path: str
     frame = pd.concat([f for f in frames if len(f)], ignore_index=True)
     ingest_frame(spark, frame, h5_path).write.mode("overwrite") \
         .parquet(out_path)
+
+
+def xover_difference(tidy: DataFrame, xing: DataFrame) -> DataFrame:
+    """Crossing-track minus along-track height at each reference
+    point and cycle — the delta the reference's ATL11 picker plots
+    (IndexPicker.py:146-149: ``get_xovers`` then scatter of
+    ``delta.h``).  One equi-join on (pair, ref_pt, cycle_number):
+    both sides are keyed point lists, so this is a plain key-hash
+    shuffle at any scale — no geometry recomputation (ATL11 already
+    did the crossover search upstream)."""
+    own = tidy.select("pair", "ref_pt", "cycle_number",
+                      F.col("h_corr").alias("h_own"))
+    x = xing.select("pair", "ref_pt", "cycle_number",
+                    F.col("rgt").alias("xing_rgt"),
+                    F.col("h_corr").alias("h_xing"))
+    return (x.join(own, ["pair", "ref_pt", "cycle_number"])
+            .where(F.col("h_own").isNotNull()
+                   & F.col("h_xing").isNotNull())
+            .select("pair", "ref_pt", "cycle_number", "xing_rgt",
+                    "h_own", "h_xing",
+                    (F.col("h_xing") - F.col("h_own")).alias("dh_xo")))
 
 
 def cycle_collapse(tidy: DataFrame,

@@ -701,3 +701,48 @@ def test_convert_atl11_end_to_end(spark, tmp_path):
     got = {(r.pair, r.ref_pt): r.n_cycles for r in stats.collect()}
     assert got[(1, 1.0)] == n_cyc - 1          # ref_pt row 0: one fill
     assert got[(1, 21.0)] == n_cyc             # row 1: no fill
+
+
+def test_atl11_crossing_track_roundtrip(spark, tmp_path):
+    """crossing_track_data reads as its own tidy point list and the
+    crossover difference joins it against the along-track series on
+    (pair, ref_pt, cycle_number) — reference get_xovers/ATL11_plot
+    semantics (IndexPicker.py:137-151)."""
+    from pointdatabase_spark.sources import atl11
+    n, n_cyc, nx = 10, 3, 7
+    rng = np.random.default_rng(7)
+    h = rng.normal(100, 5, (n, n_cyc))
+    tree = {"pt2": {
+        "cycle_number": np.arange(1, 1 + n_cyc, dtype=np.float64),
+        "corrected_h": {
+            "ref_pt": np.arange(n, dtype=np.float64),
+            "latitude": rng.uniform(-80, -70, n),
+            "longitude": rng.uniform(-60, -30, n),
+            "delta_time": rng.uniform(0, 1e8, (n, n_cyc)),
+            "h_corr": h,
+            "h_corr_sigma": rng.uniform(0.01, 0.2, (n, n_cyc)),
+            "quality_summary": np.zeros((n, n_cyc))},
+        "crossing_track_data": {
+            "ref_pt": np.arange(nx, dtype=np.float64),
+            "delta_time": rng.uniform(0, 1e8, nx),
+            "h_corr": h[:nx, 1] + 2.5,       # crossing at cycle 2
+            "h_corr_sigma": rng.uniform(0.01, 0.2, nx),
+            "rgt": np.full(nx, 777.0),
+            "cycle_number": np.full(nx, 2.0),
+            "spot_crossing": rng.integers(1, 7, nx).astype(np.float64),
+            "along_track_rss": rng.uniform(0, 1, nx),
+            "atl06_quality_summary": np.zeros(nx)},
+    }}
+    path = str(tmp_path / "ATL11_xing.h5")
+    hdf5.write_h5(path, tree)
+    data = atl11.load_atl11_h5(path)
+    tidy = atl11.atl11_frame(data, 2)
+    xing = atl11.atl11_xing_frame(data, 2)
+    assert len(xing) == nx and set(xing.pair) == {2}
+    from pointdatabase_spark.sources.converters import ingest_frame
+    d = atl11.xover_difference(ingest_frame(spark, tidy, path),
+                               ingest_frame(spark, xing, path))
+    rows = {r.ref_pt: r.dh_xo for r in d.collect()}
+    assert len(rows) == nx
+    assert all(abs(v - 2.5) < 1e-9 for v in rows.values())
+    assert {r.xing_rgt for r in d.collect()} == {777.0}
