@@ -576,3 +576,45 @@ def label_centroid_stats(emb: DataFrame, id_col: str = "vec_id",
     purity = (best.groupBy("label")
               .agg(F.sum("own_best").cast("bigint").alias("n_nearest_own")))
     return per_own.join(purity, "label")
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension affine int8 quantization of an embedding column —
+    the 100 TB ANN memory valve: a 4-byte-float corpus vector becomes
+    1 byte/dim (``qvec`` array<tinyint>), cutting the candidate-scan
+    and index footprint 4x while ``deq`` (the dequantized doubles)
+    serves scoring.  No reference counterpart (LLM-data extension
+    surface, SURVEY §2.10 family).
+
+    Plan: ONE posexplode pass reduces the corpus to D per-dimension
+    (min, max) rows — map-side combinable, the shuffle carries
+    |dims| keys regardless of corpus size; the 1-row (mn[], mx[])
+    stats frame broadcasts back and quantize/dequantize are per-row
+    codegen ``transform`` expressions, so the corpus itself never
+    shuffles.  Arithmetic is pure IEEE (divide, multiply, floor) in
+    a fixed order, reproducible term for term in the oracle:
+    q_i = floor((x - mn_i) / s_i * 254.0 + 0.5) - 127 (s_i > 0),
+    deq_i = mn_i + floor((x - mn_i) / s_i * 254.0 + 0.5) / 254.0 * s_i."""
+    ex = emb.select(F.posexplode(vec_col).alias("pos", "v"))
+    rng = (ex.groupBy("pos")
+           .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                F.max(F.col("v").cast("double")).alias("mx")))
+    st = rng.agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, mn))),"
+               " s -> s.mn)").alias("_mn"),
+        F.expr("transform(array_sort(collect_list(struct(pos, mx))),"
+               " s -> s.mx)").alias("_mx"))
+    scale = "(element_at(_mx, i + 1) - element_at(_mn, i + 1))"
+    mn = "element_at(_mn, i + 1)"
+    steps = (f"floor((CAST(x AS DOUBLE) - {mn}) / {scale}"
+             " * 254.0 + 0.5)")
+    qexpr = (f"transform({vec_col}, (x, i) -> CASE WHEN {scale} > 0D"
+             f" THEN CAST({steps} - 127 AS INT) ELSE 0 END)")
+    dexpr = (f"transform({vec_col}, (x, i) -> CASE WHEN {scale} > 0D"
+             f" THEN {mn} + {steps} / 254.0 * {scale}"
+             f" ELSE {mn} END)")
+    return (emb.join(F.broadcast(st))
+            .select(id_col,
+                    F.expr(qexpr).cast("array<tinyint>").alias("qvec"),
+                    F.expr(dexpr).alias("deq")))

@@ -63,6 +63,7 @@ _SCORE_FIRST = [
     "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
     # ---- new in r9 — zero driver evidence ----
     "atl11_cycle_stats", "atl11_xover_diff",
+    "embedding_quantize_recall",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -6281,3 +6282,77 @@ def atl11_xover_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("h_corr")))
     return (_atl11.xover_difference(tidy, xing)
             .orderBy("pair", "ref_pt"))
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization + recall audit (operators/similarity.
+# quantize_int8): per-dimension affine quantization (the 4x ANN
+# memory valve), scored by top-10 overlap of quantized-corpus cosine
+# against exact cosine for the same query set. Oracle replays the
+# identical min/max stats, quantize/dequantize arithmetic, and both
+# rankings in DuckDB.
+# --------------------------------------------------------------------------
+
+_QNT_SCALE = "(st.mx[i + 1] - st.mn[i + 1])"
+_QNT_STEPS = (f"floor((CAST(e.embedding[i + 1] AS DOUBLE) - st.mn[i + 1])"
+              f" / {_QNT_SCALE} * 254.0 + 0.5)")
+
+_QUANT_RECALL_ORACLE = f"""
+WITH ex AS (SELECT UNNEST(embedding) AS v,
+                   UNNEST(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings),
+rng AS (SELECT pos, MIN(CAST(v AS DOUBLE)) AS mn,
+               MAX(CAST(v AS DOUBLE)) AS mx
+        FROM ex GROUP BY pos),
+st AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+       FROM rng),
+deq AS (SELECT e.vec_id,
+               list_transform(range({_DIM}), i ->
+                 CASE WHEN {_QNT_SCALE} > CAST(0 AS DOUBLE)
+                      THEN st.mn[i + 1] + {_QNT_STEPS} / 254.0 * {_QNT_SCALE}
+                      ELSE st.mn[i + 1] END) AS dv
+        FROM embeddings e, st),
+q AS (SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5),
+exact AS (SELECT q.q_id, e.vec_id,
+                 CAST(row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY {_duck_cos('q.qv', 'e.embedding')} DESC,
+                               e.vec_id) AS BIGINT) AS rank
+          FROM embeddings e, q),
+quant AS (SELECT q.q_id, d.vec_id,
+                 CAST(row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY {_duck_cos('q.qv', 'd.dv')} DESC,
+                               d.vec_id) AS BIGINT) AS rank
+          FROM deq d, q)
+SELECT x.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       COUNT(*) / 10.0 AS recall_at_10
+FROM exact x JOIN quant u ON x.q_id = u.q_id AND x.vec_id = u.vec_id
+WHERE x.rank <= 10 AND u.rank <= 10
+GROUP BY x.q_id ORDER BY x.q_id
+"""
+
+
+@query("embedding_quantize_recall", oracle=_QUANT_RECALL_ORACLE)
+def embedding_quantize_recall(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """int8 quantization recall audit: top-10 by cosine against the
+    DEQUANTIZED corpus vs against the full-precision corpus, per
+    query — the acceptance gate before switching an ANN serving path
+    to the 1-byte/dim index (operators/similarity.quantize_int8).
+    Both rankings broadcast the 5-query side; the corpus never
+    shuffles (stats pass shuffles |dims| keys only).  n_overlap is
+    an integer and recall a /10.0 of it — exact on both engines, no
+    rounding needed; ranks are deterministic because quantized
+    cosines are bit-identical doubles on both sides."""
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = _sim.cosine_topk(emb, q, k=10)
+    deq = (_sim.quantize_int8(emb)
+           .select("vec_id", F.col("deq").alias("embedding")))
+    quant = _sim.cosine_topk(deq, q, k=10)
+    return (exact.select("q_id", "vec_id")
+            .join(quant.select("q_id", "vec_id"), ["q_id", "vec_id"])
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"),
+                 (F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
+            .orderBy("q_id"))

@@ -1311,3 +1311,24 @@ def test_grid_cluster_key_negative_and_large_cells(spark):
         key(-200_000, 100_000): (2, -200_000, -199_999),
         key(-199_997, 100_000): (1, -199_997, -199_997),
         key(150_000, -100_000): (1, 150_000, 150_000)}
+
+
+def test_quantize_int8_hand_case(spark):
+    """Two 2-d vectors spanning [0,2]x[5,5]: dim 0 quantizes to the
+    endpoints (-127, 127), the zero-range dim 1 collapses to code 0
+    and dequantizes to its min — and dequantized values reproduce the
+    documented floor arithmetic exactly."""
+    from pyspark.sql import Row
+    from pointdatabase_spark.operators import similarity as sim
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.0, 5.0]),
+        Row(vec_id=2, embedding=[2.0, 5.0]),
+        Row(vec_id=3, embedding=[1.0, 5.0]),
+    ])
+    out = {r.vec_id: (list(r.qvec), list(r.deq))
+           for r in sim.quantize_int8(emb).collect()}
+    assert out[1][0] == [-127, 0] and out[2][0] == [127, 0]
+    # x=1.0 over [0,2]: floor(1/2*254+0.5)=127 -> code 0, deq = 1.0
+    assert out[3][0] == [0, 0]
+    assert out[1][1] == [0.0, 5.0] and out[2][1] == [2.0, 5.0]
+    assert out[3][1] == [127 / 254.0 * 2.0, 5.0]
