@@ -376,6 +376,35 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
             .drop("survivor_id"))
 
 
+def dedup_survivors_by(df: DataFrame, clusters: DataFrame,
+                       quality_col: str,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware survivor selection: per duplicate cluster, the
+    member with the HIGHEST ``quality_col`` survives (ties break to
+    the smallest id) — the production near-dup policy (keep the
+    best-quality copy of boilerplate-heavy near-dup families, e.g.
+    CCNet/Gopher-style pipelines), vs ``dedup_survivors``'s
+    min-id rule.  Same plan shape: the cluster table aggregates to
+    one (cluster_id, survivor_id) row via ``max_by`` on the
+    (quality, -id) pair — one key-hash exchange of the CLUSTER
+    members only; unpaired documents survive by definition."""
+    c = (clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+         .join(df.select(id_col, F.col(quality_col).alias("_q")),
+               id_col))
+    keep = (c.groupBy("cluster_id")
+            .agg(F.expr(f"max_by({id_col}, struct(_q, -{id_col}))")
+                 .alias("survivor_id")))
+    out = (df.join(clusters.select(F.col("doc_id").alias(id_col),
+                                   "cluster_id"), id_col, "left")
+           .withColumn("cluster_id",
+                       F.coalesce("cluster_id", F.col(id_col))))
+    return (out.join(keep, "cluster_id", "left")
+            .withColumn("is_survivor",
+                        F.coalesce(F.col(id_col) == F.col("survivor_id"),
+                                   F.lit(True)))
+            .drop("survivor_id"))
+
+
 def incremental_dedup_flags(corpus: DataFrame, delta: DataFrame,
                             id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,

@@ -259,3 +259,51 @@ def cluster_balanced_sample(emb: DataFrame, cents: list[list[float]],
     return (c.join(F.broadcast(counts), "cell")
             .where(_hash_frac("id", salt) < keep_p)
             .select(F.col("id").alias(id_col), "cell"))
+
+
+def shard_assign(df: DataFrame, n_shards: int,
+                 id_col: str = "doc_id",
+                 salt: str = "sh1") -> DataFrame:
+    """Deterministic training-shard assignment + global pseudo-random
+    order: ``shard`` = md5(id)%n_shards, ``shard_pos`` = rank of the
+    row inside its shard under a SECOND independent hash (ties to
+    id).  Together they define the exact byte order of the training
+    export — reproducible on any cluster size, any partition order,
+    and stable under re-runs, which `repartition + rand()` is not.
+
+    Scale shape: assignment is a per-row expression; the only shuffle
+    is the per-shard window (one key-hash exchange on n_shards keys —
+    size shards so corpus/n_shards fits a task; the writer path
+    below needs no window at all when byte order within a shard may
+    be hash-sorted lazily)."""
+    h = F.expr(_H32.format(
+        s=f"concat(CAST({id_col} AS STRING), '{salt}')"))
+    o = F.expr(_H32.format(
+        s=f"concat(CAST({id_col} AS STRING), '{salt}#o')"))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("_okey").asc(), F.col(id_col).asc()))
+    return (df.withColumn("shard", (h % n_shards).cast("bigint"))
+            .withColumn("_okey", o)
+            .withColumn("shard_pos",
+                        F.row_number().over(w).cast("bigint"))
+            .drop("_okey"))
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          id_col: str = "doc_id",
+                          salt: str = "sh1") -> None:
+    """Materialize the shard export: one directory per shard
+    (partitionBy), rows hash-ordered within each file — the
+    deterministic global shuffle a trainer consumes.  No window: the
+    writer sorts within partitions after a shard repartition, so the
+    plan is repartition(n_shards) + sort + write."""
+    h = F.expr(_H32.format(
+        s=f"concat(CAST({id_col} AS STRING), '{salt}')"))
+    o = F.expr(_H32.format(
+        s=f"concat(CAST({id_col} AS STRING), '{salt}#o')"))
+    out = (df.withColumn("shard", (h % n_shards).cast("bigint"))
+           .withColumn("_okey", o)
+           .repartition(n_shards, "shard")
+           .sortWithinPartitions("shard", "_okey", id_col)
+           .drop("_okey"))
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -63,7 +63,8 @@ _SCORE_FIRST = [
     "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
     # ---- new in r9 — zero driver evidence ----
     "atl11_cycle_stats", "atl11_xover_diff",
-    "embedding_quantize_recall",
+    "embedding_quantize_recall", "dedup_keep_best",
+    "training_shard_stats",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -3308,6 +3309,55 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "cluster_id", "is_survivor"))
 
 
+_KEEP_BEST_TAIL = """
+, nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+l0 AS (SELECT id, id AS lbl FROM nodes),
+l1 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l0 n JOIN edges e ON n.id = e.u JOIN l0 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+l2 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l1 n JOIN edges e ON n.id = e.u JOIN l1 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+l3 AS (SELECT n.id, LEAST(n.lbl, MIN(m.lbl)) AS lbl
+       FROM l2 n JOIN edges e ON n.id = e.u JOIN l2 m ON m.id = e.v
+       GROUP BY n.id, n.lbl),
+memq AS (SELECT l.id, l.lbl, length(c.text) AS q
+         FROM l3 l JOIN corpus c ON c.doc_id = l.id),
+keep AS (SELECT lbl AS cid, id AS survivor_id FROM (
+           SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY lbl
+                  ORDER BY q DESC, id) AS rn FROM memq) r WHERE rn = 1)
+SELECT c.doc_id,
+       COALESCE(l.lbl, c.doc_id)                  AS cluster_id,
+       COALESCE(c.doc_id = k.survivor_id, TRUE)   AS is_survivor
+FROM corpus c
+LEFT JOIN l3 l ON l.id = c.doc_id
+LEFT JOIN keep k ON k.cid = l.lbl
+"""
+
+_KEEP_BEST_ORACLE = _minhash_oracle_sql(testkit.syn_corpus_cte(),
+                                        tail=_KEEP_BEST_TAIL)
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection
+    (operators/dedup.dedup_survivors_by): per minhash-LSH cluster the
+    LONGEST member survives (tie -> smallest id) — the production
+    keep-the-best-copy policy, vs dedup_clusters' keep-min-id.  The
+    argmax is a single max_by over the cluster-member table (one
+    key-hash exchange of members only, not the corpus); the oracle
+    replays the identical 3 bounded label-propagation rounds and a
+    rank-1 window."""
+    corpus = testkit.syn_corpus(spark, sf_dir)
+    pairs = _dedup.minhash_neardup(corpus)
+    clusters = _dedup.duplicate_clusters(pairs, hops=3)
+    docs = corpus.withColumn("_len", F.length("text"))
+    return (_dedup.dedup_survivors_by(docs, clusters, "_len")
+            .select("doc_id", "cluster_id", "is_survivor"))
+
+
 # End-to-end dedup PIPELINE: exact-dup collapse AND near-dup survivor
 # resolution composed to a clean-corpus summary — the full
 # training-data cleaning flow as one declarative plan (exact keeps the
@@ -6356,3 +6406,53 @@ def embedding_quantize_recall(spark: SparkSession, sf_dir: str
             .agg(F.count(F.lit(1)).alias("n_overlap"),
                  (F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
             .orderBy("q_id"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shard export (operators/sampling.shard_assign
+# / write_training_shards): md5-hash shard assignment + an independent
+# hash-order within each shard — the reproducible global shuffle a
+# trainer consumes.  The stats query pins the contract: per-shard doc
+# and token counts plus the FIRST doc id in deterministic order
+# (head_id changes if either the assignment or the order drifts).
+# --------------------------------------------------------------------------
+
+_SHARD_ORACLE = rf"""
+WITH a AS (
+  SELECT doc_id,
+         CAST({_duck_h32_id('doc_id', 'sh1')} % 8 AS BIGINT) AS shard,
+         {_duck_h32_id('doc_id', 'sh1#o')} AS okey,
+         len(string_split_regex(coalesce(text, ''), '\s+')) AS n_tok
+  FROM documents),
+stats AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM a GROUP BY shard),
+first AS (SELECT shard, doc_id AS head_id FROM (
+            SELECT shard, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                                      ORDER BY okey, doc_id) AS rn
+            FROM a) r WHERE rn = 1)
+SELECT s.shard, s.n_docs, s.n_tokens, f.head_id
+FROM stats s JOIN first f ON s.shard = f.shard ORDER BY s.shard
+"""
+
+
+@query("training_shard_stats", oracle=_SHARD_ORACLE)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-export audit over 8 shards: per shard, document count,
+    whitespace-token count, and the id that deterministic hash order
+    puts FIRST (operators/sampling.shard_assign) — a drift in either
+    the assignment hash or the order hash flips head_id and fails the
+    gate.  One key-hash exchange on 8 shard keys; assignment and the
+    order key are scan-local expressions."""
+    from pointdatabase_spark.operators import sampling as _samp2
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    a = _samp2.shard_assign(
+        docs.select("doc_id", "text"), n_shards=8)
+    toks = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"))
+    first = a.where(F.col("shard_pos") == 1).select(
+        "shard", F.col("doc_id").alias("head_id"))
+    stats = (a.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(toks.cast("long")).alias("n_tokens")))
+    return (stats.join(first, "shard").orderBy("shard"))

@@ -1332,3 +1332,32 @@ def test_quantize_int8_hand_case(spark):
     assert out[3][0] == [0, 0]
     assert out[1][1] == [0.0, 5.0] and out[2][1] == [2.0, 5.0]
     assert out[3][1] == [127 / 254.0 * 2.0, 5.0]
+
+
+def test_write_training_shards_deterministic_order(spark, tmp_path):
+    """The shard export is byte-reproducible: same shard membership
+    AND same within-shard row order across two independent writes,
+    and the order matches shard_assign's shard_pos ranking."""
+    from pointdatabase_spark.operators import sampling
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    sampling.write_training_shards(docs, p1, n_shards=4)
+    sampling.write_training_shards(
+        docs.repartition(7), p2, n_shards=4)   # different input layout
+    def read_order(p):
+        out = {}
+        for sh in range(4):
+            rows = spark.read.parquet(f"{p}/shard={sh}").collect()
+            out[sh] = [r.doc_id for r in rows]
+        return out
+    o1, o2 = read_order(p1), read_order(p2)
+    assert o1 == o2
+    assert sum(len(v) for v in o1.values()) == 200
+    ranked = sampling.shard_assign(docs, n_shards=4)
+    want = {sh: [r.doc_id for r in
+                 ranked.where(F.col("shard") == sh)
+                 .orderBy("shard_pos").collect()]
+            for sh in range(4)}
+    assert o1 == want

@@ -550,3 +550,38 @@ def test_knn_graph_unhinted_vs_knn_join_broadcast(spark):
     j = registry.all_queries()["knn_join"](spark, SF_SMOKE)
     assert "ResolvedHint" in \
         j._jdf.queryExecution().analyzed().toString()
+
+
+def test_quantize_int8_corpus_never_shuffles(spark):
+    """quantize_int8's only exchange is the |dims|-key min/max stats
+    aggregate (posexplode partial-agg map-side); the corpus joins the
+    1-row stats frame by BROADCAST and encode/decode are codegen
+    transform expressions — a hash-exchange of the corpus (or a
+    Python worker) would break the 100 TB contract."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import similarity as sim
+    emb = testkit.load_table(spark, SF_SMOKE, "embeddings")
+    df = sim.quantize_int8(emb)
+    plan = _plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # one exchange: the per-dimension stats aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_atl11_cycle_collapse_single_exchange(spark):
+    """cycle_collapse is ONE groupBy over the tidy rows — partial agg
+    map-side, a single key-hash exchange, no window, no join."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.sources import atl11
+    li = testkit.load_table(spark, SF_SMOKE, "lineitem")
+    tidy = li.select(
+        F.col("l_orderkey").alias("ref_pt"),
+        (F.col("l_partkey") % 3 + 1).alias("pair"),
+        F.col("l_linenumber").cast("double").alias("cycle_number"),
+        F.col("l_extendedprice").alias("h_corr"))
+    plan = _plan(atl11.cycle_collapse(tidy), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial" in plan.lower()
