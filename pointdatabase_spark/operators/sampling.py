@@ -307,3 +307,66 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int,
            .sortWithinPartitions("shard", "_okey", id_col)
            .drop("_okey"))
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def mixture_upsample(df: DataFrame, weights: dict[str, float],
+                     group_col: str = "source",
+                     id_col: str = "doc_id",
+                     salt: str = "up1") -> DataFrame:
+    """Deterministic upsampling WITH replacement: each row of group g
+    appears floor(w_g) times plus one more with probability
+    frac(w_g) — so a group's expected multiplicity is exactly its
+    weight (the epoch-repeat side of mixture training, where
+    ``mixture_sample`` is the downsampling side; weights come from a
+    temperature/heuristic schedule, e.g. w = (p_target/p_corpus)).
+
+    Per-row ``copy`` index (0-based) disambiguates repeats for
+    downstream shuffling/packing.  Scale shape: a per-row CASE plus a
+    narrow ``explode(sequence())`` — zero shuffles, scan-speed at any
+    corpus size; determinism comes from the package md5 recipe, so
+    re-runs and partial re-ingests repeat the same rows."""
+    import math as _m
+    whole = F.lit(0)
+    frac = F.lit(0.0)
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {g!r}")
+        whole = F.when(F.col(group_col) == g,
+                       F.lit(int(_m.floor(w)))).otherwise(whole)
+        frac = F.when(F.col(group_col) == g,
+                      F.lit(float(w - _m.floor(w)))).otherwise(frac)
+    n = (whole + (_hash_frac(id_col, salt) < frac).cast("int"))
+    return (df.withColumn("_n", n)
+            .where(F.col("_n") > 0)
+            .withColumn("copy", F.explode(
+                F.expr("sequence(0, _n - 1)")))
+            .withColumn("copy", F.col("copy").cast("long"))
+            .drop("_n"))
+
+
+def budget_select(df: DataFrame, token_budget: int,
+                  quality_col: str, tokens_col: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Token-budget corpus selection: walk documents from highest
+    ``quality_col`` down (tie -> smallest id) and keep them until the
+    running ``tokens_col`` total passes ``token_budget`` — "take the
+    best docs until we have N training tokens", the final selection
+    step after scoring.  A document is kept iff the cumulative token
+    count UP TO AND INCLUDING it is <= budget, plus the first
+    straddling document (so the budget is always reached when the
+    corpus allows; standard greedy knapsack-with-overflow-one rule).
+
+    Scale shape: ONE global sort by (quality desc, id) feeding a
+    running-sum window.  A total order is inherently a global sort —
+    Spark range-partitions it (sampled boundaries), so the exchange
+    is balanced; the window then runs partition-local per range.  For
+    100 TB corpora where a full sort is too hot, pre-bucket quality
+    to a coarse grid and budget per bucket — this operator is the
+    exact small/medium-scale form and the oracle contract."""
+    w = (Window.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = F.sum(F.col(tokens_col).cast("long")).over(w)
+    return (df.withColumn("cum_tokens", run)
+            .where((F.col("cum_tokens") - F.col(tokens_col))
+                   < F.lit(int(token_budget)))
+            .withColumn("cum_tokens", F.col("cum_tokens").cast("long")))

@@ -64,7 +64,8 @@ _SCORE_FIRST = [
     # ---- new in r9 — zero driver evidence ----
     "atl11_cycle_stats", "atl11_xover_diff",
     "embedding_quantize_recall", "dedup_keep_best",
-    "training_shard_stats",
+    "training_shard_stats", "mixture_upsample_counts",
+    "token_budget_select",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -6456,3 +6457,98 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.sum(toks.cast("long")).alias("n_tokens")))
     return (stats.join(first, "shard").orderBy("shard"))
+
+
+# --------------------------------------------------------------------------
+# Mixture upsampling + token-budget selection (operators/sampling):
+# the epoch-repeat and final-selection steps of a training-mixture
+# pipeline. Both deterministic by the package md5 recipe; oracles
+# replay the CASE/hash/window arithmetic exactly.
+# --------------------------------------------------------------------------
+
+_UP_W = {"src0": 2.5, "src1": 0.4, "src2": 1.0, "src3": 3.0,
+         "src5": 0.25}
+_UP_WHOLE = ("CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {int(w // 1)}"
+    for s, w in _UP_W.items()) + " ELSE 0 END")
+_UP_FRAC = ("CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {w - int(w // 1)!r}"
+    for s, w in _UP_W.items()) + " ELSE 0.0 END")
+
+_UPSAMPLE_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, source, {_UP_WHOLE} AS wh, {_UP_FRAC} AS fr
+  FROM documents),
+n AS (SELECT doc_id, source,
+             wh + CASE WHEN {_duck_h32_id('doc_id', 'up1')}
+                            / {float(1 << 32)!r} < fr
+                       THEN 1 ELSE 0 END AS n
+      FROM a)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_out,
+       CAST(COUNT(*) FILTER (WHERE n > 0) AS BIGINT) AS n_base_kept,
+       CAST(MAX(n) AS BIGINT) AS max_copies
+FROM n GROUP BY source HAVING SUM(n) > 0 ORDER BY source
+"""
+
+
+@query("mixture_upsample_counts", oracle=_UPSAMPLE_ORACLE)
+def mixture_upsample_counts(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Deterministic upsampling WITH replacement
+    (operators/sampling.mixture_upsample): group g's rows repeat
+    floor(w_g) times plus one more with hash-probability frac(w_g) —
+    the epoch-repeat side of mixture training (expected multiplicity
+    == weight; unlisted sources drop).  Zero shuffles in the operator
+    (CASE + narrow sequence explode); only this audit's per-source
+    aggregate exchanges.  Counts are integers — exact on both
+    engines."""
+    from pointdatabase_spark.operators import sampling as _samp2
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    up = _samp2.mixture_upsample(docs.select("doc_id", "source"), _UP_W)
+    return (up.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_out"),
+                 F.countDistinct("doc_id").alias("n_base_kept"),
+                 (F.max("copy") + 1).alias("max_copies"))
+            .orderBy("source"))
+
+
+_BUDGET = 10_000
+
+_BUDGET_ORACLE = rf"""
+WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q,
+                  CAST(len(string_split_regex(coalesce(text, ''),
+                                              '\s+')) AS BIGINT) AS tok
+           FROM documents),
+r AS (SELECT doc_id, q, tok,
+             SUM(tok) OVER (ORDER BY q DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(cum) AS BIGINT) AS tokens_kept,
+       CAST(MIN(q) AS BIGINT) AS min_quality
+FROM r WHERE cum - tok < {_BUDGET}
+"""
+
+
+@query("token_budget_select", oracle=_BUDGET_ORACLE)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection
+    (operators/sampling.budget_select): keep documents from highest
+    quality (here: length) down until the running token total passes
+    the budget, overflow-one — "the best docs until N training
+    tokens".  One range-partitioned global sort + running-sum window;
+    this audit row collapses the kept set to (count, tokens, minimum
+    kept quality).  All integers — exact on both engines."""
+    from pointdatabase_spark.operators import sampling as _samp2
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("q"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")),
+                       r"\s+")).cast("long").alias("tok"))
+    kept = _samp2.budget_select(t, _BUDGET, quality_col="q",
+                                tokens_col="tok")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.max("cum_tokens").alias("tokens_kept"),
+                    F.min("q").alias("min_quality"))
