@@ -240,6 +240,42 @@ def simhash_neardup(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("hamming") <= max_hamming))
 
 
+def hamming_neardup_pairs(hashes: DataFrame, hash_col: str = "dhash",
+                          id_col: str = "doc_id", bits: int = 64,
+                          bands: int = 4,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over ANY integer fingerprint column (e.g. the
+    64-bit image dHash from operators/multimodal.dhash_images) by
+    band blocking + exact hamming filter — the simhash plan
+    generalized: with ``bands`` > ``max_hamming`` the pigeonhole
+    guarantees a pair within ``max_hamming`` bits shares at least one
+    identical band, so recall is exact.  Shuffles carry
+    (id, band-key) pairs — 16 bytes per row regardless of payload
+    (for images: pixels never leave the hashing stage)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    h = hashes.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).alias("_h"))
+    band = h.select(
+        "id", "_h",
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), j -> "
+            f"struct(j AS bid, shiftright(_h, j * {width}) & {mask}"
+            f" AS key))")).alias("b")
+    ).select("id", "_h", F.col("b.bid").alias("bid"),
+             F.col("b.key").alias("key"))
+    a, b = band.alias("a"), band.alias("b")
+    return (a.join(b, (F.col("a.bid") == F.col("b.bid"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.expr("CAST(bit_count(a._h ^ b._h) AS BIGINT)")
+                    .alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))
+
+
 def duplicate_clusters(pairs: DataFrame, hops: int = 3) -> DataFrame:
     """Resolve near-dup PAIRS into cluster labels: bounded min-label
     propagation over the pair graph — ``hops`` rounds of

@@ -515,3 +515,94 @@ def sample_frames(df: DataFrame, step: int,
                                 "frame_fp": fps})
 
     return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def attach_jpeg_variant_payload(docs: DataFrame, group: int = 5,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate IMAGE fixture for perceptual dedup: consecutive
+    image docs share one underlying picture per ``group`` (base =
+    (id//3)//group), re-encoded at a per-doc JPEG quality — the
+    "same photo, different compression" family a crawl contains.
+
+    The picture is a 36x32 grayscale block pattern (9x8 blocks of
+    4x4 px) whose block values are md5-derived AND quantized so any
+    two horizontally adjacent blocks differ by >= 18 luma — far above
+    baseline-JPEG block-mean error at quality >= 60 — which makes
+    the 64-bit dHash of every re-encode of a base IDENTICAL by
+    construction while distinct bases land ~32 bits apart (md5-
+    random).  That is what lets the near-dup oracle predict pairs
+    from doc_id arithmetic alone."""
+    import hashlib
+    from pointdatabase_spark.sources import jpeg
+
+    def _block(base: int, bi: int, bj: int) -> int:
+        h = int(hashlib.md5(f"{base}:{bi}:{bj}".encode())
+                .hexdigest()[:8], 16)
+        return (h % 7) * 36 + ((bi + bj) % 2) * 18 + 16
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        quals = (70, 80, 90, 85, 75)
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                did = int(doc_id)
+                base = (did // 3) // group
+                blocks = np.array(
+                    [[_block(base, bi, bj) for bj in range(9)]
+                     for bi in range(8)], dtype=np.uint8)
+                img = np.kron(blocks, np.ones((4, 4), np.uint8))
+                q = quals[(did // 3) % len(quals)]
+                rows.append((did, jpeg.encode_jpeg(img, quality=q),
+                             "image"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"])
+
+    ids = _spread(docs.select(F.col(id_col).cast("long")
+                              .alias("doc_id")))
+    return ids.mapInPandas(_gen,
+                           schema="doc_id bigint, payload binary, "
+                                  "media_type string")
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) per image payload: decode
+    (stdlib JPEG/PNG codecs), grayscale, area-mean resize to 9x8,
+    then bit k = (pixel right of position k) > (pixel at k) row-major
+    — the classic perceptual fingerprint (Krawetz).  Arrow-batched
+    mapInPandas, one image per row, embarrassingly parallel; emits
+    (doc_id, dhash) so the corpus-wide near-dup stage shuffles 8
+    bytes per image, never pixels."""
+    from pointdatabase_spark.sources import media
+
+    def _gray(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 3:
+            return img.astype(np.float64).mean(axis=2)
+        return img.astype(np.float64)
+
+    def _pool(g: np.ndarray, oh: int = 8, ow: int = 9) -> np.ndarray:
+        h, w = g.shape
+        ys = (np.arange(oh + 1) * h) // oh
+        xs = (np.arange(ow + 1) * w) // ow
+        out = np.empty((oh, ow))
+        for i in range(oh):
+            for j in range(ow):
+                out[i, j] = g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+        return out
+
+    def _hash(p: bytes) -> int:
+        img = media.decode_image(p)
+        small = _pool(_gray(img))
+        bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+        v = 0
+        for k, bit in enumerate(bits):
+            if bit:
+                v |= 1 << k
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"].values,
+                "dhash": [_hash(bytes(p)) for p in b["payload"]]})
+
+    return df.mapInPandas(_run, schema="doc_id bigint, dhash bigint")

@@ -65,7 +65,7 @@ _SCORE_FIRST = [
     "atl11_cycle_stats", "atl11_xover_diff",
     "embedding_quantize_recall", "dedup_keep_best",
     "training_shard_stats", "mixture_upsample_counts",
-    "token_budget_select",
+    "token_budget_select", "multimodal_dhash_neardup",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -6552,3 +6552,46 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(F.count(F.lit(1)).alias("n_kept"),
                     F.max("cum_tokens").alias("tokens_kept"),
                     F.min("q").alias("min_quality"))
+
+
+# --------------------------------------------------------------------------
+# Perceptual image near-dup: real JPEG decode -> 64-bit dHash ->
+# banded hamming join (operators/multimodal.dhash_images +
+# operators/dedup.hamming_neardup_pairs). The fixture encodes ONE
+# picture per 5 consecutive image docs at five different JPEG
+# qualities; the block pattern is built so every re-encode hashes
+# IDENTICALLY (adjacent-block luma gaps >= 18 dwarf block-mean codec
+# error) while distinct pictures land >= 19 bits apart — so the
+# oracle predicts the pair set (and hamming = 0) from doc_id
+# arithmetic alone, with zero image code in SQL.
+# --------------------------------------------------------------------------
+
+_DHASH_ORACLE = """
+WITH img AS (SELECT doc_id, (doc_id // 3) // 5 AS base
+             FROM documents WHERE doc_id % 3 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM img a JOIN img b ON a.base = b.base AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+@query("multimodal_dhash_neardup", oracle=_DHASH_ORACLE)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Same-photo-different-compression image dedup: decode every
+    image payload with the stdlib JPEG codec inside Arrow-batched
+    mapInPandas, fingerprint with the 64-bit dHash (area-mean 9x8,
+    adjacent-pixel comparisons), then find pairs within hamming <= 3
+    via the 4x16-bit band join — pixels never shuffle, the corpus-
+    wide stage carries 8-byte hashes.  At 100 TB this is the
+    multimodal twin of minhash dedup: hash map-side, candidate join
+    bucket-local, pigeonhole recall exact for the threshold."""
+    from pointdatabase_spark.operators import multimodal as _mm
+    docs = (testkit.load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0))
+    hashes = _mm.dhash_images(_mm.attach_jpeg_variant_payload(docs))
+    return (_dedup.hamming_neardup_pairs(hashes, "dhash",
+                                         bits=64, bands=4,
+                                         max_hamming=3)
+            .orderBy("id_a", "id_b"))
