@@ -316,6 +316,23 @@ def main() -> None:
             "corpus_prep_v2"](spark, sf),
         "grid_cluster": lambda sf: _registry.all_queries()[
             "grid_cluster"](spark, sf),
+        # r9 wave: ATL11 cycle stats, int8 quantize recall, quality
+        # survivors, shard export, perceptual image dedup, mixture
+        # upsample, token-budget selection
+        "atl11_cycle_stats": lambda sf: _registry.all_queries()[
+            "atl11_cycle_stats"](spark, sf),
+        "embedding_quantize_recall": lambda sf: _registry.all_queries()[
+            "embedding_quantize_recall"](spark, sf),
+        "dedup_keep_best": lambda sf: _registry.all_queries()[
+            "dedup_keep_best"](spark, sf),
+        "training_shard_stats": lambda sf: _registry.all_queries()[
+            "training_shard_stats"](spark, sf),
+        "multimodal_dhash_neardup": lambda sf: _registry.all_queries()[
+            "multimodal_dhash_neardup"](spark, sf),
+        "mixture_upsample_counts": lambda sf: _registry.all_queries()[
+            "mixture_upsample_counts"](spark, sf),
+        "token_budget_select": lambda sf: _registry.all_queries()[
+            "token_budget_select"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare
