@@ -180,3 +180,59 @@ def paragraph_dedup_materialize(corpus: DataFrame) -> DataFrame:
                     F.length("cleaned").cast("long")
                     .alias("clean_chars"), "cleaned")
             .orderBy("doc_id"))
+
+
+# --------------------------------------------------------------------
+# Unicode repair / canonical text normalization -- the ftfy-ish fixup
+# pass a crawl pipeline runs before any hashing or dedup (mojibake and
+# stray whitespace otherwise make byte-identical prose hash apart).
+# Entirely map-side codegen string expressions; the SPARK/DUCK
+# templates mirror each other, differing only in the regexp 'g' flag.
+# --------------------------------------------------------------------
+
+#: true characters whose UTF-8-bytes-read-as-Latin-1 ghosts we repair
+#: (smart punctuation + the accented-vowel poster child). The bad
+#: sequences are DERIVED (encode utf-8, decode latin-1), so the
+#: mapping is definitionally the mojibake inverse and the source stays
+#: free of literal control bytes.
+_MOJIBAKE_GOOD = "’“”—é"  # ' " " em-dash e-acute
+MOJIBAKE = tuple(
+    (g.encode("utf-8").decode("latin-1"), g) for g in _MOJIBAKE_GOOD)
+
+#: smart punctuation -> ASCII (1:1 by position, translate()-able):
+#: single/double curly quotes, en/em dash, NBSP.
+_PUNCT_FROM = "‘’“”–— "
+_PUNCT_TO = "''\"\"-- "
+
+_CTRL_RE = "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]"
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def normalize_text(col) -> F.Column:
+    """Spark Column: mojibake repair -> smart-punctuation fold ->
+    control-char strip -> whitespace collapse -> trim. Repair runs
+    FIRST (its outputs are smart quotes the translate then folds);
+    the control strip runs after so surviving C1 ghost bytes from
+    unrepaired mojibake still leave."""
+    c = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """The DuckDB SQL computing the identical normalization."""
+    c = expr
+    for bad, good in MOJIBAKE:
+        c = f"replace({c}, {_sql_quote(bad)}, {_sql_quote(good)})"
+    c = (f"translate({c}, {_sql_quote(_PUNCT_FROM)},"
+         f" {_sql_quote(_PUNCT_TO)})")
+    c = f"regexp_replace({c}, '{_CTRL_RE}', '', 'g')"
+    c = f"regexp_replace({c}, '\\s+', ' ', 'g')"
+    return f"trim({c})"

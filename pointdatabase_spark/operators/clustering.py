@@ -1,0 +1,141 @@
+"""Distributed Lloyd's k-means over embedding columns — the trainer
+that produces the coarse centroids the IVF / SemDeDup operators
+consume (operators/similarity.py uses fixed md5-derived centroids for
+oracle determinism; this module LEARNS them from the data with the
+classic MLlib-shaped plan).
+
+Scale design (100 TB / billions of vectors):
+
+- **Assignment** is map-side only: the k×d centroid table is a
+  broadcast literal (k ≤ a few thousand, d ≤ a few thousand — always
+  driver-bounded), each vector computes argmin-distance as a pure
+  codegen expression. The corpus never shuffles.
+- **Update** is one k-row shuffle per iteration: ``groupBy(cluster)``
+  with d per-dimension ``SUM`` aggregates — map-side partial
+  aggregation reduces each partition to ≤ k rows before the exchange,
+  so the shuffle volume is executors × k × d longs, independent of
+  corpus size. (This is exactly Spark MLlib's KMeans shape.)
+- The per-iteration ``collect()`` moves k×(d+1) longs to the driver —
+  a documented bounded contract (same class as the IVF centroid
+  sample, similarity.py).
+
+Cross-engine determinism: floating-point SUM across rows is
+order-dependent, so the trainer quantizes every component to exact
+micro-units up front — ``floor(x·1e6 + 0.5)`` as BIGINT — and all
+distances/sums stay in exact 64-bit integer arithmetic (d·(2.1e6)² ≈
+2⁴⁸ per pair, far under 2⁶³). The centroid mean divides an exact
+integer sum (< 2⁵³, exact in DOUBLE) by an exact count — one IEEE op,
+bit-identical in Spark and DuckDB — then re-quantizes. Every value the
+oracle compares is therefore deterministic regardless of row order or
+partitioning.
+
+No reference counterpart (the reference has no clustering operator);
+this is extension surface for the training-data pipeline mandate, and
+the shape follows Lloyd (1982) / the SemDeDup paper's k-means stage
+(Abbas et al. 2023 §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: micro-unit quantization scale shared with the oracle SQL.
+SCALE = 1_000_000.0
+
+
+def quantize_vec(vec_col: str = "embedding") -> F.Column:
+    """array<float> -> array<long> in exact micro-units; the shared
+    ``floor(x·1e6 + 0.5)`` idiom (functions/rounding.py) applied
+    per component."""
+    return F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * F.lit(SCALE) + F.lit(0.5))
+        .cast("long"))
+
+
+def _sqdist(xq: F.Column, cq: F.Column) -> F.Column:
+    """Exact integer squared L2 distance between two micro-unit
+    vectors (BIGINT fold — associative, order-free)."""
+    return F.aggregate(
+        F.zip_with(xq, cq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x)
+
+
+def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> DataFrame:
+    """Lloyd's k-means, ``iters`` rounds, deterministic init (the k
+    rows with the smallest ids). Returns the final per-cluster
+    per-dimension centroid table::
+
+        (cluster_id long, dim int, centroid_q long, n_members long)
+
+    ``centroid_q`` is the centroid component in micro-units —
+    k×dim rows, with each row carrying its cluster's member count.
+    Clusters that lose every member drop out (both the engine and
+    the oracle drop them identically).
+    """
+    q = df.select(F.col(id_col).alias("_id"),
+                  quantize_vec(vec_col).alias("xq"))
+
+    # Deterministic seed: the k smallest ids, cluster_id = rank-1.
+    # k×d longs to the driver — bounded contract (see module doc).
+    seed = (q.orderBy("_id").limit(k).collect())
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r["xq"])) for i, r in enumerate(seed)]
+
+    sums = [F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(dim)]
+
+    assigned = None
+    for it in range(iters):
+        # Assignment is a pure map-side argmin expression: the
+        # centroids are literal arrays, each row evaluates k exact
+        # integer distances and array_min over (dist, cluster_id)
+        # structs picks the closest (ties to the smaller id by
+        # struct field order). ZERO shuffle — the corpus is never
+        # exchanged during assignment.
+        arms = F.array(*[
+            F.struct(
+                _sqdist(F.col("xq"),
+                        F.array(*[F.lit(v).cast("long") for v in cq]))
+                .alias("dist"),
+                F.lit(cid).cast("long").alias("cid"))
+            for cid, cq in cents])
+        assigned = q.select(
+            "_id", "xq",
+            F.array_min(arms).getField("cid").alias("cluster_id"))
+        if it == iters - 1:
+            break  # the final update is the output aggregation below
+        # Update: ONE k-row shuffle (map-side partial agg), then
+        # k×(d+1) longs back to the driver for the next broadcast.
+        upd = (assigned.groupBy("cluster_id")
+               .agg(*sums, F.count(F.lit(1)).alias("n"))
+               .collect())
+        cents = sorted(
+            (int(r["cluster_id"]),
+             [_mean_q(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)])
+            for r in upd)
+
+    # Final table: re-aggregate the last assignment so the output is
+    # a DataFrame (not driver literals) — same single k-row shuffle.
+    upd_df = (assigned.groupBy("cluster_id")
+              .agg(*sums, F.count(F.lit(1)).alias("n_members")))
+    per_dim = F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("dim"),
+                 (F.floor(F.col(f"s{i}").cast("double")
+                          / F.col("n_members") + F.lit(0.5))
+                  .cast("long")).alias("centroid_q"))
+        for i in range(dim)])).alias("pd")
+    return (upd_df.select("cluster_id", "n_members", per_dim)
+            .select("cluster_id", F.col("pd.dim").alias("dim"),
+                    F.col("pd.centroid_q").alias("centroid_q"),
+                    "n_members"))
+
+
+def _mean_q(s: int, n: int) -> int:
+    """floor(s/n + 0.5) with s exact in DOUBLE (< 2^53) — the same
+    one-IEEE-op mean the oracle computes."""
+    import math
+    return int(math.floor(float(s) / float(n) + 0.5))

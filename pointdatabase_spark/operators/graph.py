@@ -1,0 +1,75 @@
+"""Iterative graph analytics over DataFrames — fixed-iteration
+PageRank (Brin & Page 1998), the entity-importance signal a corpus
+pipeline uses for domain/host weighting (e.g. CommonCrawl host-graph
+ranks gate crawl priority and corpus mixture weights).
+
+Scale design (100 TB edge lists):
+
+- Each iteration is the canonical two-shuffle Pregel step: ranks
+  join edges on ``src`` (co-partitioned if the edge list is
+  pre-bucketed by src — the bucketing the tile store already
+  demonstrates), then contributions ``groupBy(dst)`` with map-side
+  partial sums. State per node is ONE long — no per-edge state ever
+  materializes beyond the shuffle in flight.
+- Hot destinations (a host every page links to) are algebraic sums,
+  so AQE skew-split handles them; the damping base term never
+  shuffles at all (it is a literal).
+- The node count N is one ``count()`` job up front (same bounded
+  contract as the BPE vocabulary count).
+
+Cross-engine determinism: ranks live in exact integer PPB-of-total
+units (scale 1e12). Per-edge contribution is
+``floor(rank * d / outdeg)`` — one IEEE multiply, one divide, one
+floor on inputs < 2^53, bit-deterministic on any engine — and the
+per-node update sums BIGINTs (associative, order-free). No float
+ever accumulates across rows, so the oracle's unrolled-CTE ranks
+match bit-for-bit at every iteration.
+
+Rank mass: the plain damped update without dangling-mass
+redistribution (sinks leak rank) — standard for relative ranking;
+both engines implement the identical variant.
+
+No reference counterpart (extension surface).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank scale — parts-per-1e12 of total rank mass.
+SCALE = 1_000_000_000_000.0
+
+
+def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration damped PageRank over a directed edge list.
+    Returns ``(node long, rank_q long)`` for every node appearing as
+    an endpoint; ``rank_q`` is the rank in exact 1e-12-of-total
+    units after ``iters`` rounds from the uniform start."""
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    n = nodes.count()  # one scalar to the driver (bounded contract)
+    r0 = int(math.floor(SCALE / n))
+    base = int(math.floor((1.0 - damping) * SCALE / n))
+
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, src)
+
+    ranks = nodes.withColumn("rank_q", F.lit(r0).cast("long"))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e[src] == ranks["node"])
+                   .select(F.col(dst).alias("node"),
+                           F.floor(F.col("rank_q").cast("double")
+                                   * F.lit(damping) / F.col("deg"))
+                           .cast("long").alias("c")))
+        infl = contrib.groupBy("node").agg(F.sum("c").alias("infl"))
+        ranks = (nodes.join(infl, "node", "left")
+                 .select("node",
+                         (F.lit(base).cast("long")
+                          + F.coalesce("infl", F.lit(0)))
+                         .alias("rank_q")))
+    return ranks

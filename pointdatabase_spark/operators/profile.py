@@ -220,3 +220,62 @@ def heavy_hitter_terms(df: DataFrame, text_col: str = "text",
             .select("term", "freq", "n_tokens",
                     (F.col("freq") * F.lit(cap + 1)
                      > F.col("n_tokens")).alias("exact_guarantee")))
+
+
+def robust_outliers(df: DataFrame, group_cols: list[str],
+                    value_col: str, k: int = 3,
+                    scale: float = 1_000_000.0) -> DataFrame:
+    """Median/MAD robust outlier census per group — the data-quality
+    screen that survives the contaminated columns it is screening
+    (mean/stddev z-scores are dragged by the very outliers they hunt;
+    the median absolute deviation has a 50% breakdown point, Hampel
+    1974).  Returns one row per group::
+
+        (group..., n long, med_q long, mad_q long, n_outliers long)
+
+    where ``med_q``/``mad_q`` are in micro-units and ``n_outliers``
+    counts rows with ``|x_q - med_q| > k * mad_q``.
+
+    Exactness: values quantize to micro-unit BIGINT up front, and
+    both medians are RANK-BASED (the lower-middle element of the
+    sorted multiset — no interpolation), so every compared number is
+    an exact 64-bit integer: the outlier threshold comparison cannot
+    flip on a final-ulp difference between engines, which matters
+    because a threshold flip changes a COUNT, not a 6th decimal.
+
+    Scale: two window passes partitioned by the group key (rank
+    medians need a per-group total order) plus one broadcast join of
+    the per-group medians.  Group count is assumed modest (profiling
+    dimensions); for billion-row groups at 100 TB flip to
+    ``approx_percentile(0.5)`` — the plan keeps the same outlier
+    census but trades exactness for a map-combinable sketch, same
+    trade as ``table_profile(exact=False)``."""
+    from pyspark.sql import Window
+
+    vq = (F.floor(F.col(value_col).cast("double") * F.lit(scale)
+                  + F.lit(0.5)).cast("long"))
+    q = df.select(*group_cols, vq.alias("vq"))
+
+    def rank_median(t: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*group_cols).orderBy(col)
+        wn = Window.partitionBy(*group_cols)
+        r = (t.withColumn("_rn", F.row_number().over(w))
+             .withColumn("_n", F.count(F.lit(1)).over(wn)))
+        return (r.where(F.col("_rn")
+                        == F.floor((F.col("_n") + 1) / 2))
+                .select(*group_cols, F.col(col).alias(out)))
+
+    med = rank_median(q, "vq", "med_q")
+    dev = (q.join(F.broadcast(med), group_cols)
+           .withColumn("dev", F.abs(F.col("vq") - F.col("med_q"))))
+    mad = rank_median(dev.select(*group_cols, F.col("dev").alias("vq")),
+                      "vq", "mad_q")
+    cen = (dev.join(F.broadcast(mad), group_cols)
+           .groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.first("med_q").alias("med_q"),
+                F.first("mad_q").alias("mad_q"),
+                F.sum(F.when(F.col("dev") > F.lit(int(k)) * F.col("mad_q"),
+                             1).otherwise(0)).cast("long")
+                .alias("n_outliers")))
+    return cen.select(*group_cols, "n", "med_q", "mad_q", "n_outliers")

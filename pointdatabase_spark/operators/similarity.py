@@ -618,3 +618,41 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
             .select(id_col,
                     F.expr(qexpr).cast("array<tinyint>").alias("qvec"),
                     F.expr(dexpr).alias("deq")))
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   q_id: str = "q_id") -> DataFrame:
+    """Hard-negative mining for contrastive training (Schroff et al.
+    2015; the batch-mining stage of every embedding-model data
+    pipeline): for each anchor, the k most-similar vectors with a
+    DIFFERENT label — the negatives closest to the decision boundary,
+    which carry the most gradient signal.
+
+    Plan: identical to :func:`cosine_topk` (anchor set broadcast, the
+    corpus never shuffles, per-partition partial top-k under the
+    rank-filtered window) with the label-mismatch predicate applied
+    BEFORE ranking, so same-label pairs never enter the window state.
+    The LSH-bucketed variant swaps the broadcast join for the bucket
+    join exactly as lsh_ann_topk does — the mining semantics are the
+    candidate filter, not the candidate generator."""
+    from pyspark.sql.window import Window
+    q = (anchors.select(F.col(id_col).alias(q_id),
+                        F.col(vec_col).alias("_qv"),
+                        F.col(label_col).alias("_ql"))
+         .withColumn("_qn", F.expr(norm_expr("_qv"))))
+    joined = (spread(corpus.select(F.col(id_col).alias("vec_id"),
+                                   F.col(vec_col).alias("_cv"),
+                                   F.col(label_col).alias("_cl")))
+              .withColumn("_cn", F.expr(norm_expr("_cv")))
+              .join(F.broadcast(q))
+              .where(F.col("_cl") != F.col("_ql"))
+              .withColumn("cos", F.expr(dot_expr("_qv", "_cv"))
+                          / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (joined.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+            .select(q_id, "vec_id", F.col("_cl").alias("neg_label"),
+                    "cos", "rank"))

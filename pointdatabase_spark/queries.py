@@ -66,6 +66,9 @@ _SCORE_FIRST = [
     "embedding_quantize_recall", "dedup_keep_best",
     "training_shard_stats", "mixture_upsample_counts",
     "token_budget_select", "multimodal_dhash_neardup",
+    "kmeans_embeddings", "quality_classifier_score",
+    "url_canonical_dedup", "numeric_outlier_report",
+    "pagerank_trading_graph",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -6595,3 +6598,388 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str
                                          bits=64, bands=4,
                                          max_hamming=3)
             .orderBy("id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
+# Distributed Lloyd's k-means (operators/clustering.py) — the trainer
+# for the IVF/SemDeDup centroid stage. All arithmetic is exact
+# micro-unit integers (sums < 2^53, so the one mean division is a
+# single bit-deterministic IEEE op on both engines); the oracle
+# unrolls the two Lloyd iterations as CTEs.
+# --------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    def dist(xq: str, cq: str) -> str:
+        return (f"list_aggregate(list_transform(range({dim}), i ->"
+                f" ({xq}[i + 1] - {cq}[i + 1])"
+                f" * ({xq}[i + 1] - {cq}[i + 1])), 'sum')")
+
+    parts = [f"""
+WITH q AS (SELECT vec_id AS id,
+         list_transform(embedding, v ->
+           CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+           AS xq
+       FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+              AS cluster_id, xq AS cq
+       FROM (SELECT id, xq FROM q ORDER BY id LIMIT {k}))"""]
+    for it in range(1, iters + 1):
+        parts.append(f""",
+a{it} AS (SELECT id, cluster_id, xq FROM (
+      SELECT q.id, q.xq, c.cluster_id,
+             row_number() OVER (PARTITION BY q.id ORDER BY
+               {dist('q.xq', 'c.cq')}, c.cluster_id) AS rn
+      FROM q CROSS JOIN c{it - 1} c) WHERE rn = 1),
+u{it} AS (SELECT cluster_id, d.i AS dim, SUM(xq[d.i + 1]) AS s,
+             COUNT(*) AS n
+       FROM a{it} CROSS JOIN (SELECT unnest(range({dim})) AS i) d
+       GROUP BY cluster_id, d.i)""")
+        if it < iters:
+            parts.append(f""",
+c{it} AS (SELECT cluster_id,
+             list(CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT)
+                  ORDER BY dim) AS cq
+       FROM u{it} GROUP BY cluster_id)""")
+    parts.append(f"""
+SELECT cluster_id, CAST(dim AS INT) AS dim,
+       CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS centroid_q,
+       CAST(n AS BIGINT) AS n_members
+FROM u{iters}""")
+    return "".join(parts)
+
+
+_KMEANS_ORACLE = _kmeans_oracle()
+
+
+@query("kmeans_embeddings", oracle=_KMEANS_ORACLE)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 iterations, deterministic smallest-id
+    seed) over the embeddings table. The Spark plan is MLlib-shaped:
+    assignment is a zero-shuffle map-side argmin over broadcast
+    literal centroids; each update is ONE k-row shuffle (map-side
+    partial d-column sums), with k*(d+1) longs crossing the driver
+    per round — corpus-size-independent, so the plan survives a
+    billion-vector corpus unchanged."""
+    from pointdatabase_spark.operators import clustering as _clu
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _clu.kmeans_fit(emb, k=4, iters=2)
+
+
+# --------------------------------------------------------------------------
+# Model-based quality gate: fastText-style hashed linear classifier
+# inference (operators/classify.py). Zero-shuffle map-side scoring;
+# the oracle recomputes the identical md5-bucket/weight-fold/rational-
+# sigmoid arithmetic in DuckDB.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import classify as _classify  # noqa: E402
+
+_CLASSIFY_ORACLE = _classify.score_documents_sql()
+
+
+@query("quality_classifier_score", oracle=_CLASSIFY_ORACLE)
+def quality_classifier_score(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Hashed bag-of-words linear classifier over every document —
+    the CCNet/FineWeb model-based quality gate. The model (64 bucket
+    weights) is a literal inside the expression; scoring is one
+    map-side codegen projection (tokenize -> md5-bucket -> weight
+    fold -> rational sigmoid) with ZERO shuffle, so at 100 TB the
+    gate runs inline with the scan. Weights are md5-derived (this
+    registry entry pins the inference plan and its cross-engine
+    arithmetic, not a trained model)."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _classify.score_documents(docs)
+
+
+# --------------------------------------------------------------------------
+# Crawl-corpus URL canonicalization + freshest-version dedup
+# (operators/web.py). Five synthesized variants per page exercise
+# every normalization rule (scheme/host case, www, :80, trailing
+# slash, tracking params, param order, fragment); the oracle
+# synthesizes the identical raw urls and canonicalizes with the
+# mirrored DuckDB template.
+# --------------------------------------------------------------------------
+
+from pointdatabase_spark.operators import web as _web  # noqa: E402
+
+_URL_SYN_SQL = """
+SELECT doc_id, (doc_id * 37) % 100 AS fetch_ts,
+       CASE (doc_id // 40) % 5
+         WHEN 0 THEN 'http://www.site' || b || '.com/p/' || b
+         WHEN 1 THEN 'HTTP://Site' || b || '.COM/p/' || b || '/'
+         WHEN 2 THEN 'http://site' || b || '.com:80/p/' || b
+                     || '?utm_source=feed'
+         WHEN 3 THEN 'http://site' || b || '.com/p/' || b
+                     || '?b=2&a=1#frag'
+         ELSE 'http://www.site' || b || '.com/p/' || b || '?a=1&b=2'
+       END AS url
+FROM (SELECT doc_id, CAST(doc_id % 40 AS VARCHAR) AS b FROM documents)
+"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS ({_URL_SYN_SQL}),
+c AS (SELECT doc_id, fetch_ts,
+             {_web.canonical_url_sql('url')} AS canon_url
+      FROM u),
+r AS (SELECT canon_url, doc_id, fetch_ts,
+             row_number() OVER (PARTITION BY canon_url
+                  ORDER BY fetch_ts DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY canon_url) AS n_versions
+      FROM c)
+SELECT canon_url, doc_id, CAST(fetch_ts AS BIGINT) AS fetch_ts,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM r WHERE rn = 1
+"""
+
+
+def _syn_urls(docs: DataFrame) -> DataFrame:
+    b = (F.col("doc_id") % 40).cast("string")
+    v = (F.col("doc_id") / 40).cast("long") % 5
+    url = (F.when(v == 0, F.concat(F.lit("http://www.site"), b,
+                                   F.lit(".com/p/"), b))
+           .when(v == 1, F.concat(F.lit("HTTP://Site"), b,
+                                  F.lit(".COM/p/"), b, F.lit("/")))
+           .when(v == 2, F.concat(F.lit("http://site"), b,
+                                  F.lit(".com:80/p/"), b,
+                                  F.lit("?utm_source=feed")))
+           .when(v == 3, F.concat(F.lit("http://site"), b,
+                                  F.lit(".com/p/"), b,
+                                  F.lit("?b=2&a=1#frag")))
+           .otherwise(F.concat(F.lit("http://www.site"), b,
+                               F.lit(".com/p/"), b,
+                               F.lit("?a=1&b=2"))))
+    return docs.select("doc_id",
+                       ((F.col("doc_id") * 37) % 100).alias("fetch_ts"),
+                       url.alias("url"))
+
+
+@query("url_canonical_dedup", oracle=_URL_DEDUP_ORACLE)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-3986-normalize synthesized crawl urls and keep the
+    freshest fetch per canonical page. Canonicalization is one
+    map-side string projection; the dedup is one groupBy whose
+    map-side min(struct) partial collapses versions before the
+    exchange — shuffle volume is one slim row per (partition, url)
+    at any corpus size."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _web.dedup_latest(_syn_urls(docs))
+
+
+# --------------------------------------------------------------------------
+# Robust outlier census (operators/profile.robust_outliers): exact
+# rank-based median/MAD in micro-unit integers — threshold
+# comparisons are integer-exact, so the outlier COUNTS (not just
+# rounded values) are bit-deterministic across engines.
+# --------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH q AS (SELECT event_type,
+                  CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                       AS BIGINT) AS vq
+           FROM events),
+r1 AS (SELECT event_type, vq,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY vq) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM q),
+med AS (SELECT event_type, vq AS med_q FROM r1
+        WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)),
+dev AS (SELECT q.event_type, abs(q.vq - med.med_q) AS dev, med.med_q
+        FROM q JOIN med USING (event_type)),
+r2 AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY dev) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM dev),
+mad AS (SELECT event_type, dev AS mad_q FROM r2
+        WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT))
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(d.med_q) AS BIGINT) AS med_q,
+       CAST(MIN(mad.mad_q) AS BIGINT) AS mad_q,
+       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_q THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@query("numeric_outlier_report", oracle=_OUTLIER_ORACLE)
+def numeric_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier census of event values per type — the
+    50%-breakdown-point robust screen, all arithmetic in exact
+    micro-unit integers so the census counts cannot flip on a
+    floating-point ulp (see operators/profile.robust_outliers)."""
+    from pointdatabase_spark.operators import profile as _prof
+    ev = testkit.load_table(spark, sf_dir, "events")
+    return _prof.robust_outliers(ev, ["event_type"], "value", k=3)
+
+
+# --------------------------------------------------------------------------
+# Fixed-iteration PageRank (operators/graph.py) over the bipartite
+# customer<->supplier trading graph, made cyclic by adding both edge
+# directions. Exact integer rank units; the oracle unrolls the two
+# Pregel steps as CTEs and must match bit-for-bit.
+# --------------------------------------------------------------------------
+
+_PR_SUPP_NS = 1_000_000_000  # supplier node-id namespace offset
+
+_PAGERANK_ORACLE = f"""
+WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+               FROM orders o JOIN lineitem l
+                 ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT c AS src, s + {_PR_SUPP_NS} AS dst FROM pairs
+      UNION ALL
+      SELECT s + {_PR_SUPP_NS} AS src, c AS dst FROM pairs),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(floor(1000000000000.0 / (SELECT n FROM nn))
+                         AS BIGINT) AS rank_q
+       FROM nodes),
+c1 AS (SELECT e.dst AS node,
+              SUM(CAST(floor(CAST(r.rank_q AS DOUBLE) * 0.85 / d.deg)
+                       AS BIGINT)) AS infl
+       FROM e JOIN r0 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+              CAST(floor(0.15 * 1000000000000.0 / (SELECT n FROM nn))
+                   AS BIGINT) + COALESCE(c1.infl, 0) AS rank_q
+       FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+c2 AS (SELECT e.dst AS node,
+              SUM(CAST(floor(CAST(r.rank_q AS DOUBLE) * 0.85 / d.deg)
+                       AS BIGINT)) AS infl
+       FROM e JOIN r1 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+              CAST(floor(0.15 * 1000000000000.0 / (SELECT n FROM nn))
+                   AS BIGINT) + COALESCE(c2.infl, 0) AS rank_q
+       FROM nodes n LEFT JOIN c2 ON n.node = c2.node)
+SELECT node, CAST(rank_q AS BIGINT) AS rank_q
+FROM r2 ORDER BY rank_q DESC, node LIMIT 20
+"""
+
+
+@query("pagerank_trading_graph", oracle=_PAGERANK_ORACLE)
+def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Pregel iterations of damped PageRank on the (bidirected)
+    customer-supplier trading graph; top-20 nodes by final rank.
+    Per iteration: one src-keyed join + one dst-keyed partial-agg
+    shuffle, node state one long — the plan is edge-linear and
+    AQE-skew-safe at any graph size (operators/graph.py)."""
+    from pointdatabase_spark.operators import graph as _graph
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"))
+             .distinct())
+    fwd = pairs.select(F.col("c").alias("src"),
+                       (F.col("s") + F.lit(_PR_SUPP_NS)).alias("dst"))
+    rev = pairs.select((F.col("s") + F.lit(_PR_SUPP_NS)).alias("src"),
+                       F.col("c").alias("dst"))
+    ranks = _graph.pagerank(fwd.unionAll(rev), iters=2)
+    return (ranks.orderBy(F.col("rank_q").desc(), F.col("node"))
+            .limit(20)
+            .select(F.col("node").cast("long"), "rank_q"))
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (operators/similarity.hard_negatives): per
+# anchor, the top-3 most-similar DIFFERENT-label vectors — the
+# contrastive-training batch-mining stage. Same broadcast/no-corpus-
+# shuffle plan as cosine_topk with the label predicate pushed below
+# the ranking window.
+# --------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 8),
+j AS (SELECT q.q_id, e.vec_id, e.label AS neg_label,
+             {_duck_cos('q.qv', 'e.embedding')} AS cos
+      FROM embeddings e, q WHERE e.label != q.ql),
+r AS (SELECT q_id, vec_id, neg_label, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+      FROM j)
+SELECT q_id, vec_id, CAST(neg_label AS INT) AS neg_label, cos, rank
+FROM r WHERE rank <= 3
+"""
+
+
+@query("hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hardest negatives (most-similar, different label) for
+    each of 8 anchor vectors."""
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _sim.hard_negatives(emb, emb.where(F.col("vec_id") < 8), k=3)
+
+
+# --------------------------------------------------------------------------
+# Unicode repair / text normalization (operators/cleaning.normalize_
+# text): mojibake, smart punctuation, control bytes, whitespace runs.
+# The dirty text is synthesized in lockstep from shared Python
+# constants so both engines normalize byte-identical inputs.
+# --------------------------------------------------------------------------
+
+_NOISE_MOJ = "\u00e2\u20ac\u2122lead "          # mojibake of a curly quote
+_NOISE_SMART = "\u201csmart\u201d \u2014dash "   # curly quotes + em-dash
+_NOISE_CTL = "\x07\x1fctl "                      # BEL + unit-separator
+_NOISE_TAIL = " \u00a0tail"                      # NBSP
+
+from pointdatabase_spark.operators.cleaning import (  # noqa: E402
+    normalize_text as _norm_text, normalize_text_sql as _norm_text_sql,
+    _sql_quote as _sqlq)
+
+
+def _dirty_docs(docs: DataFrame) -> DataFrame:
+    lead = (F.when(F.col("doc_id") % 4 == 0, F.lit(_NOISE_MOJ))
+            .when(F.col("doc_id") % 4 == 1, F.lit(_NOISE_SMART))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_NOISE_CTL))
+            .otherwise(F.lit("")))
+    body = F.replace(F.substring(F.col("text"), 1, 120),
+                     F.lit(" "), F.lit("  "))
+    return docs.select(
+        "doc_id", F.concat(lead, body, F.lit(_NOISE_TAIL)).alias("dirty"))
+
+
+_NORM_ORACLE = f"""
+WITH d AS (SELECT doc_id,
+        (CASE doc_id % 4
+           WHEN 0 THEN {_sqlq(_NOISE_MOJ)}
+           WHEN 1 THEN {_sqlq(_NOISE_SMART)}
+           WHEN 2 THEN {_sqlq(_NOISE_CTL)}
+           ELSE '' END)
+        || replace(substr(text, 1, 120), ' ', '  ')
+        || {_sqlq(_NOISE_TAIL)} AS dirty
+      FROM documents),
+c AS (SELECT doc_id, dirty, {_norm_text_sql('dirty')} AS clean FROM d)
+SELECT doc_id,
+       CAST(length(dirty) AS BIGINT) AS len_dirty,
+       CAST(length(clean) AS BIGINT) AS len_clean,
+       {{fp48}} AS clean_fp48
+FROM c
+"""
+_NORM_ORACLE = _NORM_ORACLE.format(fp48=_text.duckdb_expr("fp48", "clean"))
+
+
+@query("text_normalize_repair", oracle=_NORM_ORACLE)
+def text_normalize_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style unicode repair over synthesized dirty documents:
+    mojibake inverse-mapping, smart-punctuation fold, control-byte
+    strip, whitespace collapse. Pure map-side codegen string
+    expressions — the fixup pass runs at scan speed before any
+    hash/dedup stage (a single mojibake byte otherwise splits
+    byte-identical prose into distinct hash keys). The md5
+    fingerprint of the cleaned text pins byte-exact parity."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    d = _dirty_docs(docs)
+    c = d.withColumn("clean", _norm_text(F.col("dirty")))
+    return c.select(
+        "doc_id",
+        F.length("dirty").cast("long").alias("len_dirty"),
+        F.length("clean").cast("long").alias("len_clean"),
+        _text.spark_expr("fp48", "clean").alias("clean_fp48"))

@@ -1361,3 +1361,156 @@ def test_write_training_shards_deterministic_order(spark, tmp_path):
                  .orderBy("shard_pos").collect()]
             for sh in range(4)}
     assert o1 == want
+
+
+def test_kmeans_hand_case(spark):
+    """Two obvious 2-D clusters: assignment and exact micro-unit
+    centroid means are hand-checkable."""
+    from pointdatabase_spark.operators import clustering
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]),
+            (2, [1.0, 1.0]), (3, [0.9, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = clustering.kmeans_fit(df, k=2, iters=2, dim=2).collect()
+    got = {(r.cluster_id, r.dim): (r.centroid_q, r.n_members)
+           for r in out}
+    # seed = ids 0,1; after one assignment {0,1} vs {2,3} splits and
+    # stays: cluster 0 mean (0.05, 0), cluster 1 mean (0.95, 1).
+    assert got[(0, 0)] == (50000, 2)
+    assert got[(0, 1)] == (0, 2)
+    assert got[(1, 0)] == (950000, 2)
+    assert got[(1, 1)] == (1000000, 2)
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Quantized Lloyd recomputed in plain Python on random-ish
+    vectors must equal the distributed result exactly."""
+    import math
+    from pointdatabase_spark.operators import clustering
+    vecs = [[((i * 7 + j * 13) % 19 - 9) / 10.0 for j in range(4)]
+            for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    out = clustering.kmeans_fit(df, k=3, iters=2, dim=4).collect()
+
+    # reference implementation (float32 cast then micro-quantize)
+    import struct
+    def f32(x): return struct.unpack('<f', struct.pack('<f', x))[0]
+    q = [[int(math.floor(f32(x) * 1e6 + 0.5)) for x in v] for v in vecs]
+    cents = {c: q[c][:] for c in range(3)}
+    assign = {}
+    for it in range(2):
+        for i, v in enumerate(q):
+            d = sorted((sum((a - b) * (a - b) for a, b in zip(v, cents[c])), c)
+                       for c in cents)
+            assign[i] = d[0][1]
+        agg = {}
+        for i, c in assign.items():
+            s, n = agg.setdefault(c, ([0] * 4, 0))
+            agg[c] = ([a + b for a, b in zip(s, q[i])], n + 1)
+        cents = {c: [int(math.floor(float(s) / n + 0.5)) for s in ss]
+                 for c, (ss, n) in agg.items()}
+        sizes = {c: n for c, (ss, n) in agg.items()}
+    want = {(c, d): (cents[c][d], sizes[c])
+            for c in cents for d in range(4)}
+    got = {(r.cluster_id, r.dim): (r.centroid_q, r.n_members) for r in out}
+    assert got == want
+
+
+def test_canonical_url_rules(spark):
+    from pointdatabase_spark.operators import web
+    cases = [
+        ("HTTP://WWW.Example.COM:80/a/b/", "http://example.com/a/b"),
+        ("http://example.com/a/b#frag", "http://example.com/a/b"),
+        ("http://example.com/x?utm_source=t&b=2&a=1",
+         "http://example.com/x?a=1&b=2"),
+        ("https://example.com/", "https://example.com"),
+        ("http://example.com/x?gclid=99&fbclid=1",
+         "http://example.com/x"),
+        ("http://example.com/x?z=1&y=2#f?fake=param",
+         "http://example.com/x?y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(web.canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_sql_mirrors_spark(spark):
+    """The DuckDB template must canonicalize identically."""
+    import duckdb
+    from pointdatabase_spark.operators import web
+    urls = ["HTTP://WWW.A.COM:80/p/", "http://a.com/p?b=2&a=1#x",
+            "https://www.a.com/p?utm_a=1&c=3", "http://a.com"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(web.canonical_url("url")).collect()]
+    con = duckdb.connect()
+    expr = web.canonical_url_sql("url")
+    want = [con.execute(f"SELECT {expr} FROM (SELECT ? AS url)",
+                        [u]).fetchone()[0] for u in urls]
+    assert got == want
+
+
+def test_robust_outliers_hand_case(spark):
+    """9 inliers around 10 plus one wild point: med=10, MAD from the
+    hand-sorted deviations, exactly one outlier."""
+    from pointdatabase_spark.operators import profile
+    vals = [9.0, 9.5, 10.0, 10.0, 10.5, 11.0, 8.5, 10.2, 9.8, 100.0]
+    df = spark.createDataFrame([("a", v) for v in vals],
+                               "g string, value double")
+    row = profile.robust_outliers(df, ["g"], "value", k=3).collect()[0]
+    assert row.n == 10
+    assert row.med_q == 10_000_000          # lower-middle of 10 = rank 5
+    # deviations sorted: 0,0,200000,500000,500000,500000,1000000,...
+    assert row.mad_q == 500_000
+    assert row.n_outliers == 1              # only the 100.0
+
+
+def test_pagerank_two_node_cycle(spark):
+    """a<->b: every iteration preserves the uniform rank:
+    rank = base + floor(0.85 * r)."""
+    import math
+    from pointdatabase_spark.operators import graph
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r.node: r.rank_q for r in graph.pagerank(e, iters=2).collect()}
+    r0 = math.floor(1e12 / 2)
+    base = math.floor(0.15 * 1e12 / 2)
+    r1 = base + math.floor(r0 * 0.85 / 1)
+    r2 = base + math.floor(r1 * 0.85 / 1)
+    assert out == {1: r2, 2: r2}
+
+
+def test_pagerank_star_sink(spark):
+    """Three sources pointing at one sink: the sink accumulates
+    3 contributions; sources fall to the base rank."""
+    import math
+    from pointdatabase_spark.operators import graph
+    e = spark.createDataFrame([(1, 9), (2, 9), (3, 9)],
+                              "src long, dst long")
+    out = {r.node: r.rank_q for r in graph.pagerank(e, iters=1).collect()}
+    r0 = math.floor(1e12 / 4)
+    base = math.floor(0.15 * 1e12 / 4)
+    assert out[1] == out[2] == out[3] == base
+    assert out[9] == base + 3 * math.floor(r0 * 0.85 / 1)
+
+
+def test_classifier_score_python_replica(spark):
+    """Recompute one document's hashed-logit score in plain Python
+    (hashlib md5, same bucket/weight math) and compare bitwise."""
+    import hashlib
+    from pointdatabase_spark.operators import classify
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = classify.score_documents(df).collect()[0]
+    w = classify.weights()
+    toks = text.split(" ")
+    z = 0.0
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % len(w)
+        z = z + w[b]
+    z = z / len(toks)
+    score = z / (1.0 + abs(z))
+    import math
+    assert row.n_tokens == len(toks)
+    assert row.score_q == math.floor(score * 1e6 + 0.5) / 1e6
+    assert row.keep == (score > 0.0)
