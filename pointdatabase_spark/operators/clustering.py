@@ -77,8 +77,12 @@ def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
     Clusters that lose every member drop out (both the engine and
     the oracle drop them identically).
     """
+    # cache() the quantized corpus: every iteration (and the final
+    # output aggregation) scans it — the standard MLlib-KMeans
+    # input-caching trade (MEMORY_AND_DISK; spills, never recomputes
+    # the parquet read + quantization per round).
     q = df.select(F.col(id_col).alias("_id"),
-                  quantize_vec(vec_col).alias("xq"))
+                  quantize_vec(vec_col).alias("xq")).cache()
 
     # Deterministic seed: the k smallest ids, cluster_id = rank-1.
     # k×d longs to the driver — bounded contract (see module doc).

@@ -49,18 +49,24 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
     Returns ``(node long, rank_q long)`` for every node appearing as
     an endpoint; ``rank_q`` is the rank in exact 1e-12-of-total
     units after ``iters`` rounds from the uniform start."""
+    # Materialize the loop-invariant frames ONCE (eager
+    # localCheckpoint, the same lineage-truncation idiom as the
+    # connected-components loop in operators/dedup.py): without it
+    # every iteration's plan re-derives the edge list from its
+    # source joins — a per-round re-read of the 100 TB base that the
+    # checkpoint turns into a one-time cost.
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
-             .distinct())
+             .distinct().localCheckpoint())
     n = nodes.count()  # one scalar to the driver (bounded contract)
     r0 = int(math.floor(SCALE / n))
     base = int(math.floor((1.0 - damping) * SCALE / n))
 
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, src)
+    e = edges.join(deg, src).localCheckpoint()
 
     ranks = nodes.withColumn("rank_q", F.lit(r0).cast("long"))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (e.join(ranks, e[src] == ranks["node"])
                    .select(F.col(dst).alias("node"),
                            F.floor(F.col("rank_q").cast("double")
@@ -72,4 +78,6 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
                          (F.lit(base).cast("long")
                           + F.coalesce("infl", F.lit(0)))
                          .alias("rank_q")))
+        if it < iters - 1:  # keep each round's plan one step deep
+            ranks = ranks.localCheckpoint()
     return ranks
