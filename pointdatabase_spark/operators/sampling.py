@@ -370,3 +370,76 @@ def budget_select(df: DataFrame, token_budget: int,
             .where((F.col("cum_tokens") - F.col(tokens_col))
                    < F.lit(int(token_budget)))
             .withColumn("cum_tokens", F.col("cum_tokens").cast("long")))
+
+
+def stratified_split(df: DataFrame, strata_cols: list[str],
+                     splits: list[tuple[str, float]],
+                     id_col: str = "doc_id",
+                     salt: str = "v1") -> DataFrame:
+    """EXACT-proportion train/val/test assignment per stratum: within
+    each stratum rows are ranked by hashed id and the first
+    ``ceil(f1*n)`` go to split 1, the next block to split 2, etc. —
+    so every stratum lands within one row of its target fraction
+    (what :func:`hash_split` cannot promise for small strata, where
+    the binomial spread swamps the target).
+
+    Deterministic and order-independent (the rank key is
+    ``md5(salt || id)``), but NOT stable under incremental ingest —
+    adding rows re-ranks a stratum; use hash_split for open-ended
+    corpora and this for frozen evaluation sets.
+
+    Scale: one window exchange keyed by the strata columns. Strata
+    are class labels — coarse by construction; a stratum too large
+    for one task's sort spill is the signal your eval set is too
+    large, not a plan problem."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    key = F.md5(F.concat(F.lit(salt),
+                         F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(key, id_col)
+    wn = Window.partitionBy(*strata_cols)
+    r = (df.withColumn("_rn", F.row_number().over(w))
+         .withColumn("_n", F.count(F.lit(1)).over(wn)))
+    acc = 0.0
+    expr = F.lit(splits[-1][0])
+    bounds = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        bounds.append((name, acc))
+    for name, ub in reversed(bounds):
+        expr = F.when(
+            F.col("_rn") <= F.ceil(F.col("_n") * F.lit(ub)),
+            F.lit(name)).otherwise(expr)
+    return df.select("*").join(
+        r.select(id_col, expr.alias("split")), id_col)
+
+
+def upsert_latest_wins(base: DataFrame, updates: DataFrame,
+                       key_cols: list[str],
+                       version_col: str = "_v") -> DataFrame:
+    """SCD-type-1 MERGE: the update rows overwrite base rows sharing
+    their key; unmatched updates insert; unmatched base rows carry
+    forward — the incremental-snapshot refresh every lakehouse table
+    runs per ingest cycle. Implemented as union + one per-key
+    max(struct(version, payload)) aggregation: the map-side partial
+    collapses each partition's duplicates before the exchange, so
+    the shuffle carries ~one row per (partition, key) — the same
+    partial-agg shape as exact_dedup, and equivalent to (but one
+    pass cheaper than) the window row_number formulation.
+
+    ``updates`` gets version 1, ``base`` version 0; within a version
+    the row is unique per key by contract (enforce upstream)."""
+    cols = [c for c in base.columns if c not in key_cols]
+    if set(base.columns) != set(updates.columns):
+        raise ValueError("base/updates schemas differ")
+    tagged = (base.withColumn(version_col, F.lit(0))
+              .unionByName(updates.withColumn(version_col, F.lit(1))))
+    payload = F.struct(F.col(version_col).alias("v"),
+                       *[F.col(c).alias(c) for c in cols])
+    agg = (tagged.groupBy(*key_cols)
+           .agg(F.max(payload).alias("_p")))
+    out = agg.select(*key_cols,
+                     *[F.col(f"_p.{c}").alias(c) for c in cols],
+                     F.col("_p.v").alias(version_col))
+    return out

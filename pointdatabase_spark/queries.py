@@ -68,7 +68,9 @@ _SCORE_FIRST = [
     "token_budget_select", "multimodal_dhash_neardup",
     "kmeans_embeddings", "quality_classifier_score",
     "url_canonical_dedup", "numeric_outlier_report",
-    "pagerank_trading_graph",
+    "pagerank_trading_graph", "hard_negative_mining",
+    "text_normalize_repair", "stratified_split_counts",
+    "upsert_latest_wins",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -6983,3 +6985,102 @@ def text_normalize_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("dirty").cast("long").alias("len_dirty"),
         F.length("clean").cast("long").alias("len_clean"),
         _text.spark_expr("fp48", "clean").alias("clean_fp48"))
+
+
+# --------------------------------------------------------------------------
+# Exact-proportion stratified split (operators/sampling.stratified_
+# split). The cumulative bounds are rendered from the SAME Python
+# floats on both sides (0.8 + 0.1 != 0.9 in IEEE — a literal '0.9'
+# in the oracle would flip ceil() on strata whose size is a multiple
+# of 10).
+# --------------------------------------------------------------------------
+
+_STRAT_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def _strat_case_sql() -> str:
+    acc = 0.0
+    arms = []
+    for name, frac in _STRAT_SPLITS[:-1]:
+        acc += frac
+        arms.append(f"WHEN rn <= ceil(n * {acc!r}) THEN '{name}'")
+    return ("CASE " + " ".join(arms)
+            + f" ELSE '{_STRAT_SPLITS[-1][0]}' END")
+
+
+_STRAT_ORACLE = f"""
+WITH r AS (SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang
+             ORDER BY md5('v1' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS rn,
+        COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+s AS (SELECT lang, {_strat_case_sql()} AS split FROM r)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY lang, split
+"""
+
+
+@query("stratified_split_counts", oracle=_STRAT_ORACLE)
+def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split with EXACT per-stratum proportions (each lang
+    stratum lands within one row of its target — rank-block
+    assignment, not binomial hashing). One window exchange keyed by
+    the stratum; deterministic under any partitioning."""
+    from pointdatabase_spark.operators import sampling as _samp3
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    out = _samp3.stratified_split(docs, ["lang"], _STRAT_SPLITS)
+    return (out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------------------------
+# SCD-1 incremental merge (operators/sampling.upsert_latest_wins):
+# union + per-key max(struct(version, payload)) — the map-side
+# partial collapses duplicates before the exchange (one-pass cheaper
+# than the window formulation the oracle uses; both pick the same
+# row since (key, version) is unique).
+# --------------------------------------------------------------------------
+
+_UPSERT_ORACLE = f"""
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+upd AS (SELECT o_orderkey, o_custkey,
+               o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 < 3
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 1.0
+        FROM orders WHERE o_orderkey % 10 = 7),
+t AS (SELECT *, 0 AS _v FROM base
+      UNION ALL SELECT *, 1 AS _v FROM upd),
+r AS (SELECT o_orderkey, o_custkey, o_totalprice, _v,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY _v DESC) AS rn
+      FROM t)
+SELECT _v, CAST(COUNT(*) AS BIGINT) AS n,
+       {_rqs('SUM(o_totalprice)', 2)} AS sum_price_q
+FROM r WHERE rn = 1 GROUP BY _v
+"""
+
+
+@query("upsert_latest_wins", oracle=_UPSERT_ORACLE)
+def upsert_latest_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse SCD-1 refresh over orders: 30% of keys overwritten,
+    10% inserted under new keys, the rest carried forward; audit by
+    surviving version. The merge is one union + one partial-
+    aggregated key shuffle — per-ingest-cycle cost is O(base+delta)
+    with no window state."""
+    from pointdatabase_spark.operators import sampling as _samp4
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    upd = (base.where(F.col("o_orderkey") % 10 < 3)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+           .unionByName(
+               base.where(F.col("o_orderkey") % 10 == 7)
+               .select((F.col("o_orderkey") + 1000000000)
+                       .alias("o_orderkey"),
+                       "o_custkey",
+                       F.lit(1.0).alias("o_totalprice"))))
+    merged = _samp4.upsert_latest_wins(base, upd, ["o_orderkey"])
+    return (merged.groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _rq(F.sum("o_totalprice"), 2).alias("sum_price_q")))

@@ -1514,3 +1514,50 @@ def test_classifier_score_python_replica(spark):
     assert row.n_tokens == len(toks)
     assert row.score_q == math.floor(score * 1e6 + 0.5) / 1e6
     assert row.keep == (score > 0.0)
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every stratum must land within one row of the target
+    fractions regardless of stratum size."""
+    import math
+    from pointdatabase_spark.operators import sampling
+    rows = [(i, "a" if i < 57 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_split(
+        df, ["lang"], [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {(r.lang, r.split): r.n for r in
+              out.groupBy("lang", "split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in (("a", 57), ("b", 43)):
+        tr = math.ceil(n * 0.8)
+        va = math.ceil(n * (0.8 + 0.1)) - tr
+        te = n - tr - va
+        assert counts[(lang, "train")] == tr
+        assert counts.get((lang, "val"), 0) == va
+        assert counts.get((lang, "test"), 0) == te
+
+
+def test_stratified_split_partition_order_independent(spark):
+    from pointdatabase_spark.operators import sampling
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"))
+    a = sampling.stratified_split(df, ["lang"],
+                                  [("train", 0.9), ("test", 0.1)])
+    b = sampling.stratified_split(df.repartition(13), ["lang"],
+                                  [("train", 0.9), ("test", 0.1)])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_upsert_latest_wins_hand_case(spark):
+    from pointdatabase_spark.operators import sampling
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, p double")
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0), (9, "new", 1.0)],
+        "k long, s string, p double")
+    out = {r.k: (r.s, r.p, r._v) for r in
+           sampling.upsert_latest_wins(base, upd, ["k"]).collect()}
+    assert out == {1: ("a", 10.0, 0), 2: ("B", 99.0, 1),
+                   3: ("c", 30.0, 0), 9: ("new", 1.0, 1)}
