@@ -333,6 +333,29 @@ def main() -> None:
             "mixture_upsample_counts"](spark, sf),
         "token_budget_select": lambda sf: _registry.all_queries()[
             "token_budget_select"](spark, sf),
+        # r9 wave 2: kmeans + pagerank do driver round-trips at
+        # construction (centroid collects / localCheckpoint+count),
+        # so they get BUILDERS like the BPE ops; the rest are plain
+        "kmeans_embeddings": lambda sf: (
+            lambda: _registry.all_queries()["kmeans_embeddings"](
+                spark, sf)),
+        "pagerank_trading_graph": lambda sf: (
+            lambda: _registry.all_queries()["pagerank_trading_graph"](
+                spark, sf)),
+        "quality_classifier_score": lambda sf: _registry.all_queries()[
+            "quality_classifier_score"](spark, sf),
+        "url_canonical_dedup": lambda sf: _registry.all_queries()[
+            "url_canonical_dedup"](spark, sf),
+        "numeric_outlier_report": lambda sf: _registry.all_queries()[
+            "numeric_outlier_report"](spark, sf),
+        "hard_negative_mining": lambda sf: _registry.all_queries()[
+            "hard_negative_mining"](spark, sf),
+        "text_normalize_repair": lambda sf: _registry.all_queries()[
+            "text_normalize_repair"](spark, sf),
+        "stratified_split_counts": lambda sf: _registry.all_queries()[
+            "stratified_split_counts"](spark, sf),
+        "upsert_latest_wins": lambda sf: _registry.all_queries()[
+            "upsert_latest_wins"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare
