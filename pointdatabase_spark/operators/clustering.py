@@ -77,6 +77,8 @@ def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
     Clusters that lose every member drop out (both the engine and
     the oracle drop them identically).
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     # cache() the quantized corpus: every iteration (and the final
     # output aggregation) scans it — the standard MLlib-KMeans
     # input-caching trade (MEMORY_AND_DISK; spills, never recomputes

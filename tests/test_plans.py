@@ -585,3 +585,60 @@ def test_atl11_cycle_collapse_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" not in plan and "Join" not in plan
     assert "partial" in plan.lower()
+
+
+def test_classifier_score_zero_shuffle(spark):
+    """The model-based quality gate must run inline with the scan:
+    no exchange, no Python worker — the literal weight array and the
+    hash fold are pure codegen expressions."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import classify
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(classify.score_documents(docs), "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_dedup_single_partial_agg_exchange(spark):
+    """dedup_latest = ONE canonical-url-keyed exchange with a
+    map-side partial min(struct) collapsing versions before the
+    shuffle (partial_min in the pre-exchange aggregate)."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import web
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    urls = docs.select(
+        "doc_id", (F.col("doc_id") % 7).alias("fetch_ts"),
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".com/p")).alias("url"))
+    plan = _plan(web.dedup_latest(urls), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan
+
+
+def test_kmeans_output_single_exchange_and_no_corpus_shuffle(spark):
+    """kmeans_fit's returned frame: the only exchange is the k-key
+    update aggregate (map-side partial sums); assignment is an
+    argmin EXPRESSION, so there is no join and no corpus-keyed
+    exchange anywhere in the plan."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import clustering
+    emb = testkit.load_table(spark, SF_SMOKE, "embeddings")
+    df = clustering.kmeans_fit(emb, k=2, iters=1, dim=64)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_pagerank_iteration_is_checkpoint_bounded(spark):
+    """After the loop-invariant checkpointing, the 2-iteration plan
+    must stay shallow (scans come from checkpointed RDDs, not
+    re-derived joins) — the r9 pre-fix plan had 130+ nodes."""
+    from pointdatabase_spark.operators import graph
+    e = spark.range(200).selectExpr("id AS src",
+                                    "(id * 7) % 200 AS dst")
+    df = graph.pagerank(e, iters=2)
+    plan = _plan(df, "simple")
+    assert plan.count("\n") < 60
+    assert "Scan ExistingRDD" in plan  # the checkpointed edge frame

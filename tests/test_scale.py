@@ -205,3 +205,67 @@ def test_track_resample_scales_sublinearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"track_resample exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_classifier_gate_scales_linearly(spark):
+    """Zero-shuffle map-side scoring — cost is the scan itself;
+    measured exponent 0.89 (pure data-proportional map work)."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["documents"])
+
+    def op(s, sf):
+        return registry.all_queries()["quality_classifier_score"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"quality_classifier_score exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_url_dedup_scales_sublinearly(spark):
+    """Canonicalize map-side + one partial-agg url shuffle —
+    measured exponent 0.34."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["documents"])
+
+    def op(s, sf):
+        return registry.all_queries()["url_canonical_dedup"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"url_canonical_dedup exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_hard_negative_mining_scales_sublinearly(spark):
+    """Fixed anchor batch vs 10x corpus: broadcast join, corpus
+    never shuffles — measured exponent 0.13."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["embeddings"])
+
+    def op(s, sf):
+        return registry.all_queries()["hard_negative_mining"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"hard_negative_mining exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_upsert_merge_scales_sublinearly(spark):
+    """Union + per-key max(struct) partial agg — measured
+    exponent 0.31 on the 10x orders decade."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["orders"])
+
+    def op(s, sf):
+        return registry.all_queries()["upsert_latest_wins"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"upsert_latest_wins exponent {e:.2f}"
