@@ -70,7 +70,7 @@ _SCORE_FIRST = [
     "url_canonical_dedup", "numeric_outlier_report",
     "pagerank_trading_graph", "hard_negative_mining",
     "text_normalize_repair", "stratified_split_counts",
-    "upsert_latest_wins",
+    "upsert_latest_wins", "domain_profile",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -7084,3 +7084,48 @@ def upsert_latest_wins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (merged.groupBy("_v")
             .agg(F.count(F.lit(1)).alias("n"),
                  _rq(F.sum("o_totalprice"), 2).alias("sum_price_q")))
+
+
+# --------------------------------------------------------------------------
+# Registered-domain profile over the synthesized crawl (reuses the
+# url_canonical_dedup synthesis): per-domain page/doc census + size
+# stats — the corpus-mixture diagnostic every crawl pipeline keeps.
+# --------------------------------------------------------------------------
+
+_DOMAIN_ORACLE = f"""
+WITH u AS ({_URL_SYN_SQL}),
+c AS (SELECT u.doc_id, d.n_chars,
+             {_web.canonical_url_sql('u.url')} AS canon_url
+      FROM u JOIN documents d USING (doc_id)),
+h AS (SELECT doc_id, n_chars, canon_url,
+             regexp_extract(canon_url,
+                 '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
+      FROM c)
+SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canon_url) AS BIGINT) AS n_pages,
+       {_rqs('AVG(CAST(n_chars AS DOUBLE))', 4)} AS avg_chars_q
+FROM h GROUP BY 1
+"""
+
+
+@query("domain_profile", oracle=_DOMAIN_ORACLE)
+def domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain census (docs, distinct canonical pages,
+    mean document size) — the mixture diagnostic that feeds domain
+    weighting. One domain-keyed aggregation; the distinct-page count
+    is the only Expand, bounded by the url column. Domain extraction
+    is the last-two-labels heuristic (a public-suffix table drops in
+    as a broadcast map without changing the plan)."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    u = _syn_urls(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    c = u.withColumn("canon_url", _web.canonical_url("url"))
+    h = c.withColumn(
+        "host",
+        F.regexp_extract("canon_url", "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1))
+    return (h.groupBy(
+        F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("canon_url").alias("n_pages"),
+             _rq(F.avg(F.col("n_chars").cast("double")), 4)
+             .alias("avg_chars_q")))
