@@ -656,3 +656,28 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int,
             .where(F.col("rank") <= k)
             .select(q_id, "vec_id", F.col("_cl").alias("neg_label"),
                     "cos", "rank"))
+
+
+def random_projection(df: DataFrame, out_dim: int, dim: int = 64,
+                      vec_col: str = "embedding",
+                      salt: str = "rp_",
+                      out: str = "proj") -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions — the standard cheap pre-pass that shrinks an ANN /
+    clustering corpus (distance-preserving within 1±eps for
+    eps ~ sqrt(8 ln n / k)); the projection matrix is md5-derived
+    (same deterministic family as :func:`hyperplanes`) and lives as
+    LITERALS inside the expression, so the whole projection is one
+    zero-shuffle map-side codegen pass — at 100 TB it runs inline
+    with the scan that writes the reduced corpus.
+
+    Components are scaled by 1/sqrt(out_dim); pick a power of four
+    for ``out_dim`` (16, 64, ...) and the scale is an exact binary
+    fraction, keeping every emitted double a chain of single IEEE
+    ops the oracle reproduces bit-for-bit."""
+    planes = hyperplanes(out_dim, dim, salt=salt)
+    s = 1.0 / (out_dim ** 0.5)
+    comp = [F.expr(plane_dot_expr(vec_col, pl)) * F.lit(s)
+            for pl in planes]
+    return df.withColumn(out, F.array(*comp))
+

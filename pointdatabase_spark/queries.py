@@ -71,6 +71,7 @@ _SCORE_FIRST = [
     "pagerank_trading_graph", "hard_negative_mining",
     "text_normalize_repair", "stratified_split_counts",
     "upsert_latest_wins", "domain_profile",
+    "embedding_random_projection",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -7129,3 +7130,60 @@ def domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("canon_url").alias("n_pages"),
              _rq(F.avg(F.col("n_chars").cast("double")), 4)
              .alias("avg_chars_q")))
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (operators/similarity.
+# random_projection): 64 -> 16 dims with exact-binary 1/4 scaling;
+# the audit pairs every projected cosine against the exact original
+# on a 30-vector sample. Deterministic md5 planes, zero shuffle for
+# the projection itself.
+# --------------------------------------------------------------------------
+
+_RP_DIM = 16
+_RP_PLANES = _sim.hyperplanes(_RP_DIM, _DIM, salt="rp_")
+
+
+def _duck_proj(vec: str) -> str:
+    comps = ", ".join(f"({_duck_plane_dot(vec, pl)} * 0.25)"
+                      for pl in _RP_PLANES)
+    return f"[{comps}]"
+
+
+_RP_ORACLE = f"""
+WITH p AS (SELECT vec_id, embedding, {_duck_proj('embedding')} AS proj
+           FROM embeddings WHERE vec_id < 30)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_duck_cos('a.embedding', 'b.embedding')} AS cos_orig,
+       {_duck_dot('a.proj', 'b.proj', _RP_DIM)}
+         / (sqrt({_duck_dot('a.proj', 'a.proj', _RP_DIM)})
+            * sqrt({_duck_dot('b.proj', 'b.proj', _RP_DIM)})) AS cos_proj
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+"""
+
+
+@query("embedding_random_projection", oracle=_RP_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """JL-project the embeddings 64->16 (zero-shuffle literal-matrix
+    map pass) and audit distance preservation: original vs projected
+    cosine for all pairs of a 30-vector sample. At 100 TB the
+    projection is the cheap pre-pass that shrinks the ANN corpus 4x
+    before bucketing; the audit's all-pairs stage only ever runs on
+    a driver-bounded sample."""
+    from pointdatabase_spark.operators import similarity as _sim2
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    p = (_sim2.random_projection(
+            emb.where(F.col("vec_id") < 30), _RP_DIM)
+         .select("vec_id", "embedding", "proj"))
+    a = p.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("_ea"),
+                 F.col("proj").alias("_pa"))
+    b = p.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("_eb"),
+                 F.col("proj").alias("_pb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    return j.select(
+        "id_a", "id_b",
+        F.expr(_sim2.cosine_expr("_ea", "_eb")).alias("cos_orig"),
+        F.expr(_sim2.cosine_expr("_pa", "_pb")).alias("cos_proj"))

@@ -884,3 +884,28 @@ def test_knn_join_matches_brute_force(spark, pts, qs, k, radius):
     got = {(r.q_id, r.nbr_id, r.nn_rank, r.dist2) for r in
            spatial.knn_join(pdf, qdf, k=k, radius=radius).collect()}
     assert got == want
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over a structured URL grid
+    covering every normalization rule and their combinations —
+    a canonical form that isn't a fixed point re-dedups differently
+    on a second pass, which would corrupt incremental crawls."""
+    import itertools
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.operators import web
+    urls = []
+    for scheme, www, port, slash, qs, frag in itertools.product(
+            ["http://", "HTTP://", "https://"],
+            ["", "www.", "WWW."],
+            ["", ":80"],
+            ["", "/"],
+            ["", "?b=2&a=1", "?utm_source=x", "?utm_a=1&z=9&y=8"],
+            ["", "#frag"]):
+        urls.append(f"{scheme}{www}Ex-1.COM{port}/P/q{slash}{qs}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(web.canonical_url("url").alias("c1"))
+    twice = once.select(F.col("c1"),
+                        web.canonical_url("c1").alias("c2"))
+    bad = twice.where(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
