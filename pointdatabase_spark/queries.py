@@ -71,7 +71,7 @@ _SCORE_FIRST = [
     "pagerank_trading_graph", "hard_negative_mining",
     "text_normalize_repair", "stratified_split_counts",
     "upsert_latest_wins", "domain_profile",
-    "embedding_random_projection",
+    "embedding_random_projection", "streaming_upsert",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -7187,3 +7187,77 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str
         "id_a", "id_b",
         F.expr(_sim2.cosine_expr("_ea", "_eb")).alias("cos_orig"),
         F.expr(_sim2.cosine_expr("_pa", "_pb")).alias("cos_proj"))
+
+
+# --------------------------------------------------------------------------
+# Streaming SCD-1 maintenance (streaming/upsert.py): update batches
+# land as files, foreachBatch merges each into a versioned parquet
+# snapshot (exactly-once via checkpointed offsets + batch-id
+# markers). The audit reads the final snapshot; the oracle computes
+# the same final state directly from orders. n_versions pins the
+# two-batch sequencing (init + 2 merges).
+# --------------------------------------------------------------------------
+
+_STREAM_UPSERT_ORACLE = f"""
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+fin AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 100.0
+              WHEN o_orderkey % 10 = 4 THEN o_totalprice + 200.0
+              ELSE o_totalprice END AS p
+  FROM base
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 1.0
+  FROM base WHERE o_orderkey % 10 = 7)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey >= 1000000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inserted,
+       {_rqs('SUM(p)', 2)} AS sum_price_q,
+       CAST(3 AS BIGINT) AS n_versions
+FROM fin
+"""
+
+
+@query("streaming_upsert", oracle=_STREAM_UPSERT_ORACLE)
+def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two update files drain through the availableNow upsert stream
+    (one batch per file — arrival-order semantics), each merging
+    into a new complete snapshot; the final snapshot must equal the
+    batch-computed SCD result and the version count must show the
+    init + 2 sequential merges."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.streaming import upsert as _su
+    tag = (f"{_os.getpid()}_"
+           f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    state = f"/tmp/pdb_upstream_{tag}_state"
+    landing = f"/tmp/pdb_upstream_{tag}_landing"
+    ckpt = f"/tmp/pdb_upstream_{tag}_ckpt"
+    for p in (state, landing, ckpt):
+        _sh.rmtree(p, ignore_errors=True)
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    _su.init_state(base, state)
+    upd1 = (base.where(F.col("o_orderkey") % 10 < 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    upd2 = (base.where(F.col("o_orderkey") % 10 == 4)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 200.0)
+            .unionByName(
+                base.where(F.col("o_orderkey") % 10 == 7)
+                .select((F.col("o_orderkey") + 1000000000)
+                        .alias("o_orderkey"), "o_custkey",
+                        F.lit(1.0).alias("o_totalprice"))))
+    upd1.repartition(1).write.mode("append").parquet(landing)
+    upd2.repartition(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    _su.run_upsert_stream(spark, landing, "*.parquet", schema, state,
+                          ckpt, ["o_orderkey"])
+    fin = _su.read_state(spark, state)
+    nv = _su.latest_version(spark, state) + 1
+    return fin.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey") >= 1000000000, 1)
+              .otherwise(0)).cast("long").alias("n_inserted"),
+        _rq(F.sum("o_totalprice"), 2).alias("sum_price_q"),
+        F.lit(nv).cast("long").alias("n_versions"))

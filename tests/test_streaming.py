@@ -382,3 +382,42 @@ def test_ann_index_maintenance_fresh_index_no_cells_dir(spark, tmp_path):
     got = spark.read.parquet(f"{idx}/cells")
     assert got.count() == 20
     assert got.select("vec_id").distinct().count() == 20
+
+
+def test_streaming_upsert_replay_idempotent(spark, tmp_path):
+    """Re-running the drained stream (same checkpoint) must not
+    create new versions or change the state; and re-merging an
+    already-applied batch by hand (the crash-between-snapshot-and-
+    marker window) must produce byte-identical content."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.streaming import upsert as su
+    state = str(tmp_path / "state")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("p"))
+    su.init_state(base, state)
+    upd = base.where(F.col("k") % 4 == 0).withColumn(
+        "p", F.col("p") + 10.0)
+    upd.repartition(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    su.run_upsert_stream(spark, landing, "*.parquet", schema, state,
+                         ckpt, ["k"])
+    v1 = su.latest_version(spark, state)
+    rows1 = sorted(map(tuple, su.read_state(spark, state).collect()))
+    # replay: offsets are committed, nothing to drain
+    su.run_upsert_stream(spark, landing, "*.parquet", schema, state,
+                         ckpt, ["k"])
+    assert su.latest_version(spark, state) == v1
+    assert sorted(map(tuple,
+                      su.read_state(spark, state).collect())) == rows1
+    # crash-window re-merge: applying the same batch to the merged
+    # state again changes nothing by value
+    from pointdatabase_spark.operators.sampling import upsert_latest_wins
+    again = upsert_latest_wins(su.read_state(spark, state), upd,
+                               ["k"]).drop("_v")
+    assert sorted(map(tuple, again.collect())) == rows1
+    # expected content: every k%4==0 row carries the +10
+    expect = {(k, k * 1.5 + (10.0 if k % 4 == 0 else 0.0))
+              for k in range(100)}
+    assert set(rows1) == expect
