@@ -72,6 +72,7 @@ _SCORE_FIRST = [
     "text_normalize_repair", "stratified_split_counts",
     "upsert_latest_wins", "domain_profile",
     "embedding_random_projection", "streaming_upsert",
+    "corpus_prep_v3",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -7261,3 +7262,79 @@ def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).cast("long").alias("n_inserted"),
         _rq(F.sum("o_totalprice"), 2).alias("sum_price_q"),
         F.lit(nv).cast("long").alias("n_versions"))
+
+
+# --------------------------------------------------------------------------
+# Capstone v3: the r9 wave composed end-to-end — unicode repair ->
+# model-based quality gate -> canonical-url version dedup ->
+# exact-proportion stratified split. One declarative plan; the
+# oracle rebuilds every stage as CTEs from the same shared
+# constants/templates.
+# --------------------------------------------------------------------------
+
+def _prep3_classifier_z(clean_expr: str) -> str:
+    toks_d = f"string_split_regex({clean_expr}, '\\s+')"
+    _, z = _classify.logit_exprs(_classify.weights(), "", toks_d)
+    return z
+
+
+_PREP3_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang,
+        (CASE doc_id % 4
+           WHEN 0 THEN {_sqlq(_NOISE_MOJ)}
+           WHEN 1 THEN {_sqlq(_NOISE_SMART)}
+           WHEN 2 THEN {_sqlq(_NOISE_CTL)}
+           ELSE '' END)
+        || replace(substr(text, 1, 120), ' ', '  ')
+        || {_sqlq(_NOISE_TAIL)} AS dirty
+      FROM documents),
+c AS (SELECT doc_id, lang, {_norm_text_sql('dirty')} AS clean FROM d),
+k AS (SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, {{z}} AS z FROM c) zz
+      WHERE z / (1.0 + abs(z)) > 0.0),
+u AS ({_URL_SYN_SQL}),
+cu AS (SELECT doc_id, fetch_ts,
+              {_web.canonical_url_sql('url')} AS canon_url
+       FROM u),
+kept_url AS (SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY canon_url
+                    ORDER BY fetch_ts DESC, doc_id) AS rn
+        FROM cu) r WHERE rn = 1),
+surv AS (SELECT k.doc_id, k.lang
+         FROM k JOIN kept_url USING (doc_id)),
+rk AS (SELECT lang, doc_id,
+        row_number() OVER (PARTITION BY lang
+             ORDER BY md5('v1' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS rn,
+        COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM surv),
+s AS (SELECT lang, {_strat_case_sql()} AS split FROM rk)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY lang, split
+""".replace("{z}", _prep3_classifier_z("clean"))
+
+
+@query("corpus_prep_v3", oracle=_PREP3_ORACLE)
+def corpus_prep_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r9 pipeline capstone: repair the synthesized dirty crawl,
+    gate on the hashed-classifier score, keep one version per
+    canonical url (freshest fetch), then stratified-split the
+    survivors 80/10/10 per language. Repair + scoring are
+    zero-shuffle map stages fused into the scan; the url dedup is
+    one partial-agg key shuffle; the split is one stratum window —
+    four pipeline stages, three exchanges total, nothing
+    corpus-quadratic anywhere."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    d = _dirty_docs(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    c = d.withColumn("clean", _norm_text(F.col("dirty")))
+    scored = _classify.score_documents(
+        c.select("doc_id", F.col("clean").alias("text")))
+    k = (c.select("doc_id", "lang")
+         .join(scored.where(F.col("keep")).select("doc_id"), "doc_id"))
+    kept_url = _web.dedup_latest(_syn_urls(docs)).select("doc_id")
+    surv = k.join(kept_url, "doc_id")
+    from pointdatabase_spark.operators import sampling as _samp5
+    out = _samp5.stratified_split(surv, ["lang"], _STRAT_SPLITS)
+    return (out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
