@@ -366,3 +366,65 @@ def rollup_trailing(df: DataFrame, ts: str, keys: list[str], value: str,
                        F.sum("sum_v").over(w).alias("sum_trail"))
 
 
+
+
+def cusum_alarms(df: DataFrame, keys: list[str], ts: str, value: str,
+                 target_q: int, slack_q: int, threshold_q: int,
+                 scale: float = 1_000_000.0) -> DataFrame:
+    """One-sided CUSUM change-point detection per key (Page 1954) —
+    the drift monitor a training-data pipeline runs on per-source
+    quality/volume series: ``s_i = max(0, s_{i-1} + (x_i - target -
+    slack))`` with an alarm (and reset) whenever ``s`` crosses
+    ``threshold``. Returns per key: the observation count, alarm
+    count, and final CUSUM statistic.
+
+    Exactness: observations quantize to micro-unit BIGINT
+    (``target_q``/``slack_q``/``threshold_q`` are given in the same
+    units), the recursion folds exact integers in (ts, value)
+    order, so alarm COUNTS are bit-deterministic — the property that
+    matters, since a drift monitor's output is a decision, not a
+    display value.
+
+    Scale: the recursion is inherently sequential PER KEY, so each
+    key's series folds inside one ``aggregate()`` expression over a
+    ``collect_list`` (keys are sources/feeds — thousands of rows
+    each, not billions; a per-key series too large to collect into
+    one row is the signal to pre-aggregate to coarser buckets first,
+    the standard CUSUM-on-rollup practice). One key-hash exchange
+    total."""
+    vq = (F.floor(F.col(value).cast("double") * F.lit(scale)
+                  + F.lit(0.5)).cast("long"))
+    rows = df.select(*keys, F.col(ts).alias("_ts"), vq.alias("_vq"))
+    g = (rows.groupBy(*keys)
+         .agg(F.sort_array(F.collect_list(
+             F.struct(F.col("_ts"), F.col("_vq")))).alias("_s")))
+    drift = F.lit(int(target_q) + int(slack_q)).cast("long")
+    thr = F.lit(int(threshold_q)).cast("long")
+    # Fold state packed into ONE long (cusum * 2^20 + alarms) rather
+    # than a struct accumulator: DuckDB 1.0.0's list_reduce updates
+    # struct-accumulator fields sequentially IN PLACE (a later
+    # field's expression sees the earlier field already overwritten
+    # — found while validating this operator's oracle), and a scalar
+    # state removes the whole field-evaluation-order question on
+    # BOTH engines. cusum stays below threshold_q + one step (< 2^43
+    # headroom) and alarms < 2^20 observations, so the packing is
+    # exact; callers with > 1M observations per key should
+    # pre-aggregate (see docstring) anyway.
+    pack = F.lit(1 << 20).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def _step(acc, x):
+        # acc / 2^20 is a power-of-two double division on an exact
+        # integer < 2^49 — exact in IEEE, so floor() recovers the
+        # integer cusum lane precisely.
+        nc = F.greatest(F.floor(acc / pack).cast("long")
+                        + x["_vq"] - drift, zero)
+        return (F.when(nc > thr, acc % pack + 1)
+                .otherwise(nc * pack + acc % pack))
+
+    folded = F.aggregate(F.col("_s"), zero, _step)
+    return g.select(*keys,
+                    F.size("_s").cast("long").alias("n_obs"),
+                    (folded % pack).alias("n_alarms"),
+                    F.floor(folded / pack).cast("long")
+                    .alias("final_cusum"))

@@ -73,6 +73,7 @@ _SCORE_FIRST = [
     "upsert_latest_wins", "domain_profile",
     "embedding_random_projection", "streaming_upsert",
     "corpus_prep_v3", "event_rank_features", "streaming_dim_join",
+    "cusum_drift_alarms",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -7427,3 +7428,59 @@ def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (enriched.groupBy("segment")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  _rq(F.sum("value"), 2).alias("sum_value_q")))
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point drift monitor (operators/temporal.cusum_alarms):
+# exact-integer Page recursion folded in (ts, value) order — alarm
+# counts are bit-deterministic decisions. The oracle folds the same
+# recursion via list_reduce with a struct accumulator.
+# --------------------------------------------------------------------------
+
+_CUSUM_TGT = 30_000_000   # micro-units: target 30.0
+_CUSUM_THR = 200_000_000  # alarm threshold 200.0
+
+_CUSUM_ORACLE = f"""
+WITH q AS (SELECT event_type, ts,
+        CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+          AS vq
+       FROM events),
+g AS (SELECT event_type, list(vq ORDER BY ts, vq) AS s
+      FROM q GROUP BY event_type),
+f AS (SELECT event_type, len(s) AS n_obs,
+        -- state packed into ONE BIGINT (cusum * 2^20 + alarms):
+        -- DuckDB 1.0.0 list_reduce with a STRUCT accumulator
+        -- updates fields sequentially IN PLACE, so a later field's
+        -- expression sees the earlier field already overwritten
+        -- (verified: alarm condition read the new cusum). A scalar
+        -- accumulator has no fields to corrupt. cusum <= threshold
+        -- + one step < 2^29 and alarms <= n_obs < 2^20, so the
+        -- packing is exact.
+        list_reduce(
+          [CAST(0 AS BIGINT)] || s,
+          (acc, x) ->
+            CASE WHEN greatest((acc // 1048576) + x - {_CUSUM_TGT},
+                               CAST(0 AS BIGINT)) > {_CUSUM_THR}
+                 THEN (acc % 1048576) + 1
+                 ELSE greatest((acc // 1048576) + x - {_CUSUM_TGT},
+                               CAST(0 AS BIGINT)) * 1048576
+                      + (acc % 1048576) END) AS st
+      FROM g)
+SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(st % 1048576 AS BIGINT) AS n_alarms,
+       CAST(st // 1048576 AS BIGINT) AS final_cusum
+FROM f
+"""
+
+
+@query("cusum_drift_alarms", oracle=_CUSUM_ORACLE)
+def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor per event type (Page 1954):
+    alarm-and-reset whenever the cumulated excess over target=30
+    crosses 200. Exact micro-unit integer recursion — the alarm
+    count is a decision and must be ulp-proof."""
+    from pointdatabase_spark.operators import temporal as _temporal
+    ev = testkit.load_table(spark, sf_dir, "events")
+    return _temporal.cusum_alarms(ev, ["event_type"], "ts", "value",
+                                  target_q=_CUSUM_TGT, slack_q=0,
+                                  threshold_q=_CUSUM_THR)

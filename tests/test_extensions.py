@@ -1561,3 +1561,49 @@ def test_upsert_latest_wins_hand_case(spark):
            sampling.upsert_latest_wins(base, upd, ["k"]).collect()}
     assert out == {1: ("a", 10.0, 0), 2: ("B", 99.0, 1),
                    3: ("c", 30.0, 0), 9: ("new", 1.0, 1)}
+
+
+def test_cusum_hand_case(spark):
+    """Two planted bursts over a quiet baseline: exactly two alarms,
+    each resetting the statistic."""
+    from datetime import datetime, timedelta
+    from pointdatabase_spark.operators import temporal
+    t0 = datetime(2024, 1, 1)
+    vals = [3.0] * 5 + [30.0] + [3.0] * 5 + [40.0] + [2.0]
+    rows = [("a", t0 + timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    r = temporal.cusum_alarms(df, ["g"], "ts", "v",
+                              target_q=3_000_000, slack_q=0,
+                              threshold_q=20_000_000).collect()[0]
+    # burst of 30: cusum jumps 27e6 > 20e6 -> alarm+reset; idem 40.
+    assert (r.n_obs, r.n_alarms) == (13, 2)
+    # final: reset at the 40-burst, then one 2.0 step: max(0-1e6,0)=0
+    assert r.final_cusum == 0
+
+
+def test_cusum_matches_python_fold(spark):
+    """The packed-scalar fold equals the textbook sequential CUSUM
+    on a pseudo-random series — the regression for the DuckDB-1.0.0
+    struct-accumulator in-place-field-update quirk that produced
+    inflated alarm counts (later lambda fields saw the new cusum)."""
+    from datetime import datetime, timedelta
+    from pointdatabase_spark.operators import temporal
+    t0 = datetime(2024, 1, 1)
+    vals = [((i * 37) % 11) * 1.0 for i in range(3000)]
+    rows = [("a", t0 + timedelta(seconds=i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    tgt, thr = 4_000_000, 25_000_000
+    r = temporal.cusum_alarms(df, ["g"], "ts", "v",
+                              target_q=tgt, slack_q=0,
+                              threshold_q=thr).collect()[0]
+    c = a = 0
+    for v in vals:
+        nc = max(c + round(v * 1e6) - tgt, 0)
+        if nc > thr:
+            a += 1
+            c = 0
+        else:
+            c = nc
+    assert (r.n_alarms, r.final_cusum) == (a, c)
