@@ -879,3 +879,48 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
                      / (F.col("na") + F.col("nb") - F.col("inter"))
                      ).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    threshold: float = 0.5) -> DataFrame:
+    """Measure-don't-guess audit of the MinHash-LSH dedup path: exact
+    ground-truth near-dup pairs (shared-shingle candidate generation
+    — Jaccard > 0 requires a shared shingle, so the posting join is
+    complete — then exact verification) compared against the LSH
+    pipeline's output. Returns ONE row::
+
+        (n_truth, n_found, n_tp, lsh_precision, lsh_recall)
+
+    Precision is 1.0 by construction (the pipeline exactly verifies
+    its candidates — the audit documents that); recall is the real
+    quality number, the probability a true pair shares at least one
+    LSH band. At corpus scale the ground-truth side is Σdf²-bounded
+    like the exact Jaccard operator — run the audit on a SAMPLE (the
+    standard recall-estimation practice); the LSH side under audit
+    is unchanged."""
+    sh = shingle_sets(df, id_col, text_col)
+    found = minhash_neardup(df, id_col=id_col, text_col=text_col,
+                            threshold=threshold)
+    post = sh.select("id", F.explode("s").alias("x"))
+    a = post.select(F.col("id").alias("id_a"), F.col("x").alias("xa"))
+    b = post.select(F.col("id").alias("id_b"), F.col("x").alias("xb"))
+    cp = (a.join(b, (F.col("xa") == F.col("xb"))
+                 & (F.col("id_a") < F.col("id_b")))
+          .select("id_a", "id_b").distinct())
+    truth = jaccard_verify(cp, sh, threshold).select("id_a", "id_b")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    tp = (found.select("id_a", "id_b").join(truth, ["id_a", "id_b"])
+          .agg(F.count(F.lit(1)).alias("n_tp")))
+    j = nt.crossJoin(nf).crossJoin(tp)
+    return j.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.col("n_tp").cast("long").alias("n_tp"),
+        F.when(F.col("n_found") == 0, F.lit(1.0))
+        .otherwise(F.col("n_tp").cast("double") / F.col("n_found"))
+        .alias("lsh_precision"),
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.col("n_tp").cast("double") / F.col("n_truth"))
+        .alias("lsh_recall"))

@@ -279,3 +279,71 @@ def robust_outliers(df: DataFrame, group_cols: list[str],
                              1).otherwise(0)).cast("long")
                 .alias("n_outliers")))
     return cen.select(*group_cols, "n", "med_q", "mad_q", "n_outliers")
+
+
+def chi2_drift(df: DataFrame, group_col, value_col: str,
+               buckets: int = 10,
+               scale: float = 1_000_000.0) -> DataFrame:
+    """Two-sample chi-square drift detector — the distribution-shift
+    monitor a training pipeline runs between corpus snapshots (did
+    yesterday's crawl shift the quality/value distribution?). The
+    pooled distribution is cut into rank-based equal-frequency
+    buckets (exact micro-unit integers, no quantile interpolation);
+    each bucket row carries both samples' observed counts, the
+    expected counts under homogeneity, and the chi-square
+    contribution::
+
+        (bucket, n_a long, n_b long, contrib double)
+
+    Σ contrib ~ χ²(buckets-1) under no drift — the caller compares
+    against the critical value (or feeds several snapshots' totals
+    to [[cusum_alarms]] for sequential detection).
+
+    Determinism: counts are exact integers; each ``contrib`` is a
+    fixed chain of single IEEE ops on exact-integer-valued doubles
+    ((n−E)²/E with E = rowtotal·coltotal/N), so every emitted double
+    is bit-deterministic. Only a cross-row SUM of contribs would be
+    order-sensitive — which is why the operator emits per-bucket
+    rows and leaves the 10-row total to the caller.
+
+    Scale: one window pass for the pooled ranks (global total order
+    over the value — same contract as budget_select; use coarser
+    pre-aggregated histograms when the pooled table is the full
+    100 TB), then bucket-keyed counts. ``group_col`` must take
+    exactly two values; rows are tagged A/B by equality with the
+    MIN group label."""
+    from pyspark.sql import Window
+
+    vq = (F.floor(F.col(value_col).cast("double") * F.lit(scale)
+                  + F.lit(0.5)).cast("long"))
+    t = df.select(F.col(group_col).alias("_g"), vq.alias("_vq"))
+    labels = (t.agg(F.min("_g").alias("lo"), F.countDistinct("_g")
+                    .alias("k")).collect()[0])
+    if int(labels["k"]) != 2:
+        raise ValueError(f"group_col must be binary, got {labels['k']}"
+                         " distinct values")
+    lo = labels["lo"]
+    w = Window.orderBy("_vq", "_g")
+    n_w = Window.partitionBy()
+    ranked = (t.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(n_w)))
+    b = int(buckets)
+    # equal-frequency bucket of the POOLED rank: floor((rn-1)*b/n)
+    # — pure integer arithmetic, identical on any engine.
+    bucket = F.floor((F.col("_rn") - 1) * F.lit(b) / F.col("_n"))
+    tagged = ranked.select(
+        bucket.cast("long").alias("bucket"),
+        F.when(F.col("_g") == F.lit(lo), 1).otherwise(0).alias("_isa"))
+    cnt = (tagged.groupBy("bucket")
+           .agg(F.sum("_isa").cast("long").alias("n_a"),
+                F.sum(1 - F.col("_isa")).cast("long").alias("n_b")))
+    tot = cnt.agg(F.sum("n_a").cast("long").alias("ta"),
+                  F.sum("n_b").cast("long").alias("tb"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    n = (F.col("ta") + F.col("tb")).cast("double")
+    rt = (F.col("n_a") + F.col("n_b")).cast("double")
+    ea = rt * F.col("ta").cast("double") / n
+    eb = rt * F.col("tb").cast("double") / n
+    contrib = ((F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
+               + (F.col("n_b") - eb) * (F.col("n_b") - eb) / eb)
+    return j.select("bucket", "n_a", "n_b", contrib.alias("contrib"))

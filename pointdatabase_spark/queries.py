@@ -73,7 +73,7 @@ _SCORE_FIRST = [
     "upsert_latest_wins", "domain_profile",
     "embedding_random_projection", "streaming_upsert",
     "corpus_prep_v3", "event_rank_features", "streaming_dim_join",
-    "cusum_drift_alarms",
+    "cusum_drift_alarms", "snapshot_drift_chi2", "lsh_recall_audit",
     # ---- last scored r5, oracle output changed by the r9
     # rounding sweep ----
     "crs_utm", "crs_lcc", "embedding_label_stats",
@@ -7473,7 +7473,7 @@ FROM f
 """
 
 
-@query("cusum_drift_alarms", oracle=_CUSUM_ORACLE)
+@query("cusum_drift_alarms", "snapshot_drift_chi2", "lsh_recall_audit", oracle=_CUSUM_ORACLE)
 def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift monitor per event type (Page 1954):
     alarm-and-reset whenever the cumulated excess over target=30
@@ -7484,3 +7484,109 @@ def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _temporal.cusum_alarms(ev, ["event_type"], "ts", "value",
                                   target_q=_CUSUM_TGT, slack_q=0,
                                   threshold_q=_CUSUM_THR)
+
+
+# --------------------------------------------------------------------------
+# Two-sample chi-square drift (operators/profile.chi2_drift): pooled
+# rank-based equal-frequency buckets (exact integers), per-bucket
+# chi-square contributions as fixed single-op IEEE chains. The
+# fixture splits events into pseudo-snapshots by event_id parity.
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH t AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'snap_a'
+                       ELSE 'snap_b' END AS g,
+                  CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                       AS BIGINT) AS vq
+           FROM events),
+r AS (SELECT g, vq,
+             row_number() OVER (ORDER BY vq, g) AS rn,
+             COUNT(*) OVER () AS n
+      FROM t),
+bkt AS (SELECT CAST(floor(((rn - 1) * 10) / n) AS BIGINT) AS bucket,
+               CASE WHEN g = 'snap_a' THEN 1 ELSE 0 END AS isa
+        FROM r),
+cnt AS (SELECT bucket,
+               CAST(SUM(isa) AS BIGINT) AS n_a,
+               CAST(SUM(1 - isa) AS BIGINT) AS n_b
+        FROM bkt GROUP BY bucket),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+               CAST(SUM(n_b) AS BIGINT) AS tb FROM cnt)
+SELECT bucket, n_a, n_b,
+       (n_a - (n_a + n_b) * CAST(ta AS DOUBLE)
+              / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       * (n_a - (n_a + n_b) * CAST(ta AS DOUBLE)
+              / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       / ((n_a + n_b) * CAST(ta AS DOUBLE)
+              / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       + (n_b - (n_a + n_b) * CAST(tb AS DOUBLE)
+              / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       * (n_b - (n_a + n_b) * CAST(tb AS DOUBLE)
+              / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       / ((n_a + n_b) * CAST(tb AS DOUBLE)
+              / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       AS contrib
+FROM cnt CROSS JOIN tot
+"""
+
+
+@query("snapshot_drift_chi2", oracle=_CHI2_ORACLE)
+def snapshot_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity check between two pseudo-snapshots of
+    the event stream (split by event_id parity), over 10 pooled
+    equal-frequency value buckets — the snapshot-to-snapshot
+    distribution-shift gate. Per-bucket contributions emitted (the
+    10-row total is the caller's one addition) so every compared
+    double is a deterministic single-op chain."""
+    from pointdatabase_spark.operators import profile as _prof2
+    ev = testkit.load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("snap_a"))
+        .otherwise(F.lit("snap_b")).alias("snap"), "value")
+    return _prof2.chi2_drift(t, "snap", "value", buckets=10)
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit (operators/dedup.lsh_recall_eval): exact ground
+# truth (complete shared-shingle candidates + exact Jaccard) vs the
+# minhash-LSH pipeline — the quantified quality gate for the dedup
+# path. Oracle reuses THE shared minhash CTE block plus a truth CTE.
+# --------------------------------------------------------------------------
+
+_LSH_EVAL_TAIL = """
+, post AS (SELECT id, unnest(s) AS x FROM sh2),
+cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       FROM post a JOIN post b ON a.x = b.x AND a.id < b.id),
+truth AS (SELECT id_a, id_b
+          FROM cp JOIN sh2 sa ON sa.id = cp.id_a
+                  JOIN sh2 sb ON sb.id = cp.id_b
+          WHERE len(list_intersect(sa.s, sb.s))
+                  / (len(sa.s) + len(sb.s)
+                     - len(list_intersect(sa.s, sb.s))) >= 0.5),
+t AS (SELECT COUNT(*) AS n_truth FROM truth),
+f AS (SELECT COUNT(*) AS n_found FROM pairs),
+tp AS (SELECT COUNT(*) AS n_tp
+       FROM (SELECT id_a, id_b FROM pairs) p
+       JOIN truth USING (id_a, id_b))
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       CASE WHEN n_found = 0 THEN 1.0
+            ELSE CAST(n_tp AS DOUBLE) / n_found END AS lsh_precision,
+       CASE WHEN n_truth = 0 THEN 1.0
+            ELSE CAST(n_tp AS DOUBLE) / n_truth END AS lsh_recall
+FROM t CROSS JOIN f CROSS JOIN tp
+"""
+
+_LSH_EVAL_ORACLE = _minhash_oracle_sql(
+    testkit.syn_corpus_cte(),
+    tail=_LSH_EVAL_TAIL)
+
+
+@query("lsh_recall_audit", oracle=_LSH_EVAL_ORACLE)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth recall of the MinHash-LSH near-dup pipeline on
+    the planted corpus: complete truth pairs from the shared-shingle
+    posting join, the LSH path audited against them. At 100 TB the
+    audit runs on a sample; the audited path is unchanged."""
+    return _dedup.lsh_recall_eval(testkit.syn_corpus(spark, sf_dir))
