@@ -7473,7 +7473,7 @@ FROM f
 """
 
 
-@query("cusum_drift_alarms", "snapshot_drift_chi2", "lsh_recall_audit", oracle=_CUSUM_ORACLE)
+@query("cusum_drift_alarms", oracle=_CUSUM_ORACLE)
 def cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift monitor per event type (Page 1954):
     alarm-and-reset whenever the cumulated excess over target=30
