@@ -190,14 +190,32 @@ def paragraph_dedup_materialize(corpus: DataFrame) -> DataFrame:
 # templates mirror each other, differing only in the regexp 'g' flag.
 # --------------------------------------------------------------------
 
-#: true characters whose UTF-8-bytes-read-as-Latin-1 ghosts we repair
-#: (smart punctuation + the accented-vowel poster child). The bad
-#: sequences are DERIVED (encode utf-8, decode latin-1), so the
-#: mapping is definitionally the mojibake inverse and the source stays
-#: free of literal control bytes.
+#: true characters whose misdecoded-UTF-8 ghosts we repair (smart
+#: punctuation + the accented-vowel poster child). Real-world
+#: mojibake is overwhelmingly UTF-8 read as WINDOWS-1252 (0x80-0x9F
+#: map to printable punctuation: 0x99 -> U+2122 TM, 0x80 -> euro...),
+#: with plain Latin-1 (those bytes -> C1 controls) the rarer form —
+#: both ghost variants are DERIVED per character (cp1252 first,
+#: byte-wise latin-1 fallback for cp1252's five unmapped bytes, then
+#: the pure latin-1 ghost when distinct), so the mapping is
+#: definitionally the mojibake inverse and the source stays free of
+#: literal control bytes.
 _MOJIBAKE_GOOD = "’“”—é"  # ' " " em-dash e-acute
+
+
+def _ghost_cp1252(g: str) -> str:
+    return "".join(
+        bytes([b]).decode("cp1252", errors="strict")
+        if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+        else bytes([b]).decode("latin-1")
+        for b in g.encode("utf-8"))
+
+
 MOJIBAKE = tuple(
-    (g.encode("utf-8").decode("latin-1"), g) for g in _MOJIBAKE_GOOD)
+    (bad, g)
+    for g in _MOJIBAKE_GOOD
+    for bad in dict.fromkeys(
+        [_ghost_cp1252(g), g.encode("utf-8").decode("latin-1")]))
 
 #: smart punctuation -> ASCII (1:1 by position, translate()-able):
 #: single/double curly quotes, en/em dash, NBSP.

@@ -124,6 +124,12 @@ def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
              [_mean_q(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)])
             for r in upd)
 
+    # Release the iteration cache BEFORE returning: the collects that
+    # needed it have run; the final output aggregation below pays one
+    # recomputed scan instead of pinning the quantized corpus in
+    # executor storage for the application lifetime (a leaked cache
+    # per kmeans_fit call would evict other operators' hot data).
+    q.unpersist(blocking=False)
     # Final table: re-aggregate the last assignment so the output is
     # a DataFrame (not driver literals) — same single k-row shuffle.
     upd_df = (assigned.groupBy("cluster_id")

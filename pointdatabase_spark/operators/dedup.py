@@ -899,9 +899,9 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
     like the exact Jaccard operator — run the audit on a SAMPLE (the
     standard recall-estimation practice); the LSH side under audit
     is unchanged."""
-    sh = shingle_sets(df, id_col, text_col)
+    sh = shingle_sets(df, id_col, text_col).persist()
     found = minhash_neardup(df, id_col=id_col, text_col=text_col,
-                            threshold=threshold)
+                            threshold=threshold, shingles=sh)
     post = sh.select("id", F.explode("s").alias("x"))
     a = post.select(F.col("id").alias("id_a"), F.col("x").alias("xa"))
     b = post.select(F.col("id").alias("id_b"), F.col("x").alias("xb"))

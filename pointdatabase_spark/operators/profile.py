@@ -309,31 +309,32 @@ def chi2_drift(df: DataFrame, group_col, value_col: str,
     Scale: one window pass for the pooled ranks (global total order
     over the value — same contract as budget_select; use coarser
     pre-aggregated histograms when the pooled table is the full
-    100 TB), then bucket-keyed counts. ``group_col`` must take
-    exactly two values; rows are tagged A/B by equality with the
-    MIN group label."""
+    100 TB), then bucket-keyed counts. Sample A = rows whose
+    ``group_col`` equals the MIN group label (derived in-plan, no
+    construction-time scan); every other label counts as B, so pass
+    a binary column for a two-sample test."""
     from pyspark.sql import Window
 
     vq = (F.floor(F.col(value_col).cast("double") * F.lit(scale)
                   + F.lit(0.5)).cast("long"))
     t = df.select(F.col(group_col).alias("_g"), vq.alias("_vq"))
-    labels = (t.agg(F.min("_g").alias("lo"), F.countDistinct("_g")
-                    .alias("k")).collect()[0])
-    if int(labels["k"]) != 2:
-        raise ValueError(f"group_col must be binary, got {labels['k']}"
-                         " distinct values")
-    lo = labels["lo"]
+    # Sample A = the MIN group label, derived IN PLAN (a window over
+    # the already-required global ordering) — an eager collect here
+    # would scan the full input once at construction time just to
+    # learn one label, doubling the pass count on the 100 TB target.
     w = Window.orderBy("_vq", "_g")
     n_w = Window.partitionBy()
     ranked = (t.withColumn("_rn", F.row_number().over(w))
-              .withColumn("_n", F.count(F.lit(1)).over(n_w)))
+              .withColumn("_n", F.count(F.lit(1)).over(n_w))
+              .withColumn("_lo", F.min("_g").over(n_w)))
     b = int(buckets)
     # equal-frequency bucket of the POOLED rank: floor((rn-1)*b/n)
     # — pure integer arithmetic, identical on any engine.
     bucket = F.floor((F.col("_rn") - 1) * F.lit(b) / F.col("_n"))
     tagged = ranked.select(
         bucket.cast("long").alias("bucket"),
-        F.when(F.col("_g") == F.lit(lo), 1).otherwise(0).alias("_isa"))
+        F.when(F.col("_g") == F.col("_lo"), 1).otherwise(0)
+        .alias("_isa"))
     cnt = (tagged.groupBy("bucket")
            .agg(F.sum("_isa").cast("long").alias("n_a"),
                 F.sum(1 - F.col("_isa")).cast("long").alias("n_b")))

@@ -411,8 +411,9 @@ def stratified_split(df: DataFrame, strata_cols: list[str],
         expr = F.when(
             F.col("_rn") <= F.ceil(F.col("_n") * F.lit(ub)),
             F.lit(name)).otherwise(expr)
-    return df.select("*").join(
-        r.select(id_col, expr.alias("split")), id_col)
+    # r already carries every df column — project the split directly
+    # (a join back to df would add a second exchange + source scan).
+    return r.select(*df.columns, expr.alias("split"))
 
 
 def upsert_latest_wins(base: DataFrame, updates: DataFrame,

@@ -25,7 +25,9 @@ every crawl pipeline adds):
 1. drop the fragment;
 2. lowercase the scheme and host;
 3. drop a leading ``www.`` host label and a default ``:80`` port;
-4. drop a trailing ``/`` on the path;
+4. drop trailing ``/`` runs on the path (``/+$`` — a single-slash
+   strip is not a fixed point: ``/p//`` → ``/p/`` → ``/p`` re-keys
+   on a second pass, corrupting incremental crawls);
 5. drop ``utm_*`` / ``fbclid`` / ``gclid`` tracking parameters and
    sort the survivors byte-wise.
 
@@ -71,9 +73,9 @@ _HOST_D = ("regexp_replace(regexp_replace(lower("
            " '://www\\.', '://'), ':80$', '')")
 
 _PATH_S = ("regexp_replace(regexp_extract({nf},"
-           " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)', 1), '/$', '')")
+           " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$', '')")
 _PATH_D = ("regexp_replace(regexp_extract({nf},"
-           " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)', 1), '/$', '')")
+           " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$', '')")
 
 _QUERY_S = ("array_join(array_sort({kept}), '&')"
             .format(kept=_strip_tracking_s(
@@ -89,26 +91,34 @@ def _canon_tmpl(engine: int) -> str:
     host = (_HOST_S if engine == 0 else _HOST_D)
     path = (_PATH_S if engine == 0 else _PATH_D)
     qry = (_QUERY_S if engine == 0 else _QUERY_D)
+    # A url with no scheme://host prefix does not parse: pass it
+    # through UNCHANGED rather than emitting '' (which would collapse
+    # every malformed url into one dedup group and silently drop all
+    # but one of those documents).
     if engine == 0:
-        return (f"concat({host}, {path},"
-                f" CASE WHEN {qry} = '' THEN '' ELSE concat('?', {qry}) END)")
+        return (f"CASE WHEN {host} = '' THEN {{u}} ELSE"
+                f" concat({host}, {path},"
+                f" CASE WHEN {qry} = '' THEN '' ELSE concat('?', {qry}) END)"
+                f" END")
     # DuckDB string_agg over an empty list yields NULL, not ''.
-    return (f"{host} || {path} ||"
+    return (f"CASE WHEN {host} = '' THEN {{u}} ELSE"
+            f" {host} || {path} ||"
             f" (CASE WHEN coalesce({qry}, '') = '' THEN ''"
-            f" ELSE '?' || {qry} END)")
+            f" ELSE '?' || {qry} END) END")
 
 
 def canonical_url(url_col: str) -> Column:
     """Spark Column: the canonical form of ``url_col`` (see module
     doc for the normalization steps). Pure codegen expression."""
     nf = _NOFRAG_S.format(u=url_col)
-    return F.expr(_canon_tmpl(0).replace("{nf}", nf))
+    return F.expr(_canon_tmpl(0).replace("{nf}", nf)
+                  .replace("{u}", url_col))
 
 
 def canonical_url_sql(url_expr: str) -> str:
     """DuckDB SQL text computing the identical canonical form."""
     nf = _NOFRAG_D.format(u=url_expr)
-    return _canon_tmpl(1).replace("{nf}", nf)
+    return _canon_tmpl(1).replace("{nf}", nf).replace("{u}", url_expr)
 
 
 def dedup_latest(df, url_col: str = "url", ts_col: str = "fetch_ts",

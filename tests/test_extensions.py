@@ -1429,6 +1429,9 @@ def test_canonical_url_rules(spark):
          "http://example.com/x"),
         ("http://example.com/x?z=1&y=2#f?fake=param",
          "http://example.com/x?y=2&z=1"),
+        ("http://example.com/p//", "http://example.com/p"),
+        ("www.noscheme.com/x", "www.noscheme.com/x"),
+        ("mailto:someone", "mailto:someone"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in

@@ -903,6 +903,8 @@ def test_canonical_url_idempotent(spark):
             ["", "?b=2&a=1", "?utm_source=x", "?utm_a=1&z=9&y=8"],
             ["", "#frag"]):
         urls.append(f"{scheme}{www}Ex-1.COM{port}/P/q{slash}{qs}{frag}")
+    urls += ["http://a.com/p//", "http://a.com/p///?b=2&a=1#f",
+             "no-scheme/path", "mailto:x@y", ""]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     once = df.select(web.canonical_url("url").alias("c1"))
     twice = once.select(F.col("c1"),
