@@ -63,12 +63,52 @@ def _sqdist(xq: F.Column, cq: F.Column) -> F.Column:
         lambda acc, x: acc + x)
 
 
+def _min_dist_to(cents: list[list[int]]) -> F.Column:
+    """Exact integer min squared distance from ``xq`` to a literal
+    centroid list — the same broadcast-literal, zero-shuffle shape as
+    the Lloyd assignment step."""
+    return F.array_min(F.array(*[
+        _sqdist(F.col("xq"),
+                F.array(*[F.lit(v).cast("long") for v in c]))
+        for c in cents]))
+
+
+def _farthest_point_seed(q: DataFrame, k: int,
+                         sample_mod: int | None) -> list[list[int]]:
+    """Deterministic farthest-point (k-means‖-flavored) init: first
+    center = smallest id; each next center = the point maximizing
+    min-distance to the chosen set (ties -> smallest id). Every round
+    is one map-side distance expression + ONE max_by aggregate (a
+    k-independent single-row shuffle); k-1 passes total. At corpus
+    scale pass ``sample_mod=m`` to seed from a deterministic 1-in-m
+    key-hash sample — the standard scalable-k-means compromise
+    (Bahmani et al. 2012 run weighted sampling for the same reason:
+    exact farthest-point over the full corpus is k passes over
+    everything)."""
+    s = q if sample_mod is None else q.where(
+        F.pmod(F.xxhash64(F.col("_id")), F.lit(int(sample_mod))) == 0)
+    s = s.persist()
+    try:
+        first = s.orderBy("_id").limit(1).collect()
+        if not first:
+            raise ValueError("farthest_point seed: empty input/sample")
+        cents = [list(first[0]["xq"])]
+        for _ in range(k - 1):
+            rank = F.struct(_min_dist_to(cents).alias("d"),
+                            (-F.col("_id")).alias("ni"))
+            nxt = s.agg(F.max_by(F.col("xq"), rank)).collect()[0][0]
+            cents.append(list(nxt))
+    finally:
+        s.unpersist(blocking=False)
+    return cents
+
+
 def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               dim: int = 64) -> DataFrame:
-    """Lloyd's k-means, ``iters`` rounds, deterministic init (the k
-    rows with the smallest ids). Returns the final per-cluster
-    per-dimension centroid table::
+               dim: int = 64, init: str = "smallest_ids",
+               seed_sample_mod: int | None = None) -> DataFrame:
+    """Lloyd's k-means, ``iters`` rounds. Returns the final
+    per-cluster per-dimension centroid table::
 
         (cluster_id long, dim int, centroid_q long, n_members long)
 
@@ -76,9 +116,20 @@ def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
     k×dim rows, with each row carrying its cluster's member count.
     Clusters that lose every member drop out (both the engine and
     the oracle drop them identically).
+
+    ``init``: ``"smallest_ids"`` (default — the k rows with the
+    smallest ids; trivially oracle-expressible, the parity contract
+    for ``kmeans_embeddings``) or ``"farthest_point"`` (deterministic
+    spread-out seeding under the same exact-integer doctrine — far
+    better objective when the smallest ids all land in one true
+    cluster; ``seed_sample_mod`` bounds its cost at corpus scale).
+    Both inits are fully deterministic; they differ only in which k
+    points start the iteration.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if init not in ("smallest_ids", "farthest_point"):
+        raise ValueError(f"unknown init {init!r}")
     # cache() the quantized corpus: every iteration (and the final
     # output aggregation) scans it — the standard MLlib-KMeans
     # input-caching trade (MEMORY_AND_DISK; spills, never recomputes
@@ -86,11 +137,15 @@ def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
     q = df.select(F.col(id_col).alias("_id"),
                   quantize_vec(vec_col).alias("xq")).cache()
 
-    # Deterministic seed: the k smallest ids, cluster_id = rank-1.
-    # k×d longs to the driver — bounded contract (see module doc).
-    seed = (q.orderBy("_id").limit(k).collect())
-    cents: list[tuple[int, list[int]]] = [
-        (i, list(r["xq"])) for i, r in enumerate(seed)]
+    if init == "farthest_point":
+        cents = list(enumerate(
+            _farthest_point_seed(q, k, seed_sample_mod)))
+    else:
+        # Deterministic seed: the k smallest ids, cluster_id =
+        # rank-1. k×d longs to the driver — bounded contract (see
+        # module doc).
+        seed = (q.orderBy("_id").limit(k).collect())
+        cents = [(i, list(r["xq"])) for i, r in enumerate(seed)]
 
     sums = [F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(dim)]
 

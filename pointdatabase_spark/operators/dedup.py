@@ -883,7 +883,9 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
 
 def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    threshold: float = 0.5) -> DataFrame:
+                    threshold: float = 0.5,
+                    sample_mod: int | None = None,
+                    base_id_expr: str | None = None) -> DataFrame:
     """Measure-don't-guess audit of the MinHash-LSH dedup path: exact
     ground-truth near-dup pairs (shared-shingle candidate generation
     — Jaccard > 0 requires a shared shingle, so the posting join is
@@ -896,9 +898,20 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
     its candidates — the audit documents that); recall is the real
     quality number, the probability a true pair shares at least one
     LSH band. At corpus scale the ground-truth side is Σdf²-bounded
-    like the exact Jaccard operator — run the audit on a SAMPLE (the
-    standard recall-estimation practice); the LSH side under audit
-    is unchanged."""
+    like the exact Jaccard operator, so the operator OWNS the
+    sampling knob instead of leaving the bound to caller discipline:
+    pass ``sample_mod=k`` to audit a deterministic 1-in-k sample
+    keyed by ``base_id_expr`` (a SQL expression over the input
+    columns; defaults to ``id_col``). Sampling by BASE id keeps
+    near-dup pairs whole — a pair straddling the sample boundary
+    would deflate both truth and found symmetrically only if ids
+    were independent, which planted-dup corpora violate — so keying
+    on the shared base id is what makes the recall estimate
+    unbiased. The LSH side under audit is unchanged (it runs ON the
+    sample, exactly as production would on the full corpus)."""
+    if sample_mod is not None:
+        key = base_id_expr if base_id_expr is not None else id_col
+        df = df.where(F.expr(f"pmod({key}, {int(sample_mod)}) = 0"))
     sh = shingle_sets(df, id_col, text_col).persist()
     found = minhash_neardup(df, id_col=id_col, text_col=text_col,
                             threshold=threshold, shingles=sh)
@@ -921,7 +934,7 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
         F.coalesce(F.sum(F.when(F.col("_f").isNotNull()
                                 & F.col("_t").isNotNull(), 1)),
                    F.lit(0)).cast("long").alias("n_tp"))
-    return j.select(
+    out = j.select(
         "n_truth", "n_found", "n_tp",
         F.when(F.col("n_found") == 0, F.lit(1.0))
         .otherwise(F.col("n_tp").cast("double") / F.col("n_found"))
@@ -929,3 +942,15 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
         F.when(F.col("n_truth") == 0, F.lit(1.0))
         .otherwise(F.col("n_tp").cast("double") / F.col("n_truth"))
         .alias("lsh_recall"))
+    # The audit is a one-row diagnostic, so compute it EAGERLY and
+    # release the persisted shingle table before returning — a lazy
+    # return would leak the cache for the application lifetime (the
+    # hazard clustering.kmeans_fit explicitly avoids). The caller
+    # still gets a DataFrame (rebuilt from the materialized row with
+    # the exact result schema), so the operator contract and every
+    # downstream comparison are unchanged.
+    try:
+        row = out.first()
+    finally:
+        sh.unpersist()
+    return out.sparkSession.createDataFrame([row], schema=out.schema)

@@ -25,9 +25,14 @@ per-node update sums BIGINTs (associative, order-free). No float
 ever accumulates across rows, so the oracle's unrolled-CTE ranks
 match bit-for-bit at every iteration.
 
-Rank mass: the plain damped update without dangling-mass
-redistribution (sinks leak rank) — standard for relative ranking;
-both engines implement the identical variant.
+Rank mass: the DEFAULT is the plain damped update without
+dangling-mass redistribution (sinks leak rank) — standard for
+relative ranking, and the oracle-parity contract for
+``pagerank_trading_graph``. ``dangling="redistribute"`` adds the
+textbook correction: each round, one extra scalar aggregate sums the
+rank mass sitting on out-degree-0 nodes (exact BIGINT units) and
+every node receives ``floor(dangling_mass·d / N)`` — total mass is
+then conserved up to the per-node floor truncation (< N units).
 
 No reference counterpart (extension surface).
 """
@@ -44,11 +49,20 @@ SCALE = 1_000_000_000_000.0
 
 
 def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             dangling: str = "leak") -> DataFrame:
     """Fixed-iteration damped PageRank over a directed edge list.
     Returns ``(node long, rank_q long)`` for every node appearing as
     an endpoint; ``rank_q`` is the rank in exact 1e-12-of-total
-    units after ``iters`` rounds from the uniform start."""
+    units after ``iters`` rounds from the uniform start.
+
+    ``dangling``: ``"leak"`` (default — sinks leak their damped
+    mass; the oracle-parity variant) or ``"redistribute"`` (each
+    round adds ONE scalar aggregate over the dangling nodes and
+    spreads their damped mass uniformly — total mass conserved up to
+    floor truncation; see module doc)."""
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(f"unknown dangling policy {dangling!r}")
     # Materialize the loop-invariant frames ONCE (eager
     # localCheckpoint, the same lineage-truncation idiom as the
     # connected-components loop in operators/dedup.py): without it
@@ -65,8 +79,23 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(deg, src).localCheckpoint()
 
+    if dangling == "redistribute":
+        # out-degree-0 nodes, materialized once (loop-invariant).
+        sinks = (nodes.join(deg.select(F.col(src).alias("node")),
+                            "node", "left_anti").localCheckpoint())
+
     ranks = nodes.withColumn("rank_q", F.lit(r0).cast("long"))
     for it in range(iters):
+        share = 0
+        if dangling == "redistribute":
+            # ONE scalar aggregate per round: the exact-integer rank
+            # mass parked on sinks, spread uniformly after damping.
+            # floor(dm·d / N): dm < 1e12 < 2^53, so the multiply and
+            # divide are single IEEE ops — bit-deterministic.
+            dm = (ranks.join(sinks, "node", "left_semi")
+                  .agg(F.coalesce(F.sum("rank_q"), F.lit(0)))
+                  .collect()[0][0])
+            share = int(math.floor(float(dm) * damping / n))
         contrib = (e.join(ranks, e[src] == ranks["node"])
                    .select(F.col(dst).alias("node"),
                            F.floor(F.col("rank_q").cast("double")
@@ -75,7 +104,7 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
         infl = contrib.groupBy("node").agg(F.sum("c").alias("infl"))
         ranks = (nodes.join(infl, "node", "left")
                  .select("node",
-                         (F.lit(base).cast("long")
+                         (F.lit(base + share).cast("long")
                           + F.coalesce("infl", F.lit(0)))
                          .alias("rank_q")))
         if it < iters - 1:  # keep each round's plan one step deep

@@ -392,6 +392,20 @@ def cusum_alarms(df: DataFrame, keys: list[str], ts: str, value: str,
     one row is the signal to pre-aggregate to coarser buckets first,
     the standard CUSUM-on-rollup practice). One key-hash exchange
     total."""
+    # Packing-exactness bounds, ENFORCED (not just documented):
+    # acc = cusum * 2^20 + alarms must stay below 2^53 so the
+    # power-of-two double division in _step recovers the cusum lane
+    # exactly, i.e. cusum < 2^33. cusum is capped by threshold_q plus
+    # one observation step, so threshold_q gets a hard 2^32 ceiling
+    # (a full factor-2 of step headroom below the 2^33 exactness
+    # bound). The alarm lane holds < 2^20 observations; that depends
+    # on the DATA, so it is asserted in-plan below.
+    if int(threshold_q) >= 1 << 32:
+        raise ValueError(
+            f"threshold_q={threshold_q} >= 2^32: the packed fold "
+            f"state (cusum*2^20+alarms) would exceed the 2^53 "
+            f"exact-double range; rescale `scale` down or "
+            f"pre-aggregate (see docstring)")
     vq = (F.floor(F.col(value).cast("double") * F.lit(scale)
                   + F.lit(0.5)).cast("long"))
     rows = df.select(*keys, F.col(ts).alias("_ts"), vq.alias("_vq"))
@@ -406,10 +420,11 @@ def cusum_alarms(df: DataFrame, keys: list[str], ts: str, value: str,
     # field's expression sees the earlier field already overwritten
     # — found while validating this operator's oracle), and a scalar
     # state removes the whole field-evaluation-order question on
-    # BOTH engines. cusum stays below threshold_q + one step (< 2^43
-    # headroom) and alarms < 2^20 observations, so the packing is
-    # exact; callers with > 1M observations per key should
-    # pre-aggregate (see docstring) anyway.
+    # BOTH engines. cusum stays below threshold_q + one step
+    # (< 2^33, enforced above) and alarms < 2^20 observations
+    # (asserted in-plan), so the packing is exact; callers with
+    # > 1M observations per key should pre-aggregate (see docstring)
+    # anyway.
     pack = F.lit(1 << 20).cast("long")
     zero = F.lit(0).cast("long")
 
@@ -422,7 +437,18 @@ def cusum_alarms(df: DataFrame, keys: list[str], ts: str, value: str,
         return (F.when(nc > thr, acc % pack + 1)
                 .otherwise(nc * pack + acc % pack))
 
-    folded = F.aggregate(F.col("_s"), zero, _step)
+    folded_raw = F.aggregate(F.col("_s"), zero, _step)
+    # In-plan guard on the alarm lane: a key with >= 2^20
+    # observations could overflow alarms into the cusum lane and
+    # SILENTLY corrupt both counts — fail loudly instead. The guard
+    # is a no-op branch for every valid key, so it never perturbs
+    # values (oracle hashes unchanged).
+    folded = F.when(F.size("_s") < F.lit(1 << 20), folded_raw).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cusum_alarms: key series has "),
+            F.size("_s").cast("string"),
+            F.lit(" observations >= 2^20; alarm lane would overflow "
+                  "— pre-aggregate to coarser buckets first"))))
     return g.select(*keys,
                     F.size("_s").cast("long").alias("n_obs"),
                     (folded % pack).alias("n_alarms"),

@@ -124,14 +124,28 @@ def canonical_url_sql(url_expr: str) -> str:
 def dedup_latest(df, url_col: str = "url", ts_col: str = "fetch_ts",
                  id_col: str = "doc_id"):
     """Collapse rows to one per canonical url, keeping the highest
-    ``ts_col`` (ties -> smallest ``id_col``). One partial-aggregated
-    shuffle keyed by the canonical url."""
-    best = F.min(F.struct((-F.col(ts_col)).alias("nts"),
+    ``ts_col`` (ties -> smallest ``id_col``; NULL ``ts_col`` loses to
+    every non-NULL fetch, matching ``ORDER BY ts DESC NULLS LAST`` —
+    a group that is ALL-NULL keeps a NULL ts). One partial-aggregated
+    shuffle keyed by the canonical url.
+
+    ``ts_col`` must be integral (epoch seconds/micros); the NULL
+    sentinel is -(2^62), far outside any epoch representation."""
+    sent = F.lit(-(1 << 62)).cast("long")
+    # min(struct(-ts, id)) would rank a NULL -ts FIRST (Spark sorts
+    # null struct fields first), making a null-timestamp row win as
+    # the "freshest" fetch while the SQL oracle's NULLS LAST puts it
+    # dead-last — coalesce to a -inf sentinel so NULL ts loses, then
+    # map the sentinel back to NULL on output.
+    nts = -F.coalesce(F.col(ts_col).cast("long"), sent)
+    best = F.min(F.struct(nts.alias("nts"),
                           F.col(id_col).alias("id"))).alias("b")
+    ts_out = -F.col("b.nts")
     return (df.withColumn("canon_url", canonical_url(url_col))
             .groupBy("canon_url")
             .agg(best, F.count(F.lit(1)).alias("n_versions"))
             .select("canon_url",
                     F.col("b.id").alias(id_col),
-                    (-F.col("b.nts")).alias(ts_col),
+                    F.when(ts_out == sent, F.lit(None).cast("long"))
+                    .otherwise(ts_out).alias(ts_col),
                     "n_versions"))

@@ -48,42 +48,25 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
-    # r9 rotation = strict evidence age (CORRECTNESS_r01-r08), with
-    # two overrides: (1) track_resample leads — its r8 row was the
-    # round's only red (rounding-tie class, fixed this round via
-    # functions/rounding.py) and must re-score green; (2) within an
-    # age tier, queries whose ORACLE OUTPUT changed in the r9
-    # round-parity sweep go first — their old driver hashes are no
-    # longer comparable, so they need fresh rows most.
-    "track_resample",
-    # ---- last scored r4 (two plan-refactor rounds ago) ----
-    "crs_polar_stereo", "dem_as_points", "plane_fit_10km",
-    "raster_interp_join", "raster_interp_spline",
-    "raster_normalize_rgb", "run_coalescing",
-    "embedding_cosine_neardup", "embedding_cosine_neardup_blocked",
-    # ---- new in r9 — zero driver evidence ----
-    "atl11_cycle_stats", "atl11_xover_diff",
-    "embedding_quantize_recall", "dedup_keep_best",
-    "training_shard_stats", "mixture_upsample_counts",
-    "token_budget_select", "multimodal_dhash_neardup",
-    "kmeans_embeddings", "quality_classifier_score",
-    "url_canonical_dedup", "numeric_outlier_report",
-    "pagerank_trading_graph", "hard_negative_mining",
-    "text_normalize_repair", "stratified_split_counts",
-    "upsert_latest_wins", "domain_profile",
-    "embedding_random_projection", "streaming_upsert",
-    "corpus_prep_v3", "event_rank_features", "streaming_dim_join",
-    "cusum_drift_alarms", "snapshot_drift_chi2", "lsh_recall_audit",
-    # ---- last scored r5, oracle output changed by the r9
-    # rounding sweep ----
-    "crs_utm", "crs_lcc", "embedding_label_stats",
-    "radial_bin_ordering", "event_sessionization",
-    "session_window_agg", "streaming_window_counts",
-    "hopping_window_counts", "streaming_sessionization",
-    "streaming_rollup", "multires_rollup", "percentile_summary",
-    "trailing_window_agg", "cohort_retention", "event_funnel",
-    "bm25_search", "domain_mixture_sample", "grouping_rollup",
-    "grouping_cube", "topk_per_group", "corpus_prep_pipeline",
+    # r10 rotation: (1) queries whose ORACLE OUTPUT changed in the
+    # r9 rounding-parity sweep but did NOT land in the r9 window —
+    # their r5/r6 driver hashes are no longer comparable, so fresh
+    # rows retire the most risk (VERDICT r9 "Next round" #1);
+    # (2) queries new in r10 (zero driver evidence); (3) the
+    # r5-scored results-unchanged tier (oldest still-valid
+    # evidence); the r9-scored 50 fall to the back (freshest rows).
+    # ---- oracle text changed r9, last driver-scored r5/r6 ----
+    "event_funnel", "bm25_search", "domain_mixture_sample",
+    "grouping_rollup", "grouping_cube", "topk_per_group",
+    "corpus_prep_pipeline",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "quality_decile_census",
+    "distinctive_terms", "rollup_trailing_window",
+    "pair_collapse", "table_profile",
+    # ---- output changed r9, last driver-scored r8 ----
+    "grid_cluster", "heavy_hitter_terms",
+    # ---- new in r10 — zero driver evidence ----
+    # (added as the round progresses)
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -96,16 +79,11 @@ _SCORE_FIRST = [
     "sample_split_counts", "sequence_packing", "streaming_neardup",
     "streaming_quality_gate", "temporal_band_join",
     "zorder_bin_ordering",
-    # ---- last scored r6, oracle output changed by the rounding
-    # sweep (spillover if the window stretches) ----
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "quality_decile_census",
-    "distinctive_terms", "rollup_trailing_window",
-    "pair_collapse", "table_profile",
-    # The rest falls through in registry order: remaining r6-green
-    # stalwarts, then the r8-scored set (freshest evidence, incl.
-    # grid_cluster/heavy_hitter_terms whose r9-changed outputs are
-    # covered by the local exact sweep until their next window).
+    # The rest falls through in registry order: r6-green stalwarts,
+    # the r8-scored set, then the r9-scored 50 (freshest evidence;
+    # lsh_recall_audit/url_canonical_dedup changed internals this
+    # round but are value-identical — covered by the local exact
+    # sweep until their next window).
 ]
 
 
@@ -7598,8 +7576,9 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic 1-in-3 base-id sample of the planted corpus
     (sampling by BASE id keeps each dup pair whole, so the recall
     estimate is unbiased): complete truth pairs from the
-    shared-shingle posting join, the LSH path audited against
-    them."""
-    corpus = (testkit.syn_corpus(spark, sf_dir)
-              .where((F.col("doc_id") % 100000) % 3 == 0))
-    return _dedup.lsh_recall_eval(corpus)
+    shared-shingle posting join, the LSH path audited against them.
+    The Σdf²-bounding sample is the OPERATOR's arg (sample_mod /
+    base_id_expr), not caller WHERE-clause discipline."""
+    return _dedup.lsh_recall_eval(
+        testkit.syn_corpus(spark, sf_dir),
+        sample_mod=3, base_id_expr="doc_id % 100000")

@@ -1510,6 +1510,14 @@ def write_h5_tile(df, path: str, x: str = "bin_x", y: str = "bin_y",
                 "raise max_rows explicitly.")
     sort_cols = [x, y] + ([order] if order else [])
     pdf = df.orderBy(*sort_cols).toPandas()
+    write_h5(path, _bin_group_tree(pdf, x, y, compress))
+
+
+def _bin_group_tree(pdf, x: str, y: str, compress: int) -> dict:
+    """The per-bin ``"%dE_%dN"`` group tree of a SORTED pandas frame —
+    shared between the driver-side single-file sink and the
+    distributed per-tile writer so both produce bitwise-identical
+    datasets for the same rows."""
     tree: dict = {}
     for (bx, by), rows in pdf.groupby([x, y], sort=True):
         name = "%dE_%dN" % (int(bx), int(by))
@@ -1518,4 +1526,55 @@ def write_h5_tile(df, path: str, x: str = "bin_x", y: str = "bin_y",
                        compress=compress,
                        chunks=(max(1, min(len(rows), 65536)),))
             for c in rows.columns if rows[c].dtype.kind in "iuf"}
-    write_h5(path, tree)
+    return tree
+
+
+def write_h5_tiles(df, out_dir: str, tile_x: str = "tile_x",
+                   tile_y: str = "tile_y", x: str = "bin_x",
+                   y: str = "bin_y", order: str | None = "delta_time",
+                   compress: int = 4,
+                   name_fmt: str = "E%d_N%d.h5") -> list:
+    """S11 tile sink, DISTRIBUTED: one true-format H5 file per
+    (``tile_x``, ``tile_y``) group, fanned out via applyInPandas so
+    each executor task writes exactly one tile with the same pure-
+    Python codec as the driver-side sink (reference write loop:
+    ATL06_tiles.py:99-106 — one process per tile; here one TASK per
+    tile). ``out_dir`` must be a filesystem visible to executors (a
+    shared FS on a real cluster; local disk under local[*]).
+
+    Rows are sorted (``x``, ``y``, ``order``) inside each task —
+    identical to :func:`write_h5_tile`'s global orderBy restricted
+    to the tile, so per-tile files are byte-identical to the
+    driver-side writer given a tie-free ``order`` column. The tile
+    key columns are bookkeeping, not data: they are dropped before
+    writing (unless they double as ``x``/``y``/``order``).
+
+    Eager (it is a sink): returns the collected per-tile summary
+    rows ``(tile_x, tile_y, n_rows, path)``. At scale the shuffle
+    carries each row once, keyed by tile — the same exchange the
+    parquet tile store pays — and file writes are embarrassingly
+    parallel."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    sort_cols = [x, y] + ([order] if order else [])
+    keep = set(sort_cols)
+    drop_cols = [c for c in (tile_x, tile_y) if c not in keep]
+
+    def _write_one(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        rows = (pdf.drop(columns=drop_cols)
+                .sort_values(sort_cols, kind="mergesort",
+                             ignore_index=True))
+        path = os.path.join(out_dir, name_fmt % (tx, ty))
+        write_h5(path, _bin_group_tree(rows, x, y, compress))
+        return pd.DataFrame([{"tile_x": tx, "tile_y": ty,
+                              "n_rows": len(rows), "path": path}])
+
+    out = (df.groupBy(tile_x, tile_y)
+           .applyInPandas(_write_one,
+                          "tile_x long, tile_y long, n_rows long, "
+                          "path string"))
+    return out.collect()

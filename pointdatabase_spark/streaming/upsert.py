@@ -21,13 +21,23 @@ annindex.py:55-70. Merge-by-value is also idempotent (re-applying an
 identical batch rewrites identical bytes), so the guard is an
 optimization AND a correctness backstop.
 
-At 100 TB: each batch costs O(state + delta) — the full-snapshot
-rewrite is the simplest consistent design and what Delta/Iceberg
-replace with file-level logs; the per-key merge itself is the same
-single partial-agg shuffle as the batch operator. For a state too
-large to rewrite per batch, partition ``versions/{n}`` by key bucket
-and rewrite only buckets the batch touches (the plan generalizes;
-the fixture exercises the full-rewrite form).
+At 100 TB: the full-snapshot path costs O(state + delta) per batch —
+the simplest consistent design. For a state too large to rewrite per
+batch, :func:`run_upsert_stream_bucketed` keeps the state split into
+stable key-hash buckets and rewrites ONLY the buckets a batch
+touches: per-batch cost O(delta + touched buckets), clean buckets'
+files are never rewritten (a per-version JSON manifest repoints
+them), and readers resolve each bucket through the manifest of the
+latest ``_SUCCESS``-guarded version — the file-level-log idea
+Delta/Iceberg use, reduced to immutable parquet + one manifest.
+
+Exactly-once (both paths): file-source offsets are checkpointed, and
+replay markers are TWO-PHASE and CHECKPOINT-SCOPED — a pending
+marker naming the target version lands before the snapshot, the
+final marker after — so a retry after any crash point either re-runs
+the value-idempotent merge (same target version) or detects the
+completed snapshot and just commits; and a fresh checkpoint over a
+reused state dir can never collide with stale markers.
 """
 
 from __future__ import annotations
@@ -72,6 +82,70 @@ def init_state(base: DataFrame, state_path: str) -> None:
     base.write.mode("overwrite").parquet(f"{state_path}/versions/0")
 
 
+def _ckpt_digest(checkpoint: str) -> str:
+    """Stable 12-hex digest of the checkpoint path — scopes replay
+    markers to ONE stream incarnation. Without it, reusing a state
+    dir with a FRESH checkpoint (or a re-pointed landing dir) makes
+    stale markers collide with the new stream's batch ids and
+    silently drop genuinely new merges."""
+    import hashlib
+    return hashlib.sha1(checkpoint.encode("utf-8")).hexdigest()[:12]
+
+
+def _batch_guard(sess: SparkSession, state_path: str, checkpoint: str,
+                 bid: int):
+    """Two-phase replay guard for one foreachBatch invocation.
+
+    Returns ``(None, None, None)`` when the batch is already fully
+    applied, else ``(target_version, commit, fs)`` where ``commit()``
+    must be called after the snapshot for ``target_version`` is
+    complete. The PENDING marker (named with the target version) is
+    written BEFORE the snapshot, so a crash between snapshot write
+    and final-marker write is detectable on retry: the pending
+    marker names the version, the version dir has ``_SUCCESS``, so
+    the retry just commits instead of writing a duplicate version
+    (which would silently shift latest_version / n_versions)."""
+    dig = _ckpt_digest(checkpoint)
+    base = f"{state_path}/_batches/{dig}-{bid}"
+    fs, jdone = _fs(sess, base)
+    if fs.exists(jdone):
+        return None, None, None
+    jvm = sess._jvm
+    pend_dir = jvm.org.apache.hadoop.fs.Path(f"{state_path}/_batches")
+    target = None
+    jpend = None
+    if fs.exists(pend_dir):
+        prefix = f"{dig}-{bid}.pending."
+        for st in fs.listStatus(pend_dir):
+            name = st.getPath().getName()
+            if name.startswith(prefix):
+                target = int(name[len(prefix):])
+                jpend = st.getPath()
+                break
+    if target is not None:
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(
+            f"{state_path}/versions/{target}/_SUCCESS"))
+        if ok:
+            # Crashed AFTER the snapshot, BEFORE the final marker:
+            # the work is done — commit without re-merging.
+            fs.create(jdone, True).close()
+            fs.delete(jpend, False)
+            return None, None, None
+        # Crashed mid-snapshot: the overwrite below re-writes the
+        # same target version (value-idempotent merge).
+    else:
+        target = latest_version(sess, state_path) + 1
+        jpend = jvm.org.apache.hadoop.fs.Path(
+            f"{base}.pending.{target}")
+        fs.create(jpend, True).close()
+
+    def commit() -> None:
+        fs.create(jdone, True).close()
+        fs.delete(jpend, False)
+
+    return target, commit, fs
+
+
 def run_upsert_stream(spark: SparkSession, landing: str, glob: str,
                       schema, state_path: str, checkpoint: str,
                       key_cols: list[str],
@@ -86,20 +160,165 @@ def run_upsert_stream(spark: SparkSession, landing: str, glob: str,
         if batch.isEmpty():
             return
         sess = batch.sparkSession
-        # Replay guard keyed on the BATCH id (latest_version alone
-        # can't tell a replay from a new batch): the marker is
-        # written only after the snapshot completed, so a crash
-        # anywhere before that point retries the merge — which is
-        # value-idempotent — and a crash after it skips cleanly.
-        fs, jmark = _fs(sess, f"{state_path}/_batches/{bid}")
-        if fs.exists(jmark):
+        target, commit, _ = _batch_guard(sess, state_path, checkpoint,
+                                         bid)
+        if target is None:
             return
-        cur = latest_version(sess, state_path)
-        state = sess.read.parquet(f"{state_path}/versions/{cur}")
+        state = sess.read.parquet(
+            f"{state_path}/versions/{target - 1}")
         merged = upsert_latest_wins(state, batch, key_cols).drop("_v")
         merged.write.mode("overwrite").parquet(
-            f"{state_path}/versions/{cur + 1}")
-        fs.create(jmark, True).close()
+            f"{state_path}/versions/{target}")
+        commit()
+
+    (spark.readStream.schema(schema)
+     .option("pathGlobFilter", glob)
+     .option("maxFilesPerTrigger", int(files_per_batch))
+     .parquet(landing)
+     .writeStream.foreachBatch(_process)
+     .option("checkpointLocation", checkpoint)
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+
+
+# ---------------------------------------------------------------------------
+# Bucketed huge-state path: per-batch cost O(delta + touched buckets)
+# instead of O(state). This is the design the module doc promises for
+# a state too large to rewrite per batch — the same file-level-log
+# idea Delta/Iceberg use, reduced to immutable parquet + one JSON
+# manifest per version.
+#
+# Layout:
+#   {state}/data/v{n}/_bucket={b}/   parquet for bucket b, written at
+#                                    version n (only DIRTY buckets
+#                                    appear under each v{n})
+#   {state}/versions/{n}/manifest.json + _SUCCESS
+#                                    bucket -> version that last wrote
+#                                    it; readers resolve each bucket
+#                                    through the manifest, so clean
+#                                    buckets' files are NEVER
+#                                    rewritten (byte-identical across
+#                                    batches — asserted in tests).
+# ---------------------------------------------------------------------------
+
+
+def _bucket_col(key_cols: list[str], n_buckets: int):
+    """Deterministic key bucket: pmod(xxhash64(keys), B). xxhash64 is
+    a stable Spark builtin, so the bucket of a key never changes
+    across batches — the invariant the manifest relies on."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]),
+                  F.lit(int(n_buckets))).cast("int")
+
+
+def _write_manifest(sess: SparkSession, state_path: str, version: int,
+                    manifest: dict[int, int]) -> None:
+    import json
+    fs, jdir = _fs(sess, f"{state_path}/versions/{version}")
+    fs.mkdirs(jdir)
+    jvm = sess._jvm
+    jm = jvm.org.apache.hadoop.fs.Path(
+        f"{state_path}/versions/{version}/manifest.json")
+    out = fs.create(jm, True)
+    out.write(bytearray(json.dumps(
+        {str(k): v for k, v in sorted(manifest.items())}).encode()))
+    out.close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{state_path}/versions/{version}/_SUCCESS"), True).close()
+
+
+def _read_manifest(sess: SparkSession, state_path: str,
+                   version: int) -> dict[int, int]:
+    # spark.read.text goes through the same Hadoop FS as the writes
+    # (a py4j readFully into a Python bytearray would NOT copy the
+    # Java-side mutation back); the manifest is one short JSON line.
+    import json
+    txt = "\n".join(
+        r.value for r in sess.read.text(
+            f"{state_path}/versions/{version}/manifest.json").collect())
+    return {int(k): int(v) for k, v in json.loads(txt).items()}
+
+
+def init_state_bucketed(base: DataFrame, state_path: str,
+                        key_cols: list[str], n_buckets: int) -> None:
+    """Write snapshot version 0 split into ``n_buckets`` key buckets
+    plus its manifest. Buckets with no rows are simply absent from
+    the manifest (a later batch may create them)."""
+    sess = base.sparkSession
+    (base.withColumn("_bucket", _bucket_col(key_cols, n_buckets))
+     .write.partitionBy("_bucket").mode("overwrite")
+     .parquet(f"{state_path}/data/v0"))
+    fs, jdir = _fs(sess, f"{state_path}/data/v0")
+    manifest = {}
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith("_bucket="):
+            manifest[int(name.split("=", 1)[1])] = 0
+    _write_manifest(sess, state_path, 0, manifest)
+
+
+def read_state_bucketed(spark: SparkSession, state_path: str,
+                        version: int | None = None) -> DataFrame:
+    """Resolve the manifest of ``version`` (default: latest complete)
+    and union each bucket's parquet from the version directory that
+    last wrote it. The read plan touches exactly one file-set per
+    bucket — no duplicate versions, no tombstones to filter."""
+    v = latest_version(spark, state_path) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no complete snapshot under "
+                                f"{state_path}/versions")
+    manifest = _read_manifest(spark, state_path, v)
+    if not manifest:
+        raise FileNotFoundError(f"version {v} manifest is empty")
+    paths = [f"{state_path}/data/v{mv}/_bucket={b}"
+             for b, mv in sorted(manifest.items())]
+    return spark.read.parquet(*paths)
+
+
+def run_upsert_stream_bucketed(spark: SparkSession, landing: str,
+                               glob: str, schema, state_path: str,
+                               checkpoint: str, key_cols: list[str],
+                               n_buckets: int,
+                               files_per_batch: int = 1) -> None:
+    """Bucketed twin of :func:`run_upsert_stream`: each batch
+    computes its dirty bucket set (distinct key-hash buckets of the
+    delta — at most ``n_buckets`` values, usually far fewer), reads
+    ONLY those buckets' current files, merges, writes only those
+    buckets under ``data/v{target}``, and publishes a manifest that
+    repoints the dirty buckets while carrying every clean bucket's
+    entry forward untouched. Exactly-once via the same two-phase
+    checkpoint-scoped markers as the full-rewrite path."""
+    from pointdatabase_spark.operators.sampling import upsert_latest_wins
+
+    def _process(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        sess = batch.sparkSession
+        target, commit, _ = _batch_guard(sess, state_path, checkpoint,
+                                         bid)
+        if target is None:
+            return
+        manifest = _read_manifest(sess, state_path, target - 1)
+        tagged = batch.withColumn("_bucket",
+                                  _bucket_col(key_cols, n_buckets))
+        dirty = sorted(r["_bucket"] for r in
+                       tagged.select("_bucket").distinct().collect())
+        old_paths = [f"{state_path}/data/v{manifest[b]}/_bucket={b}"
+                     for b in dirty if b in manifest]
+        delta = tagged.drop("_bucket")
+        if old_paths:
+            state = sess.read.parquet(*old_paths)
+            merged = upsert_latest_wins(state, delta,
+                                        key_cols).drop("_v")
+        else:
+            merged = delta
+        (merged.withColumn("_bucket", _bucket_col(key_cols, n_buckets))
+         .write.partitionBy("_bucket").mode("overwrite")
+         .parquet(f"{state_path}/data/v{target}"))
+        new_manifest = dict(manifest)
+        for b in dirty:
+            new_manifest[b] = target
+        _write_manifest(sess, state_path, target, new_manifest)
+        commit()
 
     (spark.readStream.schema(schema)
      .option("pathGlobFilter", glob)

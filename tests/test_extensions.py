@@ -1610,3 +1610,142 @@ def test_cusum_matches_python_fold(spark):
         else:
             c = nc
     assert (r.n_alarms, r.final_cusum) == (a, c)
+
+
+def test_cusum_threshold_bound_enforced(spark):
+    """threshold_q >= 2^32 would push the packed fold state past the
+    2^53 exact-double range — must fail loudly, not corrupt counts."""
+    import pytest
+    from pointdatabase_spark.operators import temporal
+    df = spark.createDataFrame([("a", 1, 1.0)],
+                               "g string, ts long, v double")
+    with pytest.raises(ValueError, match="threshold_q"):
+        temporal.cusum_alarms(df, ["g"], "ts", "v", target_q=0,
+                              slack_q=0, threshold_q=1 << 32)
+    # one below the ceiling is accepted and still exact
+    r = temporal.cusum_alarms(df, ["g"], "ts", "v", target_q=0,
+                              slack_q=0,
+                              threshold_q=(1 << 32) - 1).collect()[0]
+    assert (r.n_obs, r.n_alarms, r.final_cusum) == (1, 0, 1_000_000)
+
+
+def test_dedup_latest_null_ts_loses(spark):
+    """A NULL fetch_ts must lose to any non-NULL fetch (SQL NULLS
+    LAST semantics), and an all-NULL group keeps a NULL ts — the
+    cross-engine divergence flagged in the r9 ADVICE."""
+    from pointdatabase_spark.operators import web
+    rows = [
+        (1, "http://a.com/x", 5),
+        (2, "http://a.com/x", None),      # null loses to ts=5
+        (3, "http://b.com/y", None),
+        (4, "http://b.com/y", None),      # all-null: min id, null ts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, "
+                                     "fetch_ts long")
+    got = {r.canon_url: (r.doc_id, r.fetch_ts, r.n_versions)
+           for r in web.dedup_latest(df).collect()}
+    assert got == {"http://a.com/x": (1, 5, 2),
+                   "http://b.com/y": (3, None, 2)}
+
+
+def test_lsh_recall_eval_sample_arg_and_cache_release(spark):
+    """The operator-owned sample_mod/base_id_expr must reproduce the
+    caller-side WHERE sample exactly, and the audit must release its
+    persisted shingle table (no application-lifetime cache leak)."""
+    from pointdatabase_spark.operators import dedup
+    from pointdatabase_spark import testkit
+    sf = "/root/testdata/sf0.001"
+    corpus = testkit.syn_corpus(spark, sf)
+    spark.catalog.clearCache()
+    via_arg = dedup.lsh_recall_eval(
+        corpus, sample_mod=3,
+        base_id_expr="doc_id % 100000").collect()
+    # eager audit + unpersist: no cached RDDs may survive the call
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    from pyspark.sql import functions as F
+    via_where = dedup.lsh_recall_eval(
+        corpus.where((F.col("doc_id") % 100000) % 3 == 0)).collect()
+    assert sorted(map(tuple, via_arg)) == sorted(map(tuple, via_where))
+
+
+def test_kmeans_farthest_point_beats_smallest_ids(spark):
+    """Planted adversarial layout: the 3 smallest ids all live in ONE
+    true cluster, so smallest-ids init wedges two centroids inside
+    it; deterministic farthest-point seeding must recover all three
+    clusters and achieve a strictly better exact-integer objective."""
+    from pointdatabase_spark.operators import clustering
+
+    centers = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+    pts = []
+    vid = 0
+    for ci, (cx, cy) in enumerate(centers):
+        for j in range(20):
+            # ids 0..19 -> cluster 0, 20..39 -> cluster 1, ...
+            pts.append((vid, [cx + (j % 5) * 0.25,
+                              cy + (j % 3) * 0.25]))
+            vid += 1
+    df = spark.createDataFrame(pts, "vec_id long, "
+                                    "embedding array<double>")
+
+    def objective(cent_rows):
+        cents = {}
+        for r in cent_rows:
+            cents.setdefault(r.cluster_id, {})[r.dim] = r.centroid_q
+        cvecs = [[c[d] for d in sorted(c)] for c in cents.values()]
+        tot = 0
+        for _, v in pts:
+            vq = [round(x * 1e6) for x in v]
+            tot += min(sum((a - b) ** 2 for a, b in zip(vq, c))
+                       for c in cvecs)
+        return tot
+
+    base = clustering.kmeans_fit(df, k=3, iters=2, dim=2).collect()
+    fp = clustering.kmeans_fit(df, k=3, iters=2, dim=2,
+                               init="farthest_point").collect()
+    ob, of = objective(base), objective(fp)
+    assert of < ob / 100, (ob, of)
+    # farthest-point recovered the planted structure: 3 clusters of 20
+    sizes = sorted({r.cluster_id: r.n_members for r in fp}.values())
+    assert sizes == [20, 20, 20]
+    # determinism: a second run is identical
+    fp2 = clustering.kmeans_fit(df, k=3, iters=2, dim=2,
+                                init="farthest_point").collect()
+    assert sorted(map(tuple, fp)) == sorted(map(tuple, fp2))
+    # the sampled path stays deterministic too (looser: just runs
+    # and returns k clusters when the sample keeps enough points)
+    fps = clustering.kmeans_fit(df, k=3, iters=1, dim=2,
+                                init="farthest_point",
+                                seed_sample_mod=2).collect()
+    assert len({r.cluster_id for r in fps}) == 3
+
+
+def test_pagerank_dangling_redistribute_conserves_mass(spark):
+    """Star-with-sink: every spoke points at a sink hub. The default
+    leak variant loses the hub's damped mass each round; the
+    redistribute option must conserve total rank mass to within the
+    per-node/per-edge floor truncation."""
+    from pointdatabase_spark.operators import graph
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], "src long, dst long")
+    n_nodes, n_edges, it = 4, 3, 3
+    leak = graph.pagerank(edges, iters=it).collect()
+    red = graph.pagerank(edges, iters=it,
+                         dangling="redistribute").collect()
+    tot_leak = sum(r.rank_q for r in leak)
+    tot_red = sum(r.rank_q for r in red)
+    S = graph.SCALE
+    # floors lose < 1 unit per node per round (base + share) and per
+    # edge contribution, plus the initial split
+    tol = (it + 1) * (n_nodes + n_edges) + n_nodes
+    assert abs(tot_red - S) <= tol, (tot_red, S)
+    # the leak variant really leaks (the hub holds >= 1/4 of mass,
+    # 85% of it vanishes each round) — this is what redistribute fixes
+    assert tot_leak < 0.8 * S
+    # symmetry: the three spokes stay exactly tied under both
+    for rows in (leak, red):
+        spokes = {r.node: r.rank_q for r in rows}
+        assert spokes[1] == spokes[2] == spokes[3]
+    # redistribute is deterministic
+    red2 = graph.pagerank(edges, iters=it,
+                          dangling="redistribute").collect()
+    assert sorted(map(tuple, red)) == sorted(map(tuple, red2))

@@ -746,3 +746,41 @@ def test_atl11_crossing_track_roundtrip(spark, tmp_path):
     assert len(rows) == nx
     assert all(abs(v - 2.5) < 1e-9 for v in rows.values())
     assert {r.xing_rgt for r in d.collect()} == {777.0}
+
+
+def test_write_h5_tiles_distributed_bitwise_matches_driver(
+        spark, tmp_path):
+    """The applyInPandas per-tile fan-out must produce BYTE-identical
+    H5 files to the driver-side single-file writer run tile-by-tile
+    (VERDICT r9 #2 done-criterion), plus a correct summary."""
+    rows = []
+    t = 0
+    for tx in (0, 1):
+        for ty in (5, 6):
+            for bx in (tx * 100000, tx * 100000 + 10000):
+                for by in (ty * 100000, ty * 100000 + 10000):
+                    for _ in range(7):
+                        t += 1
+                        rows.append((tx, ty, bx, by, float(t),
+                                     float(t) * 0.5))
+    df = spark.createDataFrame(
+        rows, "tile_x long, tile_y long, bin_x long, bin_y long, "
+              "delta_time double, h double").repartition(8)
+    dist_dir = tmp_path / "dist"
+    summary = hdf5.write_h5_tiles(df, str(dist_dir))
+    assert {(r.tile_x, r.tile_y, r.n_rows) for r in summary} == {
+        (0, 5, 28), (0, 6, 28), (1, 5, 28), (1, 6, 28)}
+    for tx in (0, 1):
+        for ty in (5, 6):
+            one = (df.where(f"tile_x = {tx} AND tile_y = {ty}")
+                   .drop("tile_x", "tile_y"))
+            ref = tmp_path / f"ref_E{tx}_N{ty}.h5"
+            hdf5.write_h5_tile(one, str(ref), max_rows=None)
+            got = (dist_dir / f"E{tx}_N{ty}.h5").read_bytes()
+            assert got == ref.read_bytes(), (tx, ty)
+    # the files are real HDF5: spot-read one group back
+    r = hdf5.read_h5(str(dist_dir / "E1_N6.h5"))
+    g = r["100000E_600000N"]
+    dt = g["delta_time"][...]
+    np.testing.assert_array_equal(dt, np.sort(dt))
+    assert g["h"][...].tolist() == (dt * 0.5).tolist()

@@ -269,3 +269,108 @@ def test_upsert_merge_scales_sublinearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"upsert_latest_wins exponent {e:.2f}"
+
+
+def _timed_built(build) -> float:
+    """Time construction + execution for operators whose construction
+    does bounded driver round-trips (kmeans centroid collects,
+    pagerank checkpoint+count) — excluding them would hide a
+    regression that moves work INTO the driver loop."""
+    build().write.format("noop").mode("overwrite").save()   # warm-up
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _exponent_built(spark, op_thunk, tables) -> float:
+    import scale_check
+    scale_check.build_sf1(tables)
+    t01 = max(_timed_built(lambda: op_thunk(spark, SF01)), FLOOR_S)
+    spark.catalog.clearCache()
+    t1 = max(_timed_built(lambda: op_thunk(spark, scale_check.SF1)),
+             FLOOR_S)
+    spark.catalog.clearCache()
+    return math.log10(t1 / t01)
+
+
+@pytest.mark.slow
+def test_kmeans_scales_sublinearly(spark):
+    """Per-round shuffle is executors x k x d longs (corpus-size-
+    independent); assignment is zero-shuffle map-side argmin —
+    measured exponent 0.12 (SCALE.md r9). Construction's per-round
+    driver collects are INSIDE the timing (builder), so a regression
+    that drags the corpus through the driver trips the bound."""
+    from pointdatabase_spark import queries as registry
+
+    def op(s, sf):
+        return registry.all_queries()["kmeans_embeddings"](s, sf)
+
+    e = _exponent_built(spark, op, ["embeddings"])
+    assert e < EXP_BOUND, f"kmeans_embeddings exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_pagerank_scales_sublinearly(spark):
+    """Two-shuffle Pregel rounds over 1-long node state; fixed
+    iteration count — measured exponent 0.13 (SCALE.md r9)."""
+    from pointdatabase_spark import queries as registry
+
+    def op(s, sf):
+        return registry.all_queries()["pagerank_trading_graph"](s, sf)
+
+    e = _exponent_built(spark, op, ["orders", "lineitem"])
+    assert e < EXP_BOUND, f"pagerank_trading_graph exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_stratified_split_scales_sublinearly(spark):
+    """One stratum-keyed window — measured exponent 0.21 (SCALE.md
+    r9). A regression reintroducing the r9 self-join (split joined
+    back to the corpus per stratum) lands super-linear."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["documents"])
+
+    def op(s, sf):
+        return registry.all_queries()["stratified_split_counts"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"stratified_split_counts exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_numeric_outlier_scales_sublinearly(spark):
+    """Two rank-median windows, per-group sort-bound — measured
+    exponent 0.52 (SCALE.md r9; approx_percentile is the documented
+    100 TB mode)."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["events"])
+
+    def op(s, sf):
+        return registry.all_queries()["numeric_outlier_report"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"numeric_outlier_report exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_text_normalize_scales_linearly(spark):
+    """Scan-proportional map pass (regex chains) — measured exponent
+    0.82; anything over the bound means a shuffle crept into what
+    must stay a pure map."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["documents"])
+
+    def op(s, sf):
+        return registry.all_queries()["text_normalize_repair"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"text_normalize_repair exponent {e:.2f}"

@@ -421,3 +421,154 @@ def test_streaming_upsert_replay_idempotent(spark, tmp_path):
     expect = {(k, k * 1.5 + (10.0 if k % 4 == 0 else 0.0))
               for k in range(100)}
     assert set(rows1) == expect
+
+
+def test_streaming_upsert_bucketed_dirty_only(spark, tmp_path):
+    """Huge-state path: a small batch over a large state must rewrite
+    ONLY the buckets it touches — untouched bucket files stay
+    byte-identical (they are literally the same files, repointed by
+    the manifest) — and the resolved state must equal what the
+    full-rewrite path would produce."""
+    import hashlib
+    import os
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.streaming import upsert as su
+
+    state = str(tmp_path / "state")
+    landing = str(tmp_path / "landing")
+    B = 16
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("p"))
+    su.init_state_bucketed(base, state, ["k"], B)
+
+    def _bucket_files():
+        out = {}
+        for root, _, files in os.walk(f"{state}/data"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = hashlib.sha1(
+                        open(p, "rb").read()).hexdigest()
+        return out
+
+    before = _bucket_files()
+    # delta touches 3 keys -> at most 3 of 16 buckets dirty
+    upd = spark.createDataFrame(
+        [(7, 777.0), (1003, 888.0), (2500, 999.0)],
+        "k long, p double")
+    upd.repartition(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    su.run_upsert_stream_bucketed(
+        spark, landing, "*.parquet", schema, state,
+        str(tmp_path / "ck"), ["k"], B)
+
+    after = _bucket_files()
+    # every pre-existing file survives unmodified
+    for p, h in before.items():
+        assert p in after and after[p] == h, f"rewritten: {p}"
+    # new files appear only under the new version's dirty buckets
+    new_dirs = {os.path.dirname(p).rsplit("/", 2)[-2:][0]
+                for p in after if p not in before}
+    assert new_dirs == {"v1"}
+    n_dirty = len({os.path.dirname(p) for p in after
+                   if p not in before})
+    assert 1 <= n_dirty <= 3
+
+    got = {r.k: r.p for r in
+           su.read_state_bucketed(spark, state).collect()}
+    want = {k: k * 1.5 for k in range(2000)}
+    want.update({7: 777.0, 1003: 888.0, 2500: 999.0})
+    assert got == want
+
+
+def test_streaming_upsert_bucketed_sequential_batches(spark, tmp_path):
+    """Two sequential landing files drain as two batches; the second
+    wins on the overlapping key, and clean buckets still carry the
+    v0 files through BOTH manifests untouched."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.streaming import upsert as su
+    state = str(tmp_path / "state")
+    landing = str(tmp_path / "landing")
+    B = 8
+    base = spark.range(500).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("p"))
+    su.init_state_bucketed(base, state, ["k"], B)
+    spark.createDataFrame([(5, 1.0)], "k long, p double") \
+        .repartition(1).write.mode("append").parquet(landing)
+    spark.createDataFrame([(5, 2.0), (6, 2.0)], "k long, p double") \
+        .repartition(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    su.run_upsert_stream_bucketed(
+        spark, landing, "*.parquet", schema, state,
+        str(tmp_path / "ck"), ["k"], B, files_per_batch=1)
+    assert su.latest_version(spark, state) == 2
+    got = {r.k: r.p for r in
+           su.read_state_bucketed(spark, state).collect()}
+    assert got[5] == 2.0 and got[6] == 2.0
+    assert sum(v != 0.0 for v in got.values()) == 2
+    # replay: nothing to drain, no version churn
+    su.run_upsert_stream_bucketed(
+        spark, landing, "*.parquet", schema, state,
+        str(tmp_path / "ck"), ["k"], B, files_per_batch=1)
+    assert su.latest_version(spark, state) == 2
+
+
+def test_upsert_markers_scoped_to_checkpoint(spark, tmp_path):
+    """Reusing a state dir with a FRESH checkpoint must not let
+    stale markers (same batch ids, old stream) suppress new merges —
+    the r9 ADVICE replay-collision scenario."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.streaming import upsert as su
+    state = str(tmp_path / "state")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("p"))
+    su.init_state(base, state)
+    l1 = str(tmp_path / "l1")
+    spark.createDataFrame([(1, 1.0)], "k long, p double") \
+        .repartition(1).write.mode("append").parquet(l1)
+    schema = spark.read.parquet(l1).schema
+    su.run_upsert_stream(spark, l1, "*.parquet", schema, state,
+                         str(tmp_path / "ck1"), ["k"])
+    assert su.latest_version(spark, state) == 1
+    # new stream incarnation: fresh checkpoint + re-pointed landing,
+    # batch ids restart at 0 and would collide with ck1's markers if
+    # markers were keyed on bid alone
+    l2 = str(tmp_path / "l2")
+    spark.createDataFrame([(2, 2.0)], "k long, p double") \
+        .repartition(1).write.mode("append").parquet(l2)
+    su.run_upsert_stream(spark, l2, "*.parquet", schema, state,
+                         str(tmp_path / "ck2"), ["k"])
+    assert su.latest_version(spark, state) == 2
+    got = {r.k: r.p for r in su.read_state(spark, state).collect()}
+    assert got[1] == 1.0 and got[2] == 2.0
+
+
+def test_upsert_pending_marker_detects_finished_snapshot(spark,
+                                                         tmp_path):
+    """Crash between snapshot completion and final-marker write: the
+    retry must detect the finished snapshot via the pending marker
+    and commit WITHOUT writing a duplicate version."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.streaming import upsert as su
+    state = str(tmp_path / "state")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("p"))
+    su.init_state(base, state)
+    ck = str(tmp_path / "ck")
+    # simulate the crashed attempt: version 1 fully written,
+    # pending marker present, final marker absent
+    merged = base.withColumn(
+        "p", F.when(F.col("k") == 1, 1.0).otherwise(F.col("p")))
+    merged.write.mode("overwrite").parquet(f"{state}/versions/1")
+    dig = su._ckpt_digest(ck)
+    fs, jp = su._fs(spark,
+                    f"{state}/_batches/{dig}-0.pending.1")
+    fs.create(jp, True).close()
+    # guard for the retry of batch 0: must report already-applied
+    target, commit, _ = su._batch_guard(spark, state, ck, 0)
+    assert target is None and commit is None
+    assert su.latest_version(spark, state) == 1
+    # final marker now exists; pending is cleaned up
+    assert su._fs(spark, f"{state}/_batches/{dig}-0")[0].exists(
+        su._fs(spark, f"{state}/_batches/{dig}-0")[1])
+    assert not fs.exists(jp)
