@@ -81,6 +81,29 @@ def main() -> None:
         calib = min(calib, time.perf_counter() - t0)
     calib = round(calib, 3)
 
+    # Builder-aware timing (r10): these queries do REAL work at
+    # DataFrame-construction time — streaming fixtures drain whole
+    # availableNow streams, the stored-ANN queries write their index,
+    # kmeans/pagerank/label-prop run their iteration collects, q11
+    # collects a scalar threshold, and the LSH audit materializes its
+    # one-row result eagerly (so it can release its shingle cache).
+    # Timing only the returned frame's noop write would measure a
+    # trivial re-read (the bench-protocol "builder" trap — the r10
+    # eager LSH audit would have shown 0.28 s for 6.5 s of work), so
+    # for this set each timed iteration includes construction. Their
+    # raw values are therefore NOT comparable with r9 and earlier
+    # (which timed execution only); everything else is unchanged.
+    builders = {
+        "streaming_ann_index", "streaming_window_counts",
+        "streaming_quality_gate", "streaming_sessionization",
+        "streaming_neardup", "streaming_rollup", "streaming_upsert",
+        "streaming_upsert_bucketed", "streaming_dim_join",
+        "ann_index_topk", "ann_index_incremental",
+        "kmeans_embeddings", "pagerank_trading_graph",
+        "label_propagation_communities", "lsh_recall_audit",
+        "q11_important_part_volume",
+    }
+
     timings: dict[str, float | None] = {}
     for name in names:
         # noop sink: executes the full physical plan, skips Python
@@ -93,12 +116,20 @@ def main() -> None:
         # other 55 still get measured — a single regression must never
         # zero the whole scoreboard (r3 lesson).
         try:
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            if name in builders:
+                def _run():
+                    qs[name](spark, sf_dir).write.format("noop") \
+                        .mode("overwrite").save()
+            else:
+                df = qs[name](spark, sf_dir)
+
+                def _run(df=df):
+                    df.write.format("noop").mode("overwrite").save()
+            _run()
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                _run()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
@@ -138,7 +169,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     doc = {"metric": "headline_total", "value": total,
            "unit": "sec", "queries": timings, "sf": float(sf),
-           "calib": calib}
+           "calib": calib,
+           # construction included in these queries' timings (r10
+           # builder-aware protocol) — not raw-comparable with <= r9
+           "builders_timed": sorted(builders)}
     # The driver keeps only the last ~2,000 chars of stdout: a
     # 155-query dict truncates mid-line and the driver records
     # parsed:null (r5-r8).  Persist the FULL doc to a committed file,

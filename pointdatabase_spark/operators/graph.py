@@ -110,3 +110,48 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
         if it < iters - 1:  # keep each round's plan one step deep
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def label_propagation(edges: DataFrame, iters: int = 2,
+                      src: str = "src", dst: str = "dst",
+                      symmetrize: bool = True) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC tie rule: every node starts labeled with its own
+    id; each round it adopts the label most frequent among its
+    neighbors, ties to the SMALLEST label. Returns ``(node long,
+    label long)`` after ``iters`` rounds — the cheap community
+    signal a corpus pipeline uses to group hosts/entities before
+    mixture weighting (PageRank's sibling; same Pregel cost model).
+
+    Scale: each round is one src-keyed join (labels are 1 long per
+    node) + two partial-agg shuffles — (node, label) counts, then a
+    per-node ``max_by``; nothing ever carries more than
+    ids/labels/counts. Loop invariants (edge list, node list) are
+    localCheckpointed once; per-round plans stay one step deep.
+
+    The classic algorithm breaks ties RANDOMLY; the smallest-label
+    rule makes every round a pure function of the graph — the same
+    determinism-over-randomness trade as kmeans_fit's seeding, and
+    what makes an unrolled-CTE oracle possible."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if symmetrize:
+        e = e.union(edges.select(F.col(dst).alias("a"),
+                                 F.col(src).alias("b")))
+    e = e.distinct().localCheckpoint()
+    nodes = (e.select(F.col("a").alias("node")).distinct()
+             .localCheckpoint())
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for it in range(iters):
+        cnt = (e.join(labels, F.col("b") == F.col("node"))
+               .groupBy("a", "lbl").agg(F.count(F.lit(1)).alias("c")))
+        labels = (cnt.groupBy("a")
+                  .agg(F.max_by(
+                      "lbl",
+                      F.struct(F.col("c").alias("c"),
+                               (-F.col("lbl")).alias("nl"))).alias("lbl"))
+                  .select(F.col("a").alias("node"), "lbl"))
+        if it < iters - 1:
+            labels = labels.localCheckpoint()
+    return labels.select("node", F.col("lbl").alias("label"))

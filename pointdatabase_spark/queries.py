@@ -66,7 +66,8 @@ _SCORE_FIRST = [
     # ---- output changed r9, last driver-scored r8 ----
     "grid_cluster", "heavy_hitter_terms",
     # ---- new in r10 — zero driver evidence ----
-    # (added as the round progresses)
+    "label_propagation_communities", "cms_frequency_audit",
+    "streaming_upsert_bucketed",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -7582,3 +7583,176 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.lsh_recall_eval(
         testkit.syn_corpus(spark, sf_dir),
         sample_mod=3, base_id_expr="doc_id % 100000")
+
+
+# --------------------------------------------------------------------------
+# r10: label propagation communities + count-min sketch audit
+# --------------------------------------------------------------------------
+
+_LABELPROP_ORACLE = f"""
+WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+               FROM orders o JOIN lineitem l
+                 ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT c AS a, s + {_PR_SUPP_NS} AS b FROM pairs
+      UNION
+      SELECT s + {_PR_SUPP_NS} AS a, c AS b FROM pairs),
+l0 AS (SELECT DISTINCT a AS node FROM e),
+c1 AS (SELECT e.a, l.node AS lbl, COUNT(*) AS c
+       FROM e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.node),
+l1 AS (SELECT a AS node, lbl FROM (
+         SELECT a, lbl, ROW_NUMBER() OVER (
+           PARTITION BY a ORDER BY c DESC, lbl ASC) AS rn FROM c1)
+       WHERE rn = 1),
+c2 AS (SELECT e.a, l.lbl, COUNT(*) AS c
+       FROM e JOIN l1 l ON e.b = l.node GROUP BY e.a, l.lbl),
+l2 AS (SELECT a AS node, lbl FROM (
+         SELECT a, lbl, ROW_NUMBER() OVER (
+           PARTITION BY a ORDER BY c DESC, lbl ASC) AS rn FROM c2)
+       WHERE rn = 1)
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l2 GROUP BY lbl
+ORDER BY n_members DESC, community LIMIT 20
+"""
+
+
+@query("label_propagation_communities", oracle=_LABELPROP_ORACLE)
+def label_propagation_communities(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Two synchronous rounds of deterministic label propagation
+    (most-frequent neighbor label, ties to the smallest) on the
+    bidirected customer-supplier trading graph; the 20 largest
+    communities. Per round: one src-keyed join over 1-long labels +
+    two partial-agg shuffles (operators/graph.label_propagation) —
+    PageRank's cost model, community output instead of rank."""
+    from pointdatabase_spark.operators import graph as _graph
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    pairs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("c"),
+                     F.col("l_suppkey").alias("s"))
+             .distinct())
+    fwd = pairs.select(F.col("c").alias("src"),
+                       (F.col("s") + F.lit(_PR_SUPP_NS)).alias("dst"))
+    lbl = _graph.label_propagation(fwd, iters=2)
+    return (lbl.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy(F.col("n_members").desc(), F.col("label"))
+            .limit(20)
+            .select(F.col("label").cast("long").alias("community"),
+                    F.col("n_members").cast("long")))
+
+
+def _cms_oracle(depth: int, width: int, k: int) -> str:
+    from pointdatabase_spark.operators.sketch import slot_duckdb
+    cell_slot = slot_duckdb("term", "lane", width)
+    probe_slot = slot_duckdb("t.term", "l.lane", width)
+    return rf"""
+WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS term
+             FROM documents),
+lanes AS (SELECT unnest(range({depth})) AS lane),
+cells AS (SELECT lane, {cell_slot} AS slot,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok CROSS JOIN lanes GROUP BY 1, 2),
+top AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM tok GROUP BY term
+        ORDER BY exact_cnt DESC, term LIMIT {k}),
+probes AS (SELECT t.term, l.lane, {probe_slot} AS slot
+           FROM top t CROSS JOIN lanes l),
+est AS (SELECT p.term, MIN(COALESCE(c.cnt, 0)) AS cms_est
+        FROM probes p LEFT JOIN cells c
+          ON p.lane = c.lane AND p.slot = c.slot
+        GROUP BY p.term)
+SELECT t.term, t.exact_cnt, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - t.exact_cnt AS BIGINT) AS overcount
+FROM top t JOIN est e ON t.term = e.term
+"""
+
+
+_CMS_ORACLE = _cms_oracle(depth=4, width=512, k=10)
+
+
+@query("cms_frequency_audit", oracle=_CMS_ORACLE)
+def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency audit: a fixed 4x512-counter sketch
+    over the document token stream (ONE bounded-key shuffle — the
+    cell space, never |vocab|), probed for the exact top-10 terms;
+    reports per-term estimate and real overcount. The md5-slot
+    recipe is shared with the DuckDB oracle counter-for-counter
+    (operators/sketch.py)."""
+    from pointdatabase_spark.operators import sketch as _sketch
+    docs = _spread(testkit.load_table(spark, sf_dir, "documents"))
+    return (_sketch.cms_heavy_hitter_audit(docs, "text", k=10,
+                                           depth=4, width=512)
+            .orderBy(F.col("exact_cnt").desc(), F.col("term")))
+
+
+_STREAM_UPSERT_BUCKETED_ORACLE = f"""
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+fin AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 < 3 THEN o_totalprice + 100.0
+              WHEN o_orderkey % 10 = 4 THEN o_totalprice + 200.0
+              ELSE o_totalprice END AS p
+  FROM base
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 1.0
+  FROM base WHERE o_orderkey % 10 = 7)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey >= 1000000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_inserted,
+       {_rqs('SUM(p)', 2)} AS sum_price_q,
+       CAST(3 AS BIGINT) AS n_versions
+FROM fin
+"""
+
+
+@query("streaming_upsert_bucketed", oracle=_STREAM_UPSERT_BUCKETED_ORACLE)
+def streaming_upsert_bucketed(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The same two-update SCD-1 drain as ``streaming_upsert``, but
+    through the huge-state BUCKETED path: the state lives as 32
+    stable key-hash buckets, each batch rewrites only its dirty
+    buckets, and readers resolve the manifest of the latest
+    ``_SUCCESS``-guarded version — per-batch cost O(delta + touched
+    buckets) instead of O(state) (streaming/upsert.py). The final
+    resolved state must equal the full-rewrite SCD result exactly;
+    clean-bucket byte-identity across batches is pinned by
+    tests/test_streaming.py."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.streaming import upsert as _su
+    tag = (f"{_os.getpid()}_"
+           f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    state = f"/tmp/pdb_upbkt_{tag}_state"
+    landing = f"/tmp/pdb_upbkt_{tag}_landing"
+    ckpt = f"/tmp/pdb_upbkt_{tag}_ckpt"
+    for p in (state, landing, ckpt):
+        _sh.rmtree(p, ignore_errors=True)
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    _su.init_state_bucketed(base, state, ["o_orderkey"], 32)
+    upd1 = (base.where(F.col("o_orderkey") % 10 < 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    upd2 = (base.where(F.col("o_orderkey") % 10 == 4)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 200.0)
+            .unionByName(
+                base.where(F.col("o_orderkey") % 10 == 7)
+                .select((F.col("o_orderkey") + 1000000000)
+                        .alias("o_orderkey"), "o_custkey",
+                        F.lit(1.0).alias("o_totalprice"))))
+    upd1.repartition(1).write.mode("append").parquet(landing)
+    upd2.repartition(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    _su.run_upsert_stream_bucketed(spark, landing, "*.parquet",
+                                   schema, state, ckpt,
+                                   ["o_orderkey"], 32)
+    fin = _su.read_state_bucketed(spark, state)
+    nv = _su.latest_version(spark, state) + 1
+    return fin.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey") >= 1000000000, 1)
+              .otherwise(0)).cast("long").alias("n_inserted"),
+        _rq(F.sum("o_totalprice"), 2).alias("sum_price_q"),
+        F.lit(nv).cast("long").alias("n_versions"))

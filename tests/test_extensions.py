@@ -1749,3 +1749,96 @@ def test_pagerank_dangling_redistribute_conserves_mass(spark):
     red2 = graph.pagerank(edges, iters=it,
                           dangling="redistribute").collect()
     assert sorted(map(tuple, red)) == sorted(map(tuple, red2))
+
+
+def _ref_label_prop(edge_list, iters):
+    """Textbook synchronous label propagation with the smallest-label
+    tie rule — the sequential ground truth the distributed operator
+    must reproduce exactly."""
+    from collections import Counter, defaultdict
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {n: n for n in adj}
+    for _ in range(iters):
+        lbl = {n: max(Counter(lbl[m] for m in adj[n]).items(),
+                      key=lambda kv: (kv[1], -kv[0]))[0]
+               for n in adj}
+    return lbl
+
+
+def test_label_propagation_matches_python_fold(spark):
+    """Two bridged triangles AND a pseudo-random graph, 1-3 rounds:
+    the distributed rounds must equal the sequential synchronous
+    algorithm node-for-node (including its oscillation artifacts —
+    synchronous LP is a pure function of the graph under the
+    smallest-label tie rule)."""
+    from pointdatabase_spark.operators import graph
+    tri = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+           (3, 10)]
+    rnd = [((i * 7) % 23, (i * 13 + 5) % 23) for i in range(40)
+           if (i * 7) % 23 != (i * 13 + 5) % 23]
+    for edge_list in (tri, rnd):
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        for it in (1, 2, 3):
+            got = {r.node: r.label for r in
+                   graph.label_propagation(df, iters=it).collect()}
+            assert got == _ref_label_prop(edge_list, it), (it,)
+
+
+def test_label_propagation_path_smallest_tie(spark):
+    """A 3-node path 5-7-9: the middle node sees labels {5, 9} once
+    each — the tie must break to the SMALLEST label on both
+    rounds (the determinism contract)."""
+    from pointdatabase_spark.operators import graph
+    edges = spark.createDataFrame([(5, 7), (7, 9)],
+                                  "src long, dst long")
+    got = {r.node: r.label for r in
+           graph.label_propagation(edges, iters=1).collect()}
+    assert got[7] == 5          # tie {5,9} -> 5
+    assert got[5] == 7 and got[9] == 7  # single neighbor each
+
+
+def test_cms_estimate_upper_bound_and_exact_when_wide(spark):
+    """CMS never undercounts; with width >> vocabulary there are no
+    collisions and every estimate is exact. With width=2 collisions
+    are forced and at least one term must overcount."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.operators import sketch
+    rows = [(f"t{i % 7}",) for i in range(70)] + [("rare",)]
+    df = spark.createDataFrame(rows, "term string")
+    exact = {r.term: r.cnt for r in
+             df.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect()}
+    wide = sketch.cms_build(df, "term", depth=4, width=4096)
+    est = {r.term: r.cms_est for r in
+           sketch.cms_lookup(wide, df, "term", depth=4,
+                             width=4096).collect()}
+    assert est == exact
+    narrow = sketch.cms_build(df, "term", depth=2, width=2)
+    est2 = {r.term: r.cms_est for r in
+            sketch.cms_lookup(narrow, df, "term", depth=2,
+                              width=2).collect()}
+    assert all(est2[t] >= c for t, c in exact.items())
+    assert any(est2[t] > c for t, c in exact.items())
+    # sketch size is bounded by depth x width regardless of vocab
+    assert narrow.count() <= 4
+
+
+def test_cms_merge_linearity(spark):
+    """Sketching two disjoint corpora and cell-wise adding equals
+    sketching the union — the property incremental maintenance
+    relies on."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.operators import sketch
+    a = spark.createDataFrame([(f"w{i % 5}",) for i in range(20)],
+                              "term string")
+    b = spark.createDataFrame([(f"w{i % 9}",) for i in range(30)],
+                              "term string")
+    sa, sb = (sketch.cms_build(x, "term", 3, 64) for x in (a, b))
+    merged = (sa.unionByName(sb).groupBy("lane", "slot")
+              .agg(F.sum("cnt").alias("cnt")))
+    direct = sketch.cms_build(a.unionByName(b), "term", 3, 64)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
