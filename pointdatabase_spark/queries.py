@@ -67,7 +67,8 @@ _SCORE_FIRST = [
     "grid_cluster", "heavy_hitter_terms",
     # ---- new in r10 — zero driver evidence ----
     "label_propagation_communities", "cms_frequency_audit",
-    "streaming_upsert_bucketed",
+    "streaming_upsert_bucketed", "hll_cardinality_audit",
+    "approx_percentile_audit",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -7756,3 +7757,89 @@ def streaming_upsert_bucketed(spark: SparkSession,
               .otherwise(0)).cast("long").alias("n_inserted"),
         _rq(F.sum("o_totalprice"), 2).alias("sum_price_q"),
         F.lit(nv).cast("long").alias("n_versions"))
+
+
+# --------------------------------------------------------------------------
+# r10: engine-native sketch audits — measure Spark's own HLL++ and
+# GK-percentile sketches against exact answers (the Spark-side
+# estimates cannot be reproduced by DuckDB, so the oracle carries the
+# EXACT values plus the audit verdicts, which are deterministic pure
+# functions of the data: Spark's HLL++/approx_percentile are
+# hash/rank-based with no RNG).
+# --------------------------------------------------------------------------
+
+_HLL_AUDIT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("hll_cardinality_audit", oracle=_HLL_AUDIT_ORACLE)
+def hll_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality: the exact count next
+    to a verdict on Spark's HLL++ sketch (rsd=0.02; the audit passes
+    iff the estimate lands within 10% — five standard errors, so the
+    flag is stable under any partitioning; HLL++ itself is
+    deterministic, xxhash-based, RNG-free). At 100 TB the exact
+    COUNT(DISTINCT) is the expensive path (per-key distinct shuffle)
+    and the sketch is the serving path — the audit quantifies what
+    that trade costs on THIS data, the same measure-don't-guess
+    doctrine as lsh_recall_audit."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long")
+                 .alias("n_exact"),
+                 F.approx_count_distinct("user_id", 0.02)
+                 .alias("_hll"))
+            .select("event_type", "n_exact",
+                    (F.abs(F.col("_hll") - F.col("n_exact"))
+                     * F.lit(10) <= F.col("n_exact")).alias("hll_ok"))
+            .orderBy("event_type"))
+
+
+_PCT_AUDIT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(user_id, 0.25) AS p25,
+       quantile_cont(user_id, 0.50) AS p50,
+       quantile_cont(user_id, 0.75) AS p75,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("approx_percentile_audit", oracle=_PCT_AUDIT_ORACLE)
+def approx_percentile_audit(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of user_id per event type (both
+    engines compute a + (b-a)*frac over INTEGER-valued neighbors
+    with quarter fractions — every step exact in IEEE doubles, so
+    the comparison is bitwise without rounding), plus a verdict on
+    Spark's approx_percentile (GK sketch, accuracy 10000): each
+    approximate quartile must land within 1 + 2% of the exact rank
+    value — the absolute unit term because approx_percentile
+    returns a NEAREST ACTUAL value, never an interpolation, so on
+    an integer domain it legitimately sits up to one unit off the
+    interpolated exact quartile. approx_percentile is the
+    documented 100 TB mode for the rank-median operators
+    (profile.robust_outliers) — this audit is the evidence that
+    mode is safe."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    ex = F.expr("percentile(user_id, array(0.25D, 0.5D, 0.75D))")
+    ap = F.expr("approx_percentile(user_id, "
+                "array(0.25D, 0.5D, 0.75D), 10000)")
+    ok = F.expr(
+        "aggregate(zip_with(_ex, _ap, (e, a) ->"
+        " abs(e - CAST(a AS DOUBLE)) * 50 <= 50 + abs(e)),"
+        " true, (acc, x) -> acc AND x)")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 ex.alias("_ex"), ap.alias("_ap"))
+            .select("event_type", "n",
+                    F.col("_ex")[0].alias("p25"),
+                    F.col("_ex")[1].alias("p50"),
+                    F.col("_ex")[2].alias("p75"),
+                    ok.alias("approx_ok"))
+            .orderBy("event_type"))

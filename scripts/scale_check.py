@@ -356,6 +356,13 @@ def main() -> None:
             "stratified_split_counts"](spark, sf),
         "upsert_latest_wins": lambda sf: _registry.all_queries()[
             "upsert_latest_wins"](spark, sf),
+        # r10: label propagation does localCheckpoint+count at
+        # construction -> builder; CMS is a plain lazy plan
+        "label_propagation_communities": lambda sf: (
+            lambda: _registry.all_queries()[
+                "label_propagation_communities"](spark, sf)),
+        "cms_frequency_audit": lambda sf: _registry.all_queries()[
+            "cms_frequency_audit"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare

@@ -642,3 +642,36 @@ def test_pagerank_iteration_is_checkpoint_bounded(spark):
     plan = _plan(df, "simple")
     assert plan.count("\n") < 60
     assert "Scan ExistingRDD" in plan  # the checkpointed edge frame
+
+
+def test_cms_build_single_bounded_key_exchange(spark):
+    """cms_build = ONE exchange keyed on (lane, slot) — at most
+    depth x width keys — with map-side partial_count collapsing
+    every partition to <= d x w cells BEFORE the shuffle; the token
+    stream itself never exchanges, and nothing Python-evaluates."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import sketch
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(F.explode(
+        F.split(F.col("text"), r"\s+")).alias("term"))
+    plan = _plan(sketch.cms_build(tok, "term", 4, 512), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_lookup_broadcasts_sketch(spark):
+    """cms_lookup joins the d x w sketch BROADCAST — the probe side
+    (query terms) never shuffles for the join."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import sketch
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(F.explode(
+        F.split(F.col("text"), r"\s+")).alias("term"))
+    sk = sketch.cms_build(tok, "term", 4, 512)
+    q = tok.limit(50)
+    plan = _plan(sketch.cms_lookup(sk, q, "term", 4, 512), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
