@@ -85,9 +85,15 @@ def _farthest_point_seed(q: DataFrame, k: int,
     (Bahmani et al. 2012 run weighted sampling for the same reason:
     exact farthest-point over the full corpus is k passes over
     everything)."""
-    s = q if sample_mod is None else q.where(
-        F.pmod(F.xxhash64(F.col("_id")), F.lit(int(sample_mod))) == 0)
-    s = s.persist()
+    # Persist/unpersist ONLY a sample frame we created here: when
+    # sample_mod is None, s IS the caller's already-cached quantized
+    # corpus — unpersisting it would evict the cache kmeans_fit
+    # installed for its Lloyd iterations (every later round would
+    # re-derive the parquet scan + quantization).
+    own = sample_mod is not None
+    s = q if not own else q.where(
+        F.pmod(F.xxhash64(F.col("_id")), F.lit(int(sample_mod))) == 0
+    ).persist()
     try:
         first = s.orderBy("_id").limit(1).collect()
         if not first:
@@ -99,7 +105,8 @@ def _farthest_point_seed(q: DataFrame, k: int,
             nxt = s.agg(F.max_by(F.col("xq"), rank)).collect()[0][0]
             cents.append(list(nxt))
     finally:
-        s.unpersist(blocking=False)
+        if own:
+            s.unpersist(blocking=False)
     return cents
 
 

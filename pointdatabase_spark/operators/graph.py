@@ -118,7 +118,9 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     """Synchronous label propagation (Raghavan et al. 2007) with a
     DETERMINISTIC tie rule: every node starts labeled with its own
     id; each round it adopts the label most frequent among its
-    neighbors, ties to the SMALLEST label. Returns ``(node long,
+    neighbors (with ``symmetrize=False``, its IN-neighbors — labels
+    flow along edge direction; a node with no in-edges keeps its
+    label), ties to the SMALLEST label. Returns ``(node long,
     label long)`` after ``iters`` rounds — the cheap community
     signal a corpus pipeline uses to group hosts/entities before
     mixture weighting (PageRank's sibling; same Pregel cost model).
@@ -140,18 +142,30 @@ def label_propagation(edges: DataFrame, iters: int = 2,
         e = e.union(edges.select(F.col(dst).alias("a"),
                                  F.col(src).alias("b")))
     e = e.distinct().localCheckpoint()
-    nodes = (e.select(F.col("a").alias("node")).distinct()
-             .localCheckpoint())
+    # Nodes come from BOTH endpoints: in directed mode
+    # (symmetrize=False) a sink appears only as 'b', and a node with
+    # no in-neighbors must KEEP its current label — dropping either
+    # silently loses nodes and cascades to an empty result on chains.
+    nodes = (e.select(F.col("a").alias("node"))
+             .union(e.select(F.col("b").alias("node")))
+             .distinct().localCheckpoint())
     labels = nodes.withColumn("lbl", F.col("node"))
     for it in range(iters):
-        cnt = (e.join(labels, F.col("b") == F.col("node"))
-               .groupBy("a", "lbl").agg(F.count(F.lit(1)).alias("c")))
-        labels = (cnt.groupBy("a")
-                  .agg(F.max_by(
-                      "lbl",
-                      F.struct(F.col("c").alias("c"),
-                               (-F.col("lbl")).alias("nl"))).alias("lbl"))
-                  .select(F.col("a").alias("node"), "lbl"))
+        # Labels flow ALONG edge direction: node b adopts the mode
+        # of its IN-neighbors' labels (PageRank's influence
+        # orientation). Under symmetrize=True the edge set is
+        # symmetric, so orientation is immaterial there.
+        cnt = (e.join(labels, F.col("a") == F.col("node"))
+               .groupBy("b", "lbl").agg(F.count(F.lit(1)).alias("c")))
+        upd = (cnt.groupBy("b")
+               .agg(F.max_by(
+                   "lbl",
+                   F.struct(F.col("c").alias("c"),
+                            (-F.col("lbl")).alias("nl"))).alias("_new"))
+               .select(F.col("b").alias("node"), "_new"))
+        labels = (labels.join(upd, "node", "left")
+                  .select("node",
+                          F.coalesce("_new", "lbl").alias("lbl")))
         if it < iters - 1:
             labels = labels.localCheckpoint()
     return labels.select("node", F.col("lbl").alias("label"))

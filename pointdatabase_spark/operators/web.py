@@ -129,8 +129,18 @@ def dedup_latest(df, url_col: str = "url", ts_col: str = "fetch_ts",
     a group that is ALL-NULL keeps a NULL ts). One partial-aggregated
     shuffle keyed by the canonical url.
 
-    ``ts_col`` must be integral (epoch seconds/micros); the NULL
-    sentinel is -(2^62), far outside any epoch representation."""
+    ``ts_col`` must be integral (epoch seconds/micros) — ENFORCED:
+    a float/double ts would be silently truncated by the long cast,
+    letting a lower fractional timestamp win on the integer tie.
+    The NULL sentinel is -(2^62), far outside any epoch
+    representation."""
+    ts_type = df.schema[ts_col].dataType.typeName()
+    if ts_type in ("float", "double", "decimal"):
+        raise ValueError(
+            f"dedup_latest: ts_col {ts_col!r} is {ts_type} — the "
+            f"freshest-fetch ordering casts to BIGINT and would "
+            f"silently truncate fractional timestamps; convert to "
+            f"epoch micros (BIGINT) upstream")
     sent = F.lit(-(1 << 62)).cast("long")
     # min(struct(-ts, id)) would rank a NULL -ts FIRST (Spark sorts
     # null struct fields first), making a null-timestamp row win as

@@ -1545,9 +1545,13 @@ def write_h5_tiles(df, out_dir: str, tile_x: str = "tile_x",
     Rows are sorted (``x``, ``y``, ``order``) inside each task —
     identical to :func:`write_h5_tile`'s global orderBy restricted
     to the tile, so per-tile files are byte-identical to the
-    driver-side writer given a tie-free ``order`` column. The tile
-    key columns are bookkeeping, not data: they are dropped before
-    writing (unless they double as ``x``/``y``/``order``).
+    driver-side writer given a tie-free ``order`` column; NULLs sort
+    first on both paths (``na_position="first"`` mirrors Spark's
+    asc-nulls-first), but a genuine NaN VALUE sorts last in Spark
+    and is indistinguishable from NULL after Arrow transfer — keep
+    the sort columns non-null/non-NaN for strict byte parity. The
+    tile key columns are bookkeeping, not data: they are dropped
+    before writing (unless they double as ``x``/``y``/``order``).
 
     Eager (it is a sink): returns the collected per-tile summary
     rows ``(tile_x, tile_y, n_rows, path)``. At scale the shuffle
@@ -1565,9 +1569,12 @@ def write_h5_tiles(df, out_dir: str, tile_x: str = "tile_x",
 
     def _write_one(key, pdf):
         tx, ty = int(key[0]), int(key[1])
+        # na_position="first" mirrors Spark orderBy's asc-nulls-first
+        # — without it a null in a sort column would land LAST here
+        # but FIRST in the driver-side writer, breaking byte-identity.
         rows = (pdf.drop(columns=drop_cols)
                 .sort_values(sort_cols, kind="mergesort",
-                             ignore_index=True))
+                             na_position="first", ignore_index=True))
         path = os.path.join(out_dir, name_fmt % (tx, ty))
         write_h5(path, _bin_group_tree(rows, x, y, compress))
         return pd.DataFrame([{"tile_x": tx, "tile_y": ty,

@@ -87,17 +87,22 @@ def _ckpt_digest(checkpoint: str) -> str:
     markers to ONE stream incarnation. Without it, reusing a state
     dir with a FRESH checkpoint (or a re-pointed landing dir) makes
     stale markers collide with the new stream's batch ids and
-    silently drop genuinely new merges."""
+    silently drop genuinely new merges. Trailing slashes are
+    stripped before hashing so '/x/ck' and '/x/ck/' (the SAME
+    checkpoint to Spark) share one marker namespace — a respelled
+    path must not re-apply already-committed batches as new
+    versions."""
     import hashlib
-    return hashlib.sha1(checkpoint.encode("utf-8")).hexdigest()[:12]
+    return hashlib.sha1(
+        checkpoint.rstrip("/").encode("utf-8")).hexdigest()[:12]
 
 
 def _batch_guard(sess: SparkSession, state_path: str, checkpoint: str,
                  bid: int):
     """Two-phase replay guard for one foreachBatch invocation.
 
-    Returns ``(None, None, None)`` when the batch is already fully
-    applied, else ``(target_version, commit, fs)`` where ``commit()``
+    Returns ``(None, None)`` when the batch is already fully
+    applied, else ``(target_version, commit)`` where ``commit()``
     must be called after the snapshot for ``target_version`` is
     complete. The PENDING marker (named with the target version) is
     written BEFORE the snapshot, so a crash between snapshot write
@@ -109,7 +114,7 @@ def _batch_guard(sess: SparkSession, state_path: str, checkpoint: str,
     base = f"{state_path}/_batches/{dig}-{bid}"
     fs, jdone = _fs(sess, base)
     if fs.exists(jdone):
-        return None, None, None
+        return None, None
     jvm = sess._jvm
     pend_dir = jvm.org.apache.hadoop.fs.Path(f"{state_path}/_batches")
     target = None
@@ -130,7 +135,7 @@ def _batch_guard(sess: SparkSession, state_path: str, checkpoint: str,
             # the work is done — commit without re-merging.
             fs.create(jdone, True).close()
             fs.delete(jpend, False)
-            return None, None, None
+            return None, None
         # Crashed mid-snapshot: the overwrite below re-writes the
         # same target version (value-idempotent merge).
     else:
@@ -143,7 +148,7 @@ def _batch_guard(sess: SparkSession, state_path: str, checkpoint: str,
         fs.create(jdone, True).close()
         fs.delete(jpend, False)
 
-    return target, commit, fs
+    return target, commit
 
 
 def run_upsert_stream(spark: SparkSession, landing: str, glob: str,
@@ -160,8 +165,8 @@ def run_upsert_stream(spark: SparkSession, landing: str, glob: str,
         if batch.isEmpty():
             return
         sess = batch.sparkSession
-        target, commit, _ = _batch_guard(sess, state_path, checkpoint,
-                                         bid)
+        target, commit = _batch_guard(sess, state_path, checkpoint,
+                                      bid)
         if target is None:
             return
         state = sess.read.parquet(
@@ -293,8 +298,8 @@ def run_upsert_stream_bucketed(spark: SparkSession, landing: str,
         if batch.isEmpty():
             return
         sess = batch.sparkSession
-        target, commit, _ = _batch_guard(sess, state_path, checkpoint,
-                                         bid)
+        target, commit = _batch_guard(sess, state_path, checkpoint,
+                                      bid)
         if target is None:
             return
         manifest = _read_manifest(sess, state_path, target - 1)

@@ -1842,3 +1842,65 @@ def test_cms_merge_linearity(spark):
     direct = sketch.cms_build(a.unionByName(b), "term", 3, 64)
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, direct.collect())))
+
+
+def test_label_propagation_directed_keeps_all_nodes(spark):
+    """symmetrize=False (review regression): sinks and no-in-neighbor
+    nodes must keep labels instead of vanishing — a 1->2->3 chain
+    returns all three nodes at every iteration count."""
+    from pointdatabase_spark.operators import graph
+    edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "src long, dst long")
+    for it in (1, 2):
+        got = {r.node: r.label for r in
+               graph.label_propagation(edges, iters=it,
+                                       symmetrize=False).collect()}
+        assert set(got) == {1, 2, 3}, (it, got)
+    # labels flow along edge direction: after 1 round 2 takes 1's
+    # label, 3 takes 2's; node 1 (no in-edges) keeps its own
+    got1 = {r.node: r.label for r in
+            graph.label_propagation(edges, iters=1,
+                                    symmetrize=False).collect()}
+    assert got1 == {1: 1, 2: 1, 3: 2}
+
+
+def test_farthest_point_seed_preserves_caller_cache(spark):
+    """The seeding pass must not evict the caller's cached quantized
+    corpus (review regression: unpersist on the shared frame)."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.operators import clustering
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    q = df.select(F.col("vec_id").alias("_id"),
+                  clustering.quantize_vec("embedding").alias("xq"))
+    q = q.cache()
+    q.count()
+    try:
+        clustering._farthest_point_seed(q, 2, None)
+        assert q.is_cached, "shared path evicted the caller's cache"
+        clustering._farthest_point_seed(q, 2, 2)
+        assert q.is_cached, "sampled path evicted the caller's cache"
+    finally:
+        q.unpersist(blocking=True)
+
+
+def test_dedup_latest_rejects_float_ts(spark):
+    """Float timestamps would truncate silently in the BIGINT
+    ordering — must fail loudly (review regression)."""
+    import pytest
+    from pointdatabase_spark.operators import web
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x", 5.9)],
+        "doc_id long, url string, fetch_ts double")
+    with pytest.raises(ValueError, match="fetch_ts"):
+        web.dedup_latest(df)
+
+
+def test_upsert_ckpt_digest_slash_insensitive(spark):
+    """'/x/ck' and '/x/ck/' are the same checkpoint — their marker
+    namespaces must coincide (review regression: respelled path
+    re-applying committed batches)."""
+    from pointdatabase_spark.streaming import upsert as su
+    assert su._ckpt_digest("/x/ck") == su._ckpt_digest("/x/ck/")
+    assert su._ckpt_digest("/x/ck") != su._ckpt_digest("/x/ck2")

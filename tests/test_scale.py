@@ -271,26 +271,18 @@ def test_upsert_merge_scales_sublinearly(spark):
     assert e < EXP_BOUND, f"upsert_latest_wins exponent {e:.2f}"
 
 
-def _timed_built(build) -> float:
-    """Time construction + execution for operators whose construction
-    does bounded driver round-trips (kmeans centroid collects,
-    pagerank checkpoint+count) — excluding them would hide a
-    regression that moves work INTO the driver loop."""
-    build().write.format("noop").mode("overwrite").save()   # warm-up
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        build().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def _exponent_built(spark, op_thunk, tables) -> float:
+    """Exponent for operators whose construction does bounded driver
+    round-trips (kmeans centroid collects, pagerank checkpoint+count):
+    scale_check.timed() is thunk-aware — builders re-run per
+    repetition, so construction-time work is timed end-to-end and a
+    regression that moves work INTO the driver loop trips the bound
+    (one timing protocol, shared with the SCALE.md table)."""
     import scale_check
     scale_check.build_sf1(tables)
-    t01 = max(_timed_built(lambda: op_thunk(spark, SF01)), FLOOR_S)
+    t01 = max(scale_check.timed(lambda: op_thunk(spark, SF01)), FLOOR_S)
     spark.catalog.clearCache()
-    t1 = max(_timed_built(lambda: op_thunk(spark, scale_check.SF1)),
+    t1 = max(scale_check.timed(lambda: op_thunk(spark, scale_check.SF1)),
              FLOOR_S)
     spark.catalog.clearCache()
     return math.log10(t1 / t01)

@@ -565,7 +565,7 @@ def test_upsert_pending_marker_detects_finished_snapshot(spark,
                     f"{state}/_batches/{dig}-0.pending.1")
     fs.create(jp, True).close()
     # guard for the retry of batch 0: must report already-applied
-    target, commit, _ = su._batch_guard(spark, state, ck, 0)
+    target, commit = su._batch_guard(spark, state, ck, 0)
     assert target is None and commit is None
     assert su.latest_version(spark, state) == 1
     # final marker now exists; pending is cleaned up
