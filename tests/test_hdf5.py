@@ -784,3 +784,23 @@ def test_write_h5_tiles_distributed_bitwise_matches_driver(
     dt = g["delta_time"][...]
     np.testing.assert_array_equal(dt, np.sort(dt))
     assert g["h"][...].tolist() == (dt * 0.5).tolist()
+
+
+def test_write_h5_tiles_null_order_column_parity(spark, tmp_path):
+    """A NULL in the order column must land FIRST on both paths
+    (review regression: pandas default na_position='last' vs Spark
+    asc-nulls-first broke byte-identity)."""
+    rows = [(0, 0, 0, 0, 2.0, 1.0), (0, 0, 0, 0, None, 2.0),
+            (0, 0, 0, 0, 1.0, 3.0)]
+    df = spark.createDataFrame(
+        rows, "tile_x long, tile_y long, bin_x long, bin_y long, "
+              "delta_time double, h double").repartition(3)
+    dist = tmp_path / "dist"
+    hdf5.write_h5_tiles(df, str(dist))
+    ref = tmp_path / "ref.h5"
+    hdf5.write_h5_tile(df.drop("tile_x", "tile_y"), str(ref),
+                       max_rows=None)
+    assert (dist / "E0_N0.h5").read_bytes() == ref.read_bytes()
+    r = hdf5.read_h5(str(dist / "E0_N0.h5"))
+    h = r["0E_0N/h"][...]
+    assert h.tolist() == [2.0, 3.0, 1.0]  # null-time row first
