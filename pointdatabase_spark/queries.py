@@ -68,7 +68,8 @@ _SCORE_FIRST = [
     # ---- new in r10 — zero driver evidence ----
     "label_propagation_communities", "cms_frequency_audit",
     "streaming_upsert_bucketed", "hll_cardinality_audit",
-    "approx_percentile_audit",
+    "approx_percentile_audit", "scd_change_feed",
+    "streaming_stream_join",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -7848,3 +7849,95 @@ def approx_percentile_audit(spark: SparkSession,
                     F.col("_ex")[2].alias("p75"),
                     ok.alias("approx_ok"))
             .orderBy("event_type"))
+
+
+_SCD_CDF_ORACLE = f"""
+WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+SELECT 'delete' AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       0.0 AS sum_price_q
+FROM base WHERE o_orderkey % 10 = 9
+UNION ALL
+SELECT 'insert',
+       CAST(COUNT(*) AS BIGINT),
+       {_rqs('SUM(1.0)', 2)}
+FROM base WHERE o_orderkey % 10 = 7
+UNION ALL
+SELECT 'update',
+       CAST(COUNT(*) AS BIGINT),
+       {_rqs("SUM(o_totalprice + CASE WHEN o_orderkey % 10 = 4 "
+             "THEN 200.0 ELSE 100.0 END)", 2)}
+FROM base WHERE o_orderkey % 10 < 3 OR o_orderkey % 10 = 4
+ORDER BY change_type
+"""
+
+
+@query("scd_change_feed", oracle=_SCD_CDF_ORACLE)
+def scd_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed between two SCD snapshots: the deterministic
+    update batch (price bumps on %10<3 and %10=4, inserts from
+    %10=7, deletes of %10=9) is applied with the batch MERGE, then
+    ``state_diff`` emits one row per changed key via ONE full-outer
+    key join with a null-safe struct comparison — output volume is
+    the churn, never the state (streaming/upsert.py; Delta CDF
+    semantics). Summarized per change_type."""
+    from pointdatabase_spark.operators.sampling import upsert_latest_wins
+    from pointdatabase_spark.streaming import upsert as _su
+    orders = testkit.load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    upd = (base.where(F.col("o_orderkey") % 10 < 3)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+           .unionByName(
+               base.where(F.col("o_orderkey") % 10 == 4)
+               .withColumn("o_totalprice",
+                           F.col("o_totalprice") + 200.0))
+           .unionByName(
+               base.where(F.col("o_orderkey") % 10 == 7)
+               .select((F.col("o_orderkey") + 1000000000)
+                       .alias("o_orderkey"), "o_custkey",
+                       F.lit(1.0).alias("o_totalprice"))))
+    merged = upsert_latest_wins(base, upd, ["o_orderkey"]).drop("_v")
+    new = merged.where(F.col("o_orderkey") % 10 != 9)
+    diff = _su.state_diff(base, new, ["o_orderkey"])
+    return (diff.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 _rq(F.sum(F.coalesce(F.col("o_totalprice"),
+                                      F.lit(0.0))), 2)
+                 .alias("sum_price_q"))
+            .orderBy("change_type"))
+
+
+_SSJ_ORACLE = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+           FROM events),
+p AS (SELECT l.user_id,
+             c.tus - l.tus AS lag_us
+      FROM (SELECT * FROM e WHERE event_type = 'click') l
+      JOIN (SELECT * FROM e WHERE event_type = 'purchase') c
+        ON l.user_id = c.user_id
+       AND c.tus BETWEEN l.tus AND l.tus + 86400000000)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(lag_us) AS BIGINT) AS sum_lag_us
+FROM p
+"""
+
+
+@query("streaming_stream_join", oracle=_SSJ_ORACLE)
+def streaming_stream_join(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click and purchase event streams
+    matched per user within a 24 h event-time band — watermarks on
+    BOTH sides plus the range condition are what bound Spark's
+    two-sided join state at scale (streaming/ingest.py). Under
+    availableNow the emitted pair set equals the batch band join
+    exactly; summarized with integer-only aggregates (pair count,
+    distinct users, exact summed lag) so the comparison needs no
+    rounding at all."""
+    from pointdatabase_spark.streaming.ingest import \
+        run_stream_stream_join_availablenow
+    out = run_stream_stream_join_availablenow(spark, sf_dir)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("lag_us").cast("long").alias("sum_lag_us"))

@@ -163,3 +163,58 @@ def run_windowed_counts_availablenow(spark: SparkSession, sf_dir: str,
      .trigger(availableNow=True)
      .start().awaitTermination())
     return spark.read.parquet(dst)
+
+
+def run_stream_stream_join_availablenow(
+        spark: SparkSession, sf_dir: str,
+        left_type: str = "click", right_type: str = "purchase",
+        band_hours: int = 24, delay: str = "1 hour") -> DataFrame:
+    """Stream-STREAM inner join (the stateful two-sided join Spark
+    keeps per-side state stores for, not the stateless broadcast
+    dim join of streaming_dim_join): two event streams, matched per
+    user when the right event lands within ``band_hours`` AFTER the
+    left one. Both sides carry watermarks AND the join carries an
+    event-time range condition — exactly what lets Spark bound and
+    evict per-side state at scale (without the range bound, state
+    grows forever). Under availableNow every pair is emitted exactly
+    once, so the inner-join result equals the batch band join —
+    the oracle property."""
+    import uuid as _uuid
+    from pointdatabase_spark.functions import timeconv
+    run_id = _uuid.uuid4().hex[:8]
+    dst = f"/tmp/pdb_ssj_out_{run_id}"
+    ckpt = f"/tmp/pdb_ssj_ckpt_{run_id}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def _side(ev_type: str, prefix: str):
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "events.parquet")
+               .parquet(sf_dir))
+        t = F.timestamp_micros(timeconv.events_tus(src))
+        return (src.where(F.col("event_type") == ev_type)
+                .select(F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("event_id").alias(f"{prefix}_id"),
+                        t.alias(f"{prefix}_time"))
+                .withWatermark(f"{prefix}_time", delay))
+
+    lft = _side(left_type, "l")
+    rgt = _side(right_type, "r")
+    cond = ((F.col("l_user") == F.col("r_user"))
+            & (F.col("r_time") >= F.col("l_time"))
+            & (F.col("r_time") <= F.col("l_time")
+               + F.expr(f"INTERVAL {int(band_hours)} HOURS")))
+    joined = (lft.join(rgt, cond, "inner")
+              .select(F.col("l_user").alias("user_id"),
+                      F.col("l_id").alias("event_id_l"),
+                      F.col("r_id").alias("event_id_r"),
+                      (F.unix_micros(F.col("r_time"))
+                       - F.unix_micros(F.col("l_time")))
+                      .alias("lag_us")))
+    (joined.writeStream.format("parquet")
+     .option("path", dst)
+     .option("checkpointLocation", ckpt)
+     .outputMode("append")
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+    return spark.read.parquet(dst)

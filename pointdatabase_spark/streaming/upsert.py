@@ -333,3 +333,32 @@ def run_upsert_stream_bucketed(spark: SparkSession, landing: str,
      .option("checkpointLocation", checkpoint)
      .trigger(availableNow=True)
      .start().awaitTermination())
+
+
+def state_diff(old: DataFrame, new: DataFrame,
+               key_cols: list[str]) -> DataFrame:
+    """Change-data feed between two snapshots of the SAME schema:
+    one row per key whose payload changed, with ``change_type`` in
+    ``insert`` / ``update`` / ``delete`` and the NEW payload (NULLs
+    for deletes) — what downstream consumers read instead of
+    re-scanning the whole state (Delta's CDF, reduced to a full
+    outer join on immutable snapshots).
+
+    One full-outer key-hash join; the payload comparison is a single
+    struct equality (null-safe) evaluated map-side post-join.
+    Unchanged keys are filtered BEFORE the result materializes, so
+    the output is proportional to the churn, not the state."""
+    pay = [c for c in old.columns if c not in key_cols]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("state_diff: snapshot schemas differ")
+    o = old.select(*key_cols,
+                   F.struct(*[F.col(c) for c in pay]).alias("_o"))
+    n = new.select(*key_cols,
+                   F.struct(*[F.col(c) for c in pay]).alias("_n"))
+    j = o.join(n, key_cols, "full_outer")
+    ct = (F.when(F.col("_o").isNull(), F.lit("insert"))
+          .when(F.col("_n").isNull(), F.lit("delete"))
+          .otherwise(F.lit("update")))
+    return (j.where(~F.col("_o").eqNullSafe(F.col("_n")))
+            .select(*key_cols, ct.alias("change_type"),
+                    *[F.col(f"_n.{c}").alias(c) for c in pay]))

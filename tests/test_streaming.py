@@ -572,3 +572,29 @@ def test_upsert_pending_marker_detects_finished_snapshot(spark,
     assert su._fs(spark, f"{state}/_batches/{dig}-0")[0].exists(
         su._fs(spark, f"{state}/_batches/{dig}-0")[1])
     assert not fs.exists(jp)
+
+
+def test_state_diff_hand_case(spark):
+    """insert / update / delete / unchanged, one of each: the CDC
+    feed emits exactly the three changed keys with the NEW payload
+    (NULLs on delete), and an identical-snapshot diff is empty."""
+    from pointdatabase_spark.streaming import upsert as su
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, p double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (9, "new", 1.0)],
+        "k long, s string, p double")
+    got = {r.k: (r.change_type, r.s, r.p) for r in
+           su.state_diff(old, new, ["k"]).collect()}
+    assert got == {2: ("update", "b", 99.0),
+                   3: ("delete", None, None),
+                   9: ("insert", "new", 1.0)}
+    assert su.state_diff(old, old, ["k"]).count() == 0
+    # null-safe payload compare: NULL == NULL is "unchanged"
+    o2 = spark.createDataFrame([(1, None, 1.0)],
+                               "k long, s string, p double")
+    assert su.state_diff(o2, o2, ["k"]).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="schemas differ"):
+        su.state_diff(old, new.drop("p"), ["k"])
