@@ -211,10 +211,23 @@ def run_stream_stream_join_availablenow(
                       (F.unix_micros(F.col("r_time"))
                        - F.unix_micros(F.col("l_time")))
                       .alias("lag_us")))
-    (joined.writeStream.format("parquet")
-     .option("path", dst)
-     .option("checkpointLocation", ckpt)
-     .outputMode("append")
-     .trigger(availableNow=True)
-     .start().awaitTermination())
+    # The two-sided join keeps a state store PER shuffle partition
+    # per side; a fixture-sized stream under local[32] would pay 64
+    # store initializations per micro-batch for kilobytes of state.
+    # Pin a small stateful parallelism for THIS stream (the partition
+    # count is baked into its fresh checkpoint) and restore the
+    # session default after the drain. At production scale the right
+    # value is executor-count-proportional — set by the caller's
+    # session, exactly what the restored default expresses.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        (joined.writeStream.format("parquet")
+         .option("path", dst)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start().awaitTermination())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(dst)

@@ -159,6 +159,11 @@ def run_stream_neardup_availablenow(spark: SparkSession, sf_dir: str,
                           * F.lit(3_600_000_000))
               .withColumn("event_time", F.timestamp_micros("tus")))
     out = stream_neardup_flags(corpus, horizon_us, delay=delay)
+    # Parallelism note: unlike the stream-stream join fixture
+    # (ingest.py, state-store-bound — pinned to 8 partitions), this
+    # stateful fn does real per-key minhash work in pandas; cutting
+    # partitions below the core count was MEASURED 2x slower at
+    # sf0.1 (24 s vs 12 s) — keep the session default.
     (out.writeStream.format("parquet")
      .option("path", dst)
      .option("checkpointLocation", ckpt)
