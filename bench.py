@@ -98,7 +98,7 @@ def main() -> None:
         "streaming_quality_gate", "streaming_sessionization",
         "streaming_neardup", "streaming_rollup", "streaming_upsert",
         "streaming_upsert_bucketed", "streaming_dim_join",
-        "streaming_stream_join",
+        "streaming_stream_join", "streaming_exact_dedup",
         "ann_index_topk", "ann_index_incremental",
         "kmeans_embeddings", "pagerank_trading_graph",
         "label_propagation_communities", "lsh_recall_audit",

@@ -69,7 +69,7 @@ _SCORE_FIRST = [
     "label_propagation_communities", "cms_frequency_audit",
     "streaming_upsert_bucketed", "hll_cardinality_audit",
     "approx_percentile_audit", "scd_change_feed",
-    "streaming_stream_join",
+    "streaming_stream_join", "streaming_exact_dedup",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -7941,3 +7941,29 @@ def streaming_stream_join(spark: SparkSession,
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.sum("lag_us").cast("long").alias("sum_lag_us"))
+
+
+_STREAM_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 7 = 0)
+SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_survivors
+FROM corpus
+"""
+
+
+@query("streaming_exact_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def streaming_exact_dedup(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (`dropDuplicatesWithinWatermark`, state
+    bounded by the watermark horizon — dedup-window x arrival-rate
+    state, never corpus history): the planted corpus with an exact
+    copy of every 7th doc drains availableNow; exactly one row per
+    distinct content fingerprint survives. WHICH copy survives is
+    arrival-order dependent, so the deterministic contract is the
+    survivor COUNT (streaming/ingest.py)."""
+    from pointdatabase_spark.streaming.ingest import \
+        run_stream_exact_dedup_availablenow
+    out = run_stream_exact_dedup_availablenow(spark, sf_dir)
+    return out.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))

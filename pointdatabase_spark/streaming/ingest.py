@@ -231,3 +231,44 @@ def run_stream_stream_join_availablenow(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(dst)
+
+
+def run_stream_exact_dedup_availablenow(
+        spark: SparkSession, sf_dir: str,
+        delay: str = "30 days") -> DataFrame:
+    """Streaming EXACT dedup via ``dropDuplicatesWithinWatermark``:
+    the planted corpus (documents + an exact copy of every 7th doc,
+    arriving at the SAME event time as its original) streams through
+    a fingerprint-keyed dedup whose state is bounded by the
+    watermark — the engine-native streaming twin of the batch
+    ``exact_dedup`` operator. WHICH copy survives is arrival-order
+    dependent (both copies are equally valid), so the deterministic
+    contract — and the oracle surface — is the SURVIVOR COUNT: one
+    row per distinct fingerprint."""
+    import uuid as _uuid
+    run_id = _uuid.uuid4().hex[:8]
+    dst = f"/tmp/pdb_sded_out_{run_id}"
+    ckpt = f"/tmp/pdb_sded_ckpt_{run_id}"
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(sf_dir)
+           .select("doc_id", "text"))
+    corpus = (src.unionByName(
+        src.where(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")))
+    corpus = (corpus
+              .withColumn("tus", (F.lit(1) + (F.col("doc_id") % 100000)
+                                  % 720).cast("long")
+                          * F.lit(3_600_000_000))
+              .withColumn("event_time", F.timestamp_micros("tus"))
+              .withColumn("fp", F.md5("text")))
+    deduped = stream_exact_dedup(corpus, "event_time", delay, ["fp"])
+    (deduped.select("fp", "event_time")
+     .writeStream.format("parquet")
+     .option("path", dst)
+     .option("checkpointLocation", ckpt)
+     .outputMode("append")
+     .trigger(availableNow=True)
+     .start().awaitTermination())
+    return spark.read.parquet(dst)

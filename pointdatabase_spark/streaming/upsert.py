@@ -362,3 +362,56 @@ def state_diff(old: DataFrame, new: DataFrame,
     return (j.where(~F.col("_o").eqNullSafe(F.col("_n")))
             .select(*key_cols, ct.alias("change_type"),
                     *[F.col(f"_n.{c}").alias(c) for c in pay]))
+
+
+def vacuum_state(spark: SparkSession, state_path: str,
+                 keep_last: int = 2) -> dict:
+    """Lakehouse maintenance for the bucketed state: keep the last
+    ``keep_last`` complete versions, delete older version manifests
+    AND every ``data/v{n}`` bucket directory no kept manifest
+    references — bounding storage at O(live buckets + churn of the
+    kept window) instead of growing forever. Returns a summary dict
+    ``{kept_versions, dropped_versions, dropped_bucket_dirs}``.
+
+    Safety: a bucket directory is deleted only when NO kept manifest
+    references it, so every kept version remains fully readable
+    (``read_state_bucketed(version=v)`` works for all kept v) — the
+    same reachability rule as Delta VACUUM, without a time-travel
+    grace period because versions are explicit."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, jver = _fs(spark, f"{state_path}/versions")
+    versions = sorted(
+        int(st.getPath().getName()) for st in fs.listStatus(jver)
+        if st.getPath().getName().isdigit()
+        and fs.exists(spark._jvm.org.apache.hadoop.fs.Path(
+            f"{state_path}/versions/{st.getPath().getName()}/_SUCCESS")))
+    keep = set(versions[-keep_last:])
+    drop = [v for v in versions if v not in keep]
+    referenced = set()
+    for v in keep:
+        for b, mv in _read_manifest(spark, state_path, v).items():
+            referenced.add((mv, b))
+    jvm = spark._jvm
+    dropped_dirs = 0
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{state_path}/data")
+    if fs.exists(data_root):
+        for vst in fs.listStatus(data_root):
+            vname = vst.getPath().getName()   # "v{n}"
+            if not vname.startswith("v") or not vname[1:].isdigit():
+                continue
+            vn = int(vname[1:])
+            for bst in fs.listStatus(vst.getPath()):
+                bname = bst.getPath().getName()
+                if not bname.startswith("_bucket="):
+                    continue
+                b = int(bname.split("=", 1)[1])
+                if (vn, b) not in referenced:
+                    fs.delete(bst.getPath(), True)
+                    dropped_dirs += 1
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{state_path}/versions/{v}"), True)
+    return {"kept_versions": sorted(keep),
+            "dropped_versions": drop,
+            "dropped_bucket_dirs": dropped_dirs}

@@ -598,3 +598,56 @@ def test_state_diff_hand_case(spark):
     import pytest
     with pytest.raises(ValueError, match="schemas differ"):
         su.state_diff(old, new.drop("p"), ["k"])
+
+
+def test_vacuum_state_keeps_referenced_buckets(spark, tmp_path):
+    """After three versions, vacuum(keep_last=2) must drop v0's
+    manifest and exactly the bucket dirs no kept manifest
+    references — both kept versions stay fully readable."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.streaming import upsert as su
+    state = str(tmp_path / "state")
+    landing = str(tmp_path / "landing")
+    B = 8
+    base = spark.range(400).select(
+        F.col("id").alias("k"), F.lit(0.0).alias("p"))
+    su.init_state_bucketed(base, state, ["k"], B)
+    spark.createDataFrame([(1, 1.0)], "k long, p double") \
+        .repartition(1).write.mode("append").parquet(landing)
+    spark.createDataFrame([(2, 2.0)], "k long, p double") \
+        .repartition(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    su.run_upsert_stream_bucketed(
+        spark, landing, "*.parquet", schema, state,
+        str(tmp_path / "ck"), ["k"], B, files_per_batch=1)
+    assert su.latest_version(spark, state) == 2
+    m1 = su._read_manifest(spark, state, 1)
+    m2 = su._read_manifest(spark, state, 2)
+    before = {r.k: r.p for r in
+              su.read_state_bucketed(spark, state, 2).collect()}
+    res = su.vacuum_state(spark, state, keep_last=2)
+    assert res["kept_versions"] == [1, 2]
+    assert res["dropped_versions"] == [0]
+    # v0 bucket dirs still referenced by the kept manifests survive;
+    # only the superseded ones are gone
+    referenced = {(mv, b) for m in (m1, m2) for b, mv in m.items()}
+    import os
+    live = set()
+    for root, dirs, _ in os.walk(f"{state}/data"):
+        for d in dirs:
+            if d.startswith("_bucket="):
+                vn = int(os.path.basename(root)[1:])
+                live.add((vn, int(d.split("=", 1)[1])))
+    assert live == referenced
+    assert res["dropped_bucket_dirs"] >= 1
+    # both kept versions read clean
+    after = {r.k: r.p for r in
+             su.read_state_bucketed(spark, state, 2).collect()}
+    assert after == before
+    assert len({r.k for r in
+                su.read_state_bucketed(spark, state, 1).collect()}) \
+        == 400
+    # dropped version is no longer resolvable
+    import pytest
+    with pytest.raises(Exception):
+        su.read_state_bucketed(spark, state, 0).collect()
