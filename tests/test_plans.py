@@ -675,3 +675,23 @@ def test_cms_lookup_broadcasts_sketch(spark):
     plan = _plan(sketch.cms_lookup(sk, q, "term", 4, 512), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_state_diff_single_full_outer_join(spark):
+    """state_diff = ONE key-hash full-outer join; the payload
+    comparison is a post-join struct filter, never a second join or
+    a Python stage; output carries only changed keys."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.streaming import upsert as su
+    old = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("p"))
+    new = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, 99.0)
+        .otherwise(F.col("id") * 1.0).alias("p"))
+    plan = _plan(su.state_diff(old, new, ["k"]), "simple")
+    joins = (plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+             + plan.count("ShuffledHashJoin"))
+    assert joins == 1, plan
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
