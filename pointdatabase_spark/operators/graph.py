@@ -169,3 +169,47 @@ def label_propagation(edges: DataFrame, iters: int = 2,
         if it < iters - 1:
             labels = labels.localCheckpoint()
     return labels.select("node", F.col("lbl").alias("label"))
+
+
+def butterfly_count(edges: DataFrame, left: str = "src",
+                    right: str = "dst",
+                    max_degree: int | None = None) -> DataFrame:
+    """Bipartite butterfly (4-cycle) census — the bipartite analog of
+    triangle counting (Wang et al., "Butterfly Counting in Bipartite
+    Networks", 2014): a butterfly is two left nodes sharing two
+    right nodes; their density is the bipartite clustering signal
+    fraud/recsys pipelines monitor. Returns ONE row::
+
+        (n_edges, n_wedges, n_butterflies)
+
+    where ``n_wedges`` counts left-node pairs THROUGH a shared right
+    node (with multiplicity) and ``n_butterflies = Σ_pairs C(m, 2)``
+    over each pair's common-neighbor count ``m``.
+
+    Scale: the wedge join on the right key costs Σ_r deg(r)² — the
+    same Σdf² shape as the n-gram Jaccard posting join, with the
+    same valve: ``max_degree`` drops right nodes hotter than the cap
+    BEFORE the self-join (a super-hot hub contributes C(deg,2)
+    wedges that swamp the census anyway; the standard
+    vertex-priority/cap mitigation). After the join everything is
+    (left-pair)-keyed counting — exact BIGINT arithmetic
+    end-to-end."""
+    e = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+         .distinct())
+    if max_degree is not None:
+        deg = e.groupBy("r").agg(F.count(F.lit(1)).alias("_d"))
+        e = (e.join(deg.where(F.col("_d") <= int(max_degree)), "r")
+             .select("l", "r"))
+    a = e.select(F.col("l").alias("l1"), F.col("r").alias("r1"))
+    b = e.select(F.col("l").alias("l2"), F.col("r").alias("r2"))
+    wedges = (a.join(b, (F.col("r1") == F.col("r2"))
+                     & (F.col("l1") < F.col("l2")))
+              .groupBy("l1", "l2")
+              .agg(F.count(F.lit(1)).alias("m")))
+    return (wedges.agg(
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_wedges"),
+        F.coalesce(F.sum(F.col("m") * (F.col("m") - 1) / 2),
+                   F.lit(0)).cast("long").alias("n_butterflies"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_edges")))
+        .select("n_edges", "n_wedges", "n_butterflies"))

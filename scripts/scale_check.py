@@ -363,6 +363,10 @@ def main() -> None:
                 "label_propagation_communities"](spark, sf)),
         "cms_frequency_audit": lambda sf: _registry.all_queries()[
             "cms_frequency_audit"](spark, sf),
+        "scd_change_feed": lambda sf: _registry.all_queries()[
+            "scd_change_feed"](spark, sf),
+        "bipartite_butterflies": lambda sf: _registry.all_queries()[
+            "bipartite_butterflies"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare

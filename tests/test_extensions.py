@@ -1907,3 +1907,33 @@ def test_upsert_ckpt_digest_slash_insensitive(spark):
     from pointdatabase_spark.streaming import upsert as su
     assert su._ckpt_digest("/x/ck") == su._ckpt_digest("/x/ck/")
     assert su._ckpt_digest("/x/ck") != su._ckpt_digest("/x/ck2")
+
+
+def test_butterfly_count_hand_case(spark):
+    """K_{2,2} is exactly one butterfly; adding a pendant edge adds
+    wedges=0 (its right node has degree 1); the degree cap drops a
+    hot hub entirely."""
+    from pointdatabase_spark.operators import graph
+    # left {1,2} x right {10,11} complete, plus pendant (3, 12)
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)],
+        "src long, dst long")
+    r = graph.butterfly_count(edges).collect()[0]
+    # wedges: pair (1,2) through 10 and through 11 -> m=2 -> C(2,2)=1
+    assert (r.n_edges, r.n_wedges, r.n_butterflies) == (5, 2, 1)
+    # hub 10 connected to 4 lefts: uncapped adds C(4,2)=6 wedges
+    hub = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 10), (1, 11), (2, 11)],
+        "src long, dst long")
+    full = graph.butterfly_count(hub).collect()[0]
+    assert (full.n_wedges, full.n_butterflies) == (7, 1)
+    capped = graph.butterfly_count(hub, max_degree=3).collect()[0]
+    # hub 10 (deg 4) dropped: only the (1,2)-through-11 wedge remains
+    assert (capped.n_edges, capped.n_wedges,
+            capped.n_butterflies) == (2, 1, 0)
+    # duplicate edges must not double-count (distinct contract)
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 10), (2, 11), (1, 11)],
+        "src long, dst long")
+    d = graph.butterfly_count(dup).collect()[0]
+    assert (d.n_edges, d.n_wedges, d.n_butterflies) == (4, 2, 1)
