@@ -171,6 +171,134 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     return labels.select("node", F.col("lbl").alias("label"))
 
 
+def triangle_census(edges: DataFrame, src: str = "src",
+                    dst: str = "dst",
+                    max_degree: int | None = None) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficients on an
+    undirected simple graph (input edges are canonicalized: both
+    orientations collapse, self-loops drop). Returns one row per node
+    with ≥1 surviving edge::
+
+        (node long, deg long, tri long, ccoef_ppm long)
+
+    where ``tri`` is the number of triangles through the node and
+    ``ccoef_ppm = (2e6·tri) div (deg·(deg−1)))`` — Watts–Strogatz
+    local clustering in exact parts-per-million (BIGINT ``div``; no
+    float ever touches the ratio, so the DuckDB ``//`` oracle matches
+    bit-for-bit). Global transitivity derives from this output alone:
+    ``3·Σtri/3`` triangles against ``Σ C(deg,2)`` wedges — one extra
+    aggregate, no second pass over edges.
+
+    Algorithm: the degree-ordered orientation (Chiba–Nishizeki /
+    Cohen's MapReduce form, Suri & Vassilvitskii WWW'11): each edge
+    orients from its (deg, id)-smaller endpoint to the larger, so
+    every out-neighborhood has O(√m) arcs and each triangle is
+    enumerated EXACTLY once as wedge (a→b, a→c), (deg,id)_b <
+    (deg,id)_c, closed by arc b→c. Scale: the wedge join costs
+    Σ C(outdeg,2) ≤ O(m^1.5) — the optimal bound for exact triangle
+    enumeration — and carries only (id, id, deg) triples; per-node
+    counting is a map-side-combined groupBy. ``max_degree`` is the
+    standard hot-hub valve (drop nodes hotter than the cap BEFORE
+    orientation — same Σdeg² story as butterfly_count's).
+
+    No reference counterpart (extension surface)."""
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    ends = lambda e: e.select(F.col("u").alias("n")).unionAll(
+        e.select(F.col("v").alias("n")))
+    if max_degree is not None:
+        d0 = ends(und).groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        hot = d0.where(F.col("d") > int(max_degree)).select("n")
+        und = (und.join(hot, und["u"] == hot["n"], "left_anti")
+               .join(hot, und["v"] == hot["n"], "left_anti"))
+    # und feeds four consumers (degrees, orientation, the closing-arc
+    # probe, the final node list); materialize it once — for a derived
+    # edge list (e.g. a support-filtered co-occurrence graph) the
+    # upstream pair-counting join is the expensive part and must not
+    # replay per consumer.
+    und = und.localCheckpoint()
+    deg = ends(und).groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    w = (und.join(deg.select(F.col("n").alias("u"),
+                             F.col("d").alias("du")), "u")
+         .join(deg.select(F.col("n").alias("v"),
+                          F.col("d").alias("dv")), "v"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    arcs = (w.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hd"))
+        .localCheckpoint())
+    t1 = arcs.select(F.col("a"), F.col("b"), F.col("hd").alias("hb"))
+    t2 = arcs.select(F.col("a"), F.col("b").alias("c"),
+                     F.col("hd").alias("hc"))
+    wedges = t1.join(t2, (t1["a"] == t2["a"])
+                     & ((F.col("hb") < F.col("hc"))
+                        | ((F.col("hb") == F.col("hc"))
+                           & (F.col("b") < F.col("c"))))).select(
+        t1["a"].alias("ta"), "b", "c")
+    closer = arcs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tris = wedges.join(closer, ["b", "c"], "left_semi")
+    pern = (tris.select(F.col("ta").alias("n"))
+            .unionAll(tris.select(F.col("b").alias("n")))
+            .unionAll(tris.select(F.col("c").alias("n")))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("t")))
+    return (deg.join(pern, "n", "left")
+            .select(F.col("n").cast("long").alias("node"),
+                    F.col("d").cast("long").alias("deg"),
+                    F.coalesce("t", F.lit(0)).cast("long").alias("tri"),
+                    F.when(F.col("d") >= 2,
+                           F.expr("(2000000 * coalesce(t, 0)) "
+                                  "div (d * (d - 1))"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("ccoef_ppm")))
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 2,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-round k-core peeling on an undirected simple graph
+    (Seidman 1983; the Batagelj–Zaveršnik peel expressed as
+    synchronous rounds): each round drops every node whose CURRENT
+    degree is below ``k`` (and the edges touching it), simultaneously.
+    Returns ``(node long, deg long)`` — the surviving subgraph's nodes
+    with their degrees after ``rounds`` rounds; run until fixpoint it
+    is exactly the k-core. The corpus-pipeline use is spam/boilerplate
+    host pruning: the k-core of a host link graph is the densely
+    cross-linked nucleus, the complement of the long drop-off tail.
+
+    Fixed rounds (not fixpoint) keep the cost model explicit — each
+    round is ONE endpoint-count aggregate + two semi-joins carrying
+    bare ids — and make the result a pure unrollable function of the
+    graph (the same determinism trade as label_propagation), so a CTE
+    oracle can replay it round for round. Synchronous semantics: a
+    node is judged on the round-START degree, so mutually-dependent
+    marginal nodes drop together (the standard parallel peel).
+
+    No reference counterpart (extension surface)."""
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1, got {k=} {rounds=}")
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct().localCheckpoint())
+    for r in range(rounds):
+        deg = (und.select(F.col("u").alias("n"))
+               .unionAll(und.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.where(F.col("d") >= int(k)).select("n")
+        und = (und.join(keep, und["u"] == keep["n"], "left_semi")
+               .join(keep, und["v"] == keep["n"], "left_semi"))
+        if r < rounds - 1:  # keep each round's plan one step deep
+            und = und.localCheckpoint()
+    return (und.select(F.col("u").alias("n"))
+            .unionAll(und.select(F.col("v").alias("n")))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+            .select(F.col("n").cast("long").alias("node"),
+                    F.col("d").cast("long").alias("deg")))
+
+
 def butterfly_count(edges: DataFrame, left: str = "src",
                     right: str = "dst",
                     max_degree: int | None = None) -> DataFrame:

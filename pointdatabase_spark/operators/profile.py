@@ -281,6 +281,61 @@ def robust_outliers(df: DataFrame, group_cols: list[str],
     return cen.select(*group_cols, "n", "med_q", "mad_q", "n_outliers")
 
 
+def key_skew_report(df: DataFrame, key_col: str,
+                    percentiles: tuple[int, ...] = (50, 90, 99)
+                    ) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the measurement that decides
+    whether a key needs salting (operators/joins.salted_join) or can
+    ride AQE's skew-split. ONE output row::
+
+        (n_rows, n_keys, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+         mean_cnt_ppm, skew_ratio_ppm, top_key)
+
+    ``pXX_cnt`` are EXACT percentiles of the per-key row-count
+    distribution (value at ascending rank ⌈p·n_keys/100⌉ — nearest-
+    rank definition, no interpolation); ``mean_cnt_ppm =
+    (1e6·n_rows) div n_keys`` and ``skew_ratio_ppm = (1e6·max_cnt·
+    n_keys) div n_rows`` (max/mean — 1 000 000 means perfectly
+    uniform) are exact BIGINT arithmetic end-to-end, so a DuckDB
+    oracle reproduces every field bit-for-bit. ``top_key`` is the
+    hottest key (ties to the smallest key string).
+
+    Scale: one map-side-combined groupBy on the key, then everything
+    operates on the per-key count table — and the percentile pass
+    compresses it further to the DISTINCT-count-value distribution
+    ``(cnt, freq)`` with a cumulative sum ordered by cnt, so the only
+    single-partition window runs over |distinct frequency values|
+    rows (bounded by max_cnt in the worst case, typically tiny) —
+    never over the keys themselves. No sort of the key table, no
+    driver collect."""
+    cnt = (df.groupBy(F.col(key_col).cast("string").alias("k"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    stats = cnt.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_cnt"),
+        F.min_by("k", F.struct((-F.col("c")).alias("nc"),
+                               F.col("k").alias("k"))).alias("top_key"))
+    dist = (cnt.groupBy("c").agg(F.count(F.lit(1)).alias("f"))
+            .withColumn("cum", F.expr(
+                "sum(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND CURRENT ROW)")))
+    pct = [F.min(F.when(
+        F.col("cum") >= F.expr(f"({p} * n_keys + 99) div 100"),
+        F.col("c"))).cast("long").alias(f"p{p}_cnt")
+        for p in percentiles]
+    return (dist.crossJoin(F.broadcast(stats))
+            .groupBy("n_rows", "n_keys", "max_cnt", "top_key")
+            .agg(*pct)
+            .select("n_rows", "n_keys", "max_cnt",
+                    *[f"p{p}_cnt" for p in percentiles],
+                    F.expr("(1000000 * n_rows) div n_keys")
+                    .cast("long").alias("mean_cnt_ppm"),
+                    F.expr("(1000000 * max_cnt * n_keys) div n_rows")
+                    .cast("long").alias("skew_ratio_ppm"),
+                    "top_key"))
+
+
 def chi2_drift(df: DataFrame, group_col, value_col: str,
                buckets: int = 10,
                scale: float = 1_000_000.0) -> DataFrame:

@@ -70,7 +70,8 @@ _SCORE_FIRST = [
     "streaming_upsert_bucketed", "hll_cardinality_audit",
     "approx_percentile_audit", "scd_change_feed",
     "streaming_stream_join", "streaming_exact_dedup",
-    "bipartite_butterflies",
+    "bipartite_butterflies", "triangle_census", "graph_transitivity",
+    "kcore_parts", "join_skew_report",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -8008,3 +8009,187 @@ def bipartite_butterflies(spark: SparkSession,
              .select(F.col("o_custkey").alias("src"),
                      F.col("l_partkey").alias("dst")))
     return _graph.butterfly_count(edges, max_degree=40)
+
+
+# --------------------------------------------------------------------------
+# Unipartite graph analytics (operators/graph.py) over the part
+# CO-PURCHASE graph: parts are adjacent when they appear together in
+# >= 2 distinct orders (the frequent-pair support prune — one repeat
+# is affinity, one co-occurrence is noise; it also keeps the graph
+# sparse the way real co-occurrence graphs are). All counting is
+# exact BIGINT arithmetic; the oracles replay the degree-ordered
+# wedge enumeration / peel rounds as CTEs and match bit-for-bit.
+# --------------------------------------------------------------------------
+
+_COPURCHASE_CTE = """
+op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pe AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       GROUP BY a.p, b.p),
+e AS (SELECT u, v FROM pe WHERE c >= 2),
+dg AS (SELECT n, COUNT(*) AS d
+       FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+       GROUP BY n)
+"""
+
+_TRIANGLE_TAIL = """
+arcs AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                     THEN e.u ELSE e.v END AS a,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                     THEN e.v ELSE e.u END AS b,
+                CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+                     THEN dv.d ELSE du.d END AS hd
+         FROM e JOIN dg du ON e.u = du.n JOIN dg dv ON e.v = dv.n),
+tr AS (SELECT t1.a AS a, t1.b AS b, t2.b AS c
+       FROM arcs t1 JOIN arcs t2 ON t1.a = t2.a
+            AND (t1.hd < t2.hd OR (t1.hd = t2.hd AND t1.b < t2.b))
+       WHERE EXISTS (SELECT 1 FROM arcs cl
+                     WHERE cl.a = t1.b AND cl.b = t2.b)),
+pern AS (SELECT n, COUNT(*) AS t
+         FROM (SELECT a AS n FROM tr UNION ALL SELECT b FROM tr
+               UNION ALL SELECT c FROM tr)
+         GROUP BY n),
+census AS (SELECT dg.n AS node, dg.d AS d, COALESCE(pern.t, 0) AS t
+           FROM dg LEFT JOIN pern ON dg.n = pern.n)
+"""
+
+_TRIANGLE_ORACLE = f"""
+WITH {_COPURCHASE_CTE}, {_TRIANGLE_TAIL}
+SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS deg,
+       CAST(t AS BIGINT) AS tri,
+       CAST(CASE WHEN d >= 2 THEN (2000000 * t) // (d * (d - 1))
+                 ELSE 0 END AS BIGINT) AS ccoef_ppm
+FROM census
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"),
+                   F.col("l_partkey").alias("p")).distinct()
+    o2 = op.select(F.col("o"), F.col("p").alias("p2"))
+    return (op.join(o2, (op["o"] == o2["o"]) & (op["p"] < o2["p2"]))
+            .groupBy(op["p"].alias("src"), F.col("p2").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") >= 2)
+            .select("src", "dst"))
+
+
+@query("triangle_census", oracle=_TRIANGLE_ORACLE)
+def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + exact-ppm local clustering on the
+    support-2 part co-purchase graph, via the degree-ordered wedge
+    enumeration (Σ C(outdeg,2) ≤ O(m^1.5) join volume, each triangle
+    found exactly once; operators/graph.py). The co-occurrence pair
+    join upstream is bounded by Σ_orders C(|order|,2) — max order
+    size ~17 on this data, the same in-group quadratic bound as the
+    shingle posting join."""
+    from pointdatabase_spark.operators import graph as _graph
+    return _graph.triangle_census(_copurchase_edges(spark, sf_dir))
+
+
+_TRANSITIVITY_ORACLE = f"""
+WITH {_COPURCHASE_CTE}, {_TRIANGLE_TAIL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+       CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+       CAST(SUM(t) // 3 AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN SUM(d * (d - 1) // 2) > 0
+                 THEN (1000000 * SUM(t)) // (SUM(d * (d - 1) // 2))
+                 ELSE 0 END AS BIGINT) AS transitivity_ppm
+FROM census
+"""
+
+
+@query("graph_transitivity", oracle=_TRANSITIVITY_ORACLE)
+def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (3·triangles / wedges, exact ppm) of the
+    co-purchase graph — derived entirely from triangle_census's
+    per-node output (Σtri counts each triangle 3×, which IS the
+    3·triangles numerator) + one final aggregate; no second edge
+    pass."""
+    from pointdatabase_spark.operators import graph as _graph
+    census = _graph.triangle_census(_copurchase_edges(spark, sf_dir))
+    wedge = F.sum(F.expr("deg * (deg - 1) div 2"))
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("sum(deg) div 2").cast("long").alias("n_edges"),
+        wedge.cast("long").alias("n_wedges"),
+        F.expr("sum(tri) div 3").cast("long").alias("n_triangles"),
+        F.when(wedge > 0,
+               F.expr("(1000000 * sum(tri)) "
+                      "div (sum(deg * (deg - 1) div 2))"))
+        .otherwise(F.lit(0)).cast("long").alias("transitivity_ppm"))
+
+
+_KCORE_ORACLE = f"""
+WITH {_COPURCHASE_CTE},
+k1 AS (SELECT n FROM dg WHERE d >= 2),
+e1 AS (SELECT e.u, e.v FROM e JOIN k1 a ON e.u = a.n
+                              JOIN k1 b ON e.v = b.n),
+d2 AS (SELECT n, COUNT(*) AS d
+       FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+       GROUP BY n),
+k2 AS (SELECT n FROM d2 WHERE d >= 2),
+e2 AS (SELECT e1.u, e1.v FROM e1 JOIN k2 a ON e1.u = a.n
+                                 JOIN k2 b ON e1.v = b.n)
+SELECT CAST(n AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+GROUP BY n
+"""
+
+
+@query("kcore_parts", oracle=_KCORE_ORACLE)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous 2-core peel rounds on the co-purchase graph
+    (operators/graph.kcore): each round drops every node whose
+    round-start degree is < 2 with its edges — the host/spam-nucleus
+    prune. Each round is one endpoint-count aggregate + two id-only
+    semi-joins; the oracle unrolls both rounds as CTEs."""
+    from pointdatabase_spark.operators import graph as _graph
+    return _graph.kcore(_copurchase_edges(spark, sf_dir), k=2,
+                        rounds=2)
+
+
+_SKEW_ORACLE = """
+WITH cnt AS (SELECT CAST(l_partkey AS VARCHAR) AS k, COUNT(*) AS c
+             FROM lineitem GROUP BY 1),
+s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_cnt,
+             (SELECT k FROM cnt ORDER BY c DESC, k LIMIT 1) AS top_key
+      FROM cnt),
+dist AS (SELECT c, COUNT(*) AS f FROM cnt GROUP BY c),
+cum AS (SELECT c, SUM(f) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum
+        FROM dist)
+SELECT s.n_rows, s.n_keys, s.max_cnt,
+       CAST((SELECT MIN(c) FROM cum
+             WHERE cum >= (50 * s.n_keys + 99) // 100) AS BIGINT)
+         AS p50_cnt,
+       CAST((SELECT MIN(c) FROM cum
+             WHERE cum >= (90 * s.n_keys + 99) // 100) AS BIGINT)
+         AS p90_cnt,
+       CAST((SELECT MIN(c) FROM cum
+             WHERE cum >= (99 * s.n_keys + 99) // 100) AS BIGINT)
+         AS p99_cnt,
+       CAST((1000000 * s.n_rows) // s.n_keys AS BIGINT)
+         AS mean_cnt_ppm,
+       CAST((1000000 * s.max_cnt * s.n_keys) // s.n_rows AS BIGINT)
+         AS skew_ratio_ppm,
+       s.top_key
+FROM s
+"""
+
+
+@query("join_skew_report", oracle=_SKEW_ORACLE)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for lineitem's part key — exact
+    nearest-rank percentiles of the per-key count distribution, max/
+    mean skew ratio in exact ppm, hottest key (profile.key_skew_
+    report): the measurement that decides salting vs AQE skew-split
+    BEFORE a 100 TB join, with the only single-partition window over
+    the distinct-count-value distribution, never the keys."""
+    from pointdatabase_spark.operators.profile import key_skew_report
+    li = testkit.load_table(spark, sf_dir, "lineitem")
+    return key_skew_report(li, "l_partkey")

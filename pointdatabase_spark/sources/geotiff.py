@@ -28,8 +28,10 @@ engine splits the operator the Spark-first way:
   (band-separate) interleave, plus palette-color files (index band
   + ``read_palette`` colormap, GDAL's band-1 semantics).  JPEG uses
   the package's own baseline codec (sources/jpeg.py) and understands
-  the shared-JPEGTables abbreviated-stream layout GDAL writes.  Only
-  old-style JPEG (compression 6) still raises.
+  the shared-JPEGTables abbreviated-stream layout GDAL writes, plus
+  old-style JPEG (compression 6) files carrying the whole-image
+  JPEGInterchangeFormat stream (tag 513) — only the fragmented
+  per-strip old-style variant (broken by design, TechNote 2) raises.
 
 The LZW codec is a from-scratch TIFF 6.0 §13 implementation
 (MSB-first variable-width codes, early change) — both directions, so
@@ -76,6 +78,11 @@ _TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
 
 _COLORMAP = 320
 _JPEG_TABLES = 347
+# old-style JPEG-in-TIFF (TIFF 6.0 §22): one complete interchange
+# stream embedded at tag 513, length tag 514 — the only layout of the
+# deprecated scheme that survived in the wild (early libtiff, EXIF).
+_JPEG_IF = 513
+_JPEG_IF_LEN = 514
 
 # compression codes: 1 none, 5 LZW, 7 new-style JPEG, 8 Adobe deflate,
 # 32946 old deflate, 6 old-style JPEG (broken by design, never written)
@@ -589,8 +596,11 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     IEEE-float or integer samples, chunky OR planar (band-separate)
     interleave.  Palette-color files return the raw INDEX values as
     band 1 — exactly GDAL's palette band semantics; resolve colors
-    with :func:`read_palette`.  Only old-style JPEG (6) and exotic
-    sample formats still raise with a pointer at rasterio."""
+    with :func:`read_palette`.  Old-style JPEG (6) decodes when the
+    file carries the whole-image JPEGInterchangeFormat stream (tag
+    513 — the only surviving layout of the deprecated scheme); only
+    its fragmented per-strip variant and exotic sample formats still
+    raise with a pointer at rasterio."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:2] == b"II":
@@ -603,11 +613,15 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     comp = tags.get(_COMPRESSION, [1])[0]
     predictor = tags.get(_PREDICTOR, [1])[0]
     fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
-    if comp == _COMP_JPEG_OLD:
+    if comp == _COMP_JPEG_OLD and _JPEG_IF not in tags:
+        # The per-strip tag soup (512/515-521) of the deprecated
+        # scheme was broken by design (TIFF TechNote 2) and never
+        # interoperable; only the whole-image interchange-stream
+        # escape (tag 513, handled below) exists in surviving files.
         raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6) is unreadably "
-            "underspecified and long deprecated; re-export with "
-            "new-style JPEG (7)")
+            "old-style JPEG-in-TIFF (compression 6) without a "
+            "JPEGInterchangeFormat stream (tag 513) is unreadably "
+            "underspecified; re-export with new-style JPEG (7)")
     planar = tags.get(_PLANAR_CONFIG, [1])[0]
     if planar not in (1, 2):
         raise ValueError(f"bad PlanarConfiguration {planar}")
@@ -655,7 +669,27 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     # 0's segments, then band 1's, ...; each segment holds one sample
     n_planes = n_bands if planar == 2 else 1
     seg_bands = 1 if planar == 2 else n_bands
-    if _TILE_WIDTH in tags:
+    if comp == _COMP_JPEG_OLD:
+        # One complete JFIF stream covers the whole image; strip
+        # layout tags, if present, are ignored (they routinely lie in
+        # old-style files — the reason TechNote 2 deprecated them).
+        if bits != 8 or kind != "u" or planar != 1:
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF is 8-bit unsigned chunky only")
+        o = tags[_JPEG_IF][0]
+        c = tags.get(_JPEG_IF_LEN, [len(buf) - o])[0]
+        from pointdatabase_spark.sources.jpeg import decode_jpeg
+        px = decode_jpeg(buf[o:o + c])
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[2] != n_bands:
+            raise ValueError(
+                f"embedded JPEG has {px.shape[2]} channels, "
+                f"IFD declares {n_bands}")
+        z = np.zeros((ny, nx, n_bands), np.float64)
+        z[:min(ny, px.shape[0]), :min(nx, px.shape[1]), :] = (
+            px[:ny, :nx, :])
+    elif _TILE_WIDTH in tags:
         tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         offs = tags[_TILE_OFFSETS]
         counts = tags[_TILE_BYTE_COUNTS]

@@ -367,6 +367,15 @@ def main() -> None:
             "scd_change_feed"](spark, sf),
         "bipartite_butterflies": lambda sf: _registry.all_queries()[
             "bipartite_butterflies"](spark, sf),
+        # r10 session 2: triangle/kcore localCheckpoint the derived
+        # edge list at construction -> builders; skew report is lazy
+        "triangle_census": lambda sf: (
+            lambda: _registry.all_queries()["triangle_census"](
+                spark, sf)),
+        "kcore_parts": lambda sf: (
+            lambda: _registry.all_queries()["kcore_parts"](spark, sf)),
+        "join_skew_report": lambda sf: _registry.all_queries()[
+            "join_skew_report"](spark, sf),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare

@@ -1937,3 +1937,69 @@ def test_butterfly_count_hand_case(spark):
         "src long, dst long")
     d = graph.butterfly_count(dup).collect()[0]
     assert (d.n_edges, d.n_wedges, d.n_butterflies) == (4, 2, 1)
+
+
+def test_triangle_census_hand_case(spark):
+    """K4 + pendant: every K4 node sits in C(3,2)=3 triangles; the
+    hub's ccoef is diluted by the pendant (3/C(4,2) = 0.5); duplicate
+    and reversed edges collapse (canonical-distinct contract); the
+    degree cap drops the hub and with it every triangle."""
+    from pointdatabase_spark.operators import graph
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (5, 1), (1, 5), (2, 3)],  # reversed + duplicate edges
+        "src long, dst long")
+    rows = {r.node: r for r in graph.triangle_census(edges).collect()}
+    assert (rows[1].deg, rows[1].tri, rows[1].ccoef_ppm) == (4, 3, 500000)
+    for n in (2, 3, 4):
+        assert (rows[n].deg, rows[n].tri,
+                rows[n].ccoef_ppm) == (3, 3, 1000000)
+    assert (rows[5].deg, rows[5].tri, rows[5].ccoef_ppm) == (1, 0, 0)
+    # cap at 3: node 1 (deg 4) drops -> K3 on {2,3,4} remains
+    capped = {r.node: r
+              for r in graph.triangle_census(edges, max_degree=3)
+              .collect()}
+    assert 1 not in capped and 5 not in capped
+    assert all(capped[n].tri == 1 and capped[n].deg == 2
+               for n in (2, 3, 4))
+
+
+def test_kcore_hand_case(spark):
+    """Chain c1-c2-c3 peels outside-in: one 2-core round removes the
+    endpoints, the second round removes the now-isolated middle —
+    synchronous round-start degrees, so one round is NOT enough."""
+    from pointdatabase_spark.operators import graph
+    # K4 {1..4} + chain 4-6-7 hanging off it
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 6), (6, 7)], "src long, dst long")
+    one = {r.node: r.deg for r in
+           graph.kcore(edges, k=2, rounds=1).collect()}
+    # round 1: only 7 (deg 1) peels; 6 keeps round-START deg 2
+    assert one == {1: 3, 2: 3, 3: 3, 4: 4, 6: 1}
+    two = {r.node: r.deg for r in
+           graph.kcore(edges, k=2, rounds=2).collect()}
+    # round 2: 6's degree fell to 1 -> peels; K4 survives
+    assert two == {1: 3, 2: 3, 3: 3, 4: 3}
+    import pytest
+    with pytest.raises(ValueError):
+        graph.kcore(edges, k=0)
+
+
+def test_key_skew_report_hand_case(spark):
+    """Exact nearest-rank percentiles and ppm ratios on a known
+    distribution; top-key tie breaks to the smallest key string."""
+    from pointdatabase_spark.operators.profile import key_skew_report
+    rows = ([("a",)] * 1 + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 4)
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_cnt) == (10, 4, 4)
+    # ranks: ceil(.5*4)=2 -> 2; ceil(.9*4)=4 -> 4; ceil(.99*4)=4 -> 4
+    assert (r.p50_cnt, r.p90_cnt, r.p99_cnt) == (2, 4, 4)
+    assert r.mean_cnt_ppm == 2500000      # 10e6 div 4
+    assert r.skew_ratio_ppm == 1600000    # 1e6*4*4 div 10
+    assert r.top_key == "d"
+    # tie on the hot count -> smallest key string wins
+    tie = spark.createDataFrame(
+        [("z",), ("z",), ("y",), ("y",), ("x",)], "k string")
+    assert key_skew_report(tie, "k").collect()[0].top_key == "y"

@@ -350,3 +350,103 @@ def test_jpeg_in_tiff_reads_back_within_codec_error(tmp_path):
     assert isinstance(tags[347], bytes) and b"\xff\xc4" in tags[347]
     with pytest.raises(ValueError, match="uint8"):
         write_geotiff(g1, path, dtype="float32", compress="jpeg")
+
+
+def _write_old_style_jpeg_tiff(path, jfif, ny, nx, n_bands,
+                               with_len=True):
+    """Hand-assemble the deprecated old-style JPEG-in-TIFF layout
+    (compression 6 + whole-image JPEGInterchangeFormat stream at tag
+    513) that no modern writer emits but legacy corpora still carry
+    — early libtiff and EXIF-era scanners (TIFF 6.0 §22)."""
+    import struct
+    T_SHORT, T_LONG, T_DOUBLE = 3, 4, 12
+    entries = [
+        (256, T_LONG, [nx]), (257, T_LONG, [ny]),
+        (258, T_SHORT, [8] * n_bands),
+        (259, T_SHORT, [6]),                       # old-style JPEG
+        (262, T_SHORT, [6 if n_bands == 3 else 1]),
+        (277, T_SHORT, [n_bands]),
+        # lying strip tags, routinely present in real old-style files
+        (273, T_LONG, [0]), (279, T_LONG, [0]), (278, T_LONG, [ny]),
+        (33550, T_DOUBLE, [1.0, 1.0, 0.0]),
+        (33922, T_DOUBLE, [0.0, 0.0, 0.0, 0.0, float(ny), 0.0]),
+    ]
+    fmt = {T_SHORT: "H", T_LONG: "I", T_DOUBLE: "d"}
+    size = {T_SHORT: 2, T_LONG: 4, T_DOUBLE: 8}
+    n = len(entries) + 1 + (1 if with_len else 0)
+    ifd_size = 2 + 12 * n + 4
+    extra_off = 8 + ifd_size
+    extra = bytearray()
+    fields = []
+    jfif_tags = [(513, T_LONG, None)]
+    if with_len:
+        jfif_tags.append((514, T_LONG, [len(jfif)]))
+    for tag, typ, vals in sorted(entries + jfif_tags):
+        if tag == 513:
+            # patched after extra is final: stream lands after extras
+            fields.append((tag, typ, 1, None))
+            continue
+        raw = b"".join(struct.pack("<" + fmt[typ], v) for v in vals)
+        if len(raw) <= 4:
+            fields.append((tag, typ, len(vals), raw.ljust(4, b"\x00")))
+        else:
+            fields.append((tag, typ, len(vals),
+                           struct.pack("<I", extra_off + len(extra))))
+            extra.extend(raw)
+    jfif_off = extra_off + len(extra)
+    fields = [(t, ty, c, struct.pack("<I", jfif_off) if v is None
+               else v) for t, ty, c, v in fields]
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", n)
+    for tag, typ, count, val4 in fields:
+        out += struct.pack("<HHI", tag, typ, count) + val4
+    out += struct.pack("<I", 0)
+    out += extra
+    out += jfif
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def test_read_old_style_jpeg_in_tiff(tmp_path):
+    """Compression-6 files with a whole-image interchange stream (tag
+    513) decode identically to the bare JFIF stream; gray and RGB,
+    with and without the length tag (514); the fragmented variant
+    without tag 513 still raises."""
+    import pytest
+    from pointdatabase_spark.sources.geotiff import read_geotiff
+    from pointdatabase_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    rng = np.arange(33 * 48, dtype=np.uint8).reshape(33, 48)
+    smooth = ((rng.astype(np.int32) * 3) % 200).astype(np.uint8)
+    jf = encode_jpeg(smooth, quality=95)
+    exp = decode_jpeg(jf).astype(np.float64)
+    p = str(tmp_path / "old.tif")
+    _write_old_style_jpeg_tiff(p, jf, 33, 48, 1)
+    g = read_geotiff(p)
+    assert g.z.shape == exp.shape
+    assert np.array_equal(g.z[::-1, :], exp)  # Grid flips to y-asc
+    # missing length tag: stream runs to EOF, decoder stops at EOI
+    p2 = str(tmp_path / "old_nolen.tif")
+    _write_old_style_jpeg_tiff(p2, jf, 33, 48, 1, with_len=False)
+    assert np.array_equal(read_geotiff(p2).z, g.z)
+    # RGB via band selection
+    rgb = np.stack([smooth, smooth[::-1], smooth.T[:33, :33].repeat(
+        2, 1)[:, :48]], axis=-1).astype(np.uint8)
+    jf3 = encode_jpeg(rgb, quality=95)
+    exp3 = decode_jpeg(jf3).astype(np.float64)
+    p3 = str(tmp_path / "old3.tif")
+    _write_old_style_jpeg_tiff(p3, jf3, 33, 48, 3)
+    for b in (1, 2, 3):
+        assert np.array_equal(read_geotiff(p3, band=b).z[::-1, :],
+                              exp3[:, :, b - 1])
+    # fragmented old-style (no tag 513) keeps its precise gate
+    blank = bytearray(open(p, "rb").read())
+    import struct as _s
+    nent = _s.unpack("<H", blank[8:10])[0]
+    for k in range(nent):
+        e = 10 + 12 * k
+        if _s.unpack("<H", blank[e:e + 2])[0] == 513:
+            blank[e:e + 2] = _s.pack("<H", 515)  # retag -> gone
+    p4 = str(tmp_path / "frag.tif")
+    open(p4, "wb").write(bytes(blank))
+    with pytest.raises(NotImplementedError, match="tag 513"):
+        read_geotiff(p4)

@@ -157,7 +157,11 @@ def test_knn_join_scales_sublinearly(spark):
     import scale_check
     from pointdatabase_spark import queries as registry
 
-    scale_check.build_sf1(["lineitem"])
+    # the query batch comes from the events-derived point table
+    # (testkit.syn_points2), so sf1 needs BOTH tables — building only
+    # lineitem passes when an earlier run left a full /tmp fixture
+    # and fails on a fresh machine (r10 session-2 fix)
+    scale_check.build_sf1(["lineitem", "events"])
 
     def op(s, sf):
         return registry.all_queries()["knn_join"](s, sf)
