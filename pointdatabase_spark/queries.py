@@ -8064,15 +8064,14 @@ FROM census
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-2 part co-purchase graph via graph.cooccurrence_edges:
+    one groupBy(order) + in-row array pairing (C(|order|,2)-bounded,
+    max order size ~17 here) + one support count — two shuffles, no
+    posting self-join."""
+    from pointdatabase_spark.operators import graph as _graph
     li = testkit.load_table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"),
-                   F.col("l_partkey").alias("p")).distinct()
-    o2 = op.select(F.col("o"), F.col("p").alias("p2"))
-    return (op.join(o2, (op["o"] == o2["o"]) & (op["p"] < o2["p2"]))
-            .groupBy(op["p"].alias("src"), F.col("p2").alias("dst"))
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .where(F.col("_c") >= 2)
-            .select("src", "dst"))
+    return _graph.cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                     min_support=2)
 
 
 @query("triangle_census", oracle=_TRIANGLE_ORACLE)

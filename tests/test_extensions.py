@@ -2003,3 +2003,28 @@ def test_key_skew_report_hand_case(spark):
     tie = spark.createDataFrame(
         [("z",), ("z",), ("y",), ("y",), ("x",)], "k string")
     assert key_skew_report(tie, "k").collect()[0].top_key == "y"
+
+
+def test_cooccurrence_edges_hand_case(spark):
+    """Support threshold, canonical ordering, per-group DISTINCT
+    items (duplicates inside one group count once), and the
+    hot-group valve."""
+    from pointdatabase_spark.operators import graph
+    rows = [  # groups: g1={1,2,3}, g2={1,2}, g3={2,3}, g4={1,2} dup
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 2), (3, 3),
+        (4, 1), (4, 2), (4, 2),  # duplicate item in-group
+    ]
+    df = spark.createDataFrame(rows, "g long, item long")
+    e = {(r.src, r.dst) for r in graph.cooccurrence_edges(
+        df, "g", "item", min_support=2).collect()}
+    # (1,2): groups 1,2,4 -> 3; (2,3): groups 1,3 -> 2; (1,3): 1 only
+    assert e == {(1, 2), (2, 3)}
+    e1 = {(r.src, r.dst) for r in graph.cooccurrence_edges(
+        df, "g", "item", min_support=1).collect()}
+    assert e1 == {(1, 2), (1, 3), (2, 3)}
+    # valve: dropping groups larger than 2 removes g1's pairs
+    ev = {(r.src, r.dst) for r in graph.cooccurrence_edges(
+        df, "g", "item", min_support=2, max_group_size=2).collect()}
+    assert ev == {(1, 2)}
