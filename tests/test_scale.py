@@ -370,3 +370,42 @@ def test_text_normalize_scales_linearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"text_normalize_repair exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_kcore_scales_sublinearly(spark):
+    """Edge-linear peel rounds (endpoint-count agg + id-only
+    semi-joins) over the support-2 co-purchase graph — measured
+    exponent 0.23 (SCALE.md r10 session 2) even though the derived
+    sf1 DENSIFIES the edge set (same part domain, 10x orders). A
+    regression that materializes per-pair state past the support
+    count shows up super-linear."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["lineitem"])
+
+    def op_thunk(s, sf):
+        # kcore localCheckpoints the edge list at construction
+        return registry.all_queries()["kcore_parts"](s, sf)
+
+    e = _exponent_built(spark, op_thunk, ["lineitem"])
+    assert e < EXP_BOUND, f"kcore_parts exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_join_skew_report_scales_sublinearly(spark):
+    """One key-count shuffle + the distinct-count-value window —
+    measured exponent 0.21 (SCALE.md r10 session 2). A regression
+    that globally sorts the KEY table (instead of the count-value
+    distribution) degrades toward the sort bound."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["lineitem"])
+
+    def op(s, sf):
+        return registry.all_queries()["join_skew_report"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"join_skew_report exponent {e:.2f}"
