@@ -103,6 +103,10 @@ def main() -> None:
         "kmeans_embeddings", "pagerank_trading_graph",
         "label_propagation_communities", "lsh_recall_audit",
         "q11_important_part_volume",
+        # localCheckpoint the derived co-purchase edge list (r10 s2) /
+        # run pointer-jumping CC to fixpoint (r10 s3) at construction
+        "triangle_census", "graph_transitivity", "kcore_parts",
+        "entity_resolution",
     }
 
     timings: dict[str, float | None] = {}

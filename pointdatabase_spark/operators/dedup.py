@@ -881,6 +881,67 @@ def ngram_jaccard_pairs(df: DataFrame, group_cols: list[str],
             .where(F.col("jaccard") >= threshold))
 
 
+def containment_pairs(df: DataFrame, group_cols: list[str],
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 2, threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
+    """Exact n-gram set CONTAINMENT pairs — Broder's asymmetric
+    companion to resemblance (Broder, "On the resemblance and
+    containment of documents", SEQUENCES'97): ``c(A→B) = |A∩B|/|A|``.
+    Jaccard misses the quote/boilerplate-subset case by construction —
+    a 100-shingle doc fully embedded in a 10 000-shingle doc has
+    J ≈ 0.01 but containment 1.0 — and that case (one doc quoting
+    another, a page wrapping a syndicated article) is exactly what a
+    corpus dedup pass wants to find. Returns one row per unordered
+    pair with EITHER direction's containment ≥ ``threshold``::
+
+        (id_a, id_b, cont_ab double, cont_ba double)
+
+    where ``cont_ab`` is the share of ``id_a``'s distinct shingles
+    also in ``id_b`` (and vice versa). Both ratios are single IEEE
+    divisions of exact BIGINTs — bit-deterministic across engines.
+
+    Plan shape is :func:`ngram_jaccard_pairs`' inverted index verbatim
+    (one posting self-join, intersection = shared-hash count; join
+    volume Σ df(s)² within each block, ``max_df`` the hot-shingle
+    valve) — only the final ratio differs. The asymmetric denominator
+    adds NO cost: both set sizes are already joined onto the
+    aggregated pair table. Threshold semantics: a pair qualifies on
+    ``greatest(cont_ab, cont_ba)`` — containment of the SMALLER set in
+    the larger (the overlap coefficient), since min-side containment
+    is what subset duplication means."""
+    tok = spread(df).select(F.col(id_col).alias("id"), *group_cols,
+                            F.split(F.col(text_col), r"\s+").alias("t"))
+    shx = tok.select("id", *group_cols,
+                     F.explode(F.expr(shingle_expr("t", n))).alias("sstr"))
+    dis = (shx.select("id", *group_cols,
+                      F.expr(_H32.format(s="sstr")).alias("h"))
+           .distinct())
+    if max_df is not None:
+        dis = drop_hot_shingles(dis, group_cols, max_df)
+    # Same four-consumer lifecycle as ngram_jaccard_pairs: persist so
+    # the tokenize→explode→md5→distinct pipeline runs once.
+    dis = dis.persist()
+    nsh = dis.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    on = (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
+    for g in group_cols:
+        on = on & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    pairs = (dis.alias("a").join(dis.alias("b"), on)
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    na = nsh.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
+    nb = nsh.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
+    return (pairs
+            .join(na, "id_a")
+            .join(nb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("inter") / F.col("na")).alias("cont_ab"),
+                    (F.col("inter") / F.col("nb")).alias("cont_ba"))
+            .where(F.greatest(F.col("cont_ab"), F.col("cont_ba"))
+                   >= threshold))
+
+
 def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     threshold: float = 0.5,

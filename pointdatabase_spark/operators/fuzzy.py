@@ -1,0 +1,194 @@
+"""Fuzzy string matching — the entity-resolution / record-linkage
+surface: an EXACT edit-distance self-join built on segment blocking
+(Pass-Join: Li, Deng, Jiang & Feng, "PASS-JOIN: A Partition-based
+Method for Similarity Joins", VLDB'11), the primitive behind
+near-duplicate entity names, OCR-noisy titles, and crawl-URL typo
+clusters in a training-data pipeline.
+
+Why not a cross join + ``levenshtein``: the DP verification is cheap
+per pair but there are O(n²) pairs — at corpus scale the join itself
+is the cost. Why not q-gram count filtering (Gravano et al.,
+VLDB'01): the count lower bound needs positional multiset semantics
+that fight Spark's distinct-posting idiom, and its selectivity decays
+on short strings. Segment blocking is pigeonhole-exact and pure
+equi-join:
+
+  if lev(a, b) <= d, split a into d+1 contiguous segments — the <= d
+  edits touch at most d of them, so at least ONE segment survives
+  verbatim as a substring of b, and (since each edit shifts downstream
+  characters by at most one position) it occurs within +-d of its
+  original start.
+
+So the plan is: reduce to DISTINCT strings, explode each into its
+d+1 segments (the "index" side) and into the bounded set of
+substrings any partner's segment could match (the "probe" side:
+partner length L in [len-d, len+d], segment index i in 0..d, start
+within +-d of the segment's home position — O(d³) short tokens per
+string, ~45 for d=2), equi-join on (xxhash64(token), segment-index,
+partner-length), distinct the candidate string pairs, verify each
+with ONE banded ``levenshtein(a, b, d)`` (the pair carries its own
+strings — no re-join), then expand back to id pairs by multiplicity.
+
+Scale shape (100 TB of names):
+
+- The kernel runs over the distinct-string table — entity columns
+  are heavy-tailed, and deduping first divides every posting df by
+  the string's multiplicity (candidate volume scales with its
+  SQUARE: measured 132 s -> 1.4 s on a 20k-row/64-name fixture).
+  The id-level expansions afterwards are pure equi-joins whose
+  every output row is a result row — output-bounded, the floor for
+  any algorithm that must emit the pairs.
+- The candidate equi-join is AQE-friendly (no hints); a
+  pathological token ("inc", " the ") makes a hot key whose cost
+  is df² over DISTINCT strings — the same Σdf² economics as the
+  shingle posting join, with the same valve available upstream
+  (pre-normalize names, or raise d to lengthen segments).
+- Verification is Spark's threshold-banded Levenshtein (O(d·len)
+  per pair, early-exit), not the full DP matrix.
+
+Exactness ledger: the pigeonhole rule generates every true pair with
+both lengths >= d+1; pairs where BOTH strings are shorter than d+1
+ride a separate all-pairs block over that (tiny, alphabet-bounded)
+subset; a pair (short, long) is still caught by the main path because
+the probe side enumerates partner lengths >= d+1 regardless of its
+own length. xxhash64 collisions can only ADD candidates (verification
+prunes them); they never lose a pair. No reference counterpart
+(extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _segments_expr(s: str, m: str, d: int) -> str:
+    """d+1 even segments of column ``s`` (length column ``m``), as
+    array<struct<h,si,pl>> — h = xxhash64 of the segment text, si =
+    segment index, pl = own length (the partner-length join key)."""
+    d1 = d + 1
+    return (
+        f"transform(sequence(0, {d}), i -> struct("
+        f"xxhash64(substring({s}, cast((i * {m}) div {d1} + 1 as int), "
+        f"cast(((i + 1) * {m}) div {d1} - (i * {m}) div {d1} as int))) as h, "
+        f"i as si, {m} as pl))")
+
+
+def _probes_expr(s: str, m: str, d: int) -> str:
+    """All substrings of ``s`` that a partner's segment could equal:
+    for each candidate partner length L in [m-d, m+d] (only L >= d+1
+    — shorter partners ride the short block), each segment index i,
+    and each start within +-d of the segment's home position. Bound
+    variables via single-element transform (z = (pos, sl)) keep the
+    arithmetic written once; the filter guard makes out-of-range
+    position windows empty instead of descending."""
+    d1 = d + 1
+    z = (f"array(struct((i * L) div {d1} as pos, "
+         f"((i + 1) * L) div {d1} - (i * L) div {d1} as sl))")
+    lo = f"greatest(0, z.pos - {d})"
+    hi = f"least({m} - z.sl, z.pos + {d})"
+    return (
+        f"flatten(transform(sequence(greatest({m} - {d}, {d1}), {m} + {d}), L -> "
+        f"flatten(transform(sequence(0, {d}), i -> "
+        f"flatten(transform({z}, z -> "
+        f"transform(filter(sequence({lo}, greatest({lo}, {hi})), p -> p <= {hi}), "
+        f"p -> struct(xxhash64(substring({s}, cast(p + 1 as int), "
+        f"cast(z.sl as int))) as h, i as si, L as pl))))))))")
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str,
+                        d: int = 2,
+                        group_cols: list[str] | None = None) -> DataFrame:
+    """All unordered pairs with ``levenshtein(a, b) <= d`` (within
+    ``group_cols`` blocks if given). Returns
+    ``(id_a, id_b, dist long)`` with ``id_a < id_b``; ``dist`` is the
+    exact edit distance. Null strings are excluded (distance to NULL
+    is undefined; the SQL oracle's three-valued logic drops them
+    too).
+
+    **Distinct-string kernel.** Real entity columns are heavy-tailed —
+    the same name/title repeats thousands of times — and running the
+    segment join over raw rows multiplies every posting's df by the
+    string's multiplicity, inflating the candidate join volume by the
+    SQUARE of repetition (measured 132 s vs 1.4 s at sf0.1's 20 000
+    rows over 64 distinct names). So the pigeonhole kernel runs over
+    the DISTINCT (group, string) table only, and id-level results come
+    from two output-bounded expansions afterwards:
+
+    - dist = 0: a same-string id self-join (``id_a < id_b``) — each
+      duplicate class emits exactly its C(k, 2) pairs and nothing
+      else;
+    - dist >= 1: the verified distinct-string pairs equi-join each
+      side's id list; every join row IS an output row.
+
+    No stage exceeds O(distinct² · segment-df) candidate work +
+    O(output) expansion — the same dedupe-before-the-expensive-kernel
+    doctrine as exact_dedup before MinHash."""
+    if d < 1:
+        raise ValueError(f"need d >= 1, got {d=}")
+    gc = list(group_cols or [])
+    base = (df.where(F.col(str_col).isNotNull())
+            .select(F.col(id_col).alias("id"), *gc,
+                    F.col(str_col).alias("s")))
+    names = (base.select(*gc, "s").distinct()
+             .withColumn("m", F.length("s")))
+    segs = (names.where(F.col("m") >= d + 1)
+            .select("s", *gc,
+                    F.explode(F.expr(_segments_expr("s", "m", d)))
+                    .alias("k")))
+    # Empty strings can't match any >= d+1-length partner's segment
+    # (the length band excludes them); they pair only via the short
+    # block below, so they skip probe generation entirely (and with
+    # them the m=0 edge of the sequence bounds).
+    probes = (names.where(F.col("m") >= 1)
+              .select("s", *gc,
+                      F.explode(F.expr(_probes_expr("s", "m", d)))
+                      .alias("k")))
+    on = ((F.col("a.k.h") == F.col("b.k.h"))
+          & (F.col("a.k.si") == F.col("b.k.si"))
+          & (F.col("a.k.pl") == F.col("b.k.pl"))
+          & (F.col("a.s") != F.col("b.s")))
+    for g in gc:
+        on = on & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    cand = (segs.alias("a").join(probes.alias("b"), on)
+            .select(F.least("a.s", "b.s").alias("s_a"),
+                    F.greatest("a.s", "b.s").alias("s_b"),
+                    *[F.col(f"a.{g}") for g in gc]))
+    # Degenerate block: both strings shorter than d+1 — the pigeonhole
+    # split needs d+1 non-empty segments. The subset is alphabet-
+    # bounded tiny (distinct strings shorter than the threshold);
+    # all-pairs within it is the honest cost.
+    short = names.where(F.col("m") <= d).select(F.col("s"), *gc)
+    s_on = F.col("a.s") < F.col("b.s")
+    for g in gc:
+        s_on = s_on & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    cand = cand.unionByName(
+        short.alias("a").join(short.alias("b"), s_on)
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"),
+                *[F.col(f"a.{g}") for g in gc]))
+    # The candidate pair already carries both strings — they ARE the
+    # keys — so verification needs no re-join at all.
+    ver = (cand.distinct()
+           .withColumn("dist", F.levenshtein(F.col("s_a"), F.col("s_b"), d))
+           .where(F.col("dist") >= 0))
+    ia = base.select(F.col("id").alias("ia"), *gc, F.col("s").alias("s_a"))
+    ib = base.select(
+        F.col("id").alias("ib"),
+        *[F.col(g).alias(f"_b_{g}") for g in gc],
+        F.col("s").alias("s_b"))
+    cross = ver.join(ia, ["s_a", *gc])
+    jb = (cross["s_b"] == ib["s_b"])
+    for g in gc:
+        jb = jb & (cross[g] == ib[f"_b_{g}"])
+    cross = (cross.join(ib, jb)
+             .select(F.least("ia", "ib").alias("id_a"),
+                     F.greatest("ia", "ib").alias("id_b"),
+                     F.col("dist").cast("long").alias("dist")))
+    same_on = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    for g in gc:
+        same_on = same_on & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    same = (base.alias("a").join(base.alias("b"), same_on)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.lit(0).cast("long").alias("dist")))
+    return same.unionByName(cross)

@@ -375,7 +375,10 @@ def butterfly_count(edges: DataFrame, left: str = "src",
               .agg(F.count(F.lit(1)).alias("m")))
     return (wedges.agg(
         F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_wedges"),
-        F.coalesce(F.sum(F.col("m") * (F.col("m") - 1) / 2),
+        # BIGINT div, not float /: C(m,2) summed as exact longs keeps
+        # the census bit-exact past 2^53 total butterflies (the
+        # rounding-doctrine conformance; values identical below it).
+        F.coalesce(F.sum(F.expr("(m * (m - 1)) div 2")),
                    F.lit(0)).cast("long").alias("n_butterflies"))
         .crossJoin(e.agg(F.count(F.lit(1)).cast("long")
                          .alias("n_edges")))

@@ -76,3 +76,91 @@ def rollup_agg(df: DataFrame, group_cols: list[str],
     map-side."""
     g = df.cube(*group_cols) if cube else df.rollup(*group_cols)
     return g.agg(F.grouping_id().cast("long").alias("gid"), *aggs)
+
+
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
+                    x_min: bool = True, y_max: bool = True,
+                    grid: int = 64) -> DataFrame:
+    """Exact 2-D skyline / Pareto frontier (Börzsönyi, Kossmann &
+    Stocker, "The Skyline Operator", ICDE'01): rows not dominated by
+    any other row, where (default orientation) ``r`` dominates ``s``
+    iff ``r.x <= s.x AND r.y >= s.y`` with at least one strict — the
+    cheapest-and-biggest frontier of a (price, capacity) trade space.
+    ``x_min``/``y_max`` flip either axis. Ties on both axes are
+    mutual non-dominance: duplicate frontier points ALL survive.
+    Null/NaN coordinates are excluded up front (dominance is
+    undefined on them — the ANSI NOT EXISTS oracle would silently
+    drop them anyway via three-valued logic).
+
+    Plan (three narrow stages, no quadratic anywhere):
+
+    1. **Grid prune.** One min/max scalar aggregate fixes the data
+       window; each row maps to a ``grid``×``grid`` cell and one
+       map-side-combined census lists occupied cells (≤ grid² rows).
+       A cell self-join (tiny × tiny, broadcast) marks cells
+       STRICTLY dominated on both axes by another occupied cell —
+       every point in such a cell is provably dominated by EVERY
+       point of the dominating cell (strict cell inequality ⟹
+       strict point inequality across disjoint cell ranges), so the
+       broadcast anti-join prune is exact, no verification needed.
+       Survivors live in the O(grid) staircase band of the frontier.
+    2. **Per-x reduction.** Among equal ``x`` only the max-``y``
+       rows can survive (anything else is dominated by them), so a
+       groupBy(x).max(y) collapses the band to ≤ |distinct x in
+       band| candidate coordinates.
+    3. **Running-max sweep.** Ordered by x ascending, a candidate
+       survives iff its y strictly exceeds the prefix max over
+       smaller x (equal y at larger x ⟹ dominated; the per-x max
+       already settled equal x). The single-partition window runs
+       over the band's distinct-x table ONLY — the same
+       distinct-value-window discipline as profile.key_skew_report —
+       never over the input. A final equi-join on (x, y = per-x max)
+       restores full rows, keeping all duplicate frontier points.
+
+    At 100 TB: stage 1 is two scans with scalar/census aggregates
+    (map-combinable); everything after operates on the staircase
+    band. Degenerate inputs (zero range on x) skip pruning — the
+    exact pass alone is still correct. No reference counterpart
+    (extension surface)."""
+    if grid < 2:
+        raise ValueError(f"need grid >= 2, got {grid=}")
+    xs = F.col(x_col) if x_min else -F.col(x_col)
+    ys = F.col(y_col) if y_max else -F.col(y_col)
+    pts = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                    & ~F.isnan(F.col(x_col).cast("double"))
+                    & ~F.isnan(F.col(y_col).cast("double")))
+           .withColumn("_xs", xs.cast("double"))
+           .withColumn("_ys", ys.cast("double")))
+    lim = pts.agg(F.min("_xs").alias("x0"), F.max("_xs").alias("x1"),
+                  F.min("_ys").alias("y0"), F.max("_ys").alias("y1"))
+    g = float(grid)
+    cell = pts.crossJoin(F.broadcast(lim)).select(
+        "*",
+        F.when(F.col("x1") > F.col("x0"),
+               F.least(F.floor((F.col("_xs") - F.col("x0"))
+                               / ((F.col("x1") - F.col("x0")) / g)),
+                       F.lit(grid - 1))).otherwise(F.lit(0)).alias("_cx"),
+        F.when(F.col("y1") > F.col("y0"),
+               F.least(F.floor((F.col("_ys") - F.col("y0"))
+                               / ((F.col("y1") - F.col("y0")) / g)),
+                       F.lit(grid - 1))).otherwise(F.lit(0)).alias("_cy"))
+    occ = cell.groupBy("_cx", "_cy").agg(F.count(F.lit(1)).alias("_n"))
+    dom = (occ.alias("a").join(
+        occ.alias("b"),
+        (F.col("b._cx") < F.col("a._cx")) & (F.col("b._cy") > F.col("a._cy")),
+        "left_semi").select("a._cx", "a._cy"))
+    # The band feeds two consumers (the per-x reduction and the final
+    # row-restoring semi-join); persisting it pins the input-scan
+    # count at three (limits, census, band build) instead of letting
+    # each consumer replay scan+prune — and what's cached is the
+    # pruned staircase band, not the input (MEMORY_AND_DISK spills
+    # rather than OOMs if a degenerate layout defeats the prune).
+    band = (cell.join(F.broadcast(dom), ["_cx", "_cy"], "left_anti")
+            .persist())
+    ymax = band.groupBy("_xs").agg(F.max("_ys").alias("_ym"))
+    w = Window.orderBy("_xs").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (ymax.withColumn("_pm", F.max("_ym").over(w))
+           .where(F.col("_pm").isNull() | (F.col("_ym") > F.col("_pm")))
+           .select("_xs", F.col("_ym").alias("_ys")))
+    return (band.join(sky, ["_xs", "_ys"], "left_semi")
+            .drop("_xs", "_ys", "_cx", "_cy", "x0", "x1", "y0", "y1"))

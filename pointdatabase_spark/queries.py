@@ -72,6 +72,8 @@ _SCORE_FIRST = [
     "streaming_stream_join", "streaming_exact_dedup",
     "bipartite_butterflies", "triangle_census", "graph_transitivity",
     "kcore_parts", "join_skew_report",
+    "containment_neardup", "pareto_frontier", "edit_distance_join",
+    "entity_resolution",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -3516,6 +3518,39 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       max_df=20)
 
 
+# Broder containment — same inverted index as the Jaccard oracle, but
+# the asymmetric denominators: catches a small doc embedded in a large
+# one (J tiny, containment ~1). Threshold on the min-side containment
+# (overlap coefficient). dedup.containment_pairs.
+_CONTAINMENT_ORACLE = r"""
+WITH tok AS (SELECT doc_id AS id, lang,
+                    string_split_regex(text, '\s+') AS t FROM documents),
+shs AS (SELECT id, lang, list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS ss
+        FROM tok),
+sh2 AS (SELECT id, lang, ss FROM shs WHERE len(ss) > 0),
+""" + f"""
+sh AS (SELECT id, lang,
+              list_distinct(list_transform(ss, x -> {_DUCK_H32})) AS s
+       FROM sh2),
+""" + r"""
+ex AS (SELECT id, lang, len(s) AS nsh, unnest(s) AS h FROM sh),
+p AS (SELECT a.id AS id_a, b.id AS id_b, a.nsh AS na, b.nsh AS nb,
+             COUNT(*) AS inter
+      FROM ex a JOIN ex b
+        ON a.lang = b.lang AND a.h = b.h AND a.id < b.id
+      GROUP BY a.id, b.id, a.nsh, b.nsh)
+SELECT id_a, id_b, inter / na AS cont_ab, inter / nb AS cont_ba
+FROM p WHERE greatest(inter / na, inter / nb) >= 0.8
+"""
+
+
+@query("containment_neardup", oracle=_CONTAINMENT_ORACLE)
+def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _dedup.containment_pairs(docs, ["lang"], n=2, threshold=0.8)
+
+
 _SUB_K = 8
 
 _SUBSTR_ORACLE = testkit.syn_corpus_cte() + f"""
@@ -5619,6 +5654,109 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("c_nationkey", "c_custkey", "spend", "n_orders"))
     return _olap.top_k_per_group(j, ["c_nationkey"], "spend", 3,
                                  tiebreak="c_custkey")
+
+
+from pointdatabase_spark.operators import fuzzy as _fuzzy  # noqa: E402
+
+# The oracle is the definitional quadratic join (with the valid
+# |len diff| <= d band so DuckDB doesn't DP every pair); the engine
+# side must reproduce it through segment blocking + banded verify —
+# a lost pigeonhole case (short strings, boundary positions) shows up
+# as a row-count mismatch, a wrong verify as a value mismatch.
+_EDIT_JOIN_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
+@query("edit_distance_join", oracle=_EDIT_JOIN_ORACLE)
+def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: part-name pairs within edit
+    distance 2 via Pass-Join segment blocking (operators/fuzzy.py) —
+    d+1 pigeonhole segments equi-joined against position-bounded
+    substrings, candidates verified with one banded levenshtein each.
+    No O(n²) stage anywhere on the engine side."""
+    part = testkit.load_table(spark, sf_dir, "part")
+    return _fuzzy.edit_distance_pairs(part, "p_partkey", "p_name", d=2)
+
+
+# ER capstone: fuzzy edges -> converged connected components ->
+# cluster census. The oracle recomputes components with a recursive
+# min-reachability CTE over the definitional quadratic pair join
+# (closure is component-size²-bounded — fine at oracle scale, which
+# is exactly why the ENGINE side uses pointer jumping instead).
+_ER_ORACLE = """
+WITH RECURSIVE pr AS (
+  SELECT a.p_partkey AS u, b.p_partkey AS v
+  FROM part a JOIN part b
+    ON a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 2
+ WHERE levenshtein(a.p_name, b.p_name) <= 2),
+nodes AS (SELECT u AS id FROM pr UNION SELECT v FROM pr),
+edges AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_names,
+       MIN(p.p_name) AS canonical_name
+FROM lab l JOIN part p ON p.p_partkey = l.id
+GROUP BY l.cluster_id
+"""
+
+
+@query("entity_resolution", oracle=_ER_ORACLE)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution on part names: Pass-Join fuzzy
+    pairs (d=2, distinct-string kernel) feed the dedup family's
+    pointer-jumping connected components to fixpoint, then one
+    aggregate emits the entity census — members, distinct surface
+    forms, and the lexicographically-canonical name per entity.
+    Edges shuffle as id pairs; names re-join once at the end."""
+    part = testkit.load_table(spark, sf_dir, "part")
+    pairs = _fuzzy.edit_distance_pairs(part, "p_partkey", "p_name", d=2)
+    lab = _dedup.duplicate_clusters_converged(pairs)
+    return (lab.join(part.select(F.col("p_partkey").alias("doc_id"),
+                                 "p_name"), "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.countDistinct("p_name").alias("n_names"),
+                 F.min("p_name").alias("canonical_name")))
+
+
+# Exact skyline semantics pinned by the textbook NOT-EXISTS dominance
+# anti-join; the engine side (olap.pareto_frontier) must agree after
+# its grid prune + per-x reduction + running-max sweep — any pruning
+# bug (a frontier point grid-pruned, a duplicate tie dropped) breaks
+# the hash, not just the row count.
+_PARETO_ORACLE = """
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
+@query("pareto_frontier", oracle=_PARETO_ORACLE)
+def pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part catalog: cheapest-for-the-size frontier
+    (minimize p_retailprice, maximize p_size). The operator's plan is
+    three narrow stages — grid census prune, per-x max, distinct-x
+    running-max sweep — versus the oracle's O(n²) dominance anti-join;
+    duplicate frontier points (same price and size) all survive on
+    both sides."""
+    part = testkit.load_table(spark, sf_dir, "part")
+    return _olap.pareto_frontier(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice", "p_size")
 
 
 _PCTL_ORACLE = """

@@ -52,7 +52,8 @@ def build_sf1(tables: list[str] | None = None) -> None:
     os.makedirs(SF1, exist_ok=True)
     want = set(tables) if tables is not None else {
         "documents", "lineitem", "events", "orders", "customer",
-        "supplier", "part", "nation", "region", "embeddings"}
+        "supplier", "part", "nation", "region", "embeddings",
+        "part10"}
     want = {t for t in want
             if not os.path.exists(f"{SF1}/{t}.parquet")}
     if not os.path.exists(f"{SF1}_dense/lineitem.parquet") and (
@@ -143,6 +144,28 @@ FROM read_parquet('{SF01}/embeddings.parquet')""")
             con.execute(f"COPY (SELECT * FROM read_parquet("
                         f"'{SF01}/{t}.parquet')) TO "
                         f"'{SF1}/{t}.parquet' (FORMAT PARQUET)")
+    # part10: a genuinely 10x part table for the name-keyed operators
+    # (fuzzy join, skyline) — plain `part` is held constant above.
+    # Each replica doubles a per-replica letter tag onto every word
+    # ('aa', 'bb', ...): within-replica edit distances are EXACTLY the
+    # originals (tags cancel), while any cross-replica pair differs in
+    # >= 2 tag positions x >= 2 words = >= 4 edits > d=2, so true
+    # pairs grow 10x, not 100x. Position-anchored segments that avoid
+    # the tag letters still collide across replicas (bounded partial
+    # df growth — noted with the measured exponent in SCALE.md).
+    # p_retailprice perturbed per replica so the skyline x-domain
+    # grows with the data.
+    p_parts = ["SELECT * FROM read_parquet('%s/part.parquet')" % SF01]
+    for r in range(1, 10):
+        tag = f"repeat(chr(97 + {r}), 2)"
+        p_parts.append(f"""
+SELECT * REPLACE (p_partkey + {r} * 10000000 AS p_partkey,
+                  {tag} || replace(p_name, ' ', ' ' || {tag}) AS p_name,
+                  p_retailprice + {r} / 10000.0 AS p_retailprice)
+FROM read_parquet('{SF01}/part.parquet')""")
+    if "part10" in want:
+        con.execute(f"COPY ({' UNION ALL '.join(p_parts)}) TO "
+                    f"'{SF1}/part10.parquet' (FORMAT PARQUET)")
     con.close()
 
 
@@ -180,12 +203,19 @@ def main() -> None:
     from pointdatabase_spark import testkit
     from pointdatabase_spark.functions import text as _text
     from pointdatabase_spark.operators import crossover, dedup, profile
+    from pointdatabase_spark.operators import fuzzy as _fuzzy
+    from pointdatabase_spark.operators import olap as _olap
     from pointdatabase_spark.partitioning import spread
     from pointdatabase_spark import queries as _registry
 
     build_sf1()
     spark = get_spark("scale-check")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _part10(sf_dir):
+        p = f"{sf_dir}/part10.parquet"
+        return spark.read.parquet(
+            p if os.path.exists(p) else f"{sf_dir}/part.parquet")
 
     def docs(sf_dir):
         return testkit.load_table(spark, sf_dir, "documents")
@@ -376,6 +406,16 @@ def main() -> None:
             lambda: _registry.all_queries()["kcore_parts"](spark, sf)),
         "join_skew_report": lambda sf: _registry.all_queries()[
             "join_skew_report"](spark, sf),
+        # r10 session 3: fuzzy join + skyline scale on part10 at sf1
+        # (plain `part` is fixture-constant); containment rides the
+        # df-preserving documents replicas like the Jaccard family.
+        "containment_neardup": lambda sf: _registry.all_queries()[
+            "containment_neardup"](spark, sf),
+        "edit_distance_join": lambda sf: (lambda p=_part10(sf):
+            _fuzzy.edit_distance_pairs(p, "p_partkey", "p_name", d=2))(),
+        "pareto_frontier": lambda sf: _olap.pareto_frontier(
+            _part10(sf).select("p_partkey", "p_retailprice", "p_size"),
+            "p_retailprice", "p_size"),
     }
     if len(sys.argv) > 1:  # time only the named ops (crossover too,
         # if named); full table when run bare

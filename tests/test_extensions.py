@@ -2028,3 +2028,152 @@ def test_cooccurrence_edges_hand_case(spark):
     ev = {(r.src, r.dst) for r in graph.cooccurrence_edges(
         df, "g", "item", min_support=2, max_group_size=2).collect()}
     assert ev == {(1, 2)}
+
+
+def test_containment_pairs_hand_case(spark):
+    """A small doc fully embedded in a big one: Jaccard tiny (misses
+    at any practical threshold), containment of the small side 1.0 —
+    the asymmetric case the operator exists for. Direction check:
+    cont_ab is a's coverage (a = smaller id)."""
+    quote = "alpha beta gamma delta"
+    big = quote + " " + " ".join(f"w{i} w{i}x" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote, "en"), (2, big, "en"), (3, "zeta eta theta", "en"),
+         (4, quote, "de")],  # other lang: blocked, never pairs
+        "doc_id long, text string, lang string")
+    rows = {(r.id_a, r.id_b): r for r in dedup.containment_pairs(
+        df, ["lang"], n=2, threshold=0.8).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r.cont_ab == 1.0          # all of doc 1's bigrams in doc 2
+    assert r.cont_ba < 0.1           # doc 2 barely covered
+    # Jaccard at the same pair is far below any dedup threshold
+    j = dedup.ngram_jaccard_pairs(df, ["lang"], n=2,
+                                  threshold=0.0).collect()
+    jac = {(x.id_a, x.id_b): x.jaccard for x in j}[(1, 2)]
+    assert jac < 0.1
+
+
+def test_pareto_frontier_hand_case(spark):
+    """Dominance, both-axis ties (duplicates all survive), equal-x
+    reduction, axis flips, and null exclusion."""
+    from pointdatabase_spark.operators import olap
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 1.0, 10),    # duplicate frontier points
+         (3, 1.0, 5),                   # same x, smaller y: dominated
+         (4, 2.0, 12), (5, 2.0, 12),    # frontier (bigger y, dearer)
+         (6, 3.0, 12),                  # same y as 4 at higher x: dominated
+         (7, 0.5, 3),                   # cheapest: frontier
+         (8, None, 99), (9, 4.0, None)],
+        "id long, price double, size int")
+    got = {r.id for r in olap.pareto_frontier(
+        df, "price", "size").collect()}
+    assert got == {1, 2, 4, 5, 7}
+    # flip: maximize price, minimize size -> dearest-and-smallest
+    flipped = {r.id for r in olap.pareto_frontier(
+        df, "size", "price", x_min=True, y_max=True).collect()}
+    # minimize size, maximize price: (7:3,0.5) dominated by nothing
+    # smaller; (3: 5,1.0), (6: 12,3.0) frontier
+    assert flipped == {7, 3, 6}
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Grid pruning is exact on adversarial layouts: random points
+    plus a dense anti-diagonal (every point near the frontier) and a
+    degenerate zero-range-x batch."""
+    rng = np.random.default_rng(7)
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(rng.integers(0, 50, 300), rng.integers(0, 50, 300)))]
+    pts += [(1000 + i, float(i), float(-i)) for i in range(50)]
+    from pointdatabase_spark.operators import olap
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = sorted(r.id for r in olap.pareto_frontier(
+        df, "x", "y", grid=8).collect())
+    want = sorted(i for i, x, y in pts
+                  if not any((x2 <= x and y2 >= y and (x2 < x or y2 > y))
+                             for _, x2, y2 in pts))
+    assert got == want
+    same_x = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 9.0), (3, 5.0, 9.0)],
+        "id long, x double, y double")
+    assert sorted(r.id for r in olap.pareto_frontier(
+        same_x, "x", "y").collect()) == [2, 3]
+
+
+def test_edit_distance_pairs_hand_case(spark):
+    """Pigeonhole coverage across the regimes: normal strings, the
+    short block (len <= d), the empty string, and exact duplicates
+    (dist 0)."""
+    from pointdatabase_spark.operators import fuzzy
+    rows = [(1, "small ring"), (2, "small rings"), (3, "small ring"),
+            (4, "red widget"), (5, "red gadget"), (6, "ab"), (7, "a"),
+            (8, ""), (9, "b"), (10, "blue bolt"), (11, "blue bolts")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = sorted((r.id_a, r.id_b, r.dist) for r in
+                 fuzzy.edit_distance_pairs(df, "id", "name", d=2)
+                 .collect())
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def f(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(f(i - 1, j) + 1, f(i, j - 1) + 1,
+                       f(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return f(len(a), len(b))
+    want = sorted((i, j, lev(a, b)) for i, a in rows for j, b in rows
+                  if i < j and lev(a, b) <= 2)
+    assert got == want
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """Random short strings over a 3-letter alphabet (maximally
+    boundary-prone segment splits), d = 1 and d = 3, plus group
+    blocking."""
+    from pointdatabase_spark.operators import fuzzy
+    rng = np.random.default_rng(11)
+    alpha = "abc"
+    rows = [(i, "".join(rng.choice(list(alpha),
+                                   size=rng.integers(0, 9)).tolist()),
+             ["x", "y"][int(rng.integers(0, 2))])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, s string, g string")
+    import functools
+
+    def lev(a, b):
+        @functools.lru_cache(maxsize=None)
+        def f(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(f(i - 1, j) + 1, f(i, j - 1) + 1,
+                       f(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return f(len(a), len(b))
+    for d in (1, 3):
+        got = sorted((r.id_a, r.id_b, r.dist) for r in
+                     fuzzy.edit_distance_pairs(
+                         df, "id", "s", d=d, group_cols=["g"])
+                     .collect())
+        want = sorted((i, j, lev(a, b))
+                      for i, a, ga in rows for j, b, gb in rows
+                      if i < j and ga == gb and lev(a, b) <= d)
+        assert got == want, f"d={d}"
+
+
+def test_entity_resolution_cluster_shapes(spark):
+    """Fuzzy edges + converged CC resolve surface forms into
+    entities: two chains that must merge transitively, one exact-dup
+    clique, one singleton (never emitted — no edges)."""
+    from pointdatabase_spark.operators import dedup as _d
+    from pointdatabase_spark.operators import fuzzy
+    rows = [(1, "acme corp"), (2, "acme corp."), (3, "acme  corp."),
+            (4, "globex"), (5, "globex"), (6, "globex"),
+            (7, "unrelated industries")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = fuzzy.edit_distance_pairs(df, "id", "name", d=2)
+    lab = {r.doc_id: r.cluster_id
+           for r in _d.duplicate_clusters_converged(pairs).collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
