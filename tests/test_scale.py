@@ -409,3 +409,43 @@ def test_join_skew_report_scales_sublinearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"join_skew_report exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_containment_pairs_scales_linearly(spark):
+    """Same posting-join shape as the Jaccard family; df-preserving
+    replicas keep per-shingle df constant so the decade is linear —
+    measured exponent 1.02."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["documents"])
+
+    def op(s, sf):
+        return registry.all_queries()["containment_neardup"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"containment_neardup exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_edit_distance_join_scales_linearly(spark):
+    """Distinct-string Pass-Join kernel + output-bounded expansion:
+    the id-pair OUTPUT itself grows linearly with the part10 replicas,
+    so linear is the floor — measured exponent 1.17 (the slack over
+    1.0 is the documented partial cross-replica segment-collision
+    df growth)."""
+    import scale_check
+    from pointdatabase_spark.operators import fuzzy
+
+    scale_check.build_sf1(["part10"])
+
+    def op(s, sf):
+        p = f"{sf}/part10.parquet"
+        src = s.read.parquet(p if os.path.exists(p)
+                             else f"{sf}/part.parquet")
+        return fuzzy.edit_distance_pairs(src, "p_partkey", "p_name",
+                                         d=2)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"edit_distance_join exponent {e:.2f}"
