@@ -73,7 +73,7 @@ _SCORE_FIRST = [
     "bipartite_butterflies", "triangle_census", "graph_transitivity",
     "kcore_parts", "join_skew_report",
     "containment_neardup", "pareto_frontier", "edit_distance_join",
-    "entity_resolution",
+    "entity_resolution", "snm_blocking_audit",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -5684,6 +5684,52 @@ def edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy.edit_distance_pairs(part, "p_partkey", "p_name", d=2)
 
 
+# SNM blocking recall audit: candidate generation replayed rank-for-
+# rank in SQL (binary string collation matches Spark's UTF8 ordering
+# on this ASCII column); truth is the definitional quadratic join over
+# distinct names.
+_SNM_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS s FROM part),
+r1 AS (SELECT s, row_number() OVER (ORDER BY s, s) AS rk FROM names),
+r2 AS (SELECT s, row_number() OVER (ORDER BY reverse(s), s) AS rk
+       FROM names),
+cand AS (
+  SELECT least(a.s, b.s) AS s_lo, greatest(a.s, b.s) AS s_hi
+  FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + 5
+  UNION
+  SELECT least(a.s, b.s), greatest(a.s, b.s)
+  FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN levenshtein(s_lo, s_hi) <= 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+      FROM cand),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM names a JOIN names b ON a.s < b.s
+      WHERE levenshtein(a.s, b.s) <= 2)
+SELECT n_true, n_candidates, n_found,
+       CAST(CASE WHEN n_true = 0 THEN 1000000
+                 ELSE (1000000 * n_found) // n_true END AS BIGINT)
+         AS recall_ppm
+FROM t, c
+"""
+
+
+@query("snm_blocking_audit", oracle=_SNM_ORACLE)
+def snm_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of two-pass Sorted-Neighborhood blocking
+    (window 5; keys = name + reversed name) against the exact
+    Pass-Join truth on part names — the ER analog of
+    lsh_recall_audit: SNM is the classic at-scale candidate
+    generator and its misses are an empirical number to monitor,
+    not assert. On this corpus the forward pass alone finds 0 of 24
+    true pairs (edits are mid-string); adding the reverse pass
+    recovers 16 — the audit is what justifies (or indicts) a key
+    set."""
+    part = testkit.load_table(spark, sf_dir, "part")
+    return _fuzzy.snm_candidate_audit(part, "p_partkey", "p_name",
+                                      d=2, window=5)
+
+
 # ER capstone: fuzzy edges -> converged connected components ->
 # cluster census. The oracle recomputes components with a recursive
 # min-reachability CTE over the definitional quadratic pair join
@@ -5714,16 +5760,37 @@ GROUP BY l.cluster_id
 @query("entity_resolution", oracle=_ER_ORACLE)
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution on part names: Pass-Join fuzzy
-    pairs (d=2, distinct-string kernel) feed the dedup family's
-    pointer-jumping connected components to fixpoint, then one
-    aggregate emits the entity census — members, distinct surface
-    forms, and the lexicographically-canonical name per entity.
-    Edges shuffle as id pairs; names re-join once at the end."""
+    pairs (d=2) feed the dedup family's pointer-jumping connected
+    components to fixpoint, then one aggregate emits the entity
+    census — members, distinct surface forms, and the
+    lexicographically-canonical name per entity.
+
+    The dedupe-before-kernel doctrine applies TWICE: the fuzzy kernel
+    already runs on distinct strings, and the CC graph here is also
+    name-level — each distinct name is represented by its min
+    partkey, so the component join touches |name-pairs| edges, not
+    the C(k,2)·pairs id-level clique expansion (5.5M edges collapse
+    to 24 at sf0.1; measured 10.3 s → kernel-bound). Component-min
+    over representatives equals component-min over ALL member ids
+    (each rep IS its name's min id), so cluster ids — and the whole
+    census — are identical to the id-level formulation the oracle
+    computes."""
     part = testkit.load_table(spark, sf_dir, "part")
-    pairs = _fuzzy.edit_distance_pairs(part, "p_partkey", "p_name", d=2)
+    reps = (part.groupBy("p_name")
+            .agg(F.min("p_partkey").alias("rep"),
+                 F.count(F.lit(1)).alias("_k")))
+    pairs = _fuzzy.edit_distance_pairs(reps, "rep", "p_name", d=2)
     lab = _dedup.duplicate_clusters_converged(pairs)
-    return (lab.join(part.select(F.col("p_partkey").alias("doc_id"),
-                                 "p_name"), "doc_id")
+    name_cluster = reps.join(
+        lab.select(F.col("doc_id").alias("rep"), "cluster_id"), "rep")
+    # a duplicated name with NO fuzzy partner is still an entity in
+    # the id-level graph (its dist-0 clique): singleton name-cluster
+    solo = (reps.where(F.col("_k") >= 2)
+            .join(name_cluster.select("p_name"), "p_name", "left_anti")
+            .select("p_name", F.col("rep").alias("cluster_id")))
+    name_cluster = (name_cluster.select("p_name", "cluster_id")
+                    .unionByName(solo))
+    return (part.join(name_cluster, "p_name")
             .groupBy("cluster_id")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.countDistinct("p_name").alias("n_names"),

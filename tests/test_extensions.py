@@ -2177,3 +2177,24 @@ def test_entity_resolution_cluster_shapes(spark):
     lab = {r.doc_id: r.cluster_id
            for r in _d.duplicate_clusters_converged(pairs).collect()}
     assert lab == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_snm_audit_multi_pass_recall(spark):
+    """The forward key alone misses a first-character edit (sorts far
+    apart); the reverse pass catches it. Candidates counted after
+    cross-pass dedup."""
+    from pointdatabase_spark.operators import fuzzy
+    # 'azzzz9' / 'bzzzz9': lev 1, first char differs -> far apart in
+    # forward order ('b?pad?' rows sort between them), adjacent
+    # reversed ('9zzzz?' vs '?dap?b' digit-prefixed pads).
+    rows = ([(1, "azzzz9"), (2, "bzzzz9")]
+            + [(10 + i, f"b{c}pad{i}") for i, c in
+               enumerate("abcdefghi")])
+    df = spark.createDataFrame(rows, "id long, name string")
+    one = fuzzy.snm_candidate_audit(df, "id", "name", d=1, window=2,
+                                    key_exprs=["s"]).collect()[0]
+    two = fuzzy.snm_candidate_audit(df, "id", "name", d=1,
+                                    window=2).collect()[0]
+    assert one.n_true == 1 and one.n_found == 0
+    assert two.n_true == 1 and two.n_found == 1
+    assert two.recall_ppm == 1000000
