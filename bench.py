@@ -107,6 +107,8 @@ def main() -> None:
         # run pointer-jumping CC to fixpoint (r10 s3) at construction
         "triangle_census", "graph_transitivity", "kcore_parts",
         "entity_resolution",
+        # eager one-row audit (computes + unpersists at construction)
+        "snm_blocking_audit",
     }
 
     timings: dict[str, float | None] = {}

@@ -281,8 +281,18 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
         F.sum(F.when(F.col("_lev") >= 1, 1).otherwise(0))
         .cast("long").alias("n_found"))
     agg_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    return (agg_t.crossJoin(agg_c)
-            .select("n_true", "n_candidates", "n_found",
-                    F.expr("CASE WHEN n_true = 0 THEN 1000000 "
-                           "ELSE (1000000 * n_found) div n_true END")
-                    .cast("long").alias("recall_ppm")))
+    out = (agg_t.crossJoin(agg_c)
+           .select("n_true", "n_candidates", "n_found",
+                   F.expr("CASE WHEN n_true = 0 THEN 1000000 "
+                          "ELSE (1000000 * n_found) div n_true END")
+                   .cast("long").alias("recall_ppm")))
+    # One-row diagnostic: compute EAGERLY and release the persisted
+    # distinct-name table before returning (the lsh_recall_eval
+    # precedent — a lazy return leaks the cache for the application
+    # lifetime). The caller still gets a DataFrame with the exact
+    # result schema.
+    try:
+        row = out.first()
+    finally:
+        names.unpersist()
+    return out.sparkSession.createDataFrame([row], schema=out.schema)
