@@ -444,3 +444,72 @@ def upsert_latest_wins(base: DataFrame, updates: DataFrame,
                      *[F.col(f"_p.{c}").alias(c) for c in cols],
                      F.col("_p.v").alias(version_col))
     return out
+
+
+def systematic_pps(df: DataFrame, id_col: str, weight_col: str,
+                   k: int, buckets: int = 64) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949) — the survey-sampling classic that draws an EXACT fixed-k
+    weighted sample: lay all rows on a [0, W) line in a deterministic
+    hash order, each row owning an interval equal to its integer
+    weight, and take the k midpoint-strided thresholds
+    ``t_j = ((2j+1)·W) div (2k)``. A row is selected once per
+    threshold inside its interval, so Σ``n_hits`` = k exactly, every
+    row's inclusion expectation is proportional to its weight, and a
+    row heavier than W/k is selected with multiplicity — the
+    fixed-budget complement to :func:`weighted_sample`'s Poisson
+    (independent, variable-count) design. Returns
+    ``(id, wt, n_hits)`` for selected rows only.
+
+    Everything is BIGINT arithmetic (interval ends, thresholds, the
+    hit-count inversion ``#{j: t_j < c} = clamp((2kc + W - 1) div
+    (2W), 0, k)``) on the md5-hash total order — bit-reproducible on
+    any engine, any partitioning, any cluster size.
+
+    Scale shape — the distributed prefix sum: a global running sum
+    ordered by hash would be one single-partition window over the
+    CORPUS (the anti-pattern this repo bans). Instead rows land in
+    ``buckets`` hash buckets; per-bucket totals (`buckets` rows)
+    take ONE tiny ordered window to become bucket offsets (the
+    distinct-value-window discipline), and each row's global
+    position is its bucket offset plus an in-bucket running sum —
+    windows partitioned BY BUCKET, fully parallel. Two shuffles
+    (bucket agg, bucket-partitioned window) + one broadcast of the
+    offsets/W; selection itself is a per-row expression."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k=}")
+    if buckets < 1:
+        raise ValueError(f"need buckets >= 1, got {buckets=}")
+    w = (df.select(F.col(id_col).alias("id"),
+                   F.col(weight_col).cast("long").alias("wt"))
+         .where(F.col("wt") > 0)
+         .withColumn("h", F.expr(_H32.format(s="CAST(id AS STRING)")))
+         .withColumn("bk", F.pmod(F.col("h"), F.lit(int(buckets)))))
+    bs = w.groupBy("bk").agg(F.sum("wt").alias("bw"))
+    owin = (Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (bs.withColumn("off", F.coalesce(F.sum("bw").over(owin),
+                                            F.lit(0)))
+            .withColumn("W", F.sum("bw").over(
+                Window.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)))
+            .select("bk", "off", "W"))
+    lwin = (Window.partitionBy("bk").orderBy("h", "id")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    pos = (w.withColumn("cl", F.sum("wt").over(lwin))
+           .join(F.broadcast(offs), "bk")
+           .withColumn("c_cur", F.col("off") + F.col("cl"))
+           .withColumn("c_prev", F.col("c_cur") - F.col("wt")))
+    # #{j in [0,k): t_j < c} with t_j = ((2j+1)W) div (2k):
+    # t_j < c  <=>  (2j+1)W < 2kc  <=>  j < (2kc - W)/(2W); count =
+    # clamp(ceil((2kc - W)/(2W)), 0, k) = clamp((2kc + W - 1) div
+    # (2W), 0, k)  — numerator >= W-1 >= 0 for c >= 0, so BIGINT
+    # floor-div is the true ceil here.
+    cnt = (lambda c: F.least(
+        F.lit(int(k)).cast("long"),
+        F.greatest(F.lit(0).cast("long"),
+                   F.expr(f"(2 * {int(k)} * {c} + W - 1) div (2 * W)"))))
+    return (pos.withColumn("n_hits", cnt("c_cur") - cnt("c_prev"))
+            .where(F.col("n_hits") >= 1)
+            .select("id", "wt", F.col("n_hits").cast("long")
+                    .alias("n_hits")))

@@ -74,6 +74,7 @@ _SCORE_FIRST = [
     "kcore_parts", "join_skew_report",
     "containment_neardup", "pareto_frontier", "edit_distance_join",
     "entity_resolution", "snm_blocking_audit",
+    "systematic_pps_sample",
     # ---- last scored r5, results unchanged ----
     "ann_recall_audit", "asof_join_clicks", "asof_nearest",
     "benchmark_contamination", "document_chunking",
@@ -6125,6 +6126,44 @@ FROM w, m
 WHERE {_duck_h32_id('doc_id', 'w1')} / {float(1 << 32)!r}
       < least(1.0, {_IMP_BUDGET!r} * wt / mw)
 """
+
+
+# Systematic PPS: the oracle computes the SAME md5-hash total order
+# with one global cumsum window (fine at oracle scale; the engine uses
+# the bucket-offset distributed prefix sum) and the same BIGINT
+# threshold-count inversion.
+_PPS_K = 500
+
+_PPS_ORACLE = f"""
+WITH w AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS wt,
+                  {_duck_h32_id('doc_id', '')} AS h
+           FROM documents WHERE n_chars > 0),
+b AS (SELECT *, h % 64 AS bk FROM w),
+cum AS (SELECT id, wt,
+               SUM(wt) OVER (ORDER BY bk, h, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c_cur
+        FROM b),
+tot AS (SELECT SUM(wt) AS W FROM w),
+hits AS (SELECT id, wt,
+  LEAST({_PPS_K}, GREATEST(0, (2 * {_PPS_K} * c_cur + W - 1) // (2 * W)))
+  - LEAST({_PPS_K}, GREATEST(0,
+      (2 * {_PPS_K} * (c_cur - wt) + W - 1) // (2 * W))) AS n_hits
+  FROM cum, tot)
+SELECT id, wt, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits WHERE n_hits >= 1
+"""
+
+
+@query("systematic_pps_sample", oracle=_PPS_ORACLE)
+def systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-k weighted sample (Madow systematic PPS) of the
+    corpus by document length: k=500 midpoint thresholds over the
+    hash-ordered weight line; Σn_hits = 500 exactly on any engine
+    (sampling.systematic_pps — distributed bucket-offset prefix sum,
+    no corpus-wide single-partition window)."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _samp.systematic_pps(docs, "doc_id", "n_chars", k=_PPS_K)
 
 
 @query("importance_sample", oracle=_IMP_ORACLE)

@@ -2198,3 +2198,28 @@ def test_snm_audit_multi_pass_recall(spark):
     assert one.n_true == 1 and one.n_found == 0
     assert two.n_true == 1 and two.n_found == 1
     assert two.recall_ppm == 1000000
+
+
+def test_systematic_pps_exact_k_and_multiplicity(spark):
+    """Sum of n_hits is exactly k on any layout; a row heavier than
+    W/k is selected with multiplicity; zero/negative weights drop."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.operators import sampling
+    rows = [(i, 10) for i in range(50)] + [(999, 1000), (998, 0),
+                                           (997, -5)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = sampling.systematic_pps(df, "id", "w", k=15)
+    got = {r.id: r.n_hits for r in out.collect()}
+    assert sum(got.values()) == 15
+    # heavy row owns 1000/1500 of the line -> ~2/3 of the thresholds
+    assert got[999] >= 9
+    assert 998 not in got and 997 not in got
+    # layout-independence: same result after an adversarial reshuffle
+    got2 = {r.id: r.n_hits for r in sampling.systematic_pps(
+        df.repartition(7, "w"), "id", "w", k=15).collect()}
+    assert got2 == got
+    # exact-k across k values, including k > n_rows
+    for k in (1, 7, 200):
+        s = (sampling.systematic_pps(df, "id", "w", k=k)
+             .agg(F.sum("n_hits")).collect()[0][0])
+        assert s == k, f"k={k}"
