@@ -81,6 +81,35 @@ def main() -> None:
         calib = min(calib, time.perf_counter() - t0)
     calib = round(calib, 3)
 
+    # Python-worker calibration (r11): the JVM calib above never
+    # leaves the JVM, so it cannot normalize rounds where the
+    # pandas-UDF path itself got slower/faster (Python fork cost,
+    # Arrow serialization, numpy BLAS threading — the r10 verdict
+    # found a 1.5-2.4x raw drift confined to the UDF-heavy query
+    # family while JVM-only queries held ~1.0x, unexplainable by the
+    # JVM calib alone). This job spans the exact stack that family
+    # exercises: Arrow batch transfer into Python, numpy work per
+    # batch, Arrow transfer back, JVM-side agg. Fixed workload,
+    # registry-independent, best of 3. Read UDF-family ratios
+    # against calib_py, JVM-family ratios against calib.
+    import pandas as _pd
+
+    def _py_batches(it):
+        for pdf in it:
+            h = (pdf["id"].to_numpy() * 2654435761) % 1000003
+            yield _pd.DataFrame({"s": [int(h.sum())], "n": [len(h)]})
+
+    calib_py_df = (spark.range(20_000_000, numPartitions=32)
+                   .mapInPandas(_py_batches, "s long, n long")
+                   .agg(_F.sum("s").alias("s"), _F.sum("n").alias("n")))
+    calib_py_df.write.format("noop").mode("overwrite").save()
+    calib_py = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calib_py_df.write.format("noop").mode("overwrite").save()
+        calib_py = min(calib_py, time.perf_counter() - t0)
+    calib_py = round(calib_py, 3)
+
     # Builder-aware timing (r10): these queries do REAL work at
     # DataFrame-construction time — streaming fixtures drain whole
     # availableNow streams, the stored-ANN queries write their index,
@@ -151,6 +180,10 @@ def main() -> None:
         cal = (f", calib {prev_calib:.3f} -> {calib:.3f} "
                f"({calib / prev_calib:.2f}x machine)"
                if prev_calib else f", calib {calib:.3f} (no prev)")
+        prev_cpy = prev_doc.get("calib_py")
+        cal += (f", calib_py {prev_cpy:.3f} -> {calib_py:.3f} "
+                f"({calib_py / prev_cpy:.2f}x py-worker)"
+                if prev_cpy else f", calib_py {calib_py:.3f} (no prev)")
         print(f"-- vs {os.path.basename(prev_path)}{cal} --",
               file=sys.stderr)
         for name in names:
@@ -176,7 +209,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     doc = {"metric": "headline_total", "value": total,
            "unit": "sec", "queries": timings, "sf": float(sf),
-           "calib": calib,
+           "calib": calib, "calib_py": calib_py,
            # construction included in these queries' timings (r10
            # builder-aware protocol) — not raw-comparable with <= r9
            "builders_timed": sorted(builders)}
@@ -199,6 +232,7 @@ def main() -> None:
     slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:20])
     compact = {"metric": "headline_total", "value": total,
                "unit": "sec", "sf": float(sf), "calib": calib,
+               "calib_py": calib_py,
                "n_queries": len(timings),
                "n_errors": sum(1 for v in timings.values() if v is None),
                "median": round(sorted(ok.values())[len(ok) // 2], 3)

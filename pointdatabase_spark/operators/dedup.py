@@ -909,7 +909,18 @@ def containment_pairs(df: DataFrame, group_cols: list[str],
     aggregated pair table. Threshold semantics: a pair qualifies on
     ``greatest(cont_ab, cont_ba)`` — containment of the SMALLER set in
     the larger (the overlap coefficient), since min-side containment
-    is what subset duplication means."""
+    is what subset duplication means.
+
+    ``max_df`` semantics (same contract as ngram_jaccard_pairs, made
+    explicit): with a cap set, BOTH the intersection AND the
+    denominators ``na``/``nb`` are computed over the df-capped
+    vocabulary — containment is exact over the corpus with hot
+    shingles removed, not an approximation of raw containment. That
+    is deliberate: a boilerplate-heavy doc whose content-bearing
+    (rare) shingles all appear in another doc SHOULD report high
+    containment — boilerplate carries no dedup signal either way.
+    Callers needing raw-vocabulary denominators can compute ``nsh``
+    before the cap themselves; the ratio is then a lower bound."""
     tok = spread(df).select(F.col(id_col).alias("id"), *group_cols,
                             F.split(F.col(text_col), r"\s+").alias("t"))
     shx = tok.select("id", *group_cols,

@@ -214,7 +214,10 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
     edit in the middle of both keys can miss — so recall is an
     empirical, corpus-dependent number this operator measures rather
     than asserts (on the part fixture: pass 1 alone finds 0 of 24
-    true pairs, adding the reverse pass recovers 16). ONE output
+    true pairs, adding the reverse pass recovers 16, adding a
+    sorted-token pass ``array_join(array_sort(split(s, ' ')), ' ')``
+    recovers 20 — it neutralizes edits inside any non-leading token;
+    the last 4 perturb the sort leader of every view). ONE output
     row::
 
         (n_true, n_candidates, n_found, recall_ppm)

@@ -121,7 +121,25 @@ def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
     (map-combinable); everything after operates on the staircase
     band. Degenerate inputs (zero range on x) skip pruning — the
     exact pass alone is still correct. No reference counterpart
-    (extension surface)."""
+    (extension surface).
+
+    KNOWN LIMIT (adversarial layouts): the stage-3 sweep is a
+    single-partition ordered window over the band's DISTINCT-x
+    table. On typical trade-space data the grid prune collapses the
+    band to O(grid·max-cell) rows and the sweep is trivial; but on
+    anti-correlated data where most points SIT on the staircase
+    (e.g. an exact anti-diagonal — skylines of such data are
+    inherently corpus-sized outputs), the prune removes nothing and
+    the distinct-x window degenerates toward a corpus-sized
+    single-partition sort. True-scale callers on such layouts should
+    stitch range-partitioned prefix maxima instead (compute per-range
+    max, broadcast the `range → prefix-max` ladder, filter locally —
+    the snm_candidate_audit rank-stitching pattern); not implemented
+    here because a frontier that large is a signal the skyline is the
+    wrong reduction. The band persist() is released by no explicit
+    unpersist (lazy multi-consumer precedent, ngram_jaccard_pairs);
+    sessions issuing MANY frontier calls should unpersist via
+    ``spark.catalog.clearCache()`` between batches."""
     if grid < 2:
         raise ValueError(f"need grid >= 2, got {grid=}")
     xs = F.col(x_col) if x_min else -F.col(x_col)

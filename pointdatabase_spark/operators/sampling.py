@@ -464,7 +464,13 @@ def systematic_pps(df: DataFrame, id_col: str, weight_col: str,
     Everything is BIGINT arithmetic (interval ends, thresholds, the
     hit-count inversion ``#{j: t_j < c} = clamp((2kc + W - 1) div
     (2W), 0, k)``) on the md5-hash total order — bit-reproducible on
-    any engine, any partitioning, any cluster size.
+    any engine, any partitioning, any cluster size, valid while
+    ``(2k+1)·W <= 2^63-1`` (W = Σweights). That bound is ENFORCED by
+    an in-plan assert on the bucket-offset frame: past it (e.g.
+    k = 10^6 against a 100-TB corpus weighted in characters,
+    W ~ 10^14) the numerator would wrap silently with ANSI off, so
+    the operator fails loudly instead — rescale weights (e.g. weigh
+    in KiB, not bytes) or split the draw.
 
     Scale shape — the distributed prefix sum: a global running sum
     ordered by hash would be one single-partition window over the
@@ -494,6 +500,26 @@ def systematic_pps(df: DataFrame, id_col: str, weight_col: str,
                 Window.rowsBetween(Window.unboundedPreceding,
                                    Window.unboundedFollowing)))
             .select("bk", "off", "W"))
+    # BIGINT-overflow bound, ENFORCED in-plan (mirrors the cusum
+    # pack guard, temporal.py): the hit-count numerator 2kc + W - 1
+    # peaks at (2k+1)W - 1 when c = W, so the arithmetic is exact
+    # iff (2k+1)·W <= 2^63-1. Beyond that the numerator wraps
+    # SILENTLY with ANSI off — corrupt hit counts, not an error —
+    # so the check must fail loudly. assert_true is NULL on success;
+    # folding it into W (binning.py zorder precedent) keeps Catalyst
+    # from pruning the check, and the offs frame is `buckets` rows,
+    # so the guard costs nothing.
+    max_w = ((1 << 63) - 1) // (2 * int(k) + 1)
+    w_ok = F.when(
+        F.assert_true(
+            F.col("W") <= F.lit(max_w),
+            F.concat(F.lit("systematic_pps: total weight W="),
+                     F.col("W").cast("string"),
+                     F.lit(f" with k={int(k)} overflows BIGINT "
+                           f"hit-count arithmetic ((2k+1)*W > 2^63-1)"
+                           f"; reduce k or rescale weights"))
+        ).isNull(), F.col("W")).alias("W")
+    offs = offs.select("bk", "off", w_ok)
     lwin = (Window.partitionBy("bk").orderBy("h", "id")
             .rowsBetween(Window.unboundedPreceding, 0))
     pos = (w.withColumn("cl", F.sum("wt").over(lwin))

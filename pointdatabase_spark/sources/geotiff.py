@@ -596,11 +596,13 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     IEEE-float or integer samples, chunky OR planar (band-separate)
     interleave.  Palette-color files return the raw INDEX values as
     band 1 — exactly GDAL's palette band semantics; resolve colors
-    with :func:`read_palette`.  Old-style JPEG (6) decodes when the
-    file carries the whole-image JPEGInterchangeFormat stream (tag
-    513 — the only surviving layout of the deprecated scheme); only
-    its fragmented per-strip variant and exotic sample formats still
-    raise with a pointer at rasterio."""
+    with :func:`read_palette`.  Old-style JPEG (6) decodes both
+    surviving layouts of the deprecated scheme: the whole-image
+    JPEGInterchangeFormat stream (tag 513) and the fragmented
+    per-strip variant whose strips are complete SOI-led streams
+    (r11); only per-strip bare scan data (tables exclusively in tags
+    517-521 — the TechNote-2 "broken by design" case) and exotic
+    sample formats still raise with a pointer at rasterio."""
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:2] == b"II":
@@ -614,14 +616,26 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     predictor = tags.get(_PREDICTOR, [1])[0]
     fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
     if comp == _COMP_JPEG_OLD and _JPEG_IF not in tags:
-        # The per-strip tag soup (512/515-521) of the deprecated
-        # scheme was broken by design (TIFF TechNote 2) and never
-        # interoperable; only the whole-image interchange-stream
-        # escape (tag 513, handled below) exists in surviving files.
-        raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6) without a "
-            "JPEGInterchangeFormat stream (tag 513) is unreadably "
-            "underspecified; re-export with new-style JPEG (7)")
+        # Fragmented old-style JPEG (no tag 513). The per-strip tag
+        # soup (512/515-521) of the deprecated scheme was broken by
+        # design (TIFF TechNote 2), but one sub-variant IS readable
+        # and occurs in legacy corpora (early Wang/Imaging-era
+        # writers): every strip offset points at a COMPLETE SOI-led
+        # JPEG stream. Those decode strip-wise below with the same
+        # T.81 codec. Strips that point mid-stream (bare scan data
+        # whose tables live only in tags 517-521) remain the
+        # genuinely underspecified case and keep the gate.
+        _offs = tags.get(_STRIP_OFFSETS, [])
+        if not (_offs and all(0 < o <= len(buf) - 2
+                              and buf[o:o + 2] == b"\xff\xd8"
+                              for o in _offs)):
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF (compression 6) without a "
+                "JPEGInterchangeFormat stream (tag 513) and with "
+                "strips that are not self-contained SOI-led JPEG "
+                "streams (bare scan data + table tags 517-521) is "
+                "unreadably underspecified; re-export with "
+                "new-style JPEG (7)")
     planar = tags.get(_PLANAR_CONFIG, [1])[0]
     if planar not in (1, 2):
         raise ValueError(f"bad PlanarConfiguration {planar}")
@@ -670,25 +684,54 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
     n_planes = n_bands if planar == 2 else 1
     seg_bands = 1 if planar == 2 else n_bands
     if comp == _COMP_JPEG_OLD:
-        # One complete JFIF stream covers the whole image; strip
-        # layout tags, if present, are ignored (they routinely lie in
-        # old-style files — the reason TechNote 2 deprecated them).
         if bits != 8 or kind != "u" or planar != 1:
             raise NotImplementedError(
                 "old-style JPEG-in-TIFF is 8-bit unsigned chunky only")
-        o = tags[_JPEG_IF][0]
-        c = tags.get(_JPEG_IF_LEN, [len(buf) - o])[0]
         from pointdatabase_spark.sources.jpeg import decode_jpeg
-        px = decode_jpeg(buf[o:o + c])
-        if px.ndim == 2:
-            px = px[:, :, None]
-        if px.shape[2] != n_bands:
-            raise ValueError(
-                f"embedded JPEG has {px.shape[2]} channels, "
-                f"IFD declares {n_bands}")
         z = np.zeros((ny, nx, n_bands), np.float64)
-        z[:min(ny, px.shape[0]), :min(nx, px.shape[1]), :] = (
-            px[:ny, :nx, :])
+        if _JPEG_IF in tags:
+            # One complete JFIF stream covers the whole image; strip
+            # layout tags, if present, are ignored (they routinely
+            # lie in old-style files — the reason TechNote 2
+            # deprecated them).
+            o = tags[_JPEG_IF][0]
+            c = tags.get(_JPEG_IF_LEN, [len(buf) - o])[0]
+            px = decode_jpeg(buf[o:o + c])
+            if px.ndim == 2:
+                px = px[:, :, None]
+            if px.shape[2] != n_bands:
+                raise ValueError(
+                    f"embedded JPEG has {px.shape[2]} channels, "
+                    f"IFD declares {n_bands}")
+            z[:min(ny, px.shape[0]), :min(nx, px.shape[1]), :] = (
+                px[:ny, :nx, :])
+        else:
+            # Fragmented per-strip variant, SOI-led strips verified
+            # above: each strip is an independent complete stream
+            # stacked by RowsPerStrip. Byte counts routinely lie (or
+            # are absent) in these files; a zero/missing count runs
+            # to the next strip's offset (or EOF) — the decoder
+            # stops at EOI anyway.
+            rps = tags.get(_ROWS_PER_STRIP, [ny])[0] or ny
+            offs = tags[_STRIP_OFFSETS]
+            cnts = tags.get(_STRIP_BYTE_COUNTS, [])
+            for i, o in enumerate(offs):
+                c = cnts[i] if i < len(cnts) and cnts[i] else (
+                    (offs[i + 1] - o) if i + 1 < len(offs)
+                    else len(buf) - o)
+                px = decode_jpeg(buf[o:o + c])
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                if px.shape[2] != n_bands:
+                    raise ValueError(
+                        f"strip JPEG has {px.shape[2]} channels, "
+                        f"IFD declares {n_bands}")
+                r0 = i * rps
+                rows = min(rps, ny - r0, px.shape[0])
+                if rows <= 0:
+                    continue
+                z[r0:r0 + rows, :min(nx, px.shape[1]), :] = (
+                    px[:rows, :nx, :])
     elif _TILE_WIDTH in tags:
         tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         offs = tags[_TILE_OFFSETS]

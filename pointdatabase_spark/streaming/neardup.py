@@ -123,7 +123,9 @@ def stream_neardup_flags(docs: DataFrame, horizon_us: int,
 
 def run_stream_neardup_availablenow(spark: SparkSession, sf_dir: str,
                                     horizon_us: int,
-                                    delay: str = "30 days") -> DataFrame:
+                                    delay: str = "30 days",
+                                    base_mod: int | None = None
+                                    ) -> DataFrame:
     """Drain the planted dedup corpus (testkit.SYN_CORPUS_SQL shape,
     built stream-side from the documents parquet with deterministic
     arrival times tus = (1 + (doc_id % 100000) % 720) hours — BOTH
@@ -139,6 +141,14 @@ def run_stream_neardup_availablenow(spark: SparkSession, sf_dir: str,
            .option("pathGlobFilter", "documents.parquet")
            .parquet(sf_dir)
            .select("doc_id", "text"))
+    if base_mod is not None:
+        # Deterministic BASE-corpus subset (bench-cost knob, r11):
+        # applied before planting so every planted dup keeps its
+        # original; the oracle takes the same subset via
+        # testkit.syn_corpus_cte(base_mod=...). All state
+        # transitions (same-instant flags, horizon evictions over
+        # the 720 h arrival spread) survive any modulus.
+        src = src.where(F.col("doc_id") % base_mod == 0)
     # the planted corpus (exact dups every 7th id, near-dups every
     # 11th), as streaming-legal unions of the one file source
     corpus = (src

@@ -44,6 +44,7 @@ def quality_gate(docs: DataFrame, text_col: str = "text",
 
 
 def run_quality_gate_availablenow(spark: SparkSession, sf_dir: str,
+                                  sample_mod: int | None = None,
                                   **thresholds) -> DataFrame:
     """End-to-end: stream the documents parquet through the gate into
     a parquet sink (append, availableNow), then return the
@@ -62,6 +63,12 @@ def run_quality_gate_availablenow(spark: SparkSession, sf_dir: str,
     src = (spark.readStream.schema(schema)
            .option("pathGlobFilter", "documents.parquet")
            .parquet(sf_dir))
+    if sample_mod is not None:
+        # Deterministic corpus subset (bench-cost knob, r11): the
+        # gate is STATELESS, so the batch/stream no-drift contract
+        # holds on any subset — the oracle applies the identical
+        # doc_id % sample_mod = 0 predicate.
+        src = src.where(F.col("doc_id") % sample_mod == 0)
     gated = quality_gate(src, **thresholds)
     (gated.writeStream.format("parquet")
      .option("path", dst)

@@ -88,16 +88,18 @@ def syn_tracks_cte(alias: str = "tr") -> str:
 # 7th doc re-ingested under a new id) and near-duplicates (every 11th
 # doc truncated by 15 chars). Pure substr/concat → identical in both
 # engines.
-SYN_CORPUS_SQL = """
-SELECT doc_id, lang, source, text FROM documents
+_SYN_CORPUS_TMPL = """
+SELECT doc_id, lang, source, text FROM {base}
 UNION ALL
 SELECT doc_id + 100000 AS doc_id, lang, source, text
-FROM documents WHERE doc_id % 7 = 0
+FROM {base} WHERE doc_id % 7 = 0
 UNION ALL
 SELECT doc_id + 200000 AS doc_id, lang, source,
        substr(text, 1, length(text) - 15) AS text
-FROM documents WHERE doc_id % 11 = 0
+FROM {base} WHERE doc_id % 11 = 0
 """
+
+SYN_CORPUS_SQL = _SYN_CORPUS_TMPL.format(base="documents")
 
 
 def syn_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,8 +107,20 @@ def syn_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SYN_CORPUS_SQL)
 
 
-def syn_corpus_cte(alias: str = "corpus") -> str:
-    return f"WITH {alias} AS ({SYN_CORPUS_SQL})"
+def syn_corpus_cte(alias: str = "corpus",
+                   base_mod: int | None = None) -> str:
+    """The planted-dup corpus CTE; with ``base_mod`` the BASE
+    documents are first restricted to ``doc_id % base_mod = 0``
+    (plants derive from the restricted base, so every planted dup
+    still has its original present). Used by bench fixtures that
+    stream a deterministic corpus subset — both engine and oracle
+    must take the SAME subset, so the filter lives here."""
+    if base_mod is None:
+        return f"WITH {alias} AS ({SYN_CORPUS_SQL})"
+    body = _SYN_CORPUS_TMPL.format(base="_syn_base")
+    return (f"WITH _syn_base AS (SELECT * FROM documents "
+            f"WHERE doc_id % {int(base_mod)} = 0), "
+            f"{alias} AS ({body})")
 
 
 # Skewed corpus: the dedup corpus plus a planted mega-cluster — 40

@@ -2200,6 +2200,26 @@ def test_snm_audit_multi_pass_recall(spark):
     assert two.recall_ppm == 1000000
 
 
+def test_snm_audit_three_pass_increments_on_part(spark):
+    """Per-pass recall on the real part fixture (sf0.001), pinned:
+    forward key 0/24 (edits are mid-string), + reverse 16/24,
+    + sorted-token 20/24 — the measured ladder that justifies the
+    snm_blocking_audit key set (the same numbers hold at sf0.01)."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import fuzzy
+    part = testkit.load_table(spark, "/root/testdata/sf0.001", "part")
+    keys = ["s", "reverse(s)",
+            "array_join(array_sort(split(s, ' ')), ' ')"]
+    found = []
+    for i in (1, 2, 3):
+        row = fuzzy.snm_candidate_audit(
+            part, "p_partkey", "p_name", d=2, window=5,
+            key_exprs=keys[:i]).collect()[0]
+        assert row.n_true == 24
+        found.append(row.n_found)
+    assert found == [0, 16, 20]
+
+
 def test_systematic_pps_exact_k_and_multiplicity(spark):
     """Sum of n_hits is exactly k on any layout; a row heavier than
     W/k is selected with multiplicity; zero/negative weights drop."""
@@ -2223,3 +2243,23 @@ def test_systematic_pps_exact_k_and_multiplicity(spark):
         s = (sampling.systematic_pps(df, "id", "w", k=k)
              .agg(F.sum("n_hits")).collect()[0][0])
         assert s == k, f"k={k}"
+
+
+def test_systematic_pps_overflow_guard_fires(spark):
+    """k·W >= 2^62 would wrap the BIGINT hit-count numerator
+    silently; the in-plan assert must fail the job loudly instead.
+    Fixture: two rows of weight 2^61 -> W = 2^62 (itself in-range),
+    k=4 -> (2k+1)·W = 9·2^62 > 2^63-1."""
+    import pytest
+    from pointdatabase_spark.operators import sampling
+    big = spark.createDataFrame([(1, 1 << 61), (2, 1 << 61)],
+                                "id long, w long")
+    with pytest.raises(Exception, match="systematic_pps"):
+        sampling.systematic_pps(big, "id", "w", k=4).collect()
+    # just inside the bound: k=1, (2k+1)*W = 3*2^62 < 2^63... no —
+    # 3*2^62 = 1.5*2^63 overflows too; use W = 2^60 so 3*W fits.
+    ok = spark.createDataFrame([(1, 1 << 59), (2, 1 << 59)],
+                               "id long, w long")
+    got = {r.id: r.n_hits for r in sampling.systematic_pps(
+        ok, "id", "w", k=2).collect()}
+    assert sum(got.values()) == 2

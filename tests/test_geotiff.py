@@ -450,3 +450,94 @@ def test_read_old_style_jpeg_in_tiff(tmp_path):
     open(p4, "wb").write(bytes(blank))
     with pytest.raises(NotImplementedError, match="tag 513"):
         read_geotiff(p4)
+
+
+def test_read_fragmented_old_style_jpeg_strips(tmp_path):
+    """The readable fragmented sub-variant (r11): compression 6, no
+    tag 513, every strip a COMPLETE SOI-led JPEG stream — decodes
+    strip-wise and stacks by RowsPerStrip, byte-exact vs per-strip
+    decode_jpeg; with lying zero byte counts the reader spans to the
+    next offset (decoder stops at EOI). Strips that are NOT SOI-led
+    keep the precise gate."""
+    import struct
+    import pytest
+    from pointdatabase_spark.sources.geotiff import read_geotiff
+    from pointdatabase_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    ny, nx, rps = 40, 48, 16
+    img = ((np.arange(ny * nx, dtype=np.int32) * 7) % 211).astype(
+        np.uint8).reshape(ny, nx)
+    strips = [encode_jpeg(img[r0:r0 + rps], quality=95)
+              for r0 in range(0, ny, rps)]
+    exp = np.concatenate([decode_jpeg(s).astype(np.float64)
+                          for s in strips], axis=0)
+
+    def build(counts):
+        T_SHORT, T_LONG, T_DOUBLE = 3, 4, 12
+        entries = [
+            (256, T_LONG, [nx]), (257, T_LONG, [ny]),
+            (258, T_SHORT, [8]), (259, T_SHORT, [6]),
+            (262, T_SHORT, [1]), (277, T_SHORT, [1]),
+            (278, T_LONG, [rps]),
+            (273, T_LONG, None),          # patched below
+            (279, T_LONG, counts),
+            (33550, T_DOUBLE, [1.0, 1.0, 0.0]),
+            (33922, T_DOUBLE, [0.0, 0.0, 0.0, 0.0, float(ny), 0.0]),
+        ]
+        fmt = {T_SHORT: "H", T_LONG: "I", T_DOUBLE: "d"}
+        n = len(entries)
+        ifd_size = 2 + 12 * n + 4
+        extra_off = 8 + ifd_size
+        # first pass: lay out extras, reserving strip-offset array
+        extra = bytearray()
+        fields = []
+        strip_arr_pos = None
+        for tag, typ, vals in sorted(entries):
+            if vals is None:
+                vals = [0] * len(strips)   # placeholder offsets
+                strip_arr_pos = len(extra) if len(vals) > 1 else None
+            raw = b"".join(struct.pack("<" + fmt[typ], v)
+                           for v in vals)
+            if len(raw) <= 4 and tag != 273:
+                fields.append((tag, typ, len(vals),
+                               raw.ljust(4, b"\x00")))
+            else:
+                if tag == 273:
+                    strip_arr_pos = len(extra)
+                fields.append((tag, typ, len(vals), struct.pack(
+                    "<I", extra_off + len(extra))))
+                extra.extend(raw)
+        data_off = extra_off + len(extra)
+        offs, cur = [], data_off
+        for s in strips:
+            offs.append(cur)
+            cur += len(s)
+        extra[strip_arr_pos:strip_arr_pos + 4 * len(strips)] = \
+            b"".join(struct.pack("<I", o) for o in offs)
+        out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        out += struct.pack("<H", n)
+        for tag, typ, count, val4 in fields:
+            out += struct.pack("<HHI", tag, typ, count) + val4
+        out += struct.pack("<I", 0)
+        out += extra
+        for s in strips:
+            out += s
+        return bytes(out)
+
+    p = str(tmp_path / "frag_ok.tif")
+    open(p, "wb").write(build([len(s) for s in strips]))
+    g = read_geotiff(p)
+    assert g.z.shape == (ny, nx)
+    assert np.array_equal(g.z[::-1, :], exp[:ny, :nx])
+    # lying zero byte counts: reader spans offset-to-offset
+    p2 = str(tmp_path / "frag_zero.tif")
+    open(p2, "wb").write(build([0] * len(strips)))
+    assert np.array_equal(read_geotiff(p2).z, g.z)
+    # non-SOI-led strips (bare scan data) still gate
+    raw = bytearray(build([len(s) for s in strips]))
+    soi_at = raw.find(b"\xff\xd8\xff")
+    raw[soi_at:soi_at + 2] = b"\x00\x00"
+    p3 = str(tmp_path / "frag_bad.tif")
+    open(p3, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="SOI-led"):
+        read_geotiff(p3)

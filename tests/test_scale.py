@@ -449,3 +449,95 @@ def test_edit_distance_join_scales_linearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"edit_distance_join exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_triangle_census_scales_linearly_on_honest_fixture(spark):
+    """r11 honest-fixture version of the r10 0.77* caveat: the
+    domain-growing SF1_graph fixture (lineitem replicas with
+    DISJOINT part domains) makes the sf1 co-purchase graph 10
+    disjoint copies of the sf0.1 graph — 10x nodes/edges/triangles
+    at constant density — so the measured exponent is engine cost,
+    not fixture densification. Degree-ordered wedge join is
+    O(m^1.5)-bounded; on a constant-density decade linear is the
+    expectation."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["graph"])
+
+    def thunk(sf):
+        # localCheckpoints the edge list at construction -> builder
+        return registry.all_queries()["triangle_census"](spark, sf)
+
+    t01 = max(scale_check.timed(lambda: thunk(SF01)), FLOOR_S)
+    spark.catalog.clearCache()
+    t1 = max(scale_check.timed(
+        lambda: thunk(scale_check.SF1 + "_graph")), FLOOR_S)
+    spark.catalog.clearCache()
+    e = math.log10(t1 / t01)
+    assert e < EXP_BOUND, f"triangle_census exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_butterflies_scale_linearly_on_honest_fixture(spark):
+    """Butterfly census over the SF1_graph customer-part bipartite
+    fixture (custkey AND partkey domains grow with the replicas —
+    10 disjoint bipartite graphs). Degree-capped wedge join is
+    Sum(min(deg,cap)^2)-bounded; constant-density decade -> linear
+    expectation, and a regression that loses the cap goes quadratic
+    in the replica count."""
+    import scale_check
+    from pointdatabase_spark import queries as registry
+
+    scale_check.build_sf1(["graph"])
+
+    def op(sf):
+        return registry.all_queries()["bipartite_butterflies"](
+            spark, sf)
+
+    t01 = max(_timed(op(SF01)), FLOOR_S)
+    spark.catalog.clearCache()
+    t1 = max(_timed(op(scale_check.SF1 + "_graph")), FLOOR_S)
+    spark.catalog.clearCache()
+    e = math.log10(t1 / t01)
+    assert e < EXP_BOUND, f"bipartite_butterflies exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_pareto_frontier_scales_flat(spark):
+    """Skyline over part10 (retailprice domain grows per replica):
+    grid prune + staircase-band work only — the corpus-sized stages
+    are two scalar/census scans, so the decade should be near-flat
+    (scan-bound). A regression that defeats the prune (corpus-sized
+    single-partition sweep) trips the bound."""
+    import scale_check
+    from pointdatabase_spark.operators import olap as _olap
+
+    scale_check.build_sf1(["part10"])
+
+    def op(s, sf):
+        p = f"{sf}/part10.parquet"
+        src = s.read.parquet(p if os.path.exists(p)
+                             else f"{sf}/part.parquet")
+        return _olap.pareto_frontier(
+            src.select("p_partkey", "p_retailprice", "p_size"),
+            "p_retailprice", "p_size")
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"pareto_frontier exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_systematic_pps_scales_linearly(spark):
+    """Exact fixed-k PPS over 10x documents: two shuffles (bucket
+    agg, bucket-partitioned prefix-sum window) + one broadcast —
+    scan-linear at worst. A regression toward a global
+    single-partition running sum shows up super-linear."""
+    from pointdatabase_spark import queries as registry
+
+    def op(s, sf):
+        return registry.all_queries()["systematic_pps_sample"](s, sf)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"systematic_pps_sample exponent {e:.2f}"
