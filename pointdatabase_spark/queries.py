@@ -69,6 +69,7 @@ _SCORE_FIRST = [
     # ---- internals changed r11 ----
     "snm_blocking_audit", "systematic_pps_sample",
     "pareto_frontier", "containment_neardup",
+    "bipartite_butterflies",
     # ---- last scored r6, results unchanged since ----
     "box_query", "tile_store_box_query", "bin_catalog",
     "bin_semi_join", "bin_key_intersect", "bin_anti_join",
