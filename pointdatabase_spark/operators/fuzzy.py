@@ -131,7 +131,12 @@ def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str,
             .select(F.col(id_col).alias("id"), *gc,
                     F.col(str_col).alias("s")))
     names = (base.select(*gc, "s").distinct()
-             .withColumn("m", F.length("s")))
+             .withColumn("m", F.length("s"))
+             # segs, probes, and the short block all derive from the
+             # distinct-string table; persist so the corpus scan +
+             # distinct runs once (vocabulary-sized cache — the
+             # ngram_jaccard_pairs lazy multi-consumer precedent)
+             .persist())
     segs = (names.where(F.col("m") >= d + 1)
             .select("s", *gc,
                     F.explode(F.expr(_segments_expr("s", "m", d)))

@@ -163,9 +163,12 @@ def test_stream_neardup_flags_match_batch_twin(spark):
     got = Q.all_queries()["streaming_neardup"](spark, sf)
 
     # batch twin: inline band keys over the identical corpus, then the
-    # gap-session anchor rule as window expressions
+    # gap-session anchor rule as window expressions. The registered
+    # query streams the doc_id % 3 = 0 BASE subset (r11 bench trim,
+    # base_mod=3) — the twin plants from the same filtered base.
     from pointdatabase_spark.streaming import neardup
     docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .where(F.col("doc_id") % 3 == 0) \
         .select("doc_id", "text")
     corpus = (docs
               .unionByName(docs.where(F.col("doc_id") % 7 == 0)
