@@ -412,12 +412,19 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Embedding near-duplicate pairs. With `planes`, candidate pairs
-    are bucket-blocked (scalable); without, all-pairs (small corpora /
-    oracle parity). `spread` widens the probe side so the nested-loop
-    pair sweep uses every core even from a one-file scan."""
+    are bucket-blocked (the 100-TB path: quadratic work per bucket,
+    never corpus²); without, EXACT all-pairs via a distributed
+    block-pair matmul — O(n²) total work by definition, but fully
+    executor-side (no driver collect; r11) with per-task matrices
+    bounded by the block count. `spread` widens the probe side so
+    the pair sweep uses every core even from a one-file scan."""
     base = (spread(df.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v")))
-            .withColumn("n", F.expr(norm_expr("v"))))
+            .withColumn("n", F.expr(norm_expr("v")))
+            # both branches re-read the vector table (bucket/block
+            # build + the two verify-join sides); cache ids+vectors
+            # once (lazy multi-consumer precedent)
+            .persist())
     if planes is not None:
         base = with_bucket(base, planes, "v")
         a, b = base.alias("a"), base.alias("b")
@@ -425,39 +432,74 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
                (F.col("a.id") < F.col("b.id"))
         joined = a.join(b, cond)
     else:
-        # Exact all-pairs (the small-corpus / oracle-parity branch —
-        # the SRP-blocked variant above is the scale path). A NumPy
-        # matmul PREFILTER proposes candidate pairs at threshold−1e−6:
-        # |BLAS cosine − sequential-SQL cosine| is bounded far below
-        # that margin at dim 64, so no true pair is lost — and every
-        # candidate is then decided by the exact SQL expression, so
-        # the output is bit-identical to the naive nested-loop join
-        # while the quadratic work runs as one vectorized matmul
-        # instead of interpreted per-pair array lambdas (4.6×
-        # measured at sf0.1). The driver-side collect is this
-        # branch's documented contract: all-pairs output is itself
-        # O(corpus²), so the corpus must already be driver-scale.
+        # Exact all-pairs (the SRP-blocked variant above is the scale
+        # path). DISTRIBUTED block-pair matmul (r11 — this was the
+        # repo's last collect-the-corpus surface): rows hash into B
+        # blocks, every block pair (i <= j) becomes one applyInPandas
+        # group whose task runs a vectorized NumPy matmul PREFILTER
+        # proposing candidates at threshold−1e−6 (|BLAS cosine −
+        # sequential-SQL cosine| is bounded far below that margin at
+        # dim 64, so no true pair is lost). Every candidate is then
+        # decided by the exact SQL expression, so the output stays
+        # bit-identical to the naive nested-loop join. Each unordered
+        # pair lands in exactly one block-pair group (ids hash to one
+        # block each), diagonal groups use the upper triangle. Work
+        # is still O(n²/B²) per task — all-pairs is all-pairs — but
+        # the corpus never leaves the executors: shuffle is corpus ×
+        # ~B/2 vector rows, and B tunes the per-task matrix to
+        # executor memory.
         import numpy as np
         import pandas as pd
-        pdf = df.select(F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("v")).toPandas()
-        if len(pdf) == 0:
-            # np.stack refuses an empty sequence; an empty corpus has
-            # no pairs, same as the nested-loop join it replaced
-            lo = hi = np.empty(0, dtype="int64")
-        else:
-            ids = pdf["id"].to_numpy()
-            mat = np.stack(pdf["v"].to_numpy())
-            nrm = np.sqrt((mat * mat).sum(axis=1))
-            cos = (mat @ mat.T) / np.outer(nrm, nrm)
-            ia, ib = np.where(np.triu(cos >= threshold - 1e-6, k=1))
-            lo, hi = (np.minimum(ids[ia], ids[ib]),
-                      np.maximum(ids[ia], ids[ib]))
+        n_blocks = 8
         spark = df.sparkSession
-        cand = spark.createDataFrame(
-            pd.DataFrame({"id_a": lo.astype("int64"),
-                          "id_b": hi.astype("int64")}),
-            "id_a long, id_b long")
+        pairs_df = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks)
+             for j in range(i, n_blocks)], "bk_a int, bk_b int")
+        blocks = base.withColumn(
+            "bk", F.pmod(F.xxhash64(F.col("id")),
+                         F.lit(n_blocks)).cast("int"))
+        left = (blocks.join(F.broadcast(pairs_df),
+                            blocks["bk"] == pairs_df["bk_a"])
+                .select("bk_a", "bk_b", "id", "v",
+                        F.lit(0).alias("side")))
+        right = (blocks.join(
+            F.broadcast(pairs_df),
+            (blocks["bk"] == pairs_df["bk_b"])
+            & (pairs_df["bk_a"] != pairs_df["bk_b"]))
+            .select("bk_a", "bk_b", "id", "v",
+                    F.lit(1).alias("side")))
+        thr = float(threshold)
+
+        def _propose(pdf: pd.DataFrame) -> pd.DataFrame:
+            a_ = pdf[pdf["side"] == 0]
+            b_ = pdf[pdf["side"] == 1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                if len(b_) == 0:   # diagonal block: within-block triu
+                    ids = a_["id"].to_numpy()
+                    mat = np.stack(a_["v"].to_numpy())
+                    nrm = np.sqrt((mat * mat).sum(axis=1))
+                    cos = (mat @ mat.T) / np.outer(nrm, nrm)
+                    ia, ib = np.where(
+                        np.triu(cos >= thr - 1e-6, k=1))
+                    lo = np.minimum(ids[ia], ids[ib])
+                    hi = np.maximum(ids[ia], ids[ib])
+                else:              # cross block: full rectangle
+                    ida = a_["id"].to_numpy()
+                    idb = b_["id"].to_numpy()
+                    ma = np.stack(a_["v"].to_numpy())
+                    mb = np.stack(b_["v"].to_numpy())
+                    na_ = np.sqrt((ma * ma).sum(axis=1))
+                    nb_ = np.sqrt((mb * mb).sum(axis=1))
+                    cos = (ma @ mb.T) / np.outer(na_, nb_)
+                    ia, ib = np.where(cos >= thr - 1e-6)
+                    lo = np.minimum(ida[ia], idb[ib])
+                    hi = np.maximum(ida[ia], idb[ib])
+            return pd.DataFrame({"id_a": lo.astype("int64"),
+                                 "id_b": hi.astype("int64")})
+
+        cand = (left.unionByName(right)
+                .groupBy("bk_a", "bk_b")
+                .applyInPandas(_propose, "id_a long, id_b long"))
         a, b = base.alias("a"), base.alias("b")
         joined = (cand.join(a, cand.id_a == F.col("a.id"))
                   .join(b, cand.id_b == F.col("b.id")))

@@ -69,7 +69,9 @@ _SCORE_FIRST = [
     # ---- internals changed r11 ----
     "snm_blocking_audit", "systematic_pps_sample",
     "pareto_frontier", "containment_neardup",
-    "bipartite_butterflies",
+    "bipartite_butterflies", "embedding_cosine_neardup",
+    "embedding_cosine_neardup_blocked", "edit_distance_join",
+    "entity_resolution",
     # ---- last scored r6, results unchanged since ----
     "box_query", "tile_store_box_query", "bin_catalog",
     "bin_semi_join", "bin_key_intersect", "bin_anti_join",
