@@ -361,27 +361,40 @@ def chi2_drift(df: DataFrame, group_col, value_col: str,
     order-sensitive — which is why the operator emits per-bucket
     rows and leaves the 10-row total to the caller.
 
-    Scale: one window pass for the pooled ranks (global total order
-    over the value — same contract as budget_select; use coarser
-    pre-aggregated histograms when the pooled table is the full
-    100 TB), then bucket-keyed counts. Sample A = rows whose
-    ``group_col`` equals the MIN group label (derived in-plan, no
-    construction-time scan); every other label counts as B, so pass
-    a binary column for a two-sample test."""
+    Scale (r11 — was one global row_number, i.e. an Exchange
+    SinglePartition over the POOLED CORPUS, the row-table global
+    window this repo bans): ``repartitionByRange`` on (value, group)
+    slices the total order; per-slice row counts (32 rows) take one
+    tiny ordered window to become rank offsets (the systematic_pps /
+    budget_select bucket-offset discipline), and each row's pooled
+    rank is its slice offset plus a SLICE-LOCAL row_number. The
+    global count and MIN group label come off the same 32-row slice
+    stats — no unbounded corpus window anywhere. Rank ties (equal
+    (value, group) rows) are interchangeable for counting, so bucket
+    counts are bit-identical to the single-partition form on any
+    layout. Use coarser pre-aggregated histograms when the pooled
+    table is the full 100 TB."""
     from pyspark.sql import Window
 
     vq = (F.floor(F.col(value_col).cast("double") * F.lit(scale)
                   + F.lit(0.5)).cast("long"))
     t = df.select(F.col(group_col).alias("_g"), vq.alias("_vq"))
-    # Sample A = the MIN group label, derived IN PLAN (a window over
-    # the already-required global ordering) — an eager collect here
-    # would scan the full input once at construction time just to
-    # learn one label, doubling the pass count on the 100 TB target.
-    w = Window.orderBy("_vq", "_g")
-    n_w = Window.partitionBy()
-    ranked = (t.withColumn("_rn", F.row_number().over(w))
-              .withColumn("_n", F.count(F.lit(1)).over(n_w))
-              .withColumn("_lo", F.min("_g").over(n_w)))
+    part = (t.repartitionByRange(32, F.col("_vq").asc(),
+                                 F.col("_g").asc())
+            .withColumn("_pid", F.spark_partition_id()))
+    ss = part.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_pc"), F.min("_g").alias("_pg"))
+    owin = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (ss.withColumn("_off", F.coalesce(F.sum("_pc").over(owin),
+                                             F.lit(0).cast("long")))
+            .select("_pid", "_off"))
+    glob = ss.agg(F.sum("_pc").alias("_n"), F.min("_pg").alias("_lo"))
+    lwin = Window.partitionBy("_pid").orderBy("_vq", "_g")
+    ranked = (part.withColumn("_lrn", F.row_number().over(lwin))
+              .join(F.broadcast(offs), "_pid")
+              .crossJoin(F.broadcast(glob))
+              .withColumn("_rn", F.col("_off") + F.col("_lrn")))
     b = int(buckets)
     # equal-frequency bucket of the POOLED rank: floor((rn-1)*b/n)
     # — pure integer arithmetic, identical on any engine.

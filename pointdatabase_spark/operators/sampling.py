@@ -356,20 +356,39 @@ def budget_select(df: DataFrame, token_budget: int,
     straddling document (so the budget is always reached when the
     corpus allows; standard greedy knapsack-with-overflow-one rule).
 
-    Scale shape: ONE global sort by (quality desc, id) feeding a
-    running-sum window.  A total order is inherently a global sort —
-    Spark range-partitions it (sampled boundaries), so the exchange
-    is balanced; the window then runs partition-local per range.  For
-    100 TB corpora where a full sort is too hot, pre-bucket quality
-    to a coarse grid and budget per bucket — this operator is the
-    exact small/medium-scale form and the oracle contract."""
-    w = (Window.orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    run = F.sum(F.col(tokens_col).cast("long")).over(w)
-    return (df.withColumn("cum_tokens", run)
+    Scale shape (r11 — was a corpus-sized ``Window.orderBy``, which
+    Spark plans as Exchange SinglePartition + one-task sort, the
+    row-table global window this repo bans): ``repartitionByRange``
+    on (quality desc, id) splits the total order into balanced range
+    slices; per-slice token totals (``buckets`` rows) take ONE tiny
+    ordered window to become slice offsets (the systematic_pps
+    bucket-offset discipline), and each row's global running sum is
+    its slice offset plus a SLICE-LOCAL window — fully parallel.
+    The cumulative sum over a total order is a pure function of the
+    data (slice boundaries cancel out), so the output is
+    bit-identical to the single-partition form on any layout."""
+    b = 32
+    part = (df.repartitionByRange(b, F.col(quality_col).desc(),
+                                  F.col(id_col).asc())
+            .withColumn("_pid", F.spark_partition_id()))
+    tot = part.groupBy("_pid").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("_pt"))
+    owin = (Window.orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = tot.withColumn(
+        "_off", F.coalesce(F.sum("_pt").over(owin),
+                           F.lit(0).cast("long"))).select("_pid", "_off")
+    lwin = (Window.partitionBy("_pid")
+            .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    run = F.sum(F.col(tokens_col).cast("long")).over(lwin)
+    return (part.withColumn("_cl", run)
+            .join(F.broadcast(offs), "_pid")
+            .withColumn("cum_tokens",
+                        (F.col("_off") + F.col("_cl")).cast("long"))
             .where((F.col("cum_tokens") - F.col(tokens_col))
                    < F.lit(int(token_budget)))
-            .withColumn("cum_tokens", F.col("cum_tokens").cast("long")))
+            .drop("_pid", "_cl", "_off"))
 
 
 def stratified_split(df: DataFrame, strata_cols: list[str],

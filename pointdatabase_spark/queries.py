@@ -71,7 +71,8 @@ _SCORE_FIRST = [
     "pareto_frontier", "containment_neardup",
     "bipartite_butterflies", "embedding_cosine_neardup",
     "embedding_cosine_neardup_blocked", "edit_distance_join",
-    "entity_resolution",
+    "entity_resolution", "token_budget_select",
+    "snapshot_drift_chi2",
     # ---- last scored r6, results unchanged since ----
     "box_query", "tile_store_box_query", "bin_catalog",
     "bin_semi_join", "bin_key_intersect", "bin_anti_join",
