@@ -7,6 +7,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pointdatabase_spark import testkit
@@ -695,3 +697,42 @@ def test_state_diff_single_full_outer_join(spark):
     assert joins == 1, plan
     assert "FullOuter" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.slow
+def test_registry_has_no_corpus_global_windows(spark):
+    """Registry-wide doctrine pin (r11, the audit that caught
+    budget_select and chi2_drift): an unpartitioned window drags its
+    input into ONE task (Exchange SinglePartition + single sort), so
+    the only admissible global windows run over distinct-VALUE or
+    bounded tables. Detector: a `windowspecdefinition` whose spec
+    starts with an ORDER column (ASC/DESC marker — partitioned specs
+    lead with bare partition columns). Slice-offset windows (ordered
+    by `_pid`/`bk`, <= O(buckets) rows by construction) are excluded
+    by key name; every other hit must be on the reviewed allowlist
+    below, each entry being a documented distinct-value sweep."""
+    import re
+    from pointdatabase_spark import queries as registry
+
+    # query -> the bounded table its global window sweeps
+    allowed = {
+        "join_skew_report",      # distinct count-VALUE distribution
+        "pareto_frontier",       # distinct-x staircase band
+        "radial_bin_ordering",   # distinct 10 km bins
+        "zorder_bin_ordering",   # distinct 10 km bins
+        "snm_blocking_audit",    # distinct-string vocabulary ranks
+        "entity_resolution",     # distinct-name kernel + reps
+        "edit_distance_join",    # distinct-string kernel windows
+    }
+    offenders = {}
+    for name, fn in registry.all_queries().items():
+        if name.startswith("streaming_"):
+            continue  # fixtures drain real streams at construction
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [m.group(0)[:70] for m in re.finditer(
+            r"windowspecdefinition\((\w+)#\d+L? (?:ASC|DESC)", plan)
+            if m.group(1) not in ("_pid", "bk")]
+        if hits and name not in allowed:
+            offenders[name] = hits[0]
+    assert not offenders, offenders
