@@ -725,6 +725,8 @@ def test_registry_has_no_corpus_global_windows(spark):
         "edit_distance_join",    # distinct-string kernel windows
     }
     offenders = {}
+    py_offenders = {}
+    cart_offenders = {}
     for name, fn in registry.all_queries().items():
         if name.startswith("streaming_"):
             continue  # fixtures drain real streams at construction
@@ -735,4 +737,17 @@ def test_registry_has_no_corpus_global_windows(spark):
             if m.group(1) not in ("_pid", "bk")]
         if hits and name not in allowed:
             offenders[name] = hits[0]
+        # Doctrine 2 (same walk, no extra plan builds): zero
+        # row-at-a-time Python UDFs anywhere in the registry — the
+        # only Python stages are Arrow-batched (ArrowEvalPython,
+        # FlatMapGroupsInPandas/ArrowEvalPythonUDTF, MapInPandas).
+        if "BatchEvalPython" in plan:
+            py_offenders[name] = "BatchEvalPython"
+        # Doctrine 3: no unhinted big-x-big CartesianProduct. (1-row
+        # scalar frames join via BroadcastNestedLoopJoin, which is
+        # fine and not matched here.)
+        if "CartesianProduct" in plan:
+            cart_offenders[name] = "CartesianProduct"
     assert not offenders, offenders
+    assert not py_offenders, py_offenders
+    assert not cart_offenders, cart_offenders
