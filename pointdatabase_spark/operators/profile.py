@@ -381,7 +381,13 @@ def chi2_drift(df: DataFrame, group_col, value_col: str,
     t = df.select(F.col(group_col).alias("_g"), vq.alias("_vq"))
     part = (t.repartitionByRange(32, F.col("_vq").asc(),
                                  F.col("_g").asc())
-            .withColumn("_pid", F.spark_partition_id()))
+            .withColumn("_pid", F.spark_partition_id())
+            # three consumers (slice stats -> offsets, slice stats ->
+            # globals, the ranked rows) — persist pins ONE range
+            # exchange (2 longs per row cached) and makes the
+            # _pid-consistency argument a storage fact rather than a
+            # boundary-sampling-determinism argument
+            .persist())
     ss = part.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_pc"), F.min("_g").alias("_pg"))
     owin = (Window.orderBy("_pid")

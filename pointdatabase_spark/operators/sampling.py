@@ -370,7 +370,14 @@ def budget_select(df: DataFrame, token_budget: int,
     b = 32
     part = (df.repartitionByRange(b, F.col(quality_col).desc(),
                                   F.col(id_col).asc())
-            .withColumn("_pid", F.spark_partition_id()))
+            .withColumn("_pid", F.spark_partition_id())
+            # two consumers (slice token totals, the ranked rows) —
+            # persist pins ONE range exchange and makes the
+            # _pid-consistency argument a storage fact. The cache
+            # holds the CALLER's columns: pre-prune to
+            # (id, quality, tokens, keep-cols) before calling, as the
+            # registered query does.
+            .persist())
     tot = part.groupBy("_pid").agg(
         F.sum(F.col(tokens_col).cast("long")).alias("_pt"))
     owin = (Window.orderBy("_pid")
