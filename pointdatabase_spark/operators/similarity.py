@@ -473,8 +473,18 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
         def _propose(pdf: pd.DataFrame) -> pd.DataFrame:
             a_ = pdf[pdf["side"] == 0]
             b_ = pdf[pdf["side"] == 1]
+            # Diagonal is decided by the GROUP KEY, not by side
+            # emptiness: a cross group whose right block is empty
+            # still exists (left side joined), and treating it as
+            # diagonal would re-emit block i's within-block pairs
+            # once per empty partner block.
+            diag = pdf["bk_a"].iat[0] == pdf["bk_b"].iat[0]
+            if not diag and (len(a_) == 0 or len(b_) == 0):
+                return pd.DataFrame({
+                    "id_a": np.empty(0, dtype="int64"),
+                    "id_b": np.empty(0, dtype="int64")})
             with np.errstate(divide="ignore", invalid="ignore"):
-                if len(b_) == 0:   # diagonal block: within-block triu
+                if diag:           # diagonal block: within-block triu
                     ids = a_["id"].to_numpy()
                     mat = np.stack(a_["v"].to_numpy())
                     nrm = np.sqrt((mat * mat).sum(axis=1))

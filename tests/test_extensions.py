@@ -2263,3 +2263,19 @@ def test_systematic_pps_overflow_guard_fires(spark):
     got = {r.id: r.n_hits for r in sampling.systematic_pps(
         ok, "id", "w", k=2).collect()}
     assert sum(got.values()) == 2
+
+
+def test_cosine_neardup_tiny_corpus_no_duplicate_pairs(spark):
+    """r11 distributed block-matmul edge case: with a corpus smaller
+    than the block count, most blocks are EMPTY and every cross group
+    (i, j) with an empty j side exists with left rows only — it must
+    emit nothing (misclassifying it as diagonal re-emits block i's
+    within-block pairs once per empty partner). Exactly one pair, no
+    duplicates."""
+    from pointdatabase_spark.operators import similarity
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    out = similarity.cosine_neardup_pairs(df, threshold=0.9).collect()
+    assert sorted((r.id_a, r.id_b) for r in out) == [(1, 2)]
