@@ -235,15 +235,19 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
     verify, ``recall_ppm = (1e6 * n_found) div n_true`` exact BIGINT
     arithmetic (1e6 when the windows lose nothing).
 
-    Plan: each pass ranks the DISTINCT-string table with one
-    row_number — single-partition, but vocabulary-sized, the same
-    distinct-value-window discipline as key_skew_report. The window
-    join is rank-equi (each rank explodes ``sequence(1, window)``
-    offsets and joins rank + k — no range join); passes union and
-    dedupe on the canonical string pair; verification is the banded
-    levenshtein. At true corpus scale replace the global row_number
-    with range-partitioned rank stitching; audit semantics are
-    unchanged."""
+    Plan: each pass ranks the DISTINCT-string table with
+    :func:`~pointdatabase_spark.operators.ranking.range_row_number`
+    — range-partitioned rank stitching (slice offset + slice-local
+    row_number), NOT a global ``Window.orderBy`` (r12: a distinct-
+    STRING vocabulary over a 100 TB text corpus is itself
+    corpus-scale, so the former single-task vocabulary sort was the
+    registry's last allowlisted scale ceiling; ranks are
+    bit-identical because the sort key (_key, s) is unique). The
+    window join is rank-equi (each rank explodes
+    ``sequence(1, window)`` offsets and joins rank + k — no range
+    join); passes union and dedupe on the canonical string pair;
+    verification is the banded levenshtein. All per-pass slice
+    caches release with the name cache after the eager compute."""
     if window < 1:
         raise ValueError(f"need window >= 1, got {window=}")
     keys = list(key_exprs or ["s", "reverse(s)"])
@@ -255,13 +259,16 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
              # every pass ranks + probes this table; one tokenize/
              # distinct pipeline, cached reads after
              .persist())
-    from pyspark.sql.window import Window as _W
+    from pointdatabase_spark.operators.ranking import range_row_number
     cand = None
+    caches: list[DataFrame] = []
     for ke in keys:
         keyed = names.withColumn("_key", F.expr(ke))
-        w = (_W.partitionBy(*gc).orderBy("_key", "s") if gc
-             else _W.orderBy("_key", "s"))
-        ranked = keyed.withColumn("r", F.row_number().over(w))
+        # (_key, s) is unique within each group (names are distinct),
+        # so the stitched rank is bit-identical to the global window.
+        ranked, cache = range_row_number(
+            keyed, ["_key", "s"], group_cols=gc or None, out_col="r")
+        caches.append(cache)
         probe = (ranked.select(
             *gc, F.col("s").alias("_s1"), "r",
             F.explode(F.expr(f"sequence(1, {int(window)})")).alias("_k"))
@@ -295,12 +302,14 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
                           "ELSE (1000000 * n_found) div n_true END")
                    .cast("long").alias("recall_ppm")))
     # One-row diagnostic: compute EAGERLY and release the persisted
-    # distinct-name table before returning (the lsh_recall_eval
-    # precedent — a lazy return leaks the cache for the application
-    # lifetime). The caller still gets a DataFrame with the exact
-    # result schema.
+    # distinct-name table AND the per-pass rank-slice caches before
+    # returning (the lsh_recall_eval precedent — a lazy return leaks
+    # the caches for the application lifetime). The caller still gets
+    # a DataFrame with the exact result schema.
     try:
         row = out.first()
     finally:
         names.unpersist()
+        for c in caches:
+            c.unpersist()
     return out.sparkSession.createDataFrame([row], schema=out.schema)

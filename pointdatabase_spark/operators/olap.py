@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pointdatabase_spark.functions import rounding
+from pointdatabase_spark.operators import ranking as _rk
 
 
 def top_k_per_group(df: DataFrame, group_cols: list[str],
@@ -111,11 +112,17 @@ def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
     3. **Running-max sweep.** Ordered by x ascending, a candidate
        survives iff its y strictly exceeds the prefix max over
        smaller x (equal y at larger x ⟹ dominated; the per-x max
-       already settled equal x). The single-partition window runs
-       over the band's distinct-x table ONLY — the same
-       distinct-value-window discipline as profile.key_skew_report —
-       never over the input. A final equi-join on (x, y = per-x max)
-       restores full rows, keeping all duplicate frontier points.
+       already settled equal x). The sweep runs as range-sliced
+       prefix-max stitching (:func:`ranking.range_prefix_max`):
+       per-slice maxima become a broadcast slice→prefix-max ladder
+       and each row tests against greatest(ladder, slice-local
+       strict-prefix max) — bit-identical to the ordered window
+       (distinct x ⟹ total order) with NO single-task sort, so even
+       the adversarial anti-correlated layout (the prune removes
+       nothing and the whole corpus sits on the staircase — a
+       skyline that is inherently corpus-sized output) stays
+       parallel. A final equi-join on (x, y = per-x max) restores
+       full rows, keeping all duplicate frontier points.
 
     At 100 TB: stage 1 is two scans with scalar/census aggregates
     (map-combinable); everything after operates on the staircase
@@ -123,23 +130,11 @@ def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
     exact pass alone is still correct. No reference counterpart
     (extension surface).
 
-    KNOWN LIMIT (adversarial layouts): the stage-3 sweep is a
-    single-partition ordered window over the band's DISTINCT-x
-    table. On typical trade-space data the grid prune collapses the
-    band to O(grid·max-cell) rows and the sweep is trivial; but on
-    anti-correlated data where most points SIT on the staircase
-    (e.g. an exact anti-diagonal — skylines of such data are
-    inherently corpus-sized outputs), the prune removes nothing and
-    the distinct-x window degenerates toward a corpus-sized
-    single-partition sort. True-scale callers on such layouts should
-    stitch range-partitioned prefix maxima instead (compute per-range
-    max, broadcast the `range → prefix-max` ladder, filter locally —
-    the snm_candidate_audit rank-stitching pattern); not implemented
-    here because a frontier that large is a signal the skyline is the
-    wrong reduction. The band persist() is released by no explicit
-    unpersist (lazy multi-consumer precedent, ngram_jaccard_pairs);
-    sessions issuing MANY frontier calls should unpersist via
-    ``spark.catalog.clearCache()`` between batches."""
+    The band and sweep-slice persists are released by no explicit
+    unpersist (lazy multi-consumer precedent, ngram_jaccard_pairs —
+    the return stays lazy, so an eager release would force a
+    premature action); sessions issuing MANY frontier calls should
+    unpersist via ``spark.catalog.clearCache()`` between batches."""
     if grid < 2:
         raise ValueError(f"need grid >= 2, got {grid=}")
     xs = F.col(x_col) if x_min else -F.col(x_col)
@@ -176,8 +171,14 @@ def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
     band = (cell.join(F.broadcast(dom), ["_cx", "_cy"], "left_anti")
             .persist())
     ymax = band.groupBy("_xs").agg(F.max("_ys").alias("_ym"))
-    w = Window.orderBy("_xs").rowsBetween(Window.unboundedPreceding, -1)
-    sky = (ymax.withColumn("_pm", F.max("_ym").over(w))
+    # r12 (VERDICT r11 #5): the running-max sweep is range-sliced
+    # prefix-max stitching, not a global Window.orderBy — so even the
+    # adversarial anti-correlated layout (prune removes nothing, the
+    # whole corpus sits on the staircase) never funnels into one
+    # task. _xs is distinct after the per-x reduction, so the sweep
+    # is bit-identical to the single-partition form.
+    swept, cache = _rk.range_prefix_max(ymax, ["_xs"], "_ym", "_pm")
+    sky = (swept
            .where(F.col("_pm").isNull() | (F.col("_ym") > F.col("_pm")))
            .select("_xs", F.col("_ym").alias("_ys")))
     return (band.join(sky, ["_xs", "_ys"], "left_semi")

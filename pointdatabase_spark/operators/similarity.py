@@ -410,14 +410,21 @@ def ann_topk_against_index(spark, path: str, queries: DataFrame,
 def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          planes: list[list[float]] | None = None,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         n_blocks: int = 8) -> DataFrame:
     """Embedding near-duplicate pairs. With `planes`, candidate pairs
     are bucket-blocked (the 100-TB path: quadratic work per bucket,
     never corpus²); without, EXACT all-pairs via a distributed
     block-pair matmul — O(n²) total work by definition, but fully
     executor-side (no driver collect; r11) with per-task matrices
-    bounded by the block count. `spread` widens the probe side so
-    the pair sweep uses every core even from a one-file scan."""
+    bounded by ``n_blocks`` (B): each task holds ~(n/B)² of the
+    cosine matrix, so size B so that two n/B × dim float64 blocks
+    plus their product fit executor memory (output is bit-identical
+    for ANY B — the blocking only partitions the pair space; pinned
+    by test). `spread` widens the probe side so the pair sweep uses
+    every core even from a one-file scan."""
+    if n_blocks < 1:
+        raise ValueError(f"need n_blocks >= 1, got {n_blocks=}")
     base = (spread(df.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v")))
             .withColumn("n", F.expr(norm_expr("v")))
@@ -450,7 +457,6 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
         # executor memory.
         import numpy as np
         import pandas as pd
-        n_blocks = 8
         spark = df.sparkSession
         pairs_df = spark.createDataFrame(
             [(i, j) for i in range(n_blocks)

@@ -48,51 +48,50 @@ def query(name: str, oracle: str | None = None):
 # driver evidence go first; long-green stalwarts sit last.  COVERAGE.md
 # records which round last scored each query.
 _SCORE_FIRST = [
-    # r11 rotation (VERDICT r10 "Next round" #1): (1) the two
-    # queries whose INTERNALS changed in r10 after their last driver
-    # score (local bitwise sweep says value-identical — get the
-    # driver hash to say so); (2) the 11 r5-evidence queries that
-    # missed the r10 window (oldest evidence in the registry);
-    # (3) queries whose internals change in r11 (SNM third key,
-    # PPS overflow guard, trimmed streaming bench fixtures — the
-    # streaming two are already in tier 2); (4) the r6-evidence
-    # stalwart tier fills the rest of the ~50-query window. The
-    # r8/r9/r10-scored sets (freshest rows) fall to the back.
-    # ---- internals changed r10, driver evidence stale ----
-    "lsh_recall_audit", "url_canonical_dedup",
-    # ---- last scored r5 (oldest evidence) ----
-    "multimodal_resize", "pii_scrub", "pivot_event_counts",
-    "quota_sample", "repeat_track_dh", "sample_split_counts",
-    "sequence_packing", "streaming_neardup",
-    "streaming_quality_gate", "temporal_band_join",
-    "zorder_bin_ordering",
-    # ---- internals changed r11 ----
-    "snm_blocking_audit", "systematic_pps_sample",
-    "pareto_frontier", "containment_neardup",
-    "bipartite_butterflies", "embedding_cosine_neardup",
-    "embedding_cosine_neardup_blocked", "edit_distance_join",
-    "entity_resolution", "token_budget_select",
-    "snapshot_drift_chi2",
-    # ---- last scored r6, results unchanged since ----
-    "box_query", "tile_store_box_query", "bin_catalog",
-    "bin_semi_join", "bin_key_intersect", "bin_anti_join",
-    "pad_dilation", "union_by_name", "blockmedian_10km",
-    "blockmedian_index", "blockmedian_true_median", "blockmax_10km",
-    "extent_bounds", "nearest_point", "crossover_analysis",
-    "date_from_filename", "scalar_time_bits_keys",
-    "quality_filter_modes", "ph_density_filter",
-    "seg_difference_filter", "fpb_glitch_filter",
-    "track_summary", "window_rss_along_track",
-    "window_min_along_track", "bucketed_bin_join",
-    "data_quality_report", "price_histogram", "rollup_spike_flags",
-    "dedup_clean_corpus", "doc_fingerprint", "dup_span_doc_stats",
-    "substring_dup_spans", "frequent_ngrams", "text_quality_language",
-    "text_token_stats", "ann_index_topk", "ann_index_incremental",
-    "streaming_ann_index", "multimodal_real_decode",
-    "multimodal_real_features", "multimodal_real_frames",
-    "multimodal_real_resize",
-    # The rest falls through in registry order (r8, then r9, then
-    # the r10-scored 50 — freshest evidence last).
+    # r12 rotation (VERDICT r11 "Next round" #1): (1) the 16 queries
+    # whose latest driver evidence is r6 — the oldest tier in the
+    # registry (set-union over CORRECTNESS_r01-r11); (2) queries
+    # whose INTERNALS change in r12 (vocabulary rank windows
+    # distributed via the slice-offset pattern, exact-cosine
+    # n_blocks parameterized, pareto stitching, SNM 4th key) plus
+    # paragraph_dedup_clean for the r11 perf adjudication; (3) the
+    # r8-evidence tier fills the rest of the ~50-query window. The
+    # r9/r10/r11-scored sets (freshest rows) fall to the back.
+    # ---- last scored r6 (oldest evidence) ----
+    "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
+    "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
+    "multimodal_real_decode", "multimodal_real_features",
+    "multimodal_real_frames", "multimodal_real_resize",
+    "price_histogram", "rollup_spike_flags", "streaming_ann_index",
+    "substring_dup_spans", "text_quality_language",
+    "text_token_stats",
+    # ---- internals changed r12 / perf adjudication ----
+    "snm_blocking_audit", "edit_distance_join", "entity_resolution",
+    "pareto_frontier", "embedding_cosine_neardup",
+    "embedding_cosine_neardup_blocked", "token_budget_select",
+    "snapshot_drift_chi2", "paragraph_dedup_clean",
+    # ---- last scored r8 ----
+    "bigram_lm_perplexity", "bloom_semi_join", "bpe_encode_stats",
+    "bpe_train_merges", "c4_line_filter", "cluster_balanced_sample",
+    "corpus_prep_v2", "cosine_topk", "dedup_clusters", "exact_dedup",
+    "ivf_ann_topk", "knn_graph", "knn_join", "lsh_ann_multitable",
+    "lsh_ann_topk", "minhash_lsh_capped", "minhash_lsh_neardup",
+    "multimodal_gif_frames", "multimodal_jpeg_decode",
+    "ngram_jaccard_capped", "ngram_jaccard_neardup",
+    "paragraph_dedup", "q10_returned_items",
+    "q11_important_part_volume", "q12_shipping_priority_classes",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_parts_supplier_count",
+    "q17_small_qty_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_revenue", "q20_dominant_part_supplier",
+    "q21_waiting_supplier", "q22_global_sales_opportunity",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_revenue_delta",
+    "q7_volume_shipping", "q8_national_market_share",
+    "q9_product_type_profit", "quality_decile_approx",
+    "semantic_dedup", "semantic_dedup_stats", "simhash_neardup",
+    "skew_salted_join",
+    # The rest falls through in registry order (r9, then r10, then
+    # the r11-scored 50 — freshest evidence last).
 ]
 
 

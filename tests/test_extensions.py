@@ -2279,3 +2279,104 @@ def test_cosine_neardup_tiny_corpus_no_duplicate_pairs(spark):
                                "vec_id long, embedding array<double>")
     out = similarity.cosine_neardup_pairs(df, threshold=0.9).collect()
     assert sorted((r.id_a, r.id_b) for r in out) == [(1, 2)]
+
+
+def test_range_row_number_matches_global_window(spark):
+    """The stitched rank (slice offset + slice-local row_number) is
+    bit-identical to the banned global Window.orderBy form — on any
+    layout, with and without group columns — and its executed plan
+    has no single-partition ordered window (the r12 closure of the
+    vocabulary-rank allowlist)."""
+    import re
+    from pyspark.sql.window import Window
+    from pointdatabase_spark.operators import ranking
+    rows = [(f"g{i % 3}", f"k{(i * 37) % 101:03d}", i) for i in range(101)]
+    df = spark.createDataFrame(rows, "g string, k string, id long")
+    # global (no groups): unique key column
+    want = {r.k: r.r for r in df.withColumn(
+        "r", F.row_number().over(Window.orderBy("k", "id"))).collect()}
+    ranked, cache = ranking.range_row_number(
+        df.repartition(7, "id"), ["k", "id"], out_col="r")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    got = {r.k: r.r for r in ranked.collect()}
+    cache.unpersist()
+    assert got == want
+    hits = [m.group(1) for m in re.finditer(
+        r"windowspecdefinition\((\w+)#\d+L? (?:ASC|DESC)", plan)]
+    assert all(h in ("_pid", "bk") for h in hits), hits
+    # per-group: rank restarts at 1 inside each g
+    wantg = {(r.g, r.k): r.r for r in df.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy("g").orderBy("k", "id"))).collect()}
+    rankedg, cacheg = ranking.range_row_number(
+        df.repartition(5, "k"), ["k", "id"], group_cols=["g"],
+        out_col="r")
+    gotg = {(r.g, r.k): r.r for r in rankedg.collect()}
+    cacheg.unpersist()
+    assert gotg == wantg
+
+
+def test_range_prefix_max_matches_global_window(spark):
+    """Strict-prefix running max via slice stitching is bit-identical
+    to the global ordered window: NULL on the first row, greatest of
+    (earlier-slice max, slice-local prefix max) elsewhere — including
+    an anti-diagonal layout where EVERY row is a new maximum and a
+    descending layout where the first row's max is never beaten."""
+    from pyspark.sql.window import Window
+    from pointdatabase_spark.operators import ranking
+    for ys in ([float(i) for i in range(97)],              # ascending
+               [float(97 - i) for i in range(97)],         # descending
+               [float((i * 53) % 97) for i in range(97)]): # shuffled
+        df = spark.createDataFrame(
+            [(float(i), y) for i, y in enumerate(ys)], "x double, y double")
+        w = (Window.orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        want = {r.x: r.pm for r in df.withColumn(
+            "pm", F.max("y").over(w)).collect()}
+        swept, cache = ranking.range_prefix_max(
+            df.repartition(9), ["x"], "y", out_col="pm")
+        got = {r.x: r.pm for r in swept.collect()}
+        cache.unpersist()
+        assert got == want
+
+
+def test_pareto_anti_diagonal_no_single_partition_sweep(spark):
+    """The adversarial skyline layout (every point on the frontier:
+    size rises with price, so no point dominates any other and the
+    grid prune removes nothing) now runs with NO single-partition
+    ordered window in the executed plan (r12: the stage-3 sweep is
+    range-sliced prefix-max stitching) — and still returns every
+    point."""
+    import re
+    from pointdatabase_spark.operators import olap
+    n = 500
+    df = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(n)],
+        "id long, price double, size double")
+    out = olap.pareto_frontier(df, "price", "size")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    hits = [m.group(1) for m in re.finditer(
+        r"windowspecdefinition\((\w+)#\d+L? (?:ASC|DESC)", plan)]
+    assert all(h in ("_pid", "bk") for h in hits), hits
+    assert out.count() == n
+
+
+def test_cosine_neardup_block_count_identity(spark):
+    """n_blocks only partitions the pair space — every unordered pair
+    lands in exactly one block-pair group for ANY B — so non-default
+    block counts (including B=1, one diagonal group, and B larger
+    than the corpus, mostly-empty groups) are bit-identical."""
+    import random
+    from pointdatabase_spark.operators import similarity
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted((r.id_a, r.id_b, r.cos) for r in
+                  similarity.cosine_neardup_pairs(df, 0.5).collect())
+    assert want, "fixture must produce pairs"
+    for b in (1, 3, 97):
+        got = sorted((r.id_a, r.id_b, r.cos) for r in
+                     similarity.cosine_neardup_pairs(
+                         df, 0.5, n_blocks=b).collect())
+        assert got == want, f"n_blocks={b}"

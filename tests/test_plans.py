@@ -714,15 +714,18 @@ def test_registry_has_no_corpus_global_windows(spark):
     import re
     from pointdatabase_spark import queries as registry
 
-    # query -> the bounded table its global window sweeps
+    # query -> the bounded table its global window sweeps. r12 shrank
+    # this to the genuinely bounded entries: the vocabulary-rank
+    # windows (snm_blocking_audit / entity_resolution /
+    # edit_distance_join) moved to range-sliced rank stitching
+    # (operators/ranking.py) and pareto_frontier's staircase sweep to
+    # range-sliced prefix-max stitching — a distinct-string vocabulary
+    # or an adversarial staircase band is corpus-scale, unlike the
+    # entries below.
     allowed = {
         "join_skew_report",      # distinct count-VALUE distribution
-        "pareto_frontier",       # distinct-x staircase band
         "radial_bin_ordering",   # distinct 10 km bins
         "zorder_bin_ordering",   # distinct 10 km bins
-        "snm_blocking_audit",    # distinct-string vocabulary ranks
-        "entity_resolution",     # distinct-name kernel + reps
-        "edit_distance_join",    # distinct-string kernel windows
     }
     offenders = {}
     py_offenders = {}
