@@ -123,7 +123,13 @@ def edit_distance_pairs(df: DataFrame, id_col: str, str_col: str,
 
     No stage exceeds O(distinct² · segment-df) candidate work +
     O(output) expansion — the same dedupe-before-the-expensive-kernel
-    doctrine as exact_dedup before MinHash."""
+    doctrine as exact_dedup before MinHash.
+
+    Cache note: the distinct-string kernel persist is released by no explicit
+    unpersist (the return stays lazy — an eager release would
+    force a premature action; ngram_jaccard_pairs precedent);
+    sessions issuing MANY calls should release between batches
+    via ``spark.catalog.clearCache()``."""
     if d < 1:
         raise ValueError(f"need d >= 1, got {d=}")
     gc = list(group_cols or [])
@@ -221,8 +227,11 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
     than asserts (on the part fixture: pass 1 alone finds 0 of 24
     true pairs, adding the reverse pass recovers 16, adding a
     sorted-token pass ``array_join(array_sort(split(s, ' ')), ' ')``
-    recovers 20 — it neutralizes edits inside any non-leading token;
-    the last 4 perturb the sort leader of every view). ONE output
+    recovers 20 — it neutralizes edits inside any non-leading token —
+    and a rest-of-string pass ``substring(s, instr(s, ' ') + 1)``
+    closes the residual at 24: the 4 remaining misses were
+    first-token edits whose token also led the sorted view, and
+    dropping the first token makes those keys identical). ONE output
     row::
 
         (n_true, n_candidates, n_found, recall_ppm)

@@ -360,7 +360,13 @@ def butterfly_count(edges: DataFrame, left: str = "src",
     wedges that swamp the census anyway; the standard
     vertex-priority/cap mitigation). After the join everything is
     (left-pair)-keyed counting — exact BIGINT arithmetic
-    end-to-end."""
+    end-to-end.
+
+    Cache note: the capped edge table persist is released by no explicit
+    unpersist (the return stays lazy — an eager release would
+    force a premature action; ngram_jaccard_pairs precedent);
+    sessions issuing MANY calls should release between batches
+    via ``spark.catalog.clearCache()``."""
     e = (edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
          .distinct())
     if max_degree is not None:

@@ -373,7 +373,13 @@ def chi2_drift(df: DataFrame, group_col, value_col: str,
     (value, group) rows) are interchangeable for counting, so bucket
     counts are bit-identical to the single-partition form on any
     layout. Use coarser pre-aggregated histograms when the pooled
-    table is the full 100 TB."""
+    table is the full 100 TB.
+
+    Cache note: the range-slice frame persist is released by no explicit
+    unpersist (the return stays lazy — an eager release would
+    force a premature action; ngram_jaccard_pairs precedent);
+    sessions issuing MANY calls should release between batches
+    via ``spark.catalog.clearCache()``."""
     from pyspark.sql import Window
 
     vq = (F.floor(F.col(value_col).cast("double") * F.lit(scale)

@@ -366,7 +366,13 @@ def budget_select(df: DataFrame, token_budget: int,
     its slice offset plus a SLICE-LOCAL window — fully parallel.
     The cumulative sum over a total order is a pure function of the
     data (slice boundaries cancel out), so the output is
-    bit-identical to the single-partition form on any layout."""
+    bit-identical to the single-partition form on any layout.
+
+    Cache note: the range-slice frame persist is released by no explicit
+    unpersist (the return stays lazy — an eager release would
+    force a premature action; ngram_jaccard_pairs precedent);
+    sessions issuing MANY calls should release between batches
+    via ``spark.catalog.clearCache()``."""
     b = 32
     part = (df.repartitionByRange(b, F.col(quality_col).desc(),
                                   F.col(id_col).asc())

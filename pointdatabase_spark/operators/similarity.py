@@ -422,7 +422,13 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
     plus their product fit executor memory (output is bit-identical
     for ANY B — the blocking only partitions the pair space; pinned
     by test). `spread` widens the probe side so the pair sweep uses
-    every core even from a one-file scan."""
+    every core even from a one-file scan.
+
+    Cache note: the vector-table persist is released by no explicit
+    unpersist (the return stays lazy — an eager release would
+    force a premature action; ngram_jaccard_pairs precedent);
+    sessions issuing MANY calls should release between batches
+    via ``spark.catalog.clearCache()``."""
     if n_blocks < 1:
         raise ValueError(f"need n_blocks >= 1, got {n_blocks=}")
     base = (spread(df.select(F.col(id_col).alias("id"),

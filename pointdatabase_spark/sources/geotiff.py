@@ -716,8 +716,13 @@ def read_geotiff(path: str, band: int = 1) -> Grid:
             offs = tags[_STRIP_OFFSETS]
             cnts = tags.get(_STRIP_BYTE_COUNTS, [])
             for i, o in enumerate(offs):
+                # Out-of-order strip offsets make next-offset - o
+                # negative (empty slice -> opaque decoder failure);
+                # fall back to the rest of the buffer — the decoder
+                # stops at this strip's EOI regardless.
                 c = cnts[i] if i < len(cnts) and cnts[i] else (
                     (offs[i + 1] - o) if i + 1 < len(offs)
+                    and offs[i + 1] > o
                     else len(buf) - o)
                 px = decode_jpeg(buf[o:o + c])
                 if px.ndim == 2:

@@ -53,9 +53,13 @@ def build_sf1(tables: list[str] | None = None) -> None:
     want = set(tables) if tables is not None else {
         "documents", "lineitem", "events", "orders", "customer",
         "supplier", "part", "nation", "region", "embeddings",
-        "part10", "graph"}
-    want = {t for t in want
-            if not os.path.exists(f"{SF1}/{t}.parquet")}
+        "part10"}
+    # "graph" lives under SF1_graph/ — never under SF1/<t>.parquet —
+    # so it must not ride this existence filter (it would survive it
+    # forever and defeat the everything-built fast path below); the
+    # SF1_graph check re-adds it when its outputs are missing.
+    want = {t for t in want if t != "graph"
+            and not os.path.exists(f"{SF1}/{t}.parquet")}
     if not os.path.exists(f"{SF1}_dense/lineitem.parquet") and (
             tables is None or "lineitem" in tables
             or "lineitem_dense" in tables):

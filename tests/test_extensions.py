@@ -2200,24 +2200,28 @@ def test_snm_audit_multi_pass_recall(spark):
     assert two.recall_ppm == 1000000
 
 
-def test_snm_audit_three_pass_increments_on_part(spark):
+def test_snm_audit_four_pass_increments_on_part(spark):
     """Per-pass recall on the real part fixture (sf0.001), pinned:
     forward key 0/24 (edits are mid-string), + reverse 16/24,
-    + sorted-token 20/24 — the measured ladder that justifies the
+    + sorted-token 20/24, + rest-of-string 24/24 (r12: the 4
+    residual misses were first-token edits whose token also led the
+    sorted view — dropping the first token makes those keys
+    identical) — the measured ladder that justifies the
     snm_blocking_audit key set (the same numbers hold at sf0.01)."""
     from pointdatabase_spark import testkit
     from pointdatabase_spark.operators import fuzzy
     part = testkit.load_table(spark, "/root/testdata/sf0.001", "part")
     keys = ["s", "reverse(s)",
-            "array_join(array_sort(split(s, ' ')), ' ')"]
+            "array_join(array_sort(split(s, ' ')), ' ')",
+            "substring(s, instr(s, ' ') + 1)"]
     found = []
-    for i in (1, 2, 3):
+    for i in (1, 2, 3, 4):
         row = fuzzy.snm_candidate_audit(
             part, "p_partkey", "p_name", d=2, window=5,
             key_exprs=keys[:i]).collect()[0]
         assert row.n_true == 24
         found.append(row.n_found)
-    assert found == [0, 16, 20]
+    assert found == [0, 16, 20, 24]
 
 
 def test_systematic_pps_exact_k_and_multiplicity(spark):
