@@ -19,6 +19,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# py-family detection (r12, VERDICT r11 #8): a query whose executed
+# plan runs Arrow-batched Python stages tracks calib_py; everything
+# else tracks the JVM calib. The two streaming fixtures whose DRAIN
+# runs applyInPandasWithState are tagged by hand — their returned
+# batch frame (the drained sink) hides the construction-time Python
+# stage. tests/test_plans.py pins the hand set against the streaming
+# sources so it cannot go stale silently.
+PY_MARKERS = ("ArrowEvalPython", "FlatMapGroupsInPandas",
+              "MapInPandas", "FlatMapCoGroupsInPandas",
+              "PythonMapInArrow", "ArrowEvalPythonUDTF")
+PY_HAND = {"streaming_neardup", "streaming_sessionization"}
+
 
 def _parse_bench(path: str) -> dict:
     """The unwrapped bench doc ({} on failure). The driver's
@@ -141,6 +153,7 @@ def main() -> None:
     }
 
     timings: dict[str, float | None] = {}
+    plan_py: set[str] = set()  # queries whose plan has Python stages
     for name in names:
         # noop sink: executes the full physical plan, skips Python
         # row-serialization so we measure the engine, not the driver.
@@ -152,12 +165,15 @@ def main() -> None:
         # other 55 still get measured — a single regression must never
         # zero the whole scoreboard (r3 lesson).
         try:
+            last = {}
             if name in builders:
-                def _run():
-                    qs[name](spark, sf_dir).write.format("noop") \
-                        .mode("overwrite").save()
+                def _run(last=last):
+                    df = qs[name](spark, sf_dir)
+                    last["df"] = df
+                    df.write.format("noop").mode("overwrite").save()
             else:
                 df = qs[name](spark, sf_dir)
+                last["df"] = df
 
                 def _run(df=df):
                     df.write.format("noop").mode("overwrite").save()
@@ -168,6 +184,15 @@ def main() -> None:
                 _run()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # family tag (r12): a query whose plan runs Python stages
+            # tracks calib_py, everything else tracks the JVM calib —
+            # recorded so round-over-round adjudication of UDF-family
+            # drift (the r10/r11 "2x with no code change" class) is
+            # mechanical instead of by-eye.
+            plan = (last["df"]._jdf.queryExecution()
+                    .executedPlan().toString())
+            if any(m in plan for m in PY_MARKERS):
+                plan_py.add(name)
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
             msg = str(exc).splitlines()[0][:200] if str(exc) else type(exc).__name__
             print(f"BENCH ERROR {name}: {msg}", file=sys.stderr)
@@ -206,10 +231,22 @@ def main() -> None:
                   file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    ok = {n: v for n, v in timings.items() if v is not None}
+    py_family = sorted((plan_py | PY_HAND) & set(ok))
+    total_py = round(sum(ok[n] for n in py_family), 3)
+    total_jvm = round(total - total_py, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     doc = {"metric": "headline_total", "value": total,
            "unit": "sec", "queries": timings, "sf": float(sf),
            "calib": calib, "calib_py": calib_py,
+           # per-family totals + calib-normalized forms (r12): read
+           # the py family against calib_py, jvm against calib —
+           # round-over-round drift adjudication is a ratio of the
+           # *_norm values, no by-eye family bucketing needed.
+           "total_jvm": total_jvm, "total_py": total_py,
+           "total_jvm_norm": round(total_jvm / calib, 3),
+           "total_py_norm": round(total_py / calib_py, 3),
+           "py_family": py_family,
            # construction included in these queries' timings (r10
            # builder-aware protocol) — not raw-comparable with <= r9
            "builders_timed": sorted(builders)}
@@ -228,11 +265,13 @@ def main() -> None:
     except OSError as exc:
         print(f"BENCH WARN: could not persist {local}: {exc}",
               file=sys.stderr)
-    ok = {n: v for n, v in timings.items() if v is not None}
     slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:20])
     compact = {"metric": "headline_total", "value": total,
                "unit": "sec", "sf": float(sf), "calib": calib,
                "calib_py": calib_py,
+               "total_jvm": total_jvm, "total_py": total_py,
+               "total_jvm_norm": round(total_jvm / calib, 3),
+               "total_py_norm": round(total_py / calib_py, 3),
                "n_queries": len(timings),
                "n_errors": sum(1 for v in timings.values() if v is None),
                "median": round(sorted(ok.values())[len(ok) // 2], 3)

@@ -754,3 +754,30 @@ def test_registry_has_no_corpus_global_windows(spark):
     assert not offenders, offenders
     assert not py_offenders, py_offenders
     assert not cart_offenders, cart_offenders
+
+
+def test_bench_py_hand_set_matches_streaming_sources():
+    """bench.py's hand-tagged py-family streaming queries (their
+    returned batch frame hides the construction-time Python stage)
+    must track the streaming modules that actually run Pandas/Arrow
+    stages. If a streaming module gains or loses an
+    applyInPandas/ mapInPandas / applyInPandasWithState call, this
+    pins the PY_HAND set to move with it."""
+    import glob
+    import os
+    import bench
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "pointdatabase_spark", "streaming")
+    py_mods = set()
+    for p in glob.glob(os.path.join(here, "*.py")):
+        src = open(p).read()
+        if any(m in src for m in ("applyInPandas", "mapInPandas",
+                                  "pandas_udf")):
+            py_mods.add(os.path.basename(p))
+    # module -> the bench query whose drain exercises it
+    known = {"neardup.py": "streaming_neardup",
+             "sessions.py": "streaming_sessionization"}
+    assert py_mods == set(known), (
+        f"streaming modules with Python stages changed: {py_mods} — "
+        "update bench.PY_HAND and this map")
+    assert bench.PY_HAND == set(known.values())
