@@ -411,7 +411,7 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
                          planes: list[list[float]] | None = None,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         n_blocks: int = 8) -> DataFrame:
+                         n_blocks: int | None = 8) -> DataFrame:
     """Embedding near-duplicate pairs. With `planes`, candidate pairs
     are bucket-blocked (the 100-TB path: quadratic work per bucket,
     never corpus²); without, EXACT all-pairs via a distributed
@@ -421,15 +421,20 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
     cosine matrix, so size B so that two n/B × dim float64 blocks
     plus their product fit executor memory (output is bit-identical
     for ANY B — the blocking only partitions the pair space; pinned
-    by test). `spread` widens the probe side so the pair sweep uses
-    every core even from a one-file scan.
+    by test). ``n_blocks=None`` derives a floor from the corpus
+    count (one column-pruned count action): B = max(8,
+    ceil(n / 100_000)), capping blocks at ~100k rows — at dim 1024
+    that is two ~0.8 GB operand blocks per task, comfortably inside
+    a standard executor; pass an explicit B to override for fatter
+    or thinner vectors. `spread` widens the probe side so the pair
+    sweep uses every core even from a one-file scan.
 
     Cache note: the vector-table persist is released by no explicit
     unpersist (the return stays lazy — an eager release would
     force a premature action; ngram_jaccard_pairs precedent);
     sessions issuing MANY calls should release between batches
     via ``spark.catalog.clearCache()``."""
-    if n_blocks < 1:
+    if n_blocks is not None and n_blocks < 1:
         raise ValueError(f"need n_blocks >= 1, got {n_blocks=}")
     base = (spread(df.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v")))
@@ -438,6 +443,12 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float,
             # build + the two verify-join sides); cache ids+vectors
             # once (lazy multi-consumer precedent)
             .persist())
+    if n_blocks is None and planes is None:
+        # Auto floor: count once over the (already-persisted) id+vec
+        # frame so per-task operand blocks stay ~100k rows regardless
+        # of corpus size. The count doubles as the cache build.
+        n_rows = base.count()
+        n_blocks = max(8, -(-n_rows // 100_000))
     if planes is not None:
         base = with_bucket(base, planes, "v")
         a, b = base.alias("a"), base.alias("b")

@@ -2384,3 +2384,20 @@ def test_cosine_neardup_block_count_identity(spark):
                      similarity.cosine_neardup_pairs(
                          df, 0.5, n_blocks=b).collect())
         assert got == want, f"n_blocks={b}"
+
+
+def test_cosine_neardup_auto_block_floor(spark):
+    """n_blocks=None derives B from the corpus count (floor 8) and
+    stays bit-identical to the explicit default."""
+    import random
+    from pointdatabase_spark.operators import similarity
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = sorted((r.id_a, r.id_b, r.cos) for r in
+                  similarity.cosine_neardup_pairs(df, 0.4).collect())
+    got = sorted((r.id_a, r.id_b, r.cos) for r in
+                 similarity.cosine_neardup_pairs(
+                     df, 0.4, n_blocks=None).collect())
+    assert got == want and want
