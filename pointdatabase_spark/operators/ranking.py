@@ -40,10 +40,22 @@ def _cols(cs) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in cs]
 
 
+def _n_slices(df: DataFrame, slices: int | None) -> int:
+    """``slices=None`` follows the session's shuffle parallelism, so
+    the slice width scales with the cluster the way every other
+    exchange does (32 on the local test sessions; thousands on a
+    real cluster where the swept table is itself corpus-scale)."""
+    if slices is not None:
+        return int(slices)
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                        "200"))
+
+
 def range_row_number(df: DataFrame, order_cols: list,
                      group_cols: list[str] | None = None,
                      out_col: str = "r",
-                     slices: int = 32) -> tuple[DataFrame, DataFrame]:
+                     slices: int | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
     """``row_number() OVER ([PARTITION BY group] ORDER BY order_cols)``
     without the single-task global sort: global rank = slice offset
     (prefix count of earlier slices) + slice-local row_number.
@@ -56,7 +68,7 @@ def range_row_number(df: DataFrame, order_cols: list,
     ``unpersist()`` after its last action over ``ranked``."""
     gc = list(group_cols or [])
     oc = _cols(order_cols)
-    part = (df.repartitionByRange(slices, *_cols(gc), *oc)
+    part = (df.repartitionByRange(_n_slices(df, slices), *_cols(gc), *oc)
             .withColumn("_pid", F.spark_partition_id())
             .persist())
     cnt = part.groupBy("_pid", *gc).agg(
@@ -78,7 +90,8 @@ def range_row_number(df: DataFrame, order_cols: list,
 
 def range_prefix_max(df: DataFrame, order_cols: list, value_col: str,
                      out_col: str = "_pm",
-                     slices: int = 32) -> tuple[DataFrame, DataFrame]:
+                     slices: int | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
     """``max(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
     TO 1 PRECEDING)`` — the strict-prefix running max (NULL for the
     first row, the skyline-sweep shape) — without the single-task
@@ -90,7 +103,7 @@ def range_prefix_max(df: DataFrame, order_cols: list, value_col: str,
     a total order; returns ``(swept, cache)`` and the caller releases
     ``cache`` after its last action."""
     oc = _cols(order_cols)
-    part = (df.repartitionByRange(slices, *oc)
+    part = (df.repartitionByRange(_n_slices(df, slices), *oc)
             .withColumn("_pid", F.spark_partition_id())
             .persist())
     tot = part.groupBy("_pid").agg(F.max(value_col).alias("_sm"))
