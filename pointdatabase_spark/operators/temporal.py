@@ -454,3 +454,51 @@ def cusum_alarms(df: DataFrame, keys: list[str], ts: str, value: str,
                     (folded % pack).alias("n_alarms"),
                     F.floor(folded / pack).cast("long")
                     .alias("final_cusum"))
+
+
+def scd2_history(df: DataFrame, keys: list[str], state_cols: list[str],
+                 ts_col: str,
+                 tiebreak: list[str] | None = None) -> DataFrame:
+    """Reconstruct SCD Type-2 validity intervals from a timestamped
+    change log — the dimension-history complement of the SCD-1 family
+    (``sampling.upsert_latest_wins`` keeps only the latest state;
+    ``streaming/upsert.state_diff`` emits the churn; this keeps the
+    full history a time-travel join needs). Per key, ordered by
+    ``(ts_col, *tiebreak)``, consecutive rows whose ``state_cols``
+    tuple is UNCHANGED (null-safe struct comparison, the state_diff
+    precedent) collapse into one history row::
+
+        (*keys, *state_cols, valid_from, valid_to, version, n_rows)
+
+    ``valid_from`` = the run's first timestamp, ``valid_to`` = the
+    NEXT run's valid_from (NULL marks the current row — the standard
+    half-open [from, to) convention), ``version`` = 1-based change
+    ordinal per key, ``n_rows`` = log rows collapsed into the run.
+
+    Plan: ONE hash exchange on the key; everything after is
+    key-partitioned windows (lag change flag, running-sum run ids,
+    lead valid_to over the per-key RUN table) and one groupBy — no
+    global windows, no Python. Per-key history length bounds every
+    window partition, the same economics as run_coalescing (O3).
+    ``tiebreak`` must make the per-key order total (e.g. the log's
+    event id) or run boundaries on tied timestamps are undefined in
+    ANY engine; ``valid_to`` is ordered by the run ordinal, not
+    valid_from, so tied-timestamp adjacent runs stay deterministic.
+    No reference counterpart (extension surface; Kimball SCD Type 2).
+    """
+    tb = list(tiebreak or [])
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tb]
+    wo = Window.partitionBy(*keys).orderBy(*order)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    st = F.struct(*[F.col(c) for c in state_cols])
+    chg = F.when(st.eqNullSafe(F.lag(st).over(wo)),
+                 F.lit(0)).otherwise(F.lit(1))
+    runs = (df.withColumn("_run", F.sum(chg).over(wrun))
+            .groupBy(*keys, *state_cols, "_run")
+            .agg(F.min(ts_col).alias("valid_from"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows")))
+    wv = Window.partitionBy(*keys).orderBy("_run")
+    return (runs
+            .withColumn("valid_to", F.lead("valid_from").over(wv))
+            .withColumn("version", F.col("_run").cast("long"))
+            .drop("_run"))

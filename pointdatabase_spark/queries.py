@@ -57,6 +57,8 @@ _SCORE_FIRST = [
     # paragraph_dedup_clean for the r11 perf adjudication; (3) the
     # r8-evidence tier fills the rest of the ~50-query window. The
     # r9/r10/r11-scored sets (freshest rows) fall to the back.
+    # ---- new in r12 (zero driver evidence) ----
+    "scd2_dim_history",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8185,6 +8187,58 @@ def scd_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.lit(0.0))), 2)
                  .alias("sum_price_q"))
             .orderBy("change_type"))
+
+
+# SCD Type-2 reconstruction: the oracle replays the identical
+# window ladder (change flag -> running run id -> per-run min ts ->
+# lead valid_to ordered by the run ordinal, so tied timestamps stay
+# deterministic). All integer/epoch-micros arithmetic — bitwise.
+_SCD2_ORACLE = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+           FROM events),
+r AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id)
+          THEN 0 ELSE 1 END AS chg
+      FROM e),
+g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM r),
+h AS (SELECT user_id, event_type AS state, run,
+             MIN(tus) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM g GROUP BY user_id, event_type, run)
+SELECT user_id, state, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run)
+         AS valid_to_us,
+       CAST(run AS BIGINT) AS version, n_rows
+FROM h
+"""
+
+
+@query("scd2_dim_history", oracle=_SCD2_ORACLE)
+def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history reconstructed from the event log
+    (operators/temporal.scd2_history): per user, consecutive
+    same-event-type rows collapse into validity intervals
+    [valid_from, valid_to) with a NULL-to current row, a 1-based
+    version ordinal, and the collapsed row count — the time-travel
+    dimension table the SCD-1 operators (upsert_latest_wins /
+    state_diff) deliberately discard. One key-hash exchange; every
+    window is key-partitioned (per-user history bounds the
+    partition)."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    log = ev.select("user_id", timeconv.events_tus(ev).alias("tus"),
+                    "event_type", "event_id")
+    hist = _temporal.scd2_history(
+        log, keys=["user_id"], state_cols=["event_type"],
+        ts_col="tus", tiebreak=["event_id"])
+    return hist.select(
+        "user_id", F.col("event_type").alias("state"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "version", "n_rows")
 
 
 _SSJ_ORACLE = """

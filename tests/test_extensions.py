@@ -2401,3 +2401,38 @@ def test_cosine_neardup_auto_block_floor(spark):
                  similarity.cosine_neardup_pairs(
                      df, 0.4, n_blocks=None).collect())
     assert got == want and want
+
+
+def test_scd2_history_hand_case(spark):
+    """SCD2 reconstruction semantics pinned on a hand log: run
+    collapse, half-open [from, to) chaining, NULL valid_to on the
+    current row, 1-based version ordinal, null-safe state comparison
+    (NULL == NULL is not a change), tied timestamps resolved by the
+    tiebreak, and a singleton key."""
+    from pointdatabase_spark.operators import temporal
+    rows = [
+        # user 1: A,A (collapse) -> B -> A again (new run, not merged)
+        (1, 10, "A", 1), (1, 20, "A", 2), (1, 30, "B", 3),
+        (1, 40, "A", 4),
+        # user 2: NULL -> NULL (no change) -> X; tie at ts=10 broken
+        # by event_id (NULL first, then still NULL: one run)
+        (2, 10, None, 1), (2, 10, None, 2), (2, 50, "X", 3),
+        # user 3: singleton
+        (3, 5, "Z", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, tus long, state string, eid long")
+    out = temporal.scd2_history(
+        df, keys=["uid"], state_cols=["state"], ts_col="tus",
+        tiebreak=["eid"])
+    rows_out = {(r.uid, r.version):
+                (r.state, r.valid_from, r.valid_to, r.n_rows)
+                for r in out.collect()}
+    assert rows_out == {
+        (1, 1): ("A", 10, 30, 2),
+        (1, 2): ("B", 30, 40, 1),
+        (1, 3): ("A", 40, None, 1),
+        (2, 1): (None, 10, 50, 2),
+        (2, 2): ("X", 50, None, 1),
+        (3, 1): ("Z", 5, None, 1),
+    }
