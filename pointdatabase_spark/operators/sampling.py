@@ -420,19 +420,33 @@ def stratified_split(df: DataFrame, strata_cols: list[str],
     adding rows re-ranks a stratum; use hash_split for open-ended
     corpora and this for frozen evaluation sets.
 
-    Scale: one window exchange keyed by the strata columns. Strata
-    are class labels — coarse by construction; a stratum too large
-    for one task's sort spill is the signal your eval set is too
-    large, not a plan problem."""
+    Scale (r12 — was one per-stratum window, i.e. one TASK per
+    stratum: strata are class labels, so a "language = en" stratum
+    over a 100 TB corpus is most of the corpus in a single sort):
+    per-stratum ranks come from
+    :func:`~pointdatabase_spark.operators.ranking.range_row_number`
+    (range-slice offset + slice-local row_number within each
+    stratum — bit-identical, the sort key (md5, id) is unique), and
+    stratum sizes from a groupBy count joined back (AQE broadcasts
+    the label-bounded count table). No stage holds more than one
+    range slice of any stratum.
+
+    Cache note: the rank's range-slice persist is released by no
+    explicit unpersist (the return stays lazy; ngram_jaccard_pairs
+    precedent); sessions issuing MANY calls should release between
+    batches via ``spark.catalog.clearCache()``."""
+    from pointdatabase_spark.operators.ranking import range_row_number
     total = sum(w for _, w in splits)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights sum to {total}, expected 1.0")
     key = F.md5(F.concat(F.lit(salt),
                          F.col(id_col).cast("string")))
-    w = Window.partitionBy(*strata_cols).orderBy(key, id_col)
-    wn = Window.partitionBy(*strata_cols)
-    r = (df.withColumn("_rn", F.row_number().over(w))
-         .withColumn("_n", F.count(F.lit(1)).over(wn)))
+    ranked, _cache = range_row_number(
+        df.withColumn("_key", key), ["_key", id_col],
+        group_cols=strata_cols, out_col="_rn")
+    cnt = (ranked.groupBy(*strata_cols)
+           .agg(F.count(F.lit(1)).alias("_n")))
+    r = ranked.join(cnt, strata_cols)
     acc = 0.0
     expr = F.lit(splits[-1][0])
     bounds = []
