@@ -118,3 +118,42 @@ def range_prefix_max(df: DataFrame, order_cols: list, value_col: str,
              .withColumn(out_col, F.greatest("_off", "_lm"))
              .drop("_pid", "_lm", "_off"))
     return swept, part
+
+
+def range_prefix_sum(df: DataFrame, order_cols: list, value_col: str,
+                     group_cols: list[str] | None = None,
+                     out_col: str = "_run",
+                     slices: int | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
+    """``sum(value) OVER ([PARTITION BY group] ORDER BY order_cols
+    ROWS UNBOUNDED PRECEDING TO CURRENT ROW)`` — the INCLUSIVE running
+    sum (budget cuts, token ledgers) — without the single-task sort:
+    running sum = sum of all earlier slices (within the group) +
+    slice-local inclusive running sum. ``value_col`` is summed as
+    BIGINT (exact; cast upstream for other types).
+
+    Same contract as :func:`range_row_number`: ``order_cols`` must be
+    a total order within each group; returns ``(swept, cache)`` and
+    the caller releases ``cache`` after its last action."""
+    gc = list(group_cols or [])
+    oc = _cols(order_cols)
+    part = (df.repartitionByRange(_n_slices(df, slices), *_cols(gc), *oc)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist())
+    tot = part.groupBy("_pid", *gc).agg(
+        F.sum(F.col(value_col).cast("long")).alias("_st"))
+    owin = ((Window.partitionBy(*gc) if gc else Window)
+            .orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (tot.withColumn(
+        "_off", F.coalesce(F.sum("_st").over(owin),
+                           F.lit(0).cast("long")))
+        .select("_pid", *gc, "_off"))
+    lwin = (Window.partitionBy("_pid", *gc).orderBy(*oc)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    swept = (part.withColumn(
+        "_ls", F.sum(F.col(value_col).cast("long")).over(lwin))
+        .join(F.broadcast(offs), ["_pid", *gc])
+        .withColumn(out_col, (F.col("_off") + F.col("_ls")).cast("long"))
+        .drop("_pid", "_ls", "_off"))
+    return swept, part

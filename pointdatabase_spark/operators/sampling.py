@@ -189,19 +189,30 @@ def pack_sequences(df: DataFrame, budget: int,
     token sum crosses a multiple of `budget` — the streaming-friendly
     approximation of bin packing every sequence-packing pipeline uses
     (exact bin packing is NP-hard and order-dependent; the prefix-sum
-    cut is deterministic, one window pass, and wastes at most one
+    cut is deterministic, one prefix-sum pass, and wastes at most one
     document's tokens per boundary). Documents larger than `budget`
-    get a shard of their own. Appends `pack_id`."""
-    gc = group_cols or []
-    w = Window.partitionBy(*gc).orderBy(
-        _hash_frac(id_col, salt).asc(), F.col(id_col).asc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    run = F.sum(F.col(token_col).cast("long")).over(w)
+    get a shard of their own. Appends `pack_id`.
+
+    Scale (r12 — was one per-group window TASK, and packing groups
+    are language/source labels, i.e. corpus-scale): the running token
+    ledger comes from
+    :func:`~pointdatabase_spark.operators.ranking.range_prefix_sum`
+    (range-slice offsets + slice-local running sums within each
+    group — bit-identical, the (hash, id) order key is unique). The
+    rank's range-slice persist follows the lazy-cache contract
+    (``spark.catalog.clearCache()`` between batches)."""
+    from pointdatabase_spark.operators.ranking import range_prefix_sum
+    gc = list(group_cols or [])
+    swept, _cache = range_prefix_sum(
+        df.withColumn("_okey", _hash_frac(id_col, salt)),
+        ["_okey", id_col], token_col, group_cols=gc or None,
+        out_col="_runsum")
     # shard = which budget-multiple the EXCLUSIVE prefix sum reached;
     # floor-of-division (not cast) so both engines truncate identically
-    prev = run - F.col(token_col).cast("long")
-    return df.withColumn("pack_id",
-                         F.floor(prev / F.lit(int(budget))).cast("long"))
+    prev = F.col("_runsum") - F.col(token_col).cast("long")
+    return (swept.withColumn(
+        "pack_id", F.floor(prev / F.lit(int(budget))).cast("long"))
+        .drop("_okey", "_runsum"))
 
 
 def weighted_sample(df: DataFrame, weight_col: str, budget_frac: float,
@@ -271,21 +282,28 @@ def shard_assign(df: DataFrame, n_shards: int,
     export — reproducible on any cluster size, any partition order,
     and stable under re-runs, which `repartition + rand()` is not.
 
-    Scale shape: assignment is a per-row expression; the only shuffle
-    is the per-shard window (one key-hash exchange on n_shards keys —
-    size shards so corpus/n_shards fits a task; the writer path
-    below needs no window at all when byte order within a shard may
-    be hash-sorted lazily)."""
+    Scale shape (r12 — was one per-shard window, i.e. corpus/n_shards
+    rows in ONE task): assignment is a per-row expression; shard_pos
+    comes from
+    :func:`~pointdatabase_spark.operators.ranking.range_row_number`
+    over (shard, hash-order key) — range-slice offset + slice-local
+    row_number, bit-identical (the (hash, id) key is unique within a
+    shard), no task ever holds more than a range slice of one shard.
+    The rank's range-slice persist follows the lazy-cache contract
+    (``spark.catalog.clearCache()`` between batches); the writer path
+    below needs no window at all (byte order within a shard is
+    sorted at write)."""
+    from pointdatabase_spark.operators.ranking import range_row_number
     h = F.expr(_H32.format(
         s=f"concat(CAST({id_col} AS STRING), '{salt}')"))
     o = F.expr(_H32.format(
         s=f"concat(CAST({id_col} AS STRING), '{salt}#o')"))
-    w = (Window.partitionBy("shard")
-         .orderBy(F.col("_okey").asc(), F.col(id_col).asc()))
-    return (df.withColumn("shard", (h % n_shards).cast("bigint"))
-            .withColumn("_okey", o)
-            .withColumn("shard_pos",
-                        F.row_number().over(w).cast("bigint"))
+    ranked, _cache = range_row_number(
+        df.withColumn("shard", (h % n_shards).cast("bigint"))
+        .withColumn("_okey", o),
+        ["_okey", id_col], group_cols=["shard"], out_col="shard_pos")
+    return (ranked.withColumn("shard_pos",
+                              F.col("shard_pos").cast("bigint"))
             .drop("_okey"))
 
 

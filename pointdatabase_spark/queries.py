@@ -72,7 +72,8 @@ _SCORE_FIRST = [
     "pareto_frontier", "embedding_cosine_neardup",
     "embedding_cosine_neardup_blocked", "token_budget_select",
     "snapshot_drift_chi2", "paragraph_dedup_clean",
-    "stratified_split_counts",
+    "stratified_split_counts", "sequence_packing",
+    "training_shard_stats",
     # ---- last scored r8 ----
     "bigram_lm_perplexity", "bloom_semi_join", "bpe_encode_stats",
     "bpe_train_merges", "c4_line_filter", "cluster_balanced_sample",

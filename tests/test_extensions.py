@@ -2436,3 +2436,33 @@ def test_scd2_history_hand_case(spark):
         (2, 2): ("X", 50, None, 1),
         (3, 1): ("Z", 5, None, 1),
     }
+
+
+def test_range_prefix_sum_matches_global_window(spark):
+    """Inclusive running sum via slice stitching is bit-identical to
+    the grouped ordered window on any layout, with and without
+    groups."""
+    from pyspark.sql.window import Window
+    from pointdatabase_spark.operators import ranking
+    rows = [(f"g{i % 3}", (i * 37) % 101, i, (i * 13) % 7 + 1)
+            for i in range(101)]
+    df = spark.createDataFrame(rows, "g string, k long, id long, v long")
+    w = (Window.partitionBy("g").orderBy("k", "id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {(r.g, r.k, r.id): r.run for r in df.withColumn(
+        "run", F.sum("v").over(w)).collect()}
+    swept, cache = ranking.range_prefix_sum(
+        df.repartition(7, "id"), ["k", "id"], "v",
+        group_cols=["g"], out_col="run")
+    got = {(r.g, r.k, r.id): r.run for r in swept.collect()}
+    cache.unpersist()
+    assert got == want
+    wg = (Window.orderBy("k", "id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    want2 = {(r.k, r.id): r.run for r in df.withColumn(
+        "run", F.sum("v").over(wg)).collect()}
+    swept2, cache2 = ranking.range_prefix_sum(
+        df.repartition(5, "g"), ["k", "id"], "v", out_col="run")
+    got2 = {(r.k, r.id): r.run for r in swept2.collect()}
+    cache2.unpersist()
+    assert got2 == want2
