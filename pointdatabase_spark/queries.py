@@ -58,7 +58,7 @@ _SCORE_FIRST = [
     # r8-evidence tier fills the rest of the ~50-query window. The
     # r9/r10/r11-scored sets (freshest rows) fall to the back.
     # ---- new in r12 (zero driver evidence) ----
-    "scd2_dim_history",
+    "scd2_dim_history", "scd2_asof_lookup",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8241,6 +8241,75 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").alias("valid_from_us"),
         F.col("valid_to").alias("valid_to_us"),
         "version", "n_rows")
+
+
+# Time-travel lookup against the SCD2 table: the oracle rebuilds the
+# identical history ladder from the non-purchase log, then joins each
+# purchase to the interval covering its timestamp.
+_SCD2_ASOF_ORACLE = f"""
+WITH e AS (SELECT user_id, event_id, event_type, value,
+                  epoch_us(ts) AS tus
+           FROM events),
+d AS (SELECT user_id, event_id, event_type, tus FROM e
+      WHERE event_type <> 'purchase'),
+r AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id)
+          THEN 0 ELSE 1 END AS chg
+      FROM d),
+g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM r),
+h AS (SELECT user_id, event_type AS state, run, MIN(tus) AS vf
+      FROM g GROUP BY user_id, event_type, run),
+f AS (SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt
+      FROM h),
+p AS (SELECT user_id, tus, value FROM e
+      WHERE event_type = 'purchase')
+SELECT f.state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {{sumq}} AS sum_value_q
+FROM p JOIN f ON p.user_id = f.user_id
+             AND p.tus >= f.vf AND (f.vt IS NULL OR p.tus < f.vt)
+GROUP BY f.state
+""".format(sumq=_rqs("SUM(p.value)", 2))
+
+
+@query("scd2_asof_lookup", oracle=_SCD2_ASOF_ORACLE)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel dimension lookup — the join the SCD2 table exists
+    for: each purchase event resolves the user's state (last
+    non-purchase event type) VALID AT its timestamp via the half-open
+    [valid_from, valid_to) intervals from temporal.scd2_history, then
+    one aggregate summarizes purchases per state. Plan: the history
+    build's key-partitioned windows + ONE user-keyed equi-join whose
+    residual carries the interval predicates (per-user history rows
+    bound the join fan-out), + one map-combined aggregate. Purchases
+    before a user's first dimension event have no covering interval
+    and drop (inner-join semantics, mirrored in the oracle)."""
+    ev = testkit.load_table(spark, sf_dir, "events")
+    base = ev.select("user_id", timeconv.events_tus(ev).alias("tus"),
+                     "event_type", "event_id", "value")
+    hist = _temporal.scd2_history(
+        base.where(F.col("event_type") != "purchase")
+        .select("user_id", "tus", "event_type", "event_id"),
+        keys=["user_id"], state_cols=["event_type"], ts_col="tus",
+        tiebreak=["event_id"])
+    dim = hist.select(F.col("user_id").alias("_hu"),
+                      F.col("event_type").alias("state"),
+                      "valid_from", "valid_to")
+    facts = (base.where(F.col("event_type") == "purchase")
+             .select("user_id", F.col("tus").alias("_pt"), "value"))
+    j = facts.join(
+        dim,
+        (facts["user_id"] == dim["_hu"])
+        & (F.col("_pt") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull()
+           | (F.col("_pt") < F.col("valid_to"))))
+    return (j.groupBy("state")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                 _rq(F.sum("value"), 2).alias("sum_value_q")))
 
 
 _SSJ_ORACLE = """
