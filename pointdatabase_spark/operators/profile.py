@@ -428,3 +428,38 @@ def chi2_drift(df: DataFrame, group_col, value_col: str,
     contrib = ((F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
                + (F.col("n_b") - eb) * (F.col("n_b") - eb) / eb)
     return j.select("bucket", "n_a", "n_b", contrib.alias("contrib"))
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                quantize: int = 6) -> DataFrame:
+    """Exact upper-triangle Gram / second-moment matrix of an
+    embedding column — the covariance-structure profile an embedding
+    pipeline monitors between snapshots (anisotropy drift, collapsed
+    dimensions, whitening inputs for PCA/ZCA whose k×k eigensolve is
+    then legitimately driver-side). Returns one row per index pair
+    ``(i, j, n_vectors, gram_q)`` with ``i <= j`` (0-based) and
+    ``gram_q = qround(sum over vectors of v[i]·v[j], quantize)``.
+
+    Scale shape (word-count economics): the dim² pair explode is
+    SCAN-LOCAL, and the map-side partial aggregate collapses every
+    task's contribution to at most dim·(dim+1)/2 rows before the one
+    exchange — shuffle volume is tasks × pairs, never vectors ×
+    pairs. All arithmetic is float→double widening then double
+    multiply/sum (JVM codegen, no Python); the DuckDB oracle repeats
+    it term-for-term modulo summation order, which the quantized
+    output absorbs (the repo-wide qround convention). NULL vectors
+    are excluded; dim is driven by the data (ragged inputs would
+    produce pair keys only where both indexes exist — callers with
+    ragged corpora should length-filter first)."""
+    pairs = (df.where(F.col(vec_col).isNotNull())
+             .select(F.posexplode(vec_col).alias("i", "_vi"),
+                     F.col(vec_col).alias("_v"))
+             .select("i", F.col("_vi").cast("double").alias("_vi"),
+                     F.posexplode("_v").alias("j", "_vj"))
+             .where(F.col("j") >= F.col("i")))
+    prod = F.col("_vi") * F.col("_vj").cast("double")
+    return (pairs.groupBy(F.col("i").cast("long").alias("i"),
+                          F.col("j").cast("long").alias("j"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+                 rounding.qround(F.sum(prod), quantize)
+                 .alias("gram_q")))

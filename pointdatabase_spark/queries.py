@@ -58,7 +58,7 @@ _SCORE_FIRST = [
     # r8-evidence tier fills the rest of the ~50-query window. The
     # r9/r10/r11-scored sets (freshest rows) fall to the back.
     # ---- new in r12 (zero driver evidence) ----
-    "scd2_dim_history", "scd2_asof_lookup",
+    "scd2_dim_history", "scd2_asof_lookup", "embedding_gram_audit",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8310,6 +8310,37 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("state")
             .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
                  _rq(F.sum("value"), 2).alias("sum_value_q")))
+
+
+# Gram matrix: the oracle repeats the widen-then-multiply-then-sum
+# term set via a positional unnest self-join; summation order differs,
+# which the shared qround quantum absorbs (repo convention).
+_GRAM_ORACLE = """
+WITH x AS (SELECT vec_id, CAST(p AS BIGINT) - 1 AS i,
+                  CAST(embedding[p] AS DOUBLE) AS v
+           FROM (SELECT vec_id, embedding,
+                        unnest(range(1, len(embedding) + 1)) AS p
+                 FROM embeddings WHERE embedding IS NOT NULL))
+SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       {g} AS gram_q
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+""".format(g=_rqs("SUM(a.v * b.v)", 6))
+
+
+@query("embedding_gram_audit", oracle=_GRAM_ORACLE)
+def embedding_gram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle Gram matrix of the embedding corpus
+    (operators/profile.gram_matrix) — the covariance-structure
+    profile monitored between corpus snapshots (anisotropy drift,
+    collapsed dimensions; the whitening input whose dim×dim
+    eigensolve is then legitimately driver-side). Word-count
+    economics: the dim² explode is scan-local and the map-side
+    partial agg collapses each task to ≤ dim(dim+1)/2 rows before
+    the single exchange."""
+    from pointdatabase_spark.operators import profile as _prof
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    return _prof.gram_matrix(emb, "embedding", quantize=6)
 
 
 _SSJ_ORACLE = """
