@@ -541,3 +541,43 @@ def test_systematic_pps_scales_linearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"systematic_pps_sample exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_sequence_packing_scales_linearly(spark):
+    """pack_sequences over 10x documents: the r12 rewrite runs the
+    per-group token ledger as range-slice prefix sums (ranking.
+    range_prefix_sum) — one range exchange + O(slices·groups) offset
+    work, scan-linear at worst. A regression toward one window task
+    per packing group shows up super-linear (and, at real scale,
+    as a single straggler task)."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import sampling
+
+    def op(s, sf):
+        return sampling.pack_sequences(
+            testkit.load_table(s, sf, "documents")
+            .withColumn("n_tokens", F.length("text")),
+            budget=4096, group_cols=["lang"])
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"sequence_packing exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_stratified_split_scales_linearly_after_rewrite(spark):
+    """stratified_split over 10x documents: per-stratum ranks come
+    from range_row_number (r12) — no stratum ever occupies one task,
+    so the decade stays scan-linear even though 'lang' strata grow
+    10x with the corpus."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import sampling
+
+    def op(s, sf):
+        return sampling.stratified_split(
+            testkit.load_table(s, sf, "documents"),
+            ["lang"], [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"stratified_split exponent {e:.2f}"
