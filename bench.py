@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PY_MARKERS = ("ArrowEvalPython", "FlatMapGroupsInPandas",
               "MapInPandas", "FlatMapCoGroupsInPandas",
               "PythonMapInArrow", "ArrowEvalPythonUDTF")
-PY_HAND = {"streaming_neardup", "streaming_sessionization"}
+PY_HAND = {"streaming_neardup", "streaming_sessionization",
+           "streaming_scd2"}
 
 
 def _parse_bench(path: str) -> dict:
@@ -140,6 +141,7 @@ def main() -> None:
         "streaming_neardup", "streaming_rollup", "streaming_upsert",
         "streaming_upsert_bucketed", "streaming_dim_join",
         "streaming_stream_join", "streaming_exact_dedup",
+        "streaming_scd2",
         "ann_index_topk", "ann_index_incremental",
         "kmeans_embeddings", "pagerank_trading_graph",
         "label_propagation_communities", "lsh_recall_audit",

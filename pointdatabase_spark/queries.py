@@ -59,6 +59,7 @@ _SCORE_FIRST = [
     # r9/r10/r11-scored sets (freshest rows) fall to the back.
     # ---- new in r12 (zero driver evidence) ----
     "scd2_dim_history", "scd2_asof_lookup", "embedding_gram_audit",
+    "streaming_scd2",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8241,6 +8242,48 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").alias("valid_from_us"),
         F.col("valid_to").alias("valid_to_us"),
         "version", "n_rows")
+
+
+# Streaming SCD2: drained closed intervals must equal EXACTLY the
+# batch ladder's valid_to IS NOT NULL rows (open/current rows are
+# withheld in state, the append-mode contract).
+_SCD2_STREAM_ORACLE = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+           FROM events),
+r AS (SELECT *, CASE WHEN event_type IS NOT DISTINCT FROM
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY tus, event_id)
+          THEN 0 ELSE 1 END AS chg
+      FROM e),
+g AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM r),
+h AS (SELECT user_id, event_type AS state, run,
+             MIN(tus) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM g GROUP BY user_id, event_type, run),
+f AS (SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY run) AS valid_to,
+             CAST(run AS BIGINT) AS version, n_rows
+      FROM h)
+SELECT user_id, state, valid_from, valid_to, version, n_rows
+FROM f WHERE valid_to IS NOT NULL
+"""
+
+
+@query("streaming_scd2", oracle=_SCD2_STREAM_ORACLE)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-ingest SCD Type-2 (streaming/scd2.py,
+    applyInPandasWithState): state is one open validity interval per
+    key; a state change CLOSES the interval (emitted, half-open
+    [from, to)) and opens the next. Open/current rows stay in state
+    — so the availableNow drain equals EXACTLY the batch
+    temporal.scd2_history's closed rows, which is what the oracle
+    pins. State is O(active keys), one tuple per key."""
+    from pointdatabase_spark.streaming import scd2 as _scd2s
+    return _scd2s.run_scd2_stateful_availablenow(spark, sf_dir)
 
 
 # Time-travel lookup against the SCD2 table: the oracle rebuilds the

@@ -776,7 +776,8 @@ def test_bench_py_hand_set_matches_streaming_sources():
             py_mods.add(os.path.basename(p))
     # module -> the bench query whose drain exercises it
     known = {"neardup.py": "streaming_neardup",
-             "sessions.py": "streaming_sessionization"}
+             "sessions.py": "streaming_sessionization",
+             "scd2.py": "streaming_scd2"}
     assert py_mods == set(known), (
         f"streaming modules with Python stages changed: {py_mods} — "
         "update bench.PY_HAND and this map")

@@ -654,3 +654,30 @@ def test_vacuum_state_keeps_referenced_buckets(spark, tmp_path):
     import pytest
     with pytest.raises(Exception):
         su.read_state_bucketed(spark, state, 0).collect()
+
+
+def test_streaming_scd2_equals_batch_closed_rows(spark):
+    """The availableNow drain of the stateful SCD2 builder emits
+    EXACTLY the batch operator's closed intervals (valid_to IS NOT
+    NULL) — open/current rows stay withheld in state (append-mode
+    contract, same as the stateful sessionizer)."""
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.functions import timeconv
+    from pointdatabase_spark.operators import temporal
+    from pointdatabase_spark.streaming import scd2 as s2
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in s2.run_scd2_stateful_availablenow(
+        spark, sf).collect()}
+    ev = testkit.load_table(spark, sf, "events")
+    batch = temporal.scd2_history(
+        ev.select("user_id", timeconv.events_tus(ev).alias("tus"),
+                  "event_type", "event_id"),
+        keys=["user_id"], state_cols=["event_type"], ts_col="tus",
+        tiebreak=["event_id"])
+    want = {tuple(r) for r in batch
+            .where(F.col("valid_to").isNotNull())
+            .select("user_id", F.col("event_type").alias("state"),
+                    "valid_from", "valid_to", "version", "n_rows")
+            .collect()}
+    assert got == want and len(want) > 100
