@@ -189,8 +189,11 @@ def test_bucketed_bin_join_has_no_exchange(spark, tmp_path):
 
 def test_sampling_plan_shapes(spark):
     """hash_split is a pure per-row expression — zero exchanges, so a
-    100 TB corpus splits at scan speed; quota and packing claim ONE
-    exchange each (the group-key window)."""
+    100 TB corpus splits at scan speed; quota claims ONE exchange
+    (the group-key window, WindowGroupLimit-bounded); packing moves
+    the CORPUS exactly once (the r12 range-slice exchange — every
+    other exchange in its plan carries only the O(slices·groups)
+    ledger summary, never rows)."""
     from pointdatabase_spark.operators import sampling
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     split = sampling.hash_split(
@@ -201,7 +204,19 @@ def test_sampling_plan_shapes(spark):
     packed = sampling.pack_sequences(
         docs.withColumn("n_tokens", F.size(F.split("text", r"\s+"))),
         500, group_cols=["lang"])
-    assert _plan(packed, "simple").count("Exchange") == 1
+    pplan = _plan(packed, "simple")
+    # the corpus crosses the wire once: one range exchange feeding the
+    # persisted slice frame (the plan STRING repeats that cached build
+    # under each InMemoryTableScan, so count distinct plan_ids, not
+    # text occurrences); the remaining exchanges aggregate the slice
+    # summary (post partial-agg, <= slices*groups rows) and broadcast
+    # the offsets back
+    import re
+    range_ids = set(re.findall(
+        r"Exchange rangepartitioning[^\n]*plan_id=(\d+)", pplan))
+    assert len(range_ids) == 1, pplan
+    assert "BroadcastExchange" in pplan
+    assert "BroadcastHashJoin" in pplan
 
 
 def test_pii_scrub_is_scan_local(spark):
