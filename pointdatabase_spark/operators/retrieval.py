@@ -70,3 +70,157 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
     scored = bm25_scores(docs, query_terms, id_col, text_col, k1, b)
     return (scored.orderBy(F.col("bm25").desc(), F.col(id_col))
             .limit(int(k)))
+
+
+def bounded_rank(lst: DataFrame, score_col: str, id_col: str,
+                 out_col: str = "rank",
+                 descending: bool = True) -> DataFrame:
+    """Dense 1-based rank of a k-BOUNDED list (a ``.limit(k)`` /
+    TakeOrderedAndProject result) WITHOUT an ordered window:
+    rank = 1 + |rows strictly ahead|, ties broken by ascending id.
+
+    The global ``row_number`` window would plan as Exchange
+    SinglePartition (the shape tests/test_plans.py bans registry-wide
+    and allowlists only for distinct-value tables); here the input is
+    k rows by construction, so an O(k²) broadcast nested-loop
+    self-join is both cheap (k is a query constant — top-k lists) and
+    window-free.  For corpus-scale inputs use
+    ``ranking.range_row_number`` instead."""
+    a = lst.select(F.col(id_col).alias("_aid"),
+                   F.col(score_col).alias("_asc"))
+    b = lst.select(F.col(id_col).alias("_bid"),
+                   F.col(score_col).alias("_bsc"))
+    if descending:
+        better = F.col("_bsc") > F.col("_asc")
+    else:
+        better = F.col("_bsc") < F.col("_asc")
+    ahead = better | ((F.col("_bsc") == F.col("_asc"))
+                      & (F.col("_bid") < F.col("_aid")))
+    return (a.join(F.broadcast(b), ahead, "left")
+            .groupBy("_aid", "_asc")
+            .agg((F.count("_bid") + F.lit(1)).cast("long").alias(out_col))
+            .select(F.col("_aid").alias(id_col),
+                    F.col("_asc").alias(score_col), out_col))
+
+
+def rrf_fuse(lists: list[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k0: int = 60,
+             out_col: str = "rrf") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009):
+    score(d) = Σ over lists of 1 / (k0 + rank_d).  The standard
+    training-data trick for hybridizing lexical (BM25) and dense
+    (embedding ANN) retrieval without score calibration — only ranks
+    cross lists, so the two scorers' scales never meet.
+
+    Each input is a (id, rank) top-k list; the fuse is one union +
+    one groupBy over Σk rows — bounded, never corpus-scale.  Returns
+    (id, out_col, n_lists).  Cross-engine determinism: with two lists
+    the double sum is order-independent (IEEE addition is commutative
+    and the fold from 0 is exact for the first term); the score is
+    additionally rounded to 9 dp so downstream consumers ranking on
+    it can never be reordered by engine-side group order.  Callers
+    fusing >2 lists should rank on the rounded value for the same
+    reason."""
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    contribs = [
+        lst.select(
+            F.col(id_col).alias("_id"),
+            (F.lit(1.0) / (F.lit(float(k0))
+                           + F.col(rank_col).cast("double"))).alias("_c"))
+        for lst in lists]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    return (u.groupBy("_id")
+            .agg(rounding.qround(F.sum("_c"), 9).alias(out_col),
+                 F.count(F.lit(1)).cast("long").alias("n_lists"))
+            .withColumnRenamed("_id", id_col))
+
+
+_PACK = 4294967296  # 2^32: BIGINT-packed (tf, id) argmax radix
+
+
+def build_inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_df: int = 1) -> DataFrame:
+    """Vocabulary-level inverted-index build: per term its document
+    frequency, collection frequency, and champion posting (the doc
+    with the highest tf; smallest id on ties — the head of the
+    champion list a stored index keeps per term).  BM25 computes
+    postings on the fly per query; this is the build aggregate for
+    the STORED index a 100 TB corpus would serve queries from,
+    written partitioned by term-hash bucket.
+
+    Scale shape: two hash aggregates with map-side partial combine
+    ((term, doc) tf, then term), output vocabulary-sized; no windows,
+    no joins.  The champion is an exact BIGINT-packed argmax
+    (tf · 2³² + (2³²−1 − id)) so ties resolve identically on any
+    engine; requires 0 ≤ id < 2³² and tf < 2³¹ (any in-memory
+    document satisfies the latter).  The id bound is ENFORCED by an
+    in-plan assert folded into the packed key (the systematic_pps
+    overflow-guard pattern): past it the argmax would silently
+    misorder with ANSI off, so the build fails loudly instead —
+    remap ids (dense BIGINT surrogates) and rebuild."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"\s+")
+    base = docs.select(F.col(id_col).cast("long").alias("_id"),
+                       F.explode(toks).alias("tok"))
+    tf = (base.groupBy("tok", "_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    id_ok = F.when(
+        F.assert_true(
+            (F.col("_id") >= 0) & (F.col("_id") < F.lit(_PACK)),
+            F.concat(F.lit("build_inverted_index: doc id "),
+                     F.col("_id").cast("string"),
+                     F.lit(" outside [0, 2^32) — the BIGINT-packed "
+                           "champion argmax would misorder; remap "
+                           "ids to dense surrogates"))
+        ).isNull(), F.col("_id")).alias("_id")
+    packed = tf.select("tok", "tf", id_ok).withColumn(
+        "_key", F.col("tf") * F.lit(_PACK)
+        + (F.lit(_PACK - 1) - F.col("_id")))
+    idx = (packed.groupBy("tok")
+           .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+                F.max("_key").alias("_mk")))
+    return (idx.where(F.col("df") >= int(min_df))
+            .select("tok", "df", "cf",
+                    (F.lit(_PACK - 1) - F.col("_mk") % F.lit(_PACK))
+                    .cast("long").alias("top_doc"),
+                    F.expr(f"_mk div {_PACK}").cast("long")
+                    .alias("top_tf")))
+
+
+def phrase_count(docs: DataFrame, phrase: list[str],
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Exact-phrase occurrence counts via a positional-index join:
+    tokens posexplode with their positions, each side FILTERS to one
+    phrase term's postings map-side, and term i joins term i+1 on
+    (doc, pos + 1).  Returns (id, n_occ) for documents containing the
+    phrase at least once.
+
+    Scale shape: the joins move only the phrase terms' postings
+    (O(postings), not O(corpus tokens)), keyed on (doc, pos) — high
+    cardinality, skew-free.  n−1 joins for an n-term phrase, each
+    input shrinking to the surviving prefix matches."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_count needs a phrase of >= 2 terms")
+    terms = [t.lower() for t in phrase]
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"\s+")
+    pos = docs.select(F.col(id_col).alias("_id"),
+                      F.posexplode(toks).alias("pos", "tok"))
+    cur = (pos.where(F.col("tok") == terms[0])
+           .select("_id", F.col("pos").alias("_p0")))
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (pos.where(F.col("tok") == t)
+               .select(F.col("_id").alias("_nid"),
+                       F.col("pos").alias("_np")))
+        cur = (cur.join(nxt, (cur["_id"] == nxt["_nid"])
+                        & (nxt["_np"] == cur["_p0"] + F.lit(i)))
+               .select("_id", "_p0"))
+    return (cur.groupBy("_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+            .withColumnRenamed("_id", id_col))

@@ -59,7 +59,8 @@ _SCORE_FIRST = [
     # r9/r10/r11-scored sets (freshest rows) fall to the back.
     # ---- new in r12 (zero driver evidence) ----
     "scd2_dim_history", "scd2_asof_lookup", "embedding_gram_audit",
-    "streaming_scd2",
+    "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
+    "phrase_search",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8669,3 +8670,151 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators.profile import key_skew_report
     li = testkit.load_table(spark, sf_dir, "lineitem")
     return key_skew_report(li, "l_partkey")
+
+
+# --------------------------------------------------------------------------
+# Retrieval extensions (operators/retrieval.py, r12): hybrid RRF
+# fusion of the lexical (BM25) and dense (embedding cosine) top-k
+# lists, the stored-inverted-index build aggregate, and exact-phrase
+# search over a positional index. doc_id and vec_id share one id
+# space by construction of the synthetic tables.
+# --------------------------------------------------------------------------
+
+_RRF_K0, _RRF_K = 60, 20
+
+_HYBRID_ORACLE = rf"""
+WITH d AS (SELECT doc_id,
+                  string_split_regex(lower(coalesce(text, '')), '\s+')
+                    AS toks
+           FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM d),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+      FROM dl),
+tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dl)
+       WHERE tok IN ({_BM25_TERMS_SQL})
+       GROUP BY doc_id, dl, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+          GROUP BY tok),
+sc AS (SELECT tf.doc_id,
+              floor((SUM(
+                ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {_BM25_K1 + 1.0!r}
+                / (tf.tf + {_BM25_K1!r}
+                   * ({1.0 - _BM25_B!r} + {_BM25_B!r} * tf.dl
+                      / s.avgdl)))) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+       FROM tf JOIN dfreq ON tf.tok = dfreq.tok, s
+       GROUP BY tf.doc_id),
+lex AS (SELECT doc_id, bm25 FROM sc
+        ORDER BY bm25 DESC, doc_id LIMIT {_RRF_K}),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         FROM lex),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dn AS (SELECT e.vec_id, {_duck_cos('q.qv', 'e.embedding')} AS cos
+       FROM embeddings e, q),
+dnr AS (SELECT vec_id, r FROM (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+          FROM dn)
+        WHERE r <= {_RRF_K}),
+con AS (SELECT doc_id AS id, 1.0 / ({float(_RRF_K0)!r} + r) AS c
+        FROM lexr
+        UNION ALL
+        SELECT vec_id, 1.0 / ({float(_RRF_K0)!r} + r) FROM dnr)
+SELECT id AS doc_id, {_rqs('SUM(c)', 9)} AS rrf,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM con GROUP BY id
+"""
+
+
+@query("hybrid_rrf_search", oracle=_HYBRID_ORACLE)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 top-20 lexical list and the
+    embedding-cosine top-20 dense list (query = vector 0) fused by
+    reciprocal-rank fusion, score = Σ 1/(60 + rank)
+    (retrieval.rrf_fuse) — rank-only fusion, so the two scorers'
+    scales never meet. Both lists are k-bounded; the lexical rank
+    uses the window-free O(k²) bounded_rank self-join and the fuse is
+    one union + groupBy over 2k rows. Nothing after the two top-k
+    cuts is corpus-scale."""
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    emb = testkit.load_table(spark, sf_dir, "embeddings")
+    lex = _retr.bm25_topk(docs, _BM25_TERMS, k=_RRF_K,
+                          k1=_BM25_K1, b=_BM25_B)
+    lexr = (_retr.bounded_rank(lex, "bm25", "doc_id")
+            .select("doc_id", "rank"))
+    dense = (_sim.cosine_topk(emb, emb.where(F.col("vec_id") == 0),
+                              k=_RRF_K)
+             .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return _retr.rrf_fuse([lexr, dense], id_col="doc_id",
+                          k0=_RRF_K0, out_col="rrf")
+
+
+_INV_MIN_DF = 3
+
+_INV_ORACLE = rf"""
+WITH d AS (SELECT doc_id,
+                  string_split_regex(lower(coalesce(text, '')), '\s+')
+                    AS toks
+           FROM documents),
+p AS (SELECT doc_id, UNNEST(toks) AS tok FROM d),
+tf AS (SELECT tok, CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(COUNT(*) AS BIGINT) AS tf
+       FROM p GROUP BY tok, doc_id),
+k AS (SELECT tok, tf,
+             tf * 4294967296 + (4294967295 - doc_id) AS key
+      FROM tf),
+idx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf, MAX(key) AS mk
+        FROM k GROUP BY tok)
+SELECT tok, df, cf,
+       CAST(4294967295 - mk % 4294967296 AS BIGINT) AS top_doc,
+       CAST(mk // 4294967296 AS BIGINT) AS top_tf
+FROM idx WHERE df >= {_INV_MIN_DF}
+"""
+
+
+@query("inverted_index_stats", oracle=_INV_ORACLE)
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-inverted-index build aggregate
+    (retrieval.build_inverted_index): per term its document frequency,
+    collection frequency, and champion posting (highest tf, smallest
+    doc on ties) via an exact BIGINT-packed argmax. Two hash
+    aggregates with map-side combine, output vocabulary-sized — the
+    artifact a 100 TB corpus would serve BM25 from, written
+    partitioned by term-hash bucket."""
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _retr.build_inverted_index(docs, min_df=_INV_MIN_DF)
+
+
+_PHRASE = ["stream", "spark"]
+
+_PHRASE_ORACLE = rf"""
+WITH d AS (SELECT doc_id,
+                  string_split_regex(lower(coalesce(text, '')), '\s+')
+                    AS toks
+           FROM documents),
+p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM d, UNNEST(generate_series(1, len(toks))) AS t(i)),
+a AS (SELECT doc_id, pos FROM p WHERE tok = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM p WHERE tok = '{_PHRASE[1]}')
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+"""
+
+
+@query("phrase_search", oracle=_PHRASE_ORACLE)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("stream spark") over a positional index
+    (retrieval.phrase_count): tokens posexplode with positions, each
+    side filters to ONE phrase term's postings map-side, and term i
+    joins term i+1 on (doc, pos+1) — the joins move O(phrase-term
+    postings), never O(corpus tokens), keyed on high-cardinality
+    (doc, pos)."""
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _retr.phrase_count(docs, _PHRASE)

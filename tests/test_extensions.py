@@ -2466,3 +2466,94 @@ def test_range_prefix_sum_matches_global_window(spark):
     got2 = {(r.k, r.id): r.run for r in swept2.collect()}
     cache2.unpersist()
     assert got2 == want2
+
+
+def test_bounded_rank_matches_window(spark):
+    """bounded_rank (window-free O(k²) self-join) == row_number over
+    (score DESC, id ASC) on a list with score ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pointdatabase_spark.operators import retrieval
+    rows = [(i, float(v)) for i, v in
+            enumerate([5, 3, 5, 1, 3, 3, 9, 1, 7, 7])]
+    lst = spark.createDataFrame(rows, "doc_id long, s double")
+    got = {r["doc_id"]: r["rank"] for r in
+           retrieval.bounded_rank(lst, "s", "doc_id").collect()}
+    win = Window.orderBy(F.col("s").desc(), F.col("doc_id"))
+    exp = {r["doc_id"]: r["rank"] for r in
+           lst.withColumn("rank", F.row_number().over(win)).collect()}
+    assert got == exp
+    asc = {r["doc_id"]: r["rank"] for r in
+           retrieval.bounded_rank(lst, "s", "doc_id",
+                                  descending=False).collect()}
+    win2 = Window.orderBy(F.col("s"), F.col("doc_id"))
+    exp2 = {r["doc_id"]: r["rank"] for r in
+            lst.withColumn("rank", F.row_number().over(win2)).collect()}
+    assert asc == exp2
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF contributions: doc in both lists sums both reciprocals;
+    single-list docs carry n_lists=1."""
+    from pointdatabase_spark.operators import retrieval
+    l1 = spark.createDataFrame([(10, 1), (11, 2)],
+                               "doc_id long, rank long")
+    l2 = spark.createDataFrame([(11, 1), (12, 2)],
+                               "doc_id long, rank long")
+    out = {r["doc_id"]: (r["rrf"], r["n_lists"]) for r in
+           retrieval.rrf_fuse([l1, l2], k0=60).collect()}
+
+    def q9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    assert out[10] == (q9(1 / 61), 1)
+    assert out[11] == (q9(1 / 62 + 1 / 61), 2)
+    assert out[12] == (q9(1 / 62), 1)
+
+
+def test_inverted_index_champion_and_min_df(spark):
+    from pointdatabase_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(5, "a a b"), (2, "a a c"), (9, "a b c")],
+        "doc_id long, text string")
+    idx = {r["tok"]: r for r in
+           retrieval.build_inverted_index(docs).collect()}
+    # 'a': df=3, cf=5; tf tie (2,2) between docs 5 and 2 -> smallest id
+    assert (idx["a"]["df"], idx["a"]["cf"]) == (3, 5)
+    assert (idx["a"]["top_doc"], idx["a"]["top_tf"]) == (2, 2)
+    # 'b': docs 5 and 9, tf tie 1 -> doc 5
+    assert (idx["b"]["df"], idx["b"]["top_doc"], idx["b"]["top_tf"]) \
+        == (2, 5, 1)
+    only = retrieval.build_inverted_index(docs, min_df=3)
+    assert {r["tok"] for r in only.collect()} == {"a"}
+
+
+def test_phrase_count_three_terms_and_overlap(spark):
+    """The n-term join loop: overlapping occurrences both count
+    ('a b a b a' contains 'a b a' at positions 0 AND 2); docs without
+    the full phrase are absent."""
+    from pointdatabase_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(0, "a b a b a"),     # 'a b a' at 0 and 2
+         (1, "a b c a b a"),   # at 3
+         (2, "a b b a"),       # prefix 'a b' only -> absent
+         (3, "c c c")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_occ"] for r in
+           retrieval.phrase_count(docs, ["a", "b", "a"]).collect()}
+    assert out == {0: 2, 1: 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        retrieval.phrase_count(docs, ["a"])
+
+
+def test_inverted_index_id_guard_fires(spark):
+    """The in-plan uint32 id guard (systematic_pps overflow-guard
+    pattern): an out-of-range doc id fails the build loudly instead
+    of silently misordering the packed champion argmax."""
+    from pointdatabase_spark.operators import retrieval
+    docs = spark.createDataFrame([(-1, "a b"), (2, "a")],
+                                 "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match=r"outside \[0, 2\^32\)"):
+        retrieval.build_inverted_index(docs).collect()

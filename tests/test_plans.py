@@ -797,3 +797,57 @@ def test_bench_py_hand_set_matches_streaming_sources():
         f"streaming modules with Python stages changed: {py_mods} — "
         "update bench.PY_HAND and this map")
     assert bench.PY_HAND == set(known.values())
+
+
+def test_hybrid_rrf_plan_bounded_and_window_free(spark):
+    """hybrid_rrf_search: both retriever lists end in bounded cuts
+    (TakeOrderedAndProject for BM25; per-query rank window for the
+    dense side), the lexical rank is the window-free bounded_rank
+    self-join (BroadcastNestedLoopJoin on a k-row broadcast, never
+    CartesianProduct), and the fused plan stays doctrine-clean
+    without any allowlist entry.  (A 1-row Exchange SinglePartition
+    DOES appear — the (N, avgdl) grand aggregate — which is fine;
+    the banned shape is the global ORDERED window, asserted absent
+    via the windowspecdefinition detector.)"""
+    import re
+    from pointdatabase_spark import queries as registry
+    df = registry.all_queries()["hybrid_rrf_search"](spark, SF_SMOKE)
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    hits = [m.group(0) for m in re.finditer(
+        r"windowspecdefinition\((\w+)#\d+L? (?:ASC|DESC)", exec_plan)
+        if m.group(1) not in ("_pid", "bk")]
+    assert not hits, hits
+
+
+def test_phrase_search_filters_postings_before_join(spark):
+    """phrase_count: each join input is filtered to ONE phrase term's
+    postings map-side — the term equality predicate sits under the
+    join (PushedFilters can't take it, it's post-explode, but the
+    Filter operator must appear below the join build), and the join
+    keys are (doc, pos) equality — a hash join, never a nested
+    loop."""
+    from pointdatabase_spark.operators import retrieval
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    df = retrieval.phrase_count(docs, ["stream", "spark"])
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the tok = 'stream' / 'spark' filters exist as plan Filters
+    assert plan.count("stream") >= 1 and plan.count("spark") >= 1
+
+
+def test_inverted_index_two_hash_aggregates_no_window(spark):
+    """build_inverted_index: exactly the two-stage posting build —
+    hash aggregates with map-side partial combine, no window, no
+    join, no Python stage."""
+    from pointdatabase_spark.operators import retrieval
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    df = retrieval.build_inverted_index(docs, min_df=3)
+    plan = _plan(df, "simple")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -911,3 +911,48 @@ def test_canonical_url_idempotent(spark):
                         web.canonical_url("c1").alias("c2"))
     bad = twice.where(F.col("c1") != F.col("c2")).collect()
     assert not bad, bad[:5]
+
+
+@settings(**_SETTINGS)
+@given(bm25_docs, st.integers(min_value=2, max_value=3))
+def test_phrase_count_matches_reference(spark, docs, plen):
+    """phrase_count == the naive sliding-window scan, including
+    overlapping occurrences, on random small corpora."""
+    from pointdatabase_spark.operators import retrieval
+    phrase = ["a", "b", "a"][:plen]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occ"] for r in
+           retrieval.phrase_count(df, phrase).collect()}
+    exp = {}
+    for i, toks in enumerate(docs):
+        n = sum(1 for j in range(len(toks) - plen + 1)
+                if toks[j:j + plen] == phrase)
+        if n:
+            exp[i] = n
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(bm25_docs)
+def test_inverted_index_matches_reference(spark, docs):
+    """build_inverted_index df/cf/champion == the dict-of-counters
+    reference (ties -> smallest doc id) on random small corpora."""
+    from collections import Counter
+    from pointdatabase_spark.operators import retrieval
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["tok"]: (r["df"], r["cf"], r["top_doc"], r["top_tf"])
+           for r in retrieval.build_inverted_index(df).collect()}
+    posting = {}
+    for i, toks in enumerate(docs):
+        for t, c in Counter(toks).items():
+            posting.setdefault(t, {})[i] = c
+    exp = {}
+    for t, docs_tf in posting.items():
+        top = min(docs_tf, key=lambda d: (-docs_tf[d], d))
+        exp[t] = (len(docs_tf), sum(docs_tf.values()),
+                  top, docs_tf[top])
+    assert got == exp

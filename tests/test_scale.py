@@ -581,3 +581,35 @@ def test_stratified_split_scales_linearly_after_rewrite(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"stratified_split exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_inverted_index_build_scales_linearly(spark):
+    """The two-stage posting build is linear in corpus tokens (two
+    map-combined hash aggregates, no joins/windows) — decade exponent
+    bounded like the other token-linear operators."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import retrieval
+
+    def op(s, sf):
+        return retrieval.build_inverted_index(
+            testkit.load_table(s, sf, "documents"), min_df=3)
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"build_inverted_index exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_phrase_count_scales_linearly(spark):
+    """Phrase search joins move O(phrase-term postings) keyed on
+    near-unique (doc, pos) — linear in corpus tokens (the posexplode
+    scan dominates), never quadratic."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import retrieval
+
+    def op(s, sf):
+        return retrieval.phrase_count(
+            testkit.load_table(s, sf, "documents"), ["stream", "spark"])
+
+    e = _exponent(spark, op)
+    assert e < EXP_BOUND, f"phrase_count exponent {e:.2f}"
