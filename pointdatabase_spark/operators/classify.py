@@ -93,11 +93,15 @@ def logit_exprs(w: list[float], toks_s: str, toks_d: str
 def score_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     n_buckets: int = N_BUCKETS,
-                    threshold: float = 0.0) -> DataFrame:
+                    threshold: float = 0.0,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Score every document with the hashed linear model; returns
-    ``(doc_id, n_tokens, score_q, keep)`` where ``score_q`` is the
-    rational-sigmoid score quantized to micro-units and ``keep`` is
-    the gate decision at ``threshold``. Pure map-side projection."""
+    ``(doc_id, *extra_cols, n_tokens, score_q, keep)`` where
+    ``score_q`` is the rational-sigmoid score quantized to
+    micro-units and ``keep`` is the gate decision at ``threshold``.
+    ``extra_cols`` ride the projection (labels/strata for downstream
+    audits — no join back to the corpus). Pure map-side
+    projection."""
     w = weights(n_buckets)
     toks = f"split({text_col}, '\\\\s+')"
     z_s, _ = logit_exprs(w, "_toks", "")
@@ -108,6 +112,7 @@ def score_documents(df: DataFrame, text_col: str = "text",
                        (F.lit(1.0) + F.abs(F.col("_z")))))
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.size("_toks").cast("long").alias("n_tokens"),
         qround(F.col("_score"), 6).alias("score_q"),
         (F.col("_score") > F.lit(threshold)).alias("keep"))
@@ -130,3 +135,40 @@ FROM (SELECT {id_col},
              {z_d} AS z
       FROM {table}) s
 """
+
+
+def calibration_bins(scored: DataFrame, label_col: str,
+                     score_col: str = "score_q",
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram audit for a classifier gate: bucket the
+    rational-sigmoid scores (range (−1, 1)) into ``n_bins`` equal
+    bins and report, per bin, the support, the exact summed score in
+    micro-units, and the positive rate against a reference label —
+    the calibration check a pipeline runs before trusting a model
+    gate's threshold (a well-calibrated gate's positive rate climbs
+    with its score).
+
+    Exactness: the score is already micro-quantized (qround 6), so
+    ``floor(score·10⁶ + 0.5)`` recovers the SAME integer on any
+    engine; the per-bin aggregate sums BIGINTs (order-independent —
+    no double summation), and the positive rate is an integer ppm
+    ``div``. Scale shape: one map-side-combined hash aggregate to
+    ``n_bins`` rows; the bin expression is scan-local codegen.
+
+    Returns (bin, n, sum_score_micro, pos_ppm), bin 0-based from
+    score −1."""
+    micro = F.floor(F.col(score_col) * F.lit(1e6) + F.lit(0.5)) \
+        .cast("long")
+    bin_c = F.least(
+        F.lit(int(n_bins) - 1).cast("long"),
+        F.floor((F.col(score_col) + F.lit(1.0)) / F.lit(2.0)
+                * F.lit(float(n_bins))).cast("long"))
+    return (scored.select(bin_c.alias("bin"), micro.alias("_m"),
+                          F.col(label_col).cast("long").alias("_y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("_m").cast("long").alias("sum_score_micro"),
+                 F.sum("_y").cast("long").alias("_pos"))
+            .select("bin", "n", "sum_score_micro",
+                    F.expr("(1000000 * _pos) div n").cast("long")
+                    .alias("pos_ppm")))

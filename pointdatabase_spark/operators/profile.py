@@ -463,3 +463,65 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
             .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
                  rounding.qround(F.sum(prod), quantize)
                  .alias("gram_q")))
+
+
+def rater_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two boolean gate columns — the standard
+    inter-rater agreement audit a pipeline runs between two quality
+    filters (rule-based vs model-based) before trusting either as the
+    sole gate: kappa near 0 means the gates fire on unrelated
+    subsets (both are needed); near 1 means one is redundant.
+
+    Exact integer arithmetic end to end: the 2×2 contingency counts
+    come from ONE grand aggregate (map-side combined, 1-row result),
+    and kappa = (n·p_o − pe_num) / (n² − pe_num) with
+    pe_num = keep_a·keep_b + drop_a·drop_b is emitted in ppm via
+    BIGINT ``div`` — Spark's ``div`` and DuckDB's ``//`` both
+    truncate toward zero, so the value is bit-identical on any
+    engine and any row order (no double summation anywhere).
+    Valid while 10⁶·n² < 2⁶³ (n ≤ 3·10⁶), ENFORCED by an in-plan
+    assert on the 1-row frame — an agreement audit over a larger
+    corpus should run on a hash_split sample (it is a statistical
+    audit, not a transform), which also caps the count.
+
+    Returns one row: (n, both_keep, a_only, b_only, both_drop,
+    po_ppm, kappa_ppm)."""
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a & b).cast("long")).cast("long").alias("both_keep"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("a_only"),
+        F.sum((~a & b).cast("long")).cast("long").alias("b_only"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("both_drop"))
+    n_ok = F.when(
+        F.assert_true(
+            F.col("n") <= F.lit(3_000_000),
+            F.concat(F.lit("rater_agreement: n="),
+                     F.col("n").cast("string"),
+                     F.lit(" exceeds the exact-BIGINT kappa bound "
+                           "(10^6*n^2 > 2^63); audit a hash_split "
+                           "sample instead"))
+        ).isNull(), F.col("n")).alias("n")
+    agg = agg.select(n_ok, "both_keep", "a_only", "b_only", "both_drop")
+    keep_a = F.col("both_keep") + F.col("a_only")
+    keep_b = F.col("both_keep") + F.col("b_only")
+    drop_a = F.col("b_only") + F.col("both_drop")
+    drop_b = F.col("a_only") + F.col("both_drop")
+    po = F.col("both_keep") + F.col("both_drop")
+    pe_num = keep_a * keep_b + drop_a * drop_b
+    num = F.col("n") * po - pe_num
+    den = F.col("n") * F.col("n") - pe_num
+    # den == 0 <=> pe == 1 (both raters constant and equal) -> kappa
+    # is conventionally 1 when agreement is perfect there.
+    return (agg
+            .withColumn("_num", num).withColumn("_den", den)
+            .select(
+                "n", "both_keep", "a_only", "b_only", "both_drop",
+                F.expr("(1000000 * (both_keep + both_drop)) div n")
+                .cast("long").alias("po_ppm"),
+                F.when(F.col("_den") == 0,
+                       F.lit(1_000_000).cast("long"))
+                .otherwise(F.expr("(1000000 * _num) div _den")
+                           .cast("long"))
+                .alias("kappa_ppm")))

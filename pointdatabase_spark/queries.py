@@ -60,7 +60,7 @@ _SCORE_FIRST = [
     # ---- new in r12 (zero driver evidence) ----
     "scd2_dim_history", "scd2_asof_lookup", "embedding_gram_audit",
     "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
-    "phrase_search",
+    "phrase_search", "classifier_calibration", "filter_agreement_kappa",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8818,3 +8818,110 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import retrieval as _retr
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _retr.phrase_count(docs, _PHRASE)
+
+
+# --------------------------------------------------------------------------
+# Gate audits (r12): classifier calibration (reliability diagram) and
+# rule-vs-model filter agreement (Cohen's kappa) — the checks a
+# pipeline runs before trusting a gate's threshold or dropping a
+# redundant filter. All-BIGINT outputs (no double summation), so the
+# driver hash is layout-proof by construction.
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+_CAL_ORACLE = f"""
+WITH sc AS ({_classify.score_documents_sql()}),
+j AS (SELECT sc.score_q, (d.lang = 'en') AS lab
+      FROM sc JOIN documents d USING (doc_id)),
+b AS (SELECT LEAST({_CAL_BINS - 1},
+                   CAST(floor((score_q + 1.0) / 2.0
+                              * {float(_CAL_BINS)!r}) AS BIGINT)) AS bin,
+             CAST(floor(score_q * 1000000.0 + 0.5) AS BIGINT) AS m,
+             CAST(lab AS BIGINT) AS y
+      FROM j)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(m) AS BIGINT) AS sum_score_micro,
+       CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS pos_ppm
+FROM b GROUP BY bin
+"""
+
+
+@query("classifier_calibration", oracle=_CAL_ORACLE)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the model quality gate
+    (classify.calibration_bins): sigmoid scores bucketed into 10
+    bins, per bin the support, exact micro-unit score sum, and the
+    positive rate against the lang='en' reference label, all BIGINT
+    (bit-identical on any engine/layout). One map-side-combined hash
+    aggregate to 10 rows; the label rides the scoring projection
+    (extra_cols) — no join back to the corpus."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    scored = _classify.score_documents(docs, extra_cols=("lang",))
+    scored = scored.withColumn("_lab", F.col("lang") == F.lit("en"))
+    return _classify.calibration_bins(scored, "_lab",
+                                      n_bins=_CAL_BINS)
+
+
+_KAPPA_ORACLE = f"""
+WITH g AS (SELECT doc_id,
+                  ({_REP_KEEP_TMPL.format(
+                      dup=_text.duckdb_expr('dup_token_ratio', 'text'),
+                      cov=_text.duckdb_expr('top_bigram_cover', 'text'),
+                      run=_text.duckdb_expr('max_token_run', 'text'),
+                      **_REP_THRESH)}) = 1 AS rk
+           FROM documents),
+s AS ({_classify.score_documents_sql()}),
+j AS (SELECT s.keep AS ck, g.rk AS rk FROM s JOIN g USING (doc_id)),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ck AND rk THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_keep,
+             CAST(SUM(CASE WHEN ck AND NOT rk THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a_only,
+             CAST(SUM(CASE WHEN NOT ck AND rk THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_only,
+             CAST(SUM(CASE WHEN NOT ck AND NOT rk THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_drop
+      FROM j),
+k AS (SELECT *,
+             n * (both_keep + both_drop)
+             - ((both_keep + a_only) * (both_keep + b_only)
+                + (b_only + both_drop) * (a_only + both_drop)) AS num,
+             n * n
+             - ((both_keep + a_only) * (both_keep + b_only)
+                + (b_only + both_drop) * (a_only + both_drop)) AS den
+      FROM c)
+SELECT n, both_keep, a_only, b_only, both_drop,
+       CAST((1000000 * (both_keep + both_drop)) // n AS BIGINT)
+         AS po_ppm,
+       CAST(CASE WHEN den = 0 THEN 1000000
+                 ELSE (1000000 * num) // den END AS BIGINT)
+         AS kappa_ppm
+FROM k
+"""
+
+
+@query("filter_agreement_kappa", oracle=_KAPPA_ORACLE)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the model gate (classifier keep at
+    threshold 0) and the rule gate (Gopher repetition keep) —
+    profile.rater_agreement. Both gates are scan-local codegen
+    expressions (the rule features ride the scoring projection, no
+    corpus join); the 2×2 contingency is ONE grand aggregate and
+    kappa is exact BIGINT ppm (Spark `div` == DuckDB `//`, both
+    truncate toward zero), valid to n = 3·10⁶ via an in-plan
+    assert — larger corpora audit a hash_split sample."""
+    from pointdatabase_spark.operators.profile import rater_agreement
+    docs = _text.with_tokens(
+        testkit.load_table(spark, sf_dir, "documents"), "text")
+    feats = docs.withColumn(
+        "dup", _text.spark_expr("dup_token_ratio", "text", "_toks")
+    ).withColumn(
+        "cov", _text.spark_expr("top_bigram_cover", "text", "_toks")
+    ).withColumn(
+        "run", _text.spark_expr("max_token_run", "text", "_toks"))
+    rule = F.expr(_REP_KEEP_TMPL.format(dup="dup", cov="cov",
+                                        run="run", **_REP_THRESH))
+    feats = feats.withColumn("rule_keep", rule == 1)
+    scored = _classify.score_documents(feats, extra_cols=("rule_keep",))
+    return rater_agreement(scored, "keep", "rule_keep")

@@ -2557,3 +2557,44 @@ def test_inverted_index_id_guard_fires(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match=r"outside \[0, 2\^32\)"):
         retrieval.build_inverted_index(docs).collect()
+
+
+def test_rater_agreement_hand_case(spark):
+    """Known 2x2 kappa: n=100, both_keep=40, a_only=10, b_only=10,
+    both_drop=40 -> p_o=0.8, p_e=0.5, kappa=0.6 exactly."""
+    from pointdatabase_spark.operators.profile import rater_agreement
+    rows = ([(True, True)] * 40 + [(True, False)] * 10
+            + [(False, True)] * 10 + [(False, False)] * 40)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = rater_agreement(df, "a", "b").collect()[0]
+    assert (r["n"], r["both_keep"], r["a_only"], r["b_only"],
+            r["both_drop"]) == (100, 40, 10, 10, 40)
+    assert r["po_ppm"] == 800000
+    assert r["kappa_ppm"] == 600000
+    # degenerate: both raters constant-true -> den=0 -> kappa 1
+    one = spark.createDataFrame([(True, True)] * 5,
+                                "a boolean, b boolean")
+    assert rater_agreement(one, "a", "b").collect()[0]["kappa_ppm"] \
+        == 1000000
+    # chance-level: independent 50/50 raters -> kappa 0
+    ch = spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False)],
+        "a boolean, b boolean")
+    assert rater_agreement(ch, "a", "b").collect()[0]["kappa_ppm"] == 0
+
+
+def test_calibration_bins_hand_case(spark):
+    """Bin edges over (-1,1): score -1+eps -> bin 0, 0 -> bin 5,
+    0.99 -> bin 9; pos_ppm is exact integer ppm."""
+    from pointdatabase_spark.operators.classify import calibration_bins
+    rows = [(-0.95, True), (-0.95, False), (0.0, True),
+            (0.99, True), (0.99, True), (0.99, False)]
+    df = spark.createDataFrame(rows, "score_q double, lab boolean")
+    out = {r["bin"]: r for r in
+           calibration_bins(df, "lab", n_bins=10).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0]["n"] == 2 and out[0]["pos_ppm"] == 500000
+    assert out[0]["sum_score_micro"] == -1900000
+    assert out[5]["n"] == 1 and out[5]["pos_ppm"] == 1000000
+    assert out[9]["n"] == 3 and out[9]["pos_ppm"] == 666666
+    assert out[9]["sum_score_micro"] == 2970000
