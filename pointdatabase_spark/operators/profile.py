@@ -488,12 +488,22 @@ def rater_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     po_ppm, kappa_ppm)."""
     a = F.col(a_col).cast("boolean")
     b = F.col(b_col).cast("boolean")
-    agg = df.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((a & b).cast("long")).cast("long").alias("both_keep"),
-        F.sum((a & ~b).cast("long")).cast("long").alias("a_only"),
-        F.sum((~a & b).cast("long")).cast("long").alias("b_only"),
-        F.sum((~a & ~b).cast("long")).cast("long").alias("both_drop"))
+    # Aggregate on the boolean PAIR first (<= 4 cells): each gate
+    # expression evaluates ONCE per row as a group key. Folding the
+    # gates into four conditional sums instead lets CollapseProject
+    # inline the (expensive — token-array lambdas) gate expressions
+    # into every condition, re-evaluating them 4-8x per row —
+    # measured 6x wall on filter_agreement_kappa at sf0.1.
+    cells = (df.groupBy(a.alias("_a"), b.alias("_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    cnt = (lambda cond: F.coalesce(
+        F.sum(F.when(cond, F.col("_c"))), F.lit(0)).cast("long"))
+    agg = cells.agg(
+        F.sum("_c").cast("long").alias("n"),
+        cnt(F.col("_a") & F.col("_b")).alias("both_keep"),
+        cnt(F.col("_a") & ~F.col("_b")).alias("a_only"),
+        cnt(~F.col("_a") & F.col("_b")).alias("b_only"),
+        cnt(~F.col("_a") & ~F.col("_b")).alias("both_drop"))
     n_ok = F.when(
         F.assert_true(
             F.col("n") <= F.lit(3_000_000),

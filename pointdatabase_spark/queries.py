@@ -8907,13 +8907,16 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0) and the rule gate (Gopher repetition keep) —
     profile.rater_agreement. Both gates are scan-local codegen
     expressions (the rule features ride the scoring projection, no
-    corpus join); the 2×2 contingency is ONE grand aggregate and
-    kappa is exact BIGINT ppm (Spark `div` == DuckDB `//`, both
-    truncate toward zero), valid to n = 3·10⁶ via an in-plan
-    assert — larger corpora audit a hash_split sample."""
+    corpus join) over a _spread corpus — the CPU-bound token-array
+    lambdas must fan out past the parquet's native split count
+    (measured 4x wall at sf0.1). The 2×2 contingency aggregates on
+    the boolean PAIR (4 cells, map-side combined) and kappa is
+    exact BIGINT ppm (Spark `div` == DuckDB `//`, both truncate
+    toward zero), valid to n = 3·10⁶ via an in-plan assert — larger
+    corpora audit a hash_split sample."""
     from pointdatabase_spark.operators.profile import rater_agreement
     docs = _text.with_tokens(
-        testkit.load_table(spark, sf_dir, "documents"), "text")
+        _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     feats = docs.withColumn(
         "dup", _text.spark_expr("dup_token_ratio", "text", "_toks")
     ).withColumn(
