@@ -224,3 +224,102 @@ def phrase_count(docs: DataFrame, phrase: list[str],
     return (cur.groupBy("_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
             .withColumnRenamed("_id", id_col))
+
+
+# ---------------------------------------------------------------------------
+# Stored text index: the standing-query serving path. bm25_topk scans
+# the corpus per query; a search workload builds the index ONCE
+# (postings partitioned by term-hash bucket) and serves every query
+# from the query terms' buckets alone — per-query cost O(query-term
+# postings) with NO corpus scan, the remedy SCALE.md's BM25 row names.
+# ---------------------------------------------------------------------------
+
+def term_bucket(tok_col, buckets: int):
+    """Deterministic term->bucket assignment (24-bit md5 prefix mod
+    buckets) — the partition key of the stored index. Stable across
+    engines, sessions, and cluster sizes, so query-time pruning can
+    recompute it anywhere (including driver-side for literal terms,
+    see :func:`term_bucket_py`)."""
+    c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return (F.conv(F.substring(F.md5(c), 1, 6), 16, 10)
+            .cast("long") % F.lit(int(buckets)))
+
+
+def term_bucket_py(term: str, buckets: int) -> int:
+    """Driver-side mirror of :func:`term_bucket` for literal query
+    terms (hashlib md5 == Spark md5 bit-for-bit)."""
+    import hashlib
+    return int(hashlib.md5(term.encode()).hexdigest()[:6], 16) \
+        % int(buckets)
+
+
+def write_text_index(docs: DataFrame, path: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     buckets: int = 16) -> None:
+    """Build and store the full-text index: ``postings/`` (tok,
+    doc id, tf, dl — doc length denormalized onto each posting so
+    serving never joins the corpus) and ``dfreq/`` (tok, df), both
+    parquet PARTITIONED BY the term-hash ``bucket``, plus a 1-row
+    ``stats/`` (n_docs, avgdl). One corpus scan; the posting build is
+    the same two-stage map-combined aggregate as
+    :func:`build_inverted_index`. At query time only the query
+    terms' buckets are read (partition pruning) — the per-query cost
+    is independent of corpus size."""
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"\s+")
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.size(toks).cast("double").alias("dl"),
+                       F.explode(toks).alias("tok"))
+    tf = (base.groupBy("tok", "id", "dl")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+          .withColumn("bucket", term_bucket("tok", buckets)))
+    tf.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+    dfreq = (tf.groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("double").alias("df"))
+             .withColumn("bucket", term_bucket("tok", buckets)))
+    dfreq.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/dfreq")
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"))
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_served(spark, path: str, query_terms: list[str],
+                     k: int = 20, id_col: str = "doc_id",
+                     k1: float = 1.2, b: float = 0.75,
+                     buckets: int = 16) -> DataFrame:
+    """Serve a BM25 top-k from the STORED index — bit-identical to
+    :func:`bm25_topk` on the same corpus (pinned in pytest), with no
+    corpus scan: the driver computes the query terms' buckets
+    (:func:`term_bucket_py`), the postings/dfreq scans prune to those
+    partitions, and the score is the same broadcast-joined map-side
+    expression as the inline path (same plan shape after the scan, so
+    the per-doc contribution sum folds in the same order)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    qb = sorted({term_bucket_py(t, buckets) for t in terms})
+    tf = (spark.read.parquet(f"{path}/postings")
+          .where(F.col("bucket").isin(qb))
+          .where(F.col("tok").isin(terms))
+          .select("tok", "id", "dl", "tf"))
+    dfreq = (spark.read.parquet(f"{path}/dfreq")
+             .where(F.col("bucket").isin(qb))
+             .where(F.col("tok").isin(terms))
+             .select("tok", "df"))
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(float(k1))
+             * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl")
+                / F.col("avgdl")))
+    contrib = idf * F.col("tf") * F.lit(float(k1) + 1.0) / denom
+    return (tf.join(F.broadcast(dfreq), "tok")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("id")
+            .agg(rounding.qround(F.sum(contrib), 6).alias("bm25"))
+            .withColumnRenamed("id", id_col)
+            .orderBy(F.col("bm25").desc(), F.col(id_col))
+            .limit(int(k)))

@@ -61,6 +61,7 @@ _SCORE_FIRST = [
     "scd2_dim_history", "scd2_asof_lookup", "embedding_gram_audit",
     "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
+    "bm25_served",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8928,3 +8929,26 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = feats.withColumn("rule_keep", rule == 1)
     scored = _classify.score_documents(feats, extra_cols=("rule_keep",))
     return rater_agreement(scored, "keep", "rule_keep")
+
+
+@query("bm25_served", oracle=_BM25_ORACLE)
+def bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index serving path for keyword search
+    (retrieval.write_text_index / bm25_topk_served): postings and df
+    tables written partitioned by term-hash bucket once, then the
+    same 3-term query as `bm25_search` served by reading ONLY the
+    query terms' buckets (driver-computed bucket list → partition
+    pruning) — per-query cost O(query-term postings), NO corpus
+    scan. Same oracle as bm25_search: the store-then-serve roundtrip
+    must be bit-identical to the inline plan."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    path = (f"/tmp/pdb_textidx_{_os.getpid()}_"
+            f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    _sh.rmtree(path, ignore_errors=True)
+    _retr.write_text_index(docs, path)
+    return _retr.bm25_topk_served(spark, path, _BM25_TERMS, k=_BM25_K,
+                                  k1=_BM25_K1, b=_BM25_B)

@@ -851,3 +851,41 @@ def test_inverted_index_two_hash_aggregates_no_window(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_served_prunes_to_query_buckets(spark, tmp_path):
+    """The stored-index serving path: the postings scan's
+    PartitionFilters prune to the query terms' buckets (computed
+    driver-side), the result is bit-identical to the inline
+    bm25_topk, and no documents-table scan appears in the serving
+    plan."""
+    from pointdatabase_spark.operators import retrieval
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "tidx")
+    retrieval.write_text_index(docs, path, buckets=16)
+    terms = ["spark", "vector", "stream"]
+    served = retrieval.bm25_topk_served(spark, path, terms, k=20)
+    inline = retrieval.bm25_topk(docs, terms, k=20)
+    import struct
+    s = sorted((r["doc_id"], struct.pack("<d", r["bm25"]))
+               for r in served.collect())
+    i = sorted((r["doc_id"], struct.pack("<d", r["bm25"]))
+               for r in inline.collect())
+    assert s == i and len(s) == 20
+    plan = _plan(served)
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("bucket" in ln for ln in pf), pf
+    # buckets NOT matching the query terms are pruned: the scanned
+    # partition set in the executed plan is the driver-computed list
+    qb = sorted({retrieval.term_bucket_py(t, 16) for t in terms})
+    ex = served._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in ex
+    # term_bucket column == driver mirror on the stored vocabulary
+    from pyspark.sql import functions as F
+    voc = (spark.read.parquet(f"{path}/dfreq")
+           .select("tok", "bucket",
+                   retrieval.term_bucket("tok", 16).alias("b2"))
+           .where(F.col("bucket") != F.col("b2")).count())
+    assert voc == 0
+    assert all(retrieval.term_bucket_py(t, 16) in qb for t in terms)
