@@ -276,13 +276,19 @@ def write_text_index(docs: DataFrame, path: str,
     tf.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings")
     dfreq = (tf.groupBy("tok")
-             .agg(F.count(F.lit(1)).cast("double").alias("df"))
+             .agg(F.count(F.lit(1)).cast("long").alias("df"))
              .withColumn("bucket", term_bucket("tok", buckets)))
     dfreq.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/dfreq")
+    # stats store EXACT integers (doc count, summed token count), not
+    # the average: avgdl = sum_dl / n_docs is then ONE division at
+    # serve time — bit-identical on any engine AND exactly
+    # maintainable under append deltas (integer adds). Token counts
+    # are integer-valued, so the double AVG the inline path takes is
+    # the same exact-sum/n value.
     stats = docs.select(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.size(toks)).alias("avgdl"))
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).cast("long").alias("sum_dl"))
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -308,8 +314,11 @@ def bm25_topk_served(spark, path: str, query_terms: list[str],
     dfreq = (spark.read.parquet(f"{path}/dfreq")
              .where(F.col("bucket").isin(qb))
              .where(F.col("tok").isin(terms))
-             .select("tok", "df"))
-    stats = spark.read.parquet(f"{path}/stats")
+             .select("tok", F.col("df").cast("double").alias("df")))
+    stats = (spark.read.parquet(f"{path}/stats")
+             .select(F.col("n_docs").cast("double").alias("n_docs"),
+                     (F.col("sum_dl").cast("double")
+                      / F.col("n_docs").cast("double")).alias("avgdl")))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
     denom = (F.col("tf") + F.lit(float(k1))
@@ -323,3 +332,57 @@ def bm25_topk_served(spark, path: str, query_terms: list[str],
             .withColumnRenamed("id", id_col)
             .orderBy(F.col("bm25").desc(), F.col(id_col))
             .limit(int(k)))
+
+
+def append_text_index(delta: DataFrame, path: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      buckets: int = 16) -> None:
+    """Continuous-ingest maintenance of the stored text index: a
+    batch of NEW documents (append-only — ids must be disjoint from
+    the stored corpus; updates/deletes are an upsert store's job)
+    lands as (1) appended posting files in the same term-hash bucket
+    partitions, (2) a merged df table, (3) exact integer adds into
+    the 1-row stats. Per-batch cost is O(delta postings +
+    vocabulary); the stored postings are never rescanned or
+    rewritten — the `append_ann_index` discipline for text.
+
+    Because stats hold exact integers (n_docs, sum_dl) and df merges
+    by BIGINT addition, an index maintained by appends serves
+    BIT-IDENTICALLY to one built from the full corpus at once
+    (pinned in pytest). The vocabulary-sized df/stats frames are
+    eagerly materialized (persist + count) before their overwrite —
+    Spark cannot lazily read a path it is replacing."""
+    spark = delta.sparkSession
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"\s+")
+    base = delta.select(F.col(id_col).alias("id"),
+                        F.size(toks).cast("double").alias("dl"),
+                        F.explode(toks).alias("tok"))
+    tf = (base.groupBy("tok", "id", "dl")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+          .withColumn("bucket", term_bucket("tok", buckets)))
+    tf.write.mode("append").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+    d_df = (tf.groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    old_df = spark.read.parquet(f"{path}/dfreq").select("tok", "df")
+    merged = (old_df.unionByName(d_df)
+              .groupBy("tok")
+              .agg(F.sum("df").cast("long").alias("df"))
+              .withColumn("bucket", term_bucket("tok", buckets))
+              .persist())
+    merged.count()
+    merged.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/dfreq")
+    merged.unpersist()
+    d_stats = delta.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).cast("long").alias("sum_dl"))
+    old_stats = spark.read.parquet(f"{path}/stats")
+    new_stats = (old_stats.unionByName(d_stats)
+                 .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                      F.sum("sum_dl").cast("long").alias("sum_dl"))
+                 .persist())
+    new_stats.count()
+    new_stats.write.mode("overwrite").parquet(f"{path}/stats")
+    new_stats.unpersist()

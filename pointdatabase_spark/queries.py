@@ -61,7 +61,7 @@ _SCORE_FIRST = [
     "scd2_dim_history", "scd2_asof_lookup", "embedding_gram_audit",
     "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
-    "bm25_served",
+    "bm25_served", "bm25_index_incremental",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8950,5 +8950,30 @@ def bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
     _sh.rmtree(path, ignore_errors=True)
     _retr.write_text_index(docs, path)
+    return _retr.bm25_topk_served(spark, path, _BM25_TERMS, k=_BM25_K,
+                                  k1=_BM25_K1, b=_BM25_B)
+
+
+@query("bm25_index_incremental", oracle=_BM25_ORACLE)
+def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest keyword search
+    (retrieval.append_text_index): the text index is built from PART
+    of the corpus (doc_id % 5 != 4), the rest arrives as an appended
+    delta — appended posting files in the same bucket partitions,
+    BIGINT-merged df table, exact integer adds into the stats row;
+    the stored postings are never rescanned. Same oracle as
+    bm25_search: base + delta must serve bit-identically to an index
+    built from everything at once (exactness holds because stats
+    hold integers, not the precomputed average)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    path = (f"/tmp/pdb_textidx_inc_{_os.getpid()}_"
+            f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    _sh.rmtree(path, ignore_errors=True)
+    _retr.write_text_index(docs.where(F.col("doc_id") % 5 != 4), path)
+    _retr.append_text_index(docs.where(F.col("doc_id") % 5 == 4), path)
     return _retr.bm25_topk_served(spark, path, _BM25_TERMS, k=_BM25_K,
                                   k1=_BM25_K1, b=_BM25_B)

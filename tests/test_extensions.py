@@ -2598,3 +2598,32 @@ def test_calibration_bins_hand_case(spark):
     assert out[5]["n"] == 1 and out[5]["pos_ppm"] == 1000000
     assert out[9]["n"] == 3 and out[9]["pos_ppm"] == 666666
     assert out[9]["sum_score_micro"] == 2970000
+
+
+def test_append_text_index_serves_identically(spark, tmp_path):
+    """An index maintained by append_text_index serves BIT-identically
+    to one built from the full corpus at once (exact-integer stats +
+    BIGINT df merge), and appending never rewrites stored postings
+    (base posting files survive untouched)."""
+    import glob
+    import struct
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import retrieval
+    from tests.conftest import SF_SMOKE
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    retrieval.write_text_index(docs, full)
+    base = docs.where(F.col("doc_id") % 3 != 2)
+    delta = docs.where(F.col("doc_id") % 3 == 2)
+    retrieval.write_text_index(base, inc)
+    before = set(glob.glob(f"{inc}/postings/*/*.parquet"))
+    retrieval.append_text_index(delta, inc)
+    after = set(glob.glob(f"{inc}/postings/*/*.parquet"))
+    assert before <= after and len(after) > len(before)
+    terms = ["spark", "vector", "stream"]
+    def rows(path):
+        return sorted(
+            (r["doc_id"], struct.pack("<d", r["bm25"]))
+            for r in retrieval.bm25_topk_served(
+                spark, path, terms, k=20).collect())
+    assert rows(full) == rows(inc) and len(rows(full)) == 20
