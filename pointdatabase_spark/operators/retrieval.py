@@ -311,14 +311,22 @@ def bm25_topk_served(spark, path: str, query_terms: list[str],
           .where(F.col("bucket").isin(qb))
           .where(F.col("tok").isin(terms))
           .select("tok", "id", "dl", "tf"))
+    # df/stats aggregate across whatever delta slices the store holds
+    # (ONE slice after write_text_index/append_text_index; one per
+    # batch under the log-structured streaming maintainer) — BIGINT
+    # sums, so the merged values are exact and identical to a
+    # single-slice store.
     dfreq = (spark.read.parquet(f"{path}/dfreq")
              .where(F.col("bucket").isin(qb))
              .where(F.col("tok").isin(terms))
-             .select("tok", F.col("df").cast("double").alias("df")))
+             .groupBy("tok")
+             .agg(F.sum("df").cast("double").alias("df")))
     stats = (spark.read.parquet(f"{path}/stats")
-             .select(F.col("n_docs").cast("double").alias("n_docs"),
-                     (F.col("sum_dl").cast("double")
-                      / F.col("n_docs").cast("double")).alias("avgdl")))
+             .agg(F.sum("n_docs").cast("long").alias("_n"),
+                  F.sum("sum_dl").cast("long").alias("_s"))
+             .select(F.col("_n").cast("double").alias("n_docs"),
+                     (F.col("_s").cast("double")
+                      / F.col("_n").cast("double")).alias("avgdl")))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
     denom = (F.col("tf") + F.lit(float(k1))

@@ -61,7 +61,7 @@ _SCORE_FIRST = [
     "scd2_dim_history", "scd2_asof_lookup", "embedding_gram_audit",
     "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
-    "bm25_served", "bm25_index_incremental",
+    "bm25_served", "bm25_index_incremental", "streaming_text_index",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -8975,5 +8975,37 @@ def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh.rmtree(path, ignore_errors=True)
     _retr.write_text_index(docs.where(F.col("doc_id") % 5 != 4), path)
     _retr.append_text_index(docs.where(F.col("doc_id") % 5 == 4), path)
+    return _retr.bm25_topk_served(spark, path, _BM25_TERMS, k=_BM25_K,
+                                  k1=_BM25_K1, b=_BM25_B)
+
+
+@query("streaming_text_index", oracle=_BM25_ORACLE)
+def streaming_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyword-index maintenance (streaming/textindex.py):
+    documents land as files, an availableNow foreachBatch stream
+    writes each batch as a LOG-STRUCTURED bid-partitioned index slice
+    (postings + df delta + stats delta, dynamic partition overwrite —
+    replays overwrite their own previous attempt, so exactly-once
+    with no ledger and no read of stored data), and the served top-20
+    must equal the build-everything-at-once oracle (the serve merges
+    slices with exact BIGINT sums)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.operators import retrieval as _retr
+    from pointdatabase_spark.streaming.textindex import (
+        run_text_index_maintenance)
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    tag = (f"{_os.getpid()}_"
+           f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    path = f"/tmp/pdb_txtstream_{tag}_idx"
+    landing = f"/tmp/pdb_txtstream_{tag}_landing"
+    ckpt = f"/tmp/pdb_txtstream_{tag}_ckpt"
+    for p in (path, landing, ckpt):
+        _sh.rmtree(p, ignore_errors=True)
+    docs.repartition(2).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    run_text_index_maintenance(spark, landing, "*.parquet", schema,
+                               path, ckpt)
     return _retr.bm25_topk_served(spark, path, _BM25_TERMS, k=_BM25_K,
                                   k1=_BM25_K1, b=_BM25_B)

@@ -681,3 +681,75 @@ def test_streaming_scd2_equals_batch_closed_rows(spark):
                     "valid_from", "valid_to", "version", "n_rows")
             .collect()}
     assert got == want and len(want) > 100
+
+
+def test_text_index_stream_multislice_and_replay(spark, tmp_path):
+    """The log-structured text-index maintainer: (1) a two-batch
+    drain (files landing between drains) produces one bid slice per
+    batch and serves bit-identically to a scratch-built index;
+    (2) re-draining with the SAME checkpoint is a no-op (restart
+    safety); (3) re-executing a batch body at the same bid — Spark's
+    crash-replay semantics — overwrites its own slice and leaves the
+    served result unchanged (replay idempotency)."""
+    import glob
+    import os
+    import shutil
+    import struct
+    from pyspark.sql import functions as F
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import retrieval
+    from pointdatabase_spark.streaming.textindex import (
+        land_batch, run_text_index_maintenance)
+    from tests.conftest import SF_SMOKE
+
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    landing = str(tmp_path / "landing")
+    path = str(tmp_path / "idx")
+    full = str(tmp_path / "full")
+    docs.repartition(2).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    terms = ["spark", "vector", "stream"]
+
+    # continuous-ingest cadence: file 1 lands, drain; file 2 lands,
+    # drain with the same checkpoint -> two bid slices.
+    files = sorted(glob.glob(f"{landing}/*.parquet"))
+    assert len(files) == 2
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy(files[0], stage)
+    run_text_index_maintenance(spark, stage, "*.parquet", schema,
+                               path, ckpt)
+    shutil.copy(files[1], stage)
+    run_text_index_maintenance(spark, stage, "*.parquet", schema,
+                               path, ckpt)
+    slices = {p.split("bid=")[1].split("/")[0]
+              for p in glob.glob(f"{path}/postings/bid=*")}
+    assert len(slices) == 2, slices
+
+    def rows(ipath):
+        return sorted(
+            (r["doc_id"], struct.pack("<d", r["bm25"]))
+            for r in retrieval.bm25_topk_served(
+                spark, ipath, terms, k=20).collect())
+
+    retrieval.write_text_index(docs, full)
+    first = rows(path)
+    assert first == rows(full) and len(first) == 20
+
+    # restart safety: a third drain over the same staged files with
+    # the SAME checkpoint processes nothing.
+    before = sorted(glob.glob(f"{path}/postings/bid=*/bucket=*/*"))
+    run_text_index_maintenance(spark, stage, "*.parquet", schema,
+                               path, ckpt)
+    assert sorted(glob.glob(f"{path}/postings/bid=*/bucket=*/*")) \
+        == before
+    assert rows(path) == first
+
+    # replay idempotency: re-execute batch 1's body at the SAME bid
+    # (crash-replay re-runs the identical file set, pinned by the
+    # offset WAL) -> the slice overwrites itself, served unchanged.
+    batch1 = spark.read.parquet(f"{stage}/{os.path.basename(files[1])}")
+    land_batch(batch1, 1, path)
+    land_batch(batch1, 1, path)
+    assert rows(path) == first
