@@ -104,3 +104,41 @@ def land_batch(batch: DataFrame, bid: int, index_path: str,
             .parquet(f"{index_path}/stats")
     finally:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_text_index(spark: SparkSession, path: str,
+                       into_bid: int = 0) -> None:
+    """Fold all bid slices into ONE (the standing compaction job the
+    log-structured layout calls for): postings rows move under
+    ``into_bid`` unchanged, the df table folds with the same
+    per-term BIGINT sum the serve computes, and stats folds to one
+    row — so the served result is bit-identical before and after
+    (pinned in pytest). Runs with the same eager-materialize +
+    overwrite discipline as the batch appender (Spark cannot lazily
+    read a path it is replacing); at scale run it partition-range at
+    a time or write to a versioned sibling and swap."""
+    from pyspark.sql import functions as F
+    bid = F.lit(int(into_bid))
+    posts = (spark.read.parquet(f"{path}/postings")
+             .select("tok", "id", "dl", "tf", "bucket")
+             .withColumn("bid", bid).persist())
+    posts.count()
+    posts.write.mode("overwrite").partitionBy("bid", "bucket") \
+        .parquet(f"{path}/postings")
+    posts.unpersist()
+    d = (spark.read.parquet(f"{path}/dfreq")
+         .groupBy("tok", "bucket")
+         .agg(F.sum("df").cast("long").alias("df"))
+         .withColumn("bid", bid).persist())
+    d.count()
+    d.write.mode("overwrite").partitionBy("bid", "bucket") \
+        .parquet(f"{path}/dfreq")
+    d.unpersist()
+    s = (spark.read.parquet(f"{path}/stats")
+         .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+              F.sum("sum_dl").cast("long").alias("sum_dl"))
+         .withColumn("bid", bid).persist())
+    s.count()
+    s.write.mode("overwrite").partitionBy("bid") \
+        .parquet(f"{path}/stats")
+    s.unpersist()

@@ -753,3 +753,34 @@ def test_text_index_stream_multislice_and_replay(spark, tmp_path):
     land_batch(batch1, 1, path)
     land_batch(batch1, 1, path)
     assert rows(path) == first
+
+
+def test_text_index_compaction_preserves_serving(spark, tmp_path):
+    """compact_text_index folds a multi-slice store to ONE bid slice;
+    the served top-20 is bit-identical before and after."""
+    import glob
+    import struct
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import retrieval
+    from pointdatabase_spark.streaming.textindex import (
+        compact_text_index, land_batch)
+    from tests.conftest import SF_SMOKE
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "idx")
+    land_batch(docs.where("doc_id % 3 = 0"), 0, path)
+    land_batch(docs.where("doc_id % 3 = 1"), 1, path)
+    land_batch(docs.where("doc_id % 3 = 2"), 2, path)
+    terms = ["spark", "vector", "stream"]
+
+    def rows():
+        return sorted(
+            (r["doc_id"], struct.pack("<d", r["bm25"]))
+            for r in retrieval.bm25_topk_served(
+                spark, path, terms, k=20).collect())
+
+    before = rows()
+    compact_text_index(spark, path)
+    slices = {p.split("bid=")[1].split("/")[0]
+              for p in glob.glob(f"{path}/postings/bid=*")}
+    assert slices == {"0"}
+    assert rows() == before and len(before) == 20
