@@ -535,3 +535,36 @@ def rater_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                 .otherwise(F.expr("(1000000 * _num) div _den")
                            .cast("long"))
                 .alias("kappa_ppm")))
+
+
+def psi_drift(df: DataFrame, group_col, value_col: str,
+              buckets: int = 10) -> DataFrame:
+    """Population Stability Index between two samples — the
+    industry-standard drift score (PSI < 0.1 stable, > 0.25 shifted)
+    complementing :func:`chi2_drift`'s significance test with an
+    effect-size measure. Reuses chi2_drift's exact rank-bucketed
+    counts (same range-sliced pooled ranking, no corpus window), then
+    per bucket::
+
+        p = (n + 0.5) / (total + 0.5·buckets)      # Laplace smoothing
+        psi_q = qround((p_a − p_b) · ln(p_a / p_b), 9)
+
+    The smoothing keeps one-sided buckets finite (a raw 0 count would
+    emit ±inf) and is an exact rational on both engines; ln is libm
+    (not correctly-rounded-guaranteed), so the contribution quantizes
+    to 9 dp — the bm25 convention. Emits per-bucket rows; the
+    `buckets`-row Σ is the caller's one addition (order-sensitivity
+    never crosses the engine boundary)."""
+    cells = chi2_drift(df, group_col, value_col, buckets) \
+        .select("bucket", "n_a", "n_b")
+    tot = cells.agg(F.sum("n_a").cast("long").alias("_ta"),
+                    F.sum("n_b").cast("long").alias("_tb"))
+    sm = F.lit(0.5 * buckets)
+    pa = ((F.col("n_a").cast("double") + F.lit(0.5))
+          / (F.col("_ta").cast("double") + sm))
+    pb = ((F.col("n_b").cast("double") + F.lit(0.5))
+          / (F.col("_tb").cast("double") + sm))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_a", "n_b",
+                    rounding.qround((pa - pb) * F.log(pa / pb), 9)
+                    .alias("psi_q")))

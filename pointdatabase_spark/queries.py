@@ -62,6 +62,7 @@ _SCORE_FIRST = [
     "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
     "bm25_served", "bm25_index_incremental", "streaming_text_index",
+    "snapshot_drift_psi",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -9009,3 +9010,37 @@ def streaming_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                path, ckpt)
     return _retr.bm25_topk_served(spark, path, _BM25_TERMS, k=_BM25_K,
                                   k1=_BM25_K1, b=_BM25_B)
+
+
+# PSI drift: same pooled equal-frequency buckets as the chi2 oracle
+# (the CTE prefix is shared verbatim by slicing _CHI2_ORACLE), then
+# the smoothed PSI contribution per bucket. ln is libm -> the emitted
+# contribution quantizes to 9 dp (bm25 convention); counts stay exact.
+_PSI_ORACLE = _CHI2_ORACLE[:_CHI2_ORACLE.rindex("SELECT bucket")] + """SELECT bucket, n_a, n_b,
+       floor((((CAST(n_a AS DOUBLE) + 0.5)
+               / (CAST(ta AS DOUBLE) + 5.0)
+               - (CAST(n_b AS DOUBLE) + 0.5)
+               / (CAST(tb AS DOUBLE) + 5.0))
+              * ln(((CAST(n_a AS DOUBLE) + 0.5)
+                    / (CAST(ta AS DOUBLE) + 5.0))
+                   / ((CAST(n_b AS DOUBLE) + 0.5)
+                      / (CAST(tb AS DOUBLE) + 5.0))))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS psi_q
+FROM cnt CROSS JOIN tot
+"""
+
+
+@query("snapshot_drift_psi", oracle=_PSI_ORACLE)
+def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two pseudo-snapshots
+    (profile.psi_drift): the effect-size companion to the chi2
+    significance test, over the SAME exact rank-bucketed counts
+    (range-sliced pooled ranking — no corpus window). Laplace-0.5
+    smoothing keeps one-sided buckets finite; the 10-row Σ (compare
+    to the 0.1 / 0.25 rule) is the caller's one addition."""
+    from pointdatabase_spark.operators import profile as _prof3
+    ev = testkit.load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("snap_a"))
+        .otherwise(F.lit("snap_b")).alias("snap"), "value")
+    return _prof3.psi_drift(t, "snap", "value", buckets=10)

@@ -2627,3 +2627,33 @@ def test_append_text_index_serves_identically(spark, tmp_path):
             for r in retrieval.bm25_topk_served(
                 spark, path, terms, k=20).collect())
     assert rows(full) == rows(inc) and len(rows(full)) == 20
+
+
+def test_psi_drift_hand_case(spark):
+    """PSI on a hand split: group A = values 0..9 (one per pooled
+    bucket at buckets=10 when B mirrors), B shifted — verify the
+    smoothed formula against a pure-Python mirror."""
+    import math as m
+    from pointdatabase_spark.operators.profile import psi_drift
+    rows = ([("a", float(v)) for v in range(10) for _ in range(10)]
+            + [("b", float(v) + 0.5) for v in range(10)
+               for _ in range(10)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["bucket"]: r for r in
+           psi_drift(df, "g", "v", buckets=10).collect()}
+    ta = sum(r["n_a"] for r in out.values())
+    tb = sum(r["n_b"] for r in out.values())
+    assert ta == tb == 100
+    for b, r in out.items():
+        pa = (r["n_a"] + 0.5) / (ta + 5.0)
+        pb = (r["n_b"] + 0.5) / (tb + 5.0)
+        exp = m.floor((pa - pb) * m.log(pa / pb) * 1e9 + 0.5) / 1e9
+        assert r["psi_q"] == exp, (b, r["psi_q"], exp)
+        assert r["psi_q"] >= 0.0
+    # identical distributions -> every contribution ~0 (exactly 0
+    # when counts match per bucket)
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v)) for v in range(10)], "g string, v double")
+    z = psi_drift(same, "g", "v", buckets=10)
+    assert all(r["psi_q"] == 0.0 for r in z.collect())
