@@ -141,8 +141,9 @@ def main() -> None:
         "streaming_neardup", "streaming_rollup", "streaming_upsert",
         "streaming_upsert_bucketed", "streaming_dim_join",
         "streaming_stream_join", "streaming_exact_dedup",
-        "streaming_scd2",
+        "streaming_scd2", "streaming_text_index",
         "ann_index_topk", "ann_index_incremental",
+        "bm25_served", "bm25_index_incremental",
         "kmeans_embeddings", "pagerank_trading_graph",
         "label_propagation_communities", "lsh_recall_audit",
         "q11_important_part_volume",

@@ -260,11 +260,15 @@ def write_text_index(docs: DataFrame, path: str,
     doc id, tf, dl — doc length denormalized onto each posting so
     serving never joins the corpus) and ``dfreq/`` (tok, df), both
     parquet PARTITIONED BY the term-hash ``bucket``, plus a 1-row
-    ``stats/`` (n_docs, avgdl). One corpus scan; the posting build is
-    the same two-stage map-combined aggregate as
+    ``stats/`` (n_docs, avgdl). One corpus scan — ``spread`` past the
+    parquet's native split count first (the tokenize/explode is
+    CPU-bound; the same fan-out rule as the gate audits); the posting
+    build is the same two-stage map-combined aggregate as
     :func:`build_inverted_index`. At query time only the query
     terms' buckets are read (partition pruning) — the per-query cost
     is independent of corpus size."""
+    from pointdatabase_spark.partitioning import spread
+    docs = spread(docs)
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                    r"\s+")
     base = docs.select(F.col(id_col).alias("id"),
@@ -273,13 +277,20 @@ def write_text_index(docs: DataFrame, path: str,
     tf = (base.groupBy("tok", "id", "dl")
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
           .withColumn("bucket", term_bucket("tok", buckets)))
-    tf.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/postings")
+    # bucket-aligned files: repartition ON the partition column before
+    # the partitioned write, so each bucket dir holds ONE file instead
+    # of one per upstream task (up to tasks x buckets small files —
+    # measured ~2x on the sf0.1 build; and the layout a bucket-pruned
+    # serve wants to read anyway).
+    (tf.repartition(int(buckets), F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{path}/postings"))
     dfreq = (tf.groupBy("tok")
              .agg(F.count(F.lit(1)).cast("long").alias("df"))
              .withColumn("bucket", term_bucket("tok", buckets)))
-    dfreq.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/dfreq")
+    (dfreq.repartition(int(buckets), F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{path}/dfreq"))
     # stats store EXACT integers (doc count, summed token count), not
     # the average: avgdl = sum_dl / n_docs is then ONE division at
     # serve time — bit-identical on any engine AND exactly
@@ -361,6 +372,8 @@ def append_text_index(delta: DataFrame, path: str,
     eagerly materialized (persist + count) before their overwrite —
     Spark cannot lazily read a path it is replacing."""
     spark = delta.sparkSession
+    from pointdatabase_spark.partitioning import spread
+    delta = spread(delta)
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                    r"\s+")
     base = delta.select(F.col(id_col).alias("id"),
@@ -369,8 +382,9 @@ def append_text_index(delta: DataFrame, path: str,
     tf = (base.groupBy("tok", "id", "dl")
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
           .withColumn("bucket", term_bucket("tok", buckets)))
-    tf.write.mode("append").partitionBy("bucket") \
-        .parquet(f"{path}/postings")
+    (tf.repartition(int(buckets), F.col("bucket"))
+     .write.mode("append").partitionBy("bucket")
+     .parquet(f"{path}/postings"))
     d_df = (tf.groupBy("tok")
             .agg(F.count(F.lit(1)).cast("long").alias("df")))
     old_df = spark.read.parquet(f"{path}/dfreq").select("tok", "df")
@@ -380,8 +394,9 @@ def append_text_index(delta: DataFrame, path: str,
               .withColumn("bucket", term_bucket("tok", buckets))
               .persist())
     merged.count()
-    merged.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/dfreq")
+    (merged.repartition(int(buckets), F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{path}/dfreq"))
     merged.unpersist()
     d_stats = delta.select(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

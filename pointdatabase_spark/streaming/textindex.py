@@ -73,6 +73,8 @@ def land_batch(batch: DataFrame, bid: int, index_path: str,
     from pointdatabase_spark.operators.retrieval import term_bucket
     if batch.isEmpty():
         return
+    from pointdatabase_spark.partitioning import spread
+    batch = spread(batch)
     sess = batch.sparkSession
     prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
                          "static")
@@ -88,13 +90,17 @@ def land_batch(batch: DataFrame, bid: int, index_path: str,
               .agg(F.count(F.lit(1)).cast("double").alias("tf"))
               .withColumn("bucket", term_bucket("tok", buckets))
               .withColumn("bid", F.lit(int(bid))))
-        tf.write.mode("overwrite").partitionBy("bid", "bucket") \
-            .parquet(f"{index_path}/postings")
+        # bucket-aligned slice files (one per bucket, not one per
+        # upstream task) — same layout rule as write_text_index
+        (tf.repartition(int(buckets), F.col("bucket"))
+         .write.mode("overwrite").partitionBy("bid", "bucket")
+         .parquet(f"{index_path}/postings"))
         d_df = (tf.groupBy("tok", "bucket")
                 .agg(F.count(F.lit(1)).cast("long").alias("df"))
                 .withColumn("bid", F.lit(int(bid))))
-        d_df.write.mode("overwrite").partitionBy("bid", "bucket") \
-            .parquet(f"{index_path}/dfreq")
+        (d_df.repartition(int(buckets), F.col("bucket"))
+         .write.mode("overwrite").partitionBy("bid", "bucket")
+         .parquet(f"{index_path}/dfreq"))
         d_stats = (batch.select(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.size(toks).cast("long")).cast("long")
@@ -123,8 +129,10 @@ def compact_text_index(spark: SparkSession, path: str,
              .select("tok", "id", "dl", "tf", "bucket")
              .withColumn("bid", bid).persist())
     posts.count()
-    posts.write.mode("overwrite").partitionBy("bid", "bucket") \
-        .parquet(f"{path}/postings")
+    n_bkt = posts.agg(F.countDistinct("bucket")).collect()[0][0] or 1
+    (posts.repartition(int(n_bkt), F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bid", "bucket")
+     .parquet(f"{path}/postings"))
     posts.unpersist()
     d = (spark.read.parquet(f"{path}/dfreq")
          .groupBy("tok", "bucket")
