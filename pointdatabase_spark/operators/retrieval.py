@@ -409,3 +409,42 @@ def append_text_index(delta: DataFrame, path: str,
     new_stats.count()
     new_stats.write.mode("overwrite").parquet(f"{path}/stats")
     new_stats.unpersist()
+
+
+def proximity_count(docs: DataFrame, phrase: list[str],
+                    slop: int = 0, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Ordered proximity search — :func:`phrase_count` generalized
+    with a ``slop``: consecutive phrase terms may be separated by up
+    to ``slop`` extra tokens (``slop=0`` is the exact phrase,
+    pinned equal in pytest).  Counts matching CHAINS per document
+    (each step-wise positional path; a chain per (start, ...,
+    end) combination — the deterministic, engine-agnostic count).
+
+    Same scale shape as the exact phrase: each join input filters to
+    ONE term's postings map-side, keys are (doc, position) —
+    O(phrase-term postings) per join, widened only by the slop
+    window (each match fans out to at most slop+1 successors per
+    step)."""
+    if len(phrase) < 2:
+        raise ValueError("proximity_count needs a phrase of >= 2 terms")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    terms = [t.lower() for t in phrase]
+    toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                   r"\s+")
+    pos = docs.select(F.col(id_col).alias("_id"),
+                      F.posexplode(toks).alias("pos", "tok"))
+    cur = (pos.where(F.col("tok") == terms[0])
+           .select("_id", F.col("pos").alias("_pl")))
+    for t in terms[1:]:
+        nxt = (pos.where(F.col("tok") == t)
+               .select(F.col("_id").alias("_nid"),
+                       F.col("pos").alias("_np")))
+        cur = (cur.join(nxt, (cur["_id"] == nxt["_nid"])
+                        & (nxt["_np"] > cur["_pl"])
+                        & (nxt["_np"] <= cur["_pl"] + F.lit(1 + slop)))
+               .select("_id", F.col("_np").alias("_pl")))
+    return (cur.groupBy("_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chains"))
+            .withColumnRenamed("_id", id_col))

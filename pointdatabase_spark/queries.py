@@ -62,7 +62,7 @@ _SCORE_FIRST = [
     "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
     "bm25_served", "bm25_index_incremental", "streaming_text_index",
-    "snapshot_drift_psi",
+    "snapshot_drift_psi", "proximity_search",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -9044,3 +9044,33 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 2 == 0, F.lit("snap_a"))
         .otherwise(F.lit("snap_b")).alias("snap"), "value")
     return _prof3.psi_drift(t, "snap", "value", buckets=10)
+
+
+_PROX_SLOP = 2
+
+_PROX_ORACLE = rf"""
+WITH d AS (SELECT doc_id,
+                  string_split_regex(lower(coalesce(text, '')), '\s+')
+                    AS toks
+           FROM documents),
+p AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      FROM d, UNNEST(generate_series(1, len(toks))) AS t(i)),
+a AS (SELECT doc_id, pos FROM p WHERE tok = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM p WHERE tok = '{_PHRASE[1]}')
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chains
+FROM a JOIN b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + {1 + _PROX_SLOP}
+GROUP BY a.doc_id
+"""
+
+
+@query("proximity_search", oracle=_PROX_ORACLE)
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity search ("stream ... spark" within slop 2 —
+    retrieval.proximity_count): phrase_count's positional join
+    widened to a slop window, each step fanning a match to at most
+    slop+1 successors; counts matching chains per document. Joins
+    still move only the two terms' postings keyed on (doc, pos)."""
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    return _retr.proximity_count(docs, _PHRASE, slop=_PROX_SLOP)

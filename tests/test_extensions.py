@@ -2657,3 +2657,31 @@ def test_psi_drift_hand_case(spark):
         + [("b", float(v)) for v in range(10)], "g string, v double")
     z = psi_drift(same, "g", "v", buckets=10)
     assert all(r["psi_q"] == 0.0 for r in z.collect())
+
+
+def test_proximity_count_slop_semantics(spark):
+    """slop=0 equals exact phrase_count; slop widens matches; chain
+    counting verified on a hand fixture (overlapping chains all
+    count)."""
+    from pointdatabase_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(0, "a x b"),        # a..b gap 1: only slop>=1
+         (1, "a b"),          # adjacent: any slop
+         (2, "b a"),          # wrong order: never
+         (3, "a x x b"),      # gap 2: slop>=2
+         (4, "a b b")],       # chains a->b(1) and a->b(2) at slop>=1
+        "doc_id long, text string")
+    s0 = {r["doc_id"]: r["n_chains"] for r in
+          retrieval.proximity_count(docs, ["a", "b"], 0).collect()}
+    ph = {r["doc_id"]: r["n_occ"] for r in
+          retrieval.phrase_count(docs, ["a", "b"]).collect()}
+    assert s0 == ph == {1: 1, 4: 1}
+    s1 = {r["doc_id"]: r["n_chains"] for r in
+          retrieval.proximity_count(docs, ["a", "b"], 1).collect()}
+    assert s1 == {0: 1, 1: 1, 4: 2}
+    s2 = {r["doc_id"]: r["n_chains"] for r in
+          retrieval.proximity_count(docs, ["a", "b"], 2).collect()}
+    assert s2 == {0: 1, 1: 1, 3: 1, 4: 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        retrieval.proximity_count(docs, ["a", "b"], -1)
