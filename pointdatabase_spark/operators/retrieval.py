@@ -448,3 +448,68 @@ def proximity_count(docs: DataFrame, phrase: list[str],
     return (cur.groupBy("_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_chains"))
             .withColumnRenamed("_id", id_col))
+
+
+def bm25_batch_served(spark, path: str,
+                      queries_df: DataFrame, k: int = 10,
+                      qid_col: str = "q_id", term_col: str = "term",
+                      id_col: str = "doc_id",
+                      k1: float = 1.2, b: float = 0.75,
+                      buckets: int = 16) -> DataFrame:
+    """Serve a BATCH of keyword queries from the stored index in ONE
+    job — the bulk-retrieval pattern (RAG context fetch, eval-suite
+    sweeps): ``queries_df`` is (q_id, term) rows; postings for the
+    union of query terms are read once (bucket partition pruning via
+    an inner join on the term-count-sized query table, broadcast),
+    scored per (q_id, doc), and cut to top-k per query by a
+    q_id-partitioned rank window (WindowGroupLimit: each map task
+    keeps a running k-heap per query, so k rows per query reach the
+    exchange).
+
+    Per-batch cost: O(postings of the union of query terms) +
+    O(matches) — independent of corpus size, shared scan across
+    queries. Ranking is on the ROUNDED per-(q,doc) score with doc id
+    tiebreak (the bm25_topk convention). The per-query score sums
+    the same per-term contributions as the single-query path, so a
+    1-query batch equals :func:`bm25_topk_served` exactly (pinned in
+    pytest)."""
+    from pyspark.sql import Window
+    q = (queries_df.select(F.col(qid_col).alias("q_id"),
+                           F.lower(F.col(term_col)).alias("tok"))
+         .distinct())
+    terms = [r["tok"] for r in q.select("tok").distinct().collect()]
+    if not terms:
+        raise ValueError("queries_df has no terms")
+    qb = sorted({term_bucket_py(t, buckets) for t in terms})
+    tf = (spark.read.parquet(f"{path}/postings")
+          .where(F.col("bucket").isin(qb))
+          .where(F.col("tok").isin(terms))
+          .select("tok", "id", "dl", "tf"))
+    dfreq = (spark.read.parquet(f"{path}/dfreq")
+             .where(F.col("bucket").isin(qb))
+             .where(F.col("tok").isin(terms))
+             .groupBy("tok")
+             .agg(F.sum("df").cast("double").alias("df")))
+    stats = (spark.read.parquet(f"{path}/stats")
+             .agg(F.sum("n_docs").cast("long").alias("_n"),
+                  F.sum("sum_dl").cast("long").alias("_s"))
+             .select(F.col("_n").cast("double").alias("n_docs"),
+                     (F.col("_s").cast("double")
+                      / F.col("_n").cast("double")).alias("avgdl")))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(float(k1))
+             * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl")
+                / F.col("avgdl")))
+    contrib = idf * F.col("tf") * F.lit(float(k1) + 1.0) / denom
+    scored = (tf.join(F.broadcast(q), "tok")
+              .join(F.broadcast(dfreq), "tok")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("q_id", "id")
+              .agg(rounding.qround(F.sum(contrib), 6).alias("bm25")))
+    w = (Window.partitionBy("q_id")
+         .orderBy(F.col("bm25").desc(), F.col("id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select("q_id", F.col("id").alias(id_col), "bm25",
+                    F.col("rank").cast("long").alias("rank")))

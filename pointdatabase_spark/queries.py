@@ -62,7 +62,7 @@ _SCORE_FIRST = [
     "streaming_scd2", "hybrid_rrf_search", "inverted_index_stats",
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
     "bm25_served", "bm25_index_incremental", "streaming_text_index",
-    "snapshot_drift_psi", "proximity_search",
+    "snapshot_drift_psi", "proximity_search", "bm25_batch_served",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -9074,3 +9074,67 @@ def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pointdatabase_spark.operators import retrieval as _retr
     docs = testkit.load_table(spark, sf_dir, "documents")
     return _retr.proximity_count(docs, _PHRASE, slop=_PROX_SLOP)
+
+
+_BATCH_QUERIES = [(0, "spark"), (0, "vector"), (0, "stream"),
+                  (1, "table"), (1, "merge"), (2, "batch")]
+_BATCH_K = 10
+
+_BATCH_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BATCH_QUERIES)
+
+_BM25_BATCH_ORACLE = rf"""
+WITH qt(q_id, tok) AS (VALUES {_BATCH_VALUES}),
+d AS (SELECT doc_id,
+             string_split_regex(lower(coalesce(text, '')), '\s+')
+               AS toks
+      FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM d),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+      FROM dl),
+tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM dl)
+       WHERE tok IN (SELECT DISTINCT tok FROM qt)
+       GROUP BY doc_id, dl, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+          GROUP BY tok),
+sc AS (SELECT qt.q_id, tf.doc_id,
+              floor((SUM(
+                ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                * tf.tf * {_BM25_K1 + 1.0!r}
+                / (tf.tf + {_BM25_K1!r}
+                   * ({1.0 - _BM25_B!r} + {_BM25_B!r} * tf.dl
+                      / s.avgdl)))) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+       FROM tf JOIN qt ON tf.tok = qt.tok
+               JOIN dfreq ON tf.tok = dfreq.tok, s
+       GROUP BY qt.q_id, tf.doc_id),
+r AS (SELECT q_id, doc_id, bm25,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+      FROM sc)
+SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, bm25, rank
+FROM r WHERE rank <= {_BATCH_K}
+"""
+
+
+@query("bm25_batch_served", oracle=_BM25_BATCH_ORACLE)
+def bm25_batch_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk retrieval from the stored index
+    (retrieval.bm25_batch_served): three keyword queries resolved in
+    ONE job — postings for the union of query terms read once
+    (bucket partition pruning), scored per (query, doc) via a
+    broadcast join on the term-count-sized query table, top-10 per
+    query by a q_id-partitioned rank window (WindowGroupLimit — k
+    rows per query reach the exchange). Per-batch cost O(union-term
+    postings), independent of corpus size."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    path = (f"/tmp/pdb_textidx_b_{_os.getpid()}_"
+            f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    _sh.rmtree(path, ignore_errors=True)
+    _retr.write_text_index(docs, path)
+    qdf = spark.createDataFrame(_BATCH_QUERIES, "q_id long, term string")
+    return _retr.bm25_batch_served(spark, path, qdf, k=_BATCH_K,
+                                   k1=_BM25_K1, b=_BM25_B)

@@ -2685,3 +2685,30 @@ def test_proximity_count_slop_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         retrieval.proximity_count(docs, ["a", "b"], -1)
+
+
+def test_bm25_batch_single_query_equals_served(spark, tmp_path):
+    """A 1-query batch through bm25_batch_served equals the
+    single-query bm25_topk_served bit-for-bit (same contributions,
+    same rounded-rank convention), and the plan cuts per query with
+    WindowGroupLimit."""
+    import struct
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import retrieval
+    from tests.conftest import SF_SMOKE
+    docs = testkit.load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "idx")
+    retrieval.write_text_index(docs, path)
+    terms = ["spark", "vector", "stream"]
+    qdf = spark.createDataFrame([(7, t) for t in terms],
+                                "q_id long, term string")
+    batch = retrieval.bm25_batch_served(spark, path, qdf, k=20)
+    single = retrieval.bm25_topk_served(spark, path, terms, k=20)
+    b = sorted((r["doc_id"], struct.pack("<d", r["bm25"]))
+               for r in batch.collect())
+    s = sorted((r["doc_id"], struct.pack("<d", r["bm25"]))
+               for r in single.collect())
+    assert b == s and len(b) == 20
+    assert all(r["q_id"] == 7 for r in batch.collect())
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
