@@ -63,6 +63,7 @@ _SCORE_FIRST = [
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
     "bm25_served", "bm25_index_incremental", "streaming_text_index",
     "snapshot_drift_psi", "proximity_search", "bm25_batch_served",
+    "leakage_safe_split",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -9138,3 +9139,36 @@ def bm25_batch_served_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(_BATCH_QUERIES, "q_id long, term string")
     return _retr.bm25_batch_served(spark, path, qdf, k=_BATCH_K,
                                    k1=_BM25_K1, b=_BM25_B)
+
+
+_LS_ORACLE = testkit.syn_corpus_cte() + f"""
+, f AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM corpus),
+u AS (SELECT doc_id, fp,
+             {_duck_h32_id('fp', 'ls1')} / {float(1 << 32)!r} AS u
+      FROM f),
+s AS (SELECT fp, {_SPLIT_CASE} AS split FROM u)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_clusters
+FROM s GROUP BY split
+"""
+
+
+@query("leakage_safe_split", oracle=_LS_ORACLE)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split key is the
+    duplicate-CLUSTER fingerprint (md5 of the exact-dup text), not
+    the document id, so copies of the same text can never straddle
+    splits (train/test contamination by duplication — the classic
+    eval-leak). Pure composition: fingerprint map-side, then the
+    deterministic hash_split on the fp; by construction the
+    assignment is a function of the cluster key (pinned in pytest on
+    the planted-duplicate corpus). Output: per-split doc and cluster
+    counts. For NEAR-dup safety substitute the connected-component
+    cluster id (dedup_clusters) as the key — same one-line
+    composition."""
+    c = testkit.syn_corpus(spark, sf_dir)
+    d = c.withColumn("fp", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    s = _samp.hash_split(d, _SPLITS, id_col="fp", salt="ls1")
+    return (s.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("fp").cast("long").alias("n_clusters")))

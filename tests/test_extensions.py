@@ -2712,3 +2712,30 @@ def test_bm25_batch_single_query_equals_served(spark, tmp_path):
     assert all(r["q_id"] == 7 for r in batch.collect())
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_leakage_safe_split_no_cluster_straddle(spark):
+    """On the planted-duplicate corpus: splitting by the cluster
+    fingerprint means NO duplicate cluster straddles splits (the
+    doc-id split DOES straddle — demonstrating the leak it fixes),
+    and every duplicated text's copies land together."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import sampling as samp
+    from tests.conftest import SF_SMOKE
+    c = testkit.syn_corpus(spark, SF_SMOKE)
+    d = c.withColumn("fp", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    safe = samp.hash_split(d, splits, id_col="fp", salt="ls1")
+    straddle = (safe.groupBy("fp")
+                .agg(F.countDistinct("split").alias("ns"))
+                .where("ns > 1").count())
+    assert straddle == 0
+    # the corpus really has multi-doc clusters (planted dups) …
+    multi = (d.groupBy("fp").count().where("count > 1").count())
+    assert multi > 0
+    # … and the naive doc-id split DOES leak them across splits
+    naive = samp.hash_split(d, splits, id_col="doc_id", salt="ls1")
+    leaked = (naive.groupBy("fp")
+              .agg(F.countDistinct("split").alias("ns"))
+              .where("ns > 1").count())
+    assert leaked > 0
