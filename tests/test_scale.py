@@ -613,3 +613,24 @@ def test_phrase_count_scales_linearly(spark):
 
     e = _exponent(spark, op)
     assert e < EXP_BOUND, f"phrase_count exponent {e:.2f}"
+
+
+@pytest.mark.slow
+def test_text_index_build_scales_linearly(spark, tmp_path):
+    """write_text_index is token-linear (spread scan, two
+    map-combined aggregates, bucket-aligned writes) — decade exponent
+    bounded like the other token-linear operators. Builder protocol:
+    the WRITE is the operator, so construction is inside the timing
+    (_exponent_built), not the untimed-arg trap."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import retrieval
+
+    def op(s, sf):
+        import hashlib
+        path = str(tmp_path / hashlib.md5(sf.encode()).hexdigest()[:8])
+        retrieval.write_text_index(
+            testkit.load_table(s, sf, "documents"), path)
+        return s.read.parquet(f"{path}/postings").select("tok").limit(1)
+
+    e = _exponent_built(spark, op, ["documents"])
+    assert e < EXP_BOUND, f"write_text_index exponent {e:.2f}"
