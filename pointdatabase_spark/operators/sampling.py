@@ -603,3 +603,47 @@ def systematic_pps(df: DataFrame, id_col: str, weight_col: str,
             .where(F.col("n_hits") >= 1)
             .select("id", "wt", F.col("n_hits").cast("long")
                     .alias("n_hits")))
+
+
+def length_bucketed_batches(df: DataFrame, batch_size: int,
+                            id_col: str = "doc_id",
+                            token_col: str = "n_tokens",
+                            salt: str = "lb1") -> DataFrame:
+    """Length-bucketed inference batching: rows bucket by
+    ``floor(log2(tokens))`` (so batch-mates have within-2x lengths),
+    then each bucket packs into fixed-size batches in deterministic
+    hash order — the standard padding-waste minimizer for batched
+    model inference (a batch pads every sequence to its max; mixing
+    a 10-token doc into a 4096-token batch wastes 99% of the pad).
+    Appends ``bucket`` and ``batch_id`` (global across buckets:
+    bucket · 2³² + in-bucket batch ordinal — exact BIGINT).
+
+    Scale: the in-bucket ordinal comes from
+    :func:`~pointdatabase_spark.operators.ranking.range_row_number`
+    with ``group_cols=[bucket]`` (range-slice offsets + slice-local
+    row_number) — length buckets are corpus-scale classes, exactly
+    the per-group window this repo distributes rather than
+    single-tasks. The rank's range-slice persist follows the lazy
+    cache contract (``spark.catalog.clearCache()`` between batches).
+    """
+    from pointdatabase_spark.operators.ranking import range_row_number
+    if batch_size < 1:
+        raise ValueError(f"need batch_size >= 1, got {batch_size=}")
+    toks = F.col(token_col).cast("long")
+    # floor(log2(n)) via binary-string length — EXACT integer
+    # arithmetic (libm log2 can land within an ulp of an integer
+    # exactly at the power-of-two bucket boundaries, the one place
+    # it matters)
+    bucket = (F.when(toks <= 0, F.lit(0).cast("long"))
+              .otherwise((F.length(F.expr(
+                  f"bin(CAST({token_col} AS BIGINT))"))
+                  - F.lit(1)).cast("long")))
+    d = df.withColumn("bucket", bucket) \
+          .withColumn("_okey", _hash_frac(id_col, salt))
+    ranked, _cache = range_row_number(
+        d, ["_okey", id_col], group_cols=["bucket"], out_col="_r")
+    return (ranked.withColumn(
+        "batch_id", (F.col("bucket") * F.lit(4294967296)
+                     + F.expr(f"(_r - 1) div {int(batch_size)}"))
+        .cast("long"))
+        .drop("_okey", "_r"))

@@ -63,7 +63,7 @@ _SCORE_FIRST = [
     "phrase_search", "classifier_calibration", "filter_agreement_kappa",
     "bm25_served", "bm25_index_incremental", "streaming_text_index",
     "snapshot_drift_psi", "proximity_search", "bm25_batch_served",
-    "leakage_safe_split",
+    "leakage_safe_split", "length_bucketed_batches",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -9172,3 +9172,61 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.groupBy("split")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.countDistinct("fp").cast("long").alias("n_clusters")))
+
+
+_LBB_BS = 32
+
+_LBB_ORACLE = rf"""
+WITH n AS (SELECT doc_id,
+                  CAST(len(string_split_regex(lower(coalesce(text, '')),
+                                              '\s+')) AS BIGINT) AS nt
+           FROM documents),
+b AS (SELECT doc_id, nt,
+             CASE WHEN nt <= 0 THEN 0
+                  ELSE length(bin(nt)) - 1 END AS bucket,
+             {_duck_h32_id('doc_id', 'lb1')} / {float(1 << 32)!r} AS u
+      FROM n),
+r AS (SELECT bucket, nt,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY u, doc_id) AS rn
+      FROM b),
+g AS (SELECT bucket,
+             bucket * 4294967296 + (rn - 1) // {_LBB_BS} AS batch_id,
+             nt
+      FROM r)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(nt) AS BIGINT) AS max_len,
+       CAST(SUM(nt) AS BIGINT) AS sum_len,
+       CAST((1000000 * (MAX(nt) * COUNT(*) - SUM(nt)))
+            // (MAX(nt) * COUNT(*)) AS BIGINT) AS waste_ppm
+FROM g GROUP BY bucket, batch_id
+"""
+
+
+@query("length_bucketed_batches", oracle=_LBB_ORACLE)
+def length_bucketed_batches_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching
+    (sampling.length_bucketed_batches): docs bucket by exact
+    bit-length of their token count (within-2× lengths per bucket),
+    pack into 32-row batches in deterministic hash order via the
+    grouped range-slice rank (buckets are corpus-scale classes — no
+    per-group single-task window), and report per-batch padding
+    waste in exact integer ppm — the measurement that justifies
+    bucketing before batched inference."""
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    d = docs.withColumn(
+        "n_tokens",
+        F.size(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).cast("long"))
+    out = _samp.length_bucketed_batches(d, batch_size=_LBB_BS)
+    return (out.groupBy("bucket", "batch_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.max("n_tokens").cast("long").alias("max_len"),
+                 F.sum("n_tokens").cast("long").alias("sum_len"))
+            .withColumn(
+                "waste_ppm",
+                F.expr("(1000000 * (max_len * n_rows - sum_len)) "
+                       "div (max_len * n_rows)").cast("long")))

@@ -2739,3 +2739,34 @@ def test_leakage_safe_split_no_cluster_straddle(spark):
               .agg(F.countDistinct("split").alias("ns"))
               .where("ns > 1").count())
     assert leaked > 0
+
+
+def test_length_bucketed_batches_semantics(spark):
+    """Bucket = exact bit-length of token count (within-2x lengths);
+    batches fixed-size in hash order; batch ids never cross buckets;
+    adversarial repartition leaves assignment bit-identical."""
+    from pointdatabase_spark.operators import sampling as samp
+    rows = [(i, 1 << (i % 6)) for i in range(200)]  # lengths 1..32
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = samp.length_bucketed_batches(df, batch_size=4).collect()
+    for r in out:
+        assert r["bucket"] == (r["n_tokens"]).bit_length() - 1
+        assert r["batch_id"] // 4294967296 == r["bucket"]
+    from collections import Counter
+    per_batch = Counter(r["batch_id"] for r in out)
+    # every batch full except at most one remainder per bucket
+    from collections import defaultdict
+    by_bucket = defaultdict(list)
+    for b, n in per_batch.items():
+        by_bucket[b // 4294967296].append(n)
+    for sizes in by_bucket.values():
+        assert sum(1 for n in sizes if n != 4) <= 1
+        assert all(n <= 4 for n in sizes)
+    # layout-independence
+    again = {(r["doc_id"], r["batch_id"])
+             for r in samp.length_bucketed_batches(
+                 df.repartition(13), batch_size=4).collect()}
+    assert again == {(r["doc_id"], r["batch_id"]) for r in out}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        samp.length_bucketed_batches(df, batch_size=0)
