@@ -2770,3 +2770,28 @@ def test_length_bucketed_batches_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         samp.length_bucketed_batches(df, batch_size=0)
+
+
+def test_simhash_banding_recall_is_exact(spark):
+    """The pigeonhole theorem as a regression test: with bands >
+    max_hamming, byte-band blocking finds EVERY pair within the
+    hamming radius — banded pairs == brute-force pairs over all
+    signatures (recall exactly 1.0, not approximately; a band-count
+    or mask regression would break equality)."""
+    from pointdatabase_spark import testkit
+    from pointdatabase_spark.operators import dedup
+    from tests.conftest import SF_SMOKE
+    docs = testkit.syn_corpus(spark, SF_SMOKE)
+    banded = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in dedup.simhash_neardup(docs).collect()}
+    sig = dedup.simhash(docs)
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             (a.join(b, F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.expr("CAST(bit_count(a.simhash ^ b.simhash) "
+                             "AS BIGINT)").alias("hamming"))
+              .where(F.col("hamming") <= 3)).collect()}
+    assert banded == brute
+    assert len(brute) > 0  # the planted near-dups give signal
