@@ -513,3 +513,41 @@ def bm25_batch_served(spark, path: str,
             .where(F.col("rank") <= int(k))
             .select("q_id", F.col("id").alias(id_col), "bm25",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def boolean_search_served(spark, path: str, must: list[str],
+                          must_not: list[str] | None = None,
+                          id_col: str = "doc_id",
+                          buckets: int = 16) -> DataFrame:
+    """Boolean retrieval from the stored index: documents containing
+    ALL ``must`` terms and NONE of ``must_not``, without touching the
+    corpus.  The conjunction is a postings groupBy counting distinct
+    matched must-terms == |must| (one aggregate over the pruned
+    postings — no |must|-way self-join), the negation one LEFT ANTI
+    join against the must_not postings.  Returns (id, sum_tf) where
+    sum_tf totals the must terms' frequencies (a simple conjunctive
+    rank; feed the ids to :func:`bm25_batch_served` for scored
+    ranking).
+
+    Scale: both scans partition-prune to the involved terms' buckets;
+    cost O(postings of involved terms), independent of corpus
+    size."""
+    if not must:
+        raise ValueError("must terms required")
+    mt = sorted({t.lower() for t in must})
+    nt = sorted({t.lower() for t in (must_not or [])})
+    qb = sorted({term_bucket_py(t, buckets) for t in mt + nt})
+    posts = (spark.read.parquet(f"{path}/postings")
+             .where(F.col("bucket").isin(qb)))
+    hits = (posts.where(F.col("tok").isin(mt))
+            .groupBy("id")
+            .agg(F.countDistinct("tok").alias("_nt"),
+                 F.sum(F.col("tf").cast("long")).cast("long")
+                 .alias("sum_tf"))
+            .where(F.col("_nt") == len(mt))
+            .drop("_nt"))
+    if nt:
+        neg = (posts.where(F.col("tok").isin(nt))
+               .select("id").distinct())
+        hits = hits.join(neg, "id", "left_anti")
+    return hits.withColumnRenamed("id", id_col)

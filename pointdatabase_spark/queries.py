@@ -64,6 +64,7 @@ _SCORE_FIRST = [
     "bm25_served", "bm25_index_incremental", "streaming_text_index",
     "snapshot_drift_psi", "proximity_search", "bm25_batch_served",
     "leakage_safe_split", "length_bucketed_batches",
+    "boolean_search_served",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -9230,3 +9231,45 @@ def length_bucketed_batches_q(spark: SparkSession,
                 "waste_ppm",
                 F.expr("(1000000 * (max_len * n_rows - sum_len)) "
                        "div (max_len * n_rows)").cast("long")))
+
+
+_BOOL_MUST = ["spark", "stream"]
+_BOOL_NOT = ["vector"]
+
+_BOOL_ORACLE = rf"""
+WITH d AS (SELECT doc_id,
+                  string_split_regex(lower(coalesce(text, '')), '\s+')
+                    AS toks
+           FROM documents),
+p AS (SELECT doc_id, UNNEST(toks) AS tok FROM d),
+m AS (SELECT doc_id, CAST(SUM(1) AS BIGINT) AS sum_tf
+      FROM p WHERE tok IN ('spark', 'stream')
+      GROUP BY doc_id
+      HAVING COUNT(DISTINCT tok) = 2),
+x AS (SELECT DISTINCT doc_id FROM p WHERE tok = 'vector')
+SELECT m.doc_id, m.sum_tf
+FROM m LEFT JOIN x ON m.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+"""
+
+
+@query("boolean_search_served", oracle=_BOOL_ORACLE)
+def boolean_search_served_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Boolean retrieval from the stored index
+    (retrieval.boolean_search_served): docs containing BOTH 'spark'
+    and 'stream' and NOT 'vector' — conjunction as one
+    distinct-term-count aggregate over the bucket-pruned postings
+    (no |must|-way self-join), negation as one LEFT ANTI join; zero
+    corpus scans, cost O(involved-term postings)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    path = (f"/tmp/pdb_textidx_bool_{_os.getpid()}_"
+            f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    _sh.rmtree(path, ignore_errors=True)
+    _retr.write_text_index(docs, path)
+    return _retr.boolean_search_served(spark, path, _BOOL_MUST,
+                                       _BOOL_NOT)

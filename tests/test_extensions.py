@@ -2795,3 +2795,31 @@ def test_simhash_banding_recall_is_exact(spark):
               .where(F.col("hamming") <= 3)).collect()}
     assert banded == brute
     assert len(brute) > 0  # the planted near-dups give signal
+
+
+def test_boolean_search_hand_case(spark, tmp_path):
+    """AND/NOT semantics on a hand corpus: both must terms required
+    (in any order, any distance), any must_not occurrence excludes;
+    sum_tf totals the must terms' frequencies."""
+    from pointdatabase_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(0, "a b a"),       # both, a twice -> sum_tf 3
+         (1, "b x a"),       # both -> 2
+         (2, "a a a"),       # missing b
+         (3, "a b bad"),     # excluded by NOT
+         (4, "x y z")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    retrieval.write_text_index(docs, path)
+    out = {r["doc_id"]: r["sum_tf"] for r in
+           retrieval.boolean_search_served(
+               spark, path, ["a", "b"], ["bad"]).collect()}
+    assert out == {0: 3, 1: 2}
+    # no must_not: doc 3 returns
+    out2 = {r["doc_id"]: r["sum_tf"] for r in
+            retrieval.boolean_search_served(
+                spark, path, ["a", "b"]).collect()}
+    assert out2 == {0: 3, 1: 2, 3: 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        retrieval.boolean_search_served(spark, path, [])
