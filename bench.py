@@ -144,7 +144,7 @@ def main() -> None:
         "streaming_scd2", "streaming_text_index",
         "ann_index_topk", "ann_index_incremental",
         "bm25_served", "bm25_index_incremental", "bm25_batch_served",
-        "boolean_search_served",
+        "boolean_search_served", "facet_counts_served",
         "kmeans_embeddings", "pagerank_trading_graph",
         "label_propagation_communities", "lsh_recall_audit",
         "q11_important_part_volume",

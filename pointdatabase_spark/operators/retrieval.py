@@ -255,7 +255,8 @@ def term_bucket_py(term: str, buckets: int) -> int:
 
 def write_text_index(docs: DataFrame, path: str,
                      id_col: str = "doc_id", text_col: str = "text",
-                     buckets: int = 16) -> None:
+                     buckets: int = 16,
+                     facet_cols: tuple[str, ...] = ()) -> None:
     """Build and store the full-text index: ``postings/`` (tok,
     doc id, tf, dl — doc length denormalized onto each posting so
     serving never joins the corpus) and ``dfreq/`` (tok, df), both
@@ -269,12 +270,14 @@ def write_text_index(docs: DataFrame, path: str,
     is independent of corpus size."""
     from pointdatabase_spark.partitioning import spread
     docs = spread(docs)
+    fc = list(facet_cols)
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                    r"\s+")
     base = docs.select(F.col(id_col).alias("id"),
+                       *[F.col(c) for c in fc],
                        F.size(toks).cast("double").alias("dl"),
                        F.explode(toks).alias("tok"))
-    tf = (base.groupBy("tok", "id", "dl")
+    tf = (base.groupBy("tok", "id", "dl", *fc)
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
           .withColumn("bucket", term_bucket("tok", buckets)))
     # bucket-aligned files: repartition ON the partition column before
@@ -355,7 +358,8 @@ def bm25_topk_served(spark, path: str, query_terms: list[str],
 
 def append_text_index(delta: DataFrame, path: str,
                       id_col: str = "doc_id", text_col: str = "text",
-                      buckets: int = 16) -> None:
+                      buckets: int = 16,
+                      facet_cols: tuple[str, ...] = ()) -> None:
     """Continuous-ingest maintenance of the stored text index: a
     batch of NEW documents (append-only — ids must be disjoint from
     the stored corpus; updates/deletes are an upsert store's job)
@@ -374,12 +378,14 @@ def append_text_index(delta: DataFrame, path: str,
     spark = delta.sparkSession
     from pointdatabase_spark.partitioning import spread
     delta = spread(delta)
+    fc = list(facet_cols)  # MUST match the base index's facet_cols
     toks = F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                    r"\s+")
     base = delta.select(F.col(id_col).alias("id"),
+                        *[F.col(c) for c in fc],
                         F.size(toks).cast("double").alias("dl"),
                         F.explode(toks).alias("tok"))
-    tf = (base.groupBy("tok", "id", "dl")
+    tf = (base.groupBy("tok", "id", "dl", *fc)
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
           .withColumn("bucket", term_bucket("tok", buckets)))
     (tf.repartition(int(buckets), F.col("bucket"))
@@ -551,3 +557,29 @@ def boolean_search_served(spark, path: str, must: list[str],
                .select("id").distinct())
         hits = hits.join(neg, "id", "left_anti")
     return hits.withColumnRenamed("id", id_col)
+
+
+def facet_counts_served(spark, path: str, query_terms: list[str],
+                        facet_col: str, id_col: str = "doc_id",
+                        buckets: int = 16) -> DataFrame:
+    """Faceted hit counts from the stored index: for an OR keyword
+    query, per-facet counts of matching documents — the search-page
+    sidebar aggregate. Requires the index to have been written with
+    ``facet_cols`` including ``facet_col`` (facets DENORMALIZED onto
+    postings, the dl discipline: serving never joins the corpus).
+
+    Scale: postings prune to the query terms' buckets; a doc counts
+    ONCE per facet regardless of how many query terms it matches
+    (distinct on (facet, id) before the count — two map-combined
+    aggregates). Cost O(query-term postings)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    qb = sorted({term_bucket_py(t, buckets) for t in terms})
+    posts = (spark.read.parquet(f"{path}/postings")
+             .where(F.col("bucket").isin(qb))
+             .where(F.col("tok").isin(terms)))
+    return (posts.select(F.col(facet_col).alias("facet"), "id")
+            .distinct()
+            .groupBy("facet")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))

@@ -64,7 +64,7 @@ _SCORE_FIRST = [
     "bm25_served", "bm25_index_incremental", "streaming_text_index",
     "snapshot_drift_psi", "proximity_search", "bm25_batch_served",
     "leakage_safe_split", "length_bucketed_batches",
-    "boolean_search_served",
+    "boolean_search_served", "facet_counts_served",
     # ---- last scored r6 (oldest evidence) ----
     "ann_index_incremental", "ann_index_topk", "dedup_clean_corpus",
     "doc_fingerprint", "dup_span_doc_stats", "frequent_ngrams",
@@ -9273,3 +9273,39 @@ def boolean_search_served_q(spark: SparkSession,
     _retr.write_text_index(docs, path)
     return _retr.boolean_search_served(spark, path, _BOOL_MUST,
                                        _BOOL_NOT)
+
+
+_FACET_ORACLE = rf"""
+WITH d AS (SELECT doc_id, lang,
+                  string_split_regex(lower(coalesce(text, '')), '\s+')
+                    AS toks
+           FROM documents),
+p AS (SELECT doc_id, lang, UNNEST(toks) AS tok FROM d),
+h AS (SELECT DISTINCT lang AS facet, doc_id
+      FROM p WHERE tok IN ({_BM25_TERMS_SQL}))
+SELECT facet, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM h GROUP BY facet
+"""
+
+
+@query("facet_counts_served", oracle=_FACET_ORACLE)
+def facet_counts_served_q(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Faceted hit counts from the stored index
+    (retrieval.facet_counts_served): per-language document counts for
+    the 3-term OR query — facets DENORMALIZED onto postings at build
+    time (`write_text_index(facet_cols=("lang",))`, the dl
+    discipline), so the search-sidebar aggregate runs on the
+    bucket-pruned postings with zero corpus joins; a doc counts once
+    per facet however many terms it matches (distinct before
+    count)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    from pointdatabase_spark.operators import retrieval as _retr
+    docs = testkit.load_table(spark, sf_dir, "documents")
+    path = (f"/tmp/pdb_textidx_fac_{_os.getpid()}_"
+            f"{_hl.md5(sf_dir.encode()).hexdigest()[:8]}")
+    _sh.rmtree(path, ignore_errors=True)
+    _retr.write_text_index(docs, path, facet_cols=("lang",))
+    return _retr.facet_counts_served(spark, path, _BM25_TERMS, "lang")

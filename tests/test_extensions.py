@@ -2823,3 +2823,19 @@ def test_boolean_search_hand_case(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         retrieval.boolean_search_served(spark, path, [])
+
+
+def test_facet_counts_served_hand_case(spark, tmp_path):
+    """Faceted OR-query counts: a doc counts once per facet however
+    many query terms it matches; non-matching docs absent."""
+    from pointdatabase_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(0, "a b", "en"), (1, "a a a", "en"), (2, "b", "de"),
+         (3, "x", "de"), (4, "a", "fr")],
+        "doc_id long, text string, lang string")
+    path = str(tmp_path / "idx")
+    retrieval.write_text_index(docs, path, facet_cols=("lang",))
+    out = {r["facet"]: r["n_docs"] for r in
+           retrieval.facet_counts_served(
+               spark, path, ["a", "b"], "lang").collect()}
+    assert out == {"en": 2, "de": 1, "fr": 1}
