@@ -151,7 +151,8 @@ def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
                     n_hashes: int = 8, bands: int = 4,
                     threshold: float = 0.5,
                     max_bucket: int | None = None,
-                    shingles: DataFrame | None = None) -> DataFrame:
+                    shingles: DataFrame | None = None,
+                    verify_jaccard: DataFrame | None = None) -> DataFrame:
     """MinHash → LSH banding → exact-Jaccard verification.
 
     ``max_bucket`` caps the LSH bucket size: a band key shared by k
@@ -169,7 +170,16 @@ def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
     the caller has not done so — it feeds three consumers
     (signatures + both verify joins), and an uncached pass-through
     would silently recompute the very scan the parameter exists to
-    share."""
+    share.
+
+    ``verify_jaccard`` (r12): a precomputed (id_a, id_b, jaccard)
+    table covering at least every shared-shingle pair (e.g. the
+    audit's ground-truth kernel). When given, exact verification is
+    an inner join against it instead of the two shingle-ARRAY joins
+    of :func:`jaccard_verify` — identical output pair set and
+    identical doubles (a banding candidate with zero shared shingles
+    has jaccard 0 < threshold under the array path and no row under
+    the join path; both drop it)."""
     if shingles is not None:
         lvl = shingles.storageLevel
         sh = (shingles if (lvl.useMemory or lvl.useDisk)
@@ -185,6 +195,10 @@ def minhash_neardup(df: DataFrame, id_col: str = "doc_id",
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
+    if verify_jaccard is not None:
+        return (cand.join(verify_jaccard, ["id_a", "id_b"])
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     return jaccard_verify(cand, sh, threshold)
 
 
@@ -985,15 +999,39 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
         key = base_id_expr if base_id_expr is not None else id_col
         df = df.where(F.expr(f"pmod({key}, {int(sample_mod)}) = 0"))
     sh = shingle_sets(df, id_col, text_col).persist()
-    found = minhash_neardup(df, id_col=id_col, text_col=text_col,
-                            threshold=threshold, shingles=sh)
+    # Shared pair-Jaccard kernel (r12, guide §2.3/§8): intersection
+    # sizes fall out of the posting self-join AGGREGATION (one row
+    # per shared-shingle pair with its |A∩B|), so neither the truth
+    # side nor the LSH verification shuffles the shingle ARRAYS —
+    # previously the truth side ran distinct over the Σdf² posting
+    # pairs and then jaccard_verify joined the array table twice per
+    # side (4 array-payload shuffles total). Same Σdf² bound, far
+    # fewer bytes (guide §8: decide with small rows). Persisted for
+    # its two consumers (truth filter + LSH verification join);
+    # released with the shingles below.
     post = sh.select("id", F.explode("s").alias("x"))
     a = post.select(F.col("id").alias("id_a"), F.col("x").alias("xa"))
     b = post.select(F.col("id").alias("id_b"), F.col("x").alias("xb"))
-    cp = (a.join(b, (F.col("xa") == F.col("xb"))
-                 & (F.col("id_a") < F.col("id_b")))
-          .select("id_a", "id_b").distinct())
-    truth = jaccard_verify(cp, sh, threshold).select("id_a", "id_b")
+    inter = (a.join(b, (F.col("xa") == F.col("xb"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("_i")))
+    nsh = sh.select("id", F.size("s").alias("_n"))
+    jac = (inter
+           .join(nsh.select(F.col("id").alias("id_a"),
+                            F.col("_n").alias("_na")), "id_a")
+           .join(nsh.select(F.col("id").alias("id_b"),
+                            F.col("_n").alias("_nb")), "id_b")
+           .select("id_a", "id_b",
+                   (F.col("_i")
+                    / (F.col("_na") + F.col("_nb") - F.col("_i")))
+                   .alias("jaccard"))
+           .persist())
+    found = minhash_neardup(df, id_col=id_col, text_col=text_col,
+                            threshold=threshold, shingles=sh,
+                            verify_jaccard=jac)
+    truth = (jac.where(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b"))
     # One full-outer pass instead of three independent counts — the
     # three-aggregate form re-derived the whole minhash AND truth
     # pipelines once per count (measured 2x the wall time).
@@ -1025,4 +1063,5 @@ def lsh_recall_eval(df: DataFrame, id_col: str = "doc_id",
         row = out.first()
     finally:
         sh.unpersist()
+        jac.unpersist()
     return out.sparkSession.createDataFrame([row], schema=out.schema)

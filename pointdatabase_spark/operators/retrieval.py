@@ -267,7 +267,19 @@ def write_text_index(docs: DataFrame, path: str,
     build is the same two-stage map-combined aggregate as
     :func:`build_inverted_index`. At query time only the query
     terms' buckets are read (partition pruning) — the per-query cost
-    is independent of corpus size."""
+    is independent of corpus size.
+
+    ONE corpus pass (r12, guide §1.2/§2.3): the tokenize+explode+
+    aggregate pipeline runs exactly once — for the postings write.
+    dfreq and stats then DERIVE from the postings parquet just
+    written (a column-pruned read of the small artifact) instead of
+    re-running the corpus tokenize two more times; previously the
+    build scanned + retokenized the corpus 3x. The derivations are
+    exact identities given unique doc ids (the index contract):
+    df(tok) = COUNT(*) of its postings; n_docs = COUNT(DISTINCT id)
+    (every doc emits >= 1 token — split('') is ['']); sum_dl =
+    SUM(tf) as BIGINT, because per doc SUM(tf) over its terms is its
+    token count dl."""
     from pointdatabase_spark.partitioning import spread
     docs = spread(docs)
     fc = list(facet_cols)
@@ -288,7 +300,8 @@ def write_text_index(docs: DataFrame, path: str,
     (tf.repartition(int(buckets), F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{path}/postings"))
-    dfreq = (tf.groupBy("tok")
+    posts = docs.sparkSession.read.parquet(f"{path}/postings")
+    dfreq = (posts.groupBy("tok")
              .agg(F.count(F.lit(1)).cast("long").alias("df"))
              .withColumn("bucket", term_bucket("tok", buckets)))
     (dfreq.repartition(int(buckets), F.col("bucket"))
@@ -297,12 +310,12 @@ def write_text_index(docs: DataFrame, path: str,
     # stats store EXACT integers (doc count, summed token count), not
     # the average: avgdl = sum_dl / n_docs is then ONE division at
     # serve time — bit-identical on any engine AND exactly
-    # maintainable under append deltas (integer adds). Token counts
-    # are integer-valued, so the double AVG the inline path takes is
-    # the same exact-sum/n value.
-    stats = docs.select(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(toks).cast("long")).cast("long").alias("sum_dl"))
+    # maintainable under append deltas (integer adds). tf is an
+    # integer-valued double, so the per-posting cast is exact and the
+    # BIGINT sum is exact to 2^63.
+    stats = posts.agg(
+        F.countDistinct("id").cast("long").alias("n_docs"),
+        F.sum(F.col("tf").cast("long")).cast("long").alias("sum_dl"))
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -385,9 +398,15 @@ def append_text_index(delta: DataFrame, path: str,
                         *[F.col(c) for c in fc],
                         F.size(toks).cast("double").alias("dl"),
                         F.explode(toks).alias("tok"))
+    # ONE delta tokenize (r12, guide §1.2): tf is persisted (delta-
+    # sized by definition of an append batch) and feeds the posting
+    # append, the df delta, AND the stats delta — previously each of
+    # the three re-ran the tokenize+explode over the delta. Released
+    # before return (ADVICE r11: no unreleased caches).
     tf = (base.groupBy("tok", "id", "dl", *fc)
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-          .withColumn("bucket", term_bucket("tok", buckets)))
+          .withColumn("bucket", term_bucket("tok", buckets))
+          .persist())
     (tf.repartition(int(buckets), F.col("bucket"))
      .write.mode("append").partitionBy("bucket")
      .parquet(f"{path}/postings"))
@@ -404,9 +423,11 @@ def append_text_index(delta: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(f"{path}/dfreq"))
     merged.unpersist()
-    d_stats = delta.select(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(toks).cast("long")).cast("long").alias("sum_dl"))
+    # exact identities over tf (unique delta ids — the append
+    # contract): n_docs = distinct posting ids, sum_dl = SUM(tf).
+    d_stats = tf.agg(
+        F.countDistinct("id").cast("long").alias("n_docs"),
+        F.sum(F.col("tf").cast("long")).cast("long").alias("sum_dl"))
     old_stats = spark.read.parquet(f"{path}/stats")
     new_stats = (old_stats.unionByName(d_stats)
                  .agg(F.sum("n_docs").cast("long").alias("n_docs"),
@@ -415,6 +436,7 @@ def append_text_index(delta: DataFrame, path: str,
     new_stats.count()
     new_stats.write.mode("overwrite").parquet(f"{path}/stats")
     new_stats.unpersist()
+    tf.unpersist()
 
 
 def proximity_count(docs: DataFrame, phrase: list[str],

@@ -53,10 +53,17 @@ def inline_band_keys(df: DataFrame, id_col: str = "doc_id",
                     F.split(F.col(text_col), r"\s+").alias("t"))
     sh = (tok.withColumn("s", F.expr(shingle_expr("t", n)))
           .where(F.size("s") > 0))
-    h = f"({_H32.format(s='x')} % {P31})"
-    sig = sh.select(
+    # md5 each shingle ONCE (r12, guide §4.2 "do the heavy lifting
+    # once"): the previous form inlined the md5 inside every mh_k's
+    # transform, so each shingle was hashed n_hashes times per row
+    # (HOFs run interpreted — no common-subexpression elimination).
+    # One hs projection + n_hashes cheap affine array_mins is
+    # value-identical (same md5 → same universal-hash arithmetic).
+    hs = (sh.withColumn(
+        "hs", F.expr(f"transform(s, x -> {_H32.format(s='x')} % {P31})")))
+    sig = hs.select(
         "id", *carry,
-        *[F.expr(f"array_min(transform(s, x -> ({a} * {h} + {b})"
+        *[F.expr(f"array_min(transform(hs, h -> ({a} * h + {b})"
                  f" % {P31}))").alias(f"mh{k}")
           for k, (a, b) in enumerate(seed_params(n_hashes))])
     keys = [F.concat_ws("|", F.lit(str(j)),

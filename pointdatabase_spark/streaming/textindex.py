@@ -86,10 +86,16 @@ def land_batch(batch: DataFrame, bid: int, index_path: str,
             F.col(id_col).alias("id"),
             F.size(toks).cast("double").alias("dl"),
             F.explode(toks).alias("tok"))
+        # ONE batch tokenize (r12, guide §1.2): tf persisted (batch-
+        # sized) and shared by the slice write, the df delta, and the
+        # stats delta — previously each re-ran tokenize+explode.
+        # Exact identities given unique batch ids (the landing
+        # contract): n_docs = distinct posting ids, sum_dl = SUM(tf).
         tf = (base.groupBy("tok", "id", "dl")
               .agg(F.count(F.lit(1)).cast("double").alias("tf"))
               .withColumn("bucket", term_bucket("tok", buckets))
-              .withColumn("bid", F.lit(int(bid))))
+              .withColumn("bid", F.lit(int(bid)))
+              .persist())
         # bucket-aligned slice files (one per bucket, not one per
         # upstream task) — same layout rule as write_text_index
         (tf.repartition(int(buckets), F.col("bucket"))
@@ -101,13 +107,14 @@ def land_batch(batch: DataFrame, bid: int, index_path: str,
         (d_df.repartition(int(buckets), F.col("bucket"))
          .write.mode("overwrite").partitionBy("bid", "bucket")
          .parquet(f"{index_path}/dfreq"))
-        d_stats = (batch.select(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.size(toks).cast("long")).cast("long")
+        d_stats = (tf.agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.sum(F.col("tf").cast("long")).cast("long")
             .alias("sum_dl"))
             .withColumn("bid", F.lit(int(bid))))
         d_stats.write.mode("overwrite").partitionBy("bid") \
             .parquet(f"{index_path}/stats")
+        tf.unpersist()
     finally:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

@@ -2839,3 +2839,79 @@ def test_facet_counts_served_hand_case(spark, tmp_path):
            retrieval.facet_counts_served(
                spark, path, ["a", "b"], "lang").collect()}
     assert out == {"en": 2, "de": 1, "fr": 1}
+
+
+def test_text_index_stats_derivation_identities(spark, tmp_path):
+    """r12 single-pass build: stats/dfreq DERIVE from the written
+    postings (n_docs = distinct posting ids, sum_dl = SUM(tf), df =
+    posting count per term). Pin the derived values against the
+    direct corpus computation the pre-r12 build ran — including a
+    doc with empty/NULL text (split('') -> [''] keeps every doc
+    represented in the postings)."""
+    from pointdatabase_spark.operators import retrieval
+    from pointdatabase_spark import testkit
+    from tests.conftest import SF_SMOKE
+    docs = (testkit.load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", "text")
+            .union(spark.createDataFrame(
+                [(990001, ""), (990002, None)],
+                "doc_id long, text string")))
+    path = str(tmp_path / "idx")
+    retrieval.write_text_index(docs, path)
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                   r"\s+")
+    direct = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).cast("long").alias("sum_dl")
+    ).collect()[0]
+    assert (stats["n_docs"], stats["sum_dl"]) == \
+        (direct["n_docs"], direct["sum_dl"])
+    # df per term == number of docs containing it (direct recount)
+    got_df = {(r["tok"]): r["df"] for r in
+              spark.read.parquet(f"{path}/dfreq").collect()}
+    exp_df = {r["tok"]: r["n"] for r in
+              docs.select(F.col("doc_id"),
+                          F.explode(F.array_distinct(toks)).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert got_df == exp_df
+
+
+def test_minhash_verify_jaccard_join_identical(spark):
+    """r12 audit kernel: minhash_neardup verified through a
+    precomputed pair-Jaccard table (posting-count intersections) must
+    emit the IDENTICAL pair set and bit-identical jaccard doubles as
+    the shingle-array jaccard_verify path."""
+    import struct
+    from pointdatabase_spark.operators import dedup
+    from pointdatabase_spark import testkit
+    sf = "/root/testdata/sf0.001"
+    corpus = testkit.syn_corpus(spark, sf)
+    sh = dedup.shingle_sets(corpus).persist()
+    post = sh.select("id", F.explode("s").alias("x"))
+    a = post.select(F.col("id").alias("id_a"), F.col("x").alias("xa"))
+    b = post.select(F.col("id").alias("id_b"), F.col("x").alias("xb"))
+    inter = (a.join(b, (F.col("xa") == F.col("xb"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("_i")))
+    nsh = sh.select("id", F.size("s").alias("_n"))
+    jac = (inter
+           .join(nsh.select(F.col("id").alias("id_a"),
+                            F.col("_n").alias("_na")), "id_a")
+           .join(nsh.select(F.col("id").alias("id_b"),
+                            F.col("_n").alias("_nb")), "id_b")
+           .select("id_a", "id_b",
+                   (F.col("_i")
+                    / (F.col("_na") + F.col("_nb") - F.col("_i")))
+                   .alias("jaccard")))
+    def rows(df):
+        return sorted((r["id_a"], r["id_b"],
+                       struct.pack("<d", r["jaccard"]))
+                      for r in df.collect())
+    via_join = rows(dedup.minhash_neardup(corpus, shingles=sh,
+                                          verify_jaccard=jac))
+    via_arrays = rows(dedup.minhash_neardup(corpus, shingles=sh))
+    sh.unpersist()
+    assert via_join == via_arrays and len(via_join) > 0
