@@ -47,6 +47,25 @@ _STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 _TOK_S = "split({c}, '\\\\s+')"
 _TOK_D = "string_split_regex({c}, '\\s+')"
 
+# Shared array subtrees for the repetition features (r12): the word
+# bigram array and the run-start positions. HOF lambdas run
+# interpreted, so an inline subtree is RE-EVALUATED per outer-lambda
+# element — top_bigram_cover's per-distinct-bigram filter re-built the
+# whole bigram array (concat_ws per token) for every distinct bigram,
+# O(distinct·n) string construction per row. Callers on the hot path
+# project these ONCE via :func:`with_rep_arrays` and pass ``bg=``/
+# ``st=``; the default renders the identical inline subtree, so every
+# other caller's expression tree (and value) is unchanged. The bigram
+# subtree is guarded for size<2 (sequence(1, 0) would descend) — the
+# consuming template's own size<2 CASE never reads it there, so the
+# guard only matters when the array is materialized as a column.
+_BIGRAMS_S = ("CASE WHEN size({t}) < 2 THEN array() ELSE "
+              "transform(sequence(1, size({t}) - 1), i ->"
+              " concat_ws(' ', element_at({t}, i), element_at({t}, i + 1)))"
+              " END")
+_STARTS_S = ("filter(sequence(1, size({t})), i ->"
+             " i = 1 OR element_at({t}, i) != element_at({t}, i - 1))")
+
 FEATURES: dict[str, tuple[str, str]] = {
     # --- token counting ---------------------------------------------------
     "n_chars_calc": ("CAST(length({c}) AS BIGINT)", "length({c})"),
@@ -83,12 +102,8 @@ FEATURES: dict[str, tuple[str, str]] = {
     # to keep the documented [0, 1] fraction contract.
     "top_bigram_cover": (
         "CASE WHEN size({t}) < 2 THEN 0.0D ELSE"
-        " least(1.0D, CAST(array_max(transform(array_distinct("
-        "  transform(sequence(1, size({t}) - 1), i ->"
-        "   concat_ws(' ', element_at({t}, i), element_at({t}, i + 1)))),"
-        "  g -> size(filter("
-        "   transform(sequence(1, size({t}) - 1), i ->"
-        "    concat_ws(' ', element_at({t}, i), element_at({t}, i + 1))),"
+        " least(1.0D, CAST(array_max(transform(array_distinct({bg}),"
+        "  g -> size(filter({bg},"
         "   x -> x = g)))) AS DOUBLE) * 2.0 / size({t})) END",
         f"CASE WHEN len({_TOK_D}) < 2 THEN 0.0 ELSE"
         f" least(1.0, CAST(list_max(list_transform(list_distinct("
@@ -104,12 +119,10 @@ FEATURES: dict[str, tuple[str, str]] = {
     # (`{st}` inlined — lambdas can't let-bind, so the starts array
     # appears once per reference; still O(n) per reference.)
     "max_token_run": (
-        "CAST(array_max(transform(sequence(1, size({st_s})), k ->"
-        " (CASE WHEN k < size({st_s}) THEN element_at({st_s}, k + 1)"
-        "  ELSE size({t}) + 1 END) - element_at({st_s}, k)))"
-        " AS BIGINT)"
-        .replace("{st_s}", "filter(sequence(1, size({t})), i ->"
-                 " i = 1 OR element_at({t}, i) != element_at({t}, i - 1))"),
+        "CAST(array_max(transform(sequence(1, size({st})), k ->"
+        " (CASE WHEN k < size({st}) THEN element_at({st}, k + 1)"
+        "  ELSE size({t}) + 1 END) - element_at({st}, k)))"
+        " AS BIGINT)",
         ("CAST(list_max(list_transform(range(1, len({st_d}) + 1), k ->"
          " (CASE WHEN k < len({st_d}) THEN {st_d}[k + 1]"
          f"  ELSE len({_TOK_D}) + 1 END) - {{st_d}}[k]))"
@@ -153,10 +166,14 @@ _QUALITY_TMPL = ("least(1.0D, {n_tokens} / 100.0) * 0.4"
 _LANG_TMPL = "CASE WHEN {stop_ratio} >= 0.04 THEN 'en' ELSE 'und' END"
 
 
-def _render(name: str, col: str, engine: int, toks: str | None = None) -> str:
+def _render(name: str, col: str, engine: int, toks: str | None = None,
+            bg: str | None = None, st: str | None = None) -> str:
     tmpl = FEATURES[name][engine]
     if engine == 0:
-        return tmpl.format(c=col, t=toks or _TOK_S.format(c=col))
+        t = toks or _TOK_S.format(c=col)
+        return tmpl.format(c=col, t=t,
+                           bg=bg or _BIGRAMS_S.format(t=t),
+                           st=st or _STARTS_S.format(t=t))
     return tmpl.format(c=col)
 
 
@@ -167,10 +184,27 @@ def with_tokens(df, col: str, toks: str = "_toks"):
     return df.withColumn(toks, F.expr(_TOK_S.format(c=col)))
 
 
-def spark_expr(name: str, col: str, toks: str | None = None) -> Column:
+def with_rep_arrays(df, col: str, toks: str = "_toks", bg: str = "_bg",
+                    st: str = "_st"):
+    """Project the token, bigram, and run-start arrays ONCE for the
+    repetition features; pass the column names as ``spark_expr(...,
+    toks=, bg=, st=)``. HOF lambdas are interpreted, so an inline
+    array subtree re-evaluates per outer-lambda element — sharing the
+    materialized columns turns top_bigram_cover's O(distinct·n)
+    per-row bigram re-construction into O(1) lookups (values
+    unchanged; the templates are the same arithmetic)."""
+    d = with_tokens(df, col, toks)
+    return (d.withColumn(bg, F.expr(_BIGRAMS_S.format(t=toks)))
+            .withColumn(st, F.expr(_STARTS_S.format(t=toks))))
+
+
+def spark_expr(name: str, col: str, toks: str | None = None,
+               bg: str | None = None, st: str | None = None) -> Column:
     """Spark Column for a named text feature over text column `col`.
-    `toks` names a pre-split token-array column (see `with_tokens`)."""
-    return F.expr(_render(name, col, 0, toks))
+    `toks` names a pre-split token-array column (see `with_tokens`);
+    `bg`/`st` name pre-projected bigram / run-start arrays (see
+    `with_rep_arrays`)."""
+    return F.expr(_render(name, col, 0, toks, bg, st))
 
 
 def duckdb_expr(name: str, col: str) -> str:

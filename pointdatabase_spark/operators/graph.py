@@ -68,16 +68,22 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
     # connected-components loop in operators/dedup.py): without it
     # every iteration's plan re-derives the edge list from its
     # source joins — a per-round re-read of the 100 TB base that the
-    # checkpoint turns into a one-time cost.
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
+    # checkpoint turns into a one-time cost. The raw edge projection
+    # is checkpointed FIRST (r12, the label_propagation shape): the
+    # caller's edge derivation — typically a join+distinct over base
+    # tables — runs ONCE, and nodes/deg/e all derive from the
+    # checkpointed blocks (previously nodes and e each re-derived the
+    # base, two full passes).
+    e0 = edges.select(F.col(src), F.col(dst)).localCheckpoint()
+    nodes = (e0.select(F.col(src).alias("node"))
+             .union(e0.select(F.col(dst).alias("node")))
              .distinct().localCheckpoint())
     n = nodes.count()  # one scalar to the driver (bounded contract)
     r0 = int(math.floor(SCALE / n))
     base = int(math.floor((1.0 - damping) * SCALE / n))
 
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, src).localCheckpoint()
+    deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    e = e0.join(deg, src).localCheckpoint()
 
     if dangling == "redistribute":
         # out-degree-0 nodes, materialized once (loop-invariant).

@@ -3084,11 +3084,13 @@ GROUP BY source
 
 @query("gopher_repetition_filter", oracle=_REP_ORACLE)
 def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _text.with_tokens(
+    docs = _text.with_rep_arrays(
         _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     dup = _text.spark_expr("dup_token_ratio", "text", "_toks")
-    cov = _text.spark_expr("top_bigram_cover", "text", "_toks")
-    run = _text.spark_expr("max_token_run", "text", "_toks")
+    cov = _text.spark_expr("top_bigram_cover", "text", "_toks",
+                           bg="_bg", st="_st")
+    run = _text.spark_expr("max_token_run", "text", "_toks",
+                           bg="_bg", st="_st")
     feats = docs.select("source", dup.alias("dup"), cov.alias("cov"),
                         run.alias("run"))
     keep = F.expr(_REP_KEEP_TMPL.format(dup="dup", cov="cov", run="run",
@@ -8919,14 +8921,16 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward zero), valid to n = 3·10⁶ via an in-plan assert — larger
     corpora audit a hash_split sample."""
     from pointdatabase_spark.operators.profile import rater_agreement
-    docs = _text.with_tokens(
+    docs = _text.with_rep_arrays(
         _spread(testkit.load_table(spark, sf_dir, "documents")), "text")
     feats = docs.withColumn(
         "dup", _text.spark_expr("dup_token_ratio", "text", "_toks")
     ).withColumn(
-        "cov", _text.spark_expr("top_bigram_cover", "text", "_toks")
+        "cov", _text.spark_expr("top_bigram_cover", "text", "_toks",
+                                bg="_bg", st="_st")
     ).withColumn(
-        "run", _text.spark_expr("max_token_run", "text", "_toks"))
+        "run", _text.spark_expr("max_token_run", "text", "_toks",
+                                bg="_bg", st="_st"))
     rule = F.expr(_REP_KEEP_TMPL.format(dup="dup", cov="cov",
                                         run="run", **_REP_THRESH))
     feats = feats.withColumn("rule_keep", rule == 1)

@@ -28,10 +28,12 @@ def quality_gate(docs: DataFrame, text_col: str = "text",
                  run_max: int = 3) -> DataFrame:
     """Append repetition features, a keep flag, and the PII-scrubbed
     text. Works identically on batch and streaming DataFrames."""
-    d = _text.with_tokens(docs, text_col)
+    d = _text.with_rep_arrays(docs, text_col)
     dup = _text.spark_expr("dup_token_ratio", text_col, "_toks")
-    cov = _text.spark_expr("top_bigram_cover", text_col, "_toks")
-    run = _text.spark_expr("max_token_run", text_col, "_toks")
+    cov = _text.spark_expr("top_bigram_cover", text_col, "_toks",
+                           bg="_bg", st="_st")
+    run = _text.spark_expr("max_token_run", text_col, "_toks",
+                           bg="_bg", st="_st")
     return (d.withColumn("dup_ratio", dup)
             .withColumn("bigram_cover", cov)
             .withColumn("max_run", run)
@@ -40,7 +42,7 @@ def quality_gate(docs: DataFrame, text_col: str = "text",
                         & (F.col("bigram_cover") <= cov_max)
                         & (F.col("max_run") <= run_max))
             .withColumn("scrubbed", _pii.scrub(text_col))
-            .drop("_toks"))
+            .drop("_toks", "_bg", "_st"))
 
 
 def run_quality_gate_availablenow(spark: SparkSession, sf_dir: str,
