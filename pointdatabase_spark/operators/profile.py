@@ -385,7 +385,11 @@ def chi2_drift(df: DataFrame, group_col, value_col: str,
     vq = (F.floor(F.col(value_col).cast("double") * F.lit(scale)
                   + F.lit(0.5)).cast("long"))
     t = df.select(F.col(group_col).alias("_g"), vq.alias("_vq"))
-    part = (t.repartitionByRange(32, F.col("_vq").asc(),
+    # slice count follows the session's shuffle parallelism (r12 —
+    # was a hardcoded 32; same derivation as ranking._n_slices, and
+    # bucket counts are bit-identical for any slice count).
+    from pointdatabase_spark.operators.ranking import _n_slices
+    part = (t.repartitionByRange(_n_slices(t, None), F.col("_vq").asc(),
                                  F.col("_g").asc())
             .withColumn("_pid", F.spark_partition_id())
             # three consumers (slice stats -> offsets, slice stats ->

@@ -391,7 +391,12 @@ def budget_select(df: DataFrame, token_budget: int,
     force a premature action; ngram_jaccard_pairs precedent);
     sessions issuing MANY calls should release between batches
     via ``spark.catalog.clearCache()``."""
-    b = 32
+    # slice count follows the session's shuffle parallelism (r12 —
+    # was a hardcoded 32, a local-core constant; ranking._n_slices is
+    # the shared audited derivation). Output is bit-identical for ANY
+    # slice count (the adversarial-repartition test's invariant).
+    from pointdatabase_spark.operators.ranking import _n_slices
+    b = _n_slices(df, None)
     part = (df.repartitionByRange(b, F.col(quality_col).desc(),
                                   F.col(id_col).asc())
             .withColumn("_pid", F.spark_partition_id())
