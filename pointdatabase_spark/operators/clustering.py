@@ -186,26 +186,34 @@ def kmeans_fit(df: DataFrame, k: int = 4, iters: int = 2,
              [_mean_q(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)])
             for r in upd)
 
-    # Release the iteration cache BEFORE returning: the collects that
-    # needed it have run; the final output aggregation below pays one
-    # recomputed scan instead of pinning the quantized corpus in
-    # executor storage for the application lifetime (a leaked cache
-    # per kmeans_fit call would evict other operators' hot data).
-    q.unpersist(blocking=False)
-    # Final table: re-aggregate the last assignment so the output is
-    # a DataFrame (not driver literals) — same single k-row shuffle.
-    upd_df = (assigned.groupBy("cluster_id")
-              .agg(*sums, F.count(F.lit(1)).alias("n_members")))
-    per_dim = F.explode(F.array(*[
-        F.struct(F.lit(i).cast("int").alias("dim"),
-                 (F.floor(F.col(f"s{i}").cast("double")
-                          / F.col("n_members") + F.lit(0.5))
-                  .cast("long")).alias("centroid_q"))
-        for i in range(dim)])).alias("pd")
-    return (upd_df.select("cluster_id", "n_members", per_dim)
-            .select("cluster_id", F.col("pd.dim").alias("dim"),
-                    F.col("pd.centroid_q").alias("centroid_q"),
-                    "n_members"))
+    # Final table: aggregate the last assignment WHILE the iteration
+    # cache is still warm (r13, VERDICT r12 #7) — the same k-row
+    # shuffle + k×(d+1)-long collect as every update round (the
+    # documented bounded-driver MLlib contract), then release the
+    # cache. The previous shape unpersisted first and returned the
+    # aggregation lazily, so the caller's first action re-ran the
+    # full scan+quantize+assign pipeline once more per construction.
+    # The result is k×dim rows of driver-computed longs; centroid_q
+    # uses the identical one-IEEE-op mean as the in-plan expression
+    # did (_mean_q — floor(s/n + 0.5) on exact-integer doubles), so
+    # emitted values are bit-unchanged.
+    try:
+        fin = (assigned.groupBy("cluster_id")
+               .agg(*sums, F.count(F.lit(1)).alias("n"))
+               .collect())
+    finally:
+        q.unpersist(blocking=False)
+    rows = [(int(r["cluster_id"]), i,
+             _mean_q(int(r[f"s{i}"]), int(r["n"])), int(r["n"]))
+            for r in sorted(fin, key=lambda r: int(r["cluster_id"]))
+            for i in range(dim)]
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("cluster_id", T.LongType(), False),
+        T.StructField("dim", T.IntegerType(), False),
+        T.StructField("centroid_q", T.LongType(), False),
+        T.StructField("n_members", T.LongType(), False)])
+    return df.sparkSession.createDataFrame(rows, schema=schema)
 
 
 def _mean_q(s: int, n: int) -> int:

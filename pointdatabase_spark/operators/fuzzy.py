@@ -244,19 +244,28 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
     verify, ``recall_ppm = (1e6 * n_found) div n_true`` exact BIGINT
     arithmetic (1e6 when the windows lose nothing).
 
-    Plan: each pass ranks the DISTINCT-string table with
+    Plan (r13 — ONE fused rank pass, VERDICT r12 #3): the distinct-
+    string table explodes into (pass, key) rows for ALL passes at
+    once, and a single
     :func:`~pointdatabase_spark.operators.ranking.range_row_number`
-    — range-partitioned rank stitching (slice offset + slice-local
-    row_number), NOT a global ``Window.orderBy`` (r12: a distinct-
-    STRING vocabulary over a 100 TB text corpus is itself
-    corpus-scale, so the former single-task vocabulary sort was the
-    registry's last allowlisted scale ceiling; ranks are
-    bit-identical because the sort key (_key, s) is unique). The
-    window join is rank-equi (each rank explodes
-    ``sequence(1, window)`` offsets and joins rank + k — no range
-    join); passes union and dedupe on the canonical string pair;
-    verification is the banded levenshtein. All per-pass slice
-    caches release with the name cache after the eager compute."""
+    grouped by (group_cols, pass) ranks every pass in one
+    repartitionByRange + one slice cache — range-partitioned rank
+    stitching (slice offset + slice-local row_number), NOT a global
+    ``Window.orderBy`` (r12: a distinct-STRING vocabulary over a
+    100 TB text corpus is itself corpus-scale; ranks are
+    bit-identical because the sort key (_key, s) is unique within
+    each pass). Grouped ranks restart per pass, so per-pass ranks are
+    identical to the former one-rank-call-per-pass shape; the window
+    join is rank-equi WITHIN a pass (each rank explodes
+    ``sequence(1, window)`` offsets and joins rank + k on
+    (pass, rank) — no range join, and the former per-pass
+    join+union is one join); candidates dedupe on the canonical
+    string pair; verification is the banded levenshtein. The fused
+    pass cut the audit's Spark job count (one range sample + one
+    slice materialization + one offset broadcast instead of four of
+    each) — the per-job overhead the 8-core bench showed dominating
+    this query. The slice cache releases with the name cache after
+    the eager compute."""
     if window < 1:
         raise ValueError(f"need window >= 1, got {window=}")
     keys = list(key_exprs or ["s", "reverse(s)"])
@@ -265,34 +274,38 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
     gc = list(group_cols or [])
     names = (df.where(F.col(str_col).isNotNull())
              .select(*gc, F.col(str_col).alias("s")).distinct()
-             # every pass ranks + probes this table; one tokenize/
-             # distinct pipeline, cached reads after
+             # the fused rank pass AND the truth kernel read this
+             # table; one tokenize/distinct pipeline, cached reads
              .persist())
     from pointdatabase_spark.operators.ranking import range_row_number
-    cand = None
-    caches: list[DataFrame] = []
-    for ke in keys:
-        keyed = names.withColumn("_key", F.expr(ke))
-        # (_key, s) is unique within each group (names are distinct),
-        # so the stitched rank is bit-identical to the global window.
-        ranked, cache = range_row_number(
-            keyed, ["_key", "s"], group_cols=gc or None, out_col="r")
-        caches.append(cache)
-        probe = (ranked.select(
-            *gc, F.col("s").alias("_s1"), "r",
-            F.explode(F.expr(f"sequence(1, {int(window)})")).alias("_k"))
-            .select(*gc, "_s1", (F.col("r") + F.col("_k")).alias("r2")))
-        right = ranked.select(
-            *[ranked[g].alias(f"_g_{g}") for g in gc], F.col("r"),
-            F.col("s").alias("_s2"))
-        jon = (F.col("r2") == right["r"])
-        for g in gc:
-            jon = jon & (probe[g] == right[f"_g_{g}"])
-        pairs = (probe.join(right, jon)
-                 .select(*gc,
-                         F.least("_s1", "_s2").alias("s_lo"),
-                         F.greatest("_s1", "_s2").alias("s_hi")))
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    pk = F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("p"),
+                 F.expr(ke).alias("k"))
+        for i, ke in enumerate(keys)])).alias("_pk")
+    keyed = (names.select(*gc, "s", pk)
+             .select(*gc, "s", F.col("_pk.p").alias("_pass"),
+                     F.col("_pk.k").alias("_key")))
+    # (_key, s) is unique within each (group, pass) (names are
+    # distinct), so the stitched rank is bit-identical to the global
+    # window per pass.
+    ranked, cache = range_row_number(
+        keyed, ["_key", "s"], group_cols=[*gc, "_pass"], out_col="r")
+    probe = (ranked.select(
+        *gc, "_pass", F.col("s").alias("_s1"), "r",
+        F.explode(F.expr(f"sequence(1, {int(window)})")).alias("_k"))
+        .select(*gc, "_pass", "_s1",
+                (F.col("r") + F.col("_k")).alias("r2")))
+    right = ranked.select(
+        *[ranked[g].alias(f"_g_{g}") for g in gc],
+        ranked["_pass"].alias("_g_pass"), F.col("r"),
+        F.col("s").alias("_s2"))
+    jon = (F.col("r2") == right["r"]) & (probe["_pass"] == right["_g_pass"])
+    for g in gc:
+        jon = jon & (probe[g] == right[f"_g_{g}"])
+    cand = (probe.join(right, jon)
+            .select(*gc,
+                    F.least("_s1", "_s2").alias("s_lo"),
+                    F.greatest("_s1", "_s2").alias("s_hi")))
     cand = (cand.distinct()
             .withColumn("_lev", F.levenshtein(
                 F.col("s_lo"), F.col("s_hi"), d)))
@@ -311,14 +324,13 @@ def snm_candidate_audit(df: DataFrame, id_col: str, str_col: str,
                           "ELSE (1000000 * n_found) div n_true END")
                    .cast("long").alias("recall_ppm")))
     # One-row diagnostic: compute EAGERLY and release the persisted
-    # distinct-name table AND the per-pass rank-slice caches before
-    # returning (the lsh_recall_eval precedent — a lazy return leaks
-    # the caches for the application lifetime). The caller still gets
+    # distinct-name table AND the rank-slice cache before returning
+    # (the lsh_recall_eval precedent — a lazy return leaks the
+    # caches for the application lifetime). The caller still gets
     # a DataFrame with the exact result schema.
     try:
         row = out.first()
     finally:
         names.unpersist()
-        for c in caches:
-            c.unpersist()
+        cache.unpersist()
     return out.sparkSession.createDataFrame([row], schema=out.schema)

@@ -364,12 +364,14 @@ def chi2_drift(df: DataFrame, group_col, value_col: str,
     Scale (r11 — was one global row_number, i.e. an Exchange
     SinglePartition over the POOLED CORPUS, the row-table global
     window this repo bans): ``repartitionByRange`` on (value, group)
-    slices the total order; per-slice row counts (32 rows) take one
-    tiny ordered window to become rank offsets (the systematic_pps /
-    budget_select bucket-offset discipline), and each row's pooled
-    rank is its slice offset plus a SLICE-LOCAL row_number. The
-    global count and MIN group label come off the same 32-row slice
-    stats — no unbounded corpus window anywhere. Rank ties (equal
+    slices the total order into one slice per unit of session
+    parallelism (``ranking._n_slices``, r12); per-slice row counts
+    (one row per slice) take one tiny ordered window to become rank
+    offsets (the systematic_pps / budget_select bucket-offset
+    discipline), and each row's pooled rank is its slice offset plus
+    a SLICE-LOCAL row_number. The global count and MIN group label
+    come off the same slice stats — no unbounded corpus window
+    anywhere. Rank ties (equal
     (value, group) rows) are interchangeable for counting, so bucket
     counts are bit-identical to the single-partition form on any
     layout. Use coarser pre-aggregated histograms when the pooled

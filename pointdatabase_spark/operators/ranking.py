@@ -44,11 +44,18 @@ def _n_slices(df: DataFrame, slices: int | None) -> int:
     """``slices=None`` follows the session's shuffle parallelism, so
     the slice width scales with the cluster the way every other
     exchange does (32 on the local test sessions; thousands on a
-    real cluster where the swept table is itself corpus-scale)."""
+    real cluster where the swept table is itself corpus-scale).
+    Non-numeric conf values (e.g. ``auto`` under some resource
+    managers) fall back to the scheduler's default parallelism
+    (ADVICE r12)."""
     if slices is not None:
         return int(slices)
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                        "200"))
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                   "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return int(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def range_row_number(df: DataFrame, order_cols: list,

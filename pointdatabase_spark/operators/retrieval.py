@@ -407,36 +407,44 @@ def append_text_index(delta: DataFrame, path: str,
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
           .withColumn("bucket", term_bucket("tok", buckets))
           .persist())
-    (tf.repartition(int(buckets), F.col("bucket"))
-     .write.mode("append").partitionBy("bucket")
-     .parquet(f"{path}/postings"))
-    d_df = (tf.groupBy("tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("df")))
-    old_df = spark.read.parquet(f"{path}/dfreq").select("tok", "df")
-    merged = (old_df.unionByName(d_df)
-              .groupBy("tok")
-              .agg(F.sum("df").cast("long").alias("df"))
-              .withColumn("bucket", term_bucket("tok", buckets))
-              .persist())
-    merged.count()
-    (merged.repartition(int(buckets), F.col("bucket"))
-     .write.mode("overwrite").partitionBy("bucket")
-     .parquet(f"{path}/dfreq"))
-    merged.unpersist()
-    # exact identities over tf (unique delta ids — the append
-    # contract): n_docs = distinct posting ids, sum_dl = SUM(tf).
-    d_stats = tf.agg(
-        F.countDistinct("id").cast("long").alias("n_docs"),
-        F.sum(F.col("tf").cast("long")).cast("long").alias("sum_dl"))
-    old_stats = spark.read.parquet(f"{path}/stats")
-    new_stats = (old_stats.unionByName(d_stats)
-                 .agg(F.sum("n_docs").cast("long").alias("n_docs"),
-                      F.sum("sum_dl").cast("long").alias("sum_dl"))
-                 .persist())
-    new_stats.count()
-    new_stats.write.mode("overwrite").parquet(f"{path}/stats")
-    new_stats.unpersist()
-    tf.unpersist()
+    # every unpersist sits in a finally: an exception during any of
+    # the three writes must not leak a cached frame (ADVICE r12 —
+    # the no-unreleased-caches rule applies to the failure path too)
+    merged = new_stats = None
+    try:
+        (tf.repartition(int(buckets), F.col("bucket"))
+         .write.mode("append").partitionBy("bucket")
+         .parquet(f"{path}/postings"))
+        d_df = (tf.groupBy("tok")
+                .agg(F.count(F.lit(1)).cast("long").alias("df")))
+        old_df = spark.read.parquet(f"{path}/dfreq").select("tok", "df")
+        merged = (old_df.unionByName(d_df)
+                  .groupBy("tok")
+                  .agg(F.sum("df").cast("long").alias("df"))
+                  .withColumn("bucket", term_bucket("tok", buckets))
+                  .persist())
+        merged.count()
+        (merged.repartition(int(buckets), F.col("bucket"))
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{path}/dfreq"))
+        # exact identities over tf (unique delta ids — the append
+        # contract): n_docs = distinct posting ids, sum_dl = SUM(tf).
+        d_stats = tf.agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.sum(F.col("tf").cast("long")).cast("long").alias("sum_dl"))
+        old_stats = spark.read.parquet(f"{path}/stats")
+        new_stats = (old_stats.unionByName(d_stats)
+                     .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                          F.sum("sum_dl").cast("long").alias("sum_dl"))
+                     .persist())
+        new_stats.count()
+        new_stats.write.mode("overwrite").parquet(f"{path}/stats")
+    finally:
+        tf.unpersist()
+        if merged is not None:
+            merged.unpersist()
+        if new_stats is not None:
+            new_stats.unpersist()
 
 
 def proximity_count(docs: DataFrame, phrase: list[str],

@@ -96,25 +96,30 @@ def land_batch(batch: DataFrame, bid: int, index_path: str,
               .withColumn("bucket", term_bucket("tok", buckets))
               .withColumn("bid", F.lit(int(bid)))
               .persist())
-        # bucket-aligned slice files (one per bucket, not one per
-        # upstream task) — same layout rule as write_text_index
-        (tf.repartition(int(buckets), F.col("bucket"))
-         .write.mode("overwrite").partitionBy("bid", "bucket")
-         .parquet(f"{index_path}/postings"))
-        d_df = (tf.groupBy("tok", "bucket")
-                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        # release in finally: a failed write must not leak the cached
+        # frame (ADVICE r12 — the no-unreleased-caches rule applies
+        # to the failure path too)
+        try:
+            # bucket-aligned slice files (one per bucket, not one per
+            # upstream task) — same layout rule as write_text_index
+            (tf.repartition(int(buckets), F.col("bucket"))
+             .write.mode("overwrite").partitionBy("bid", "bucket")
+             .parquet(f"{index_path}/postings"))
+            d_df = (tf.groupBy("tok", "bucket")
+                    .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                    .withColumn("bid", F.lit(int(bid))))
+            (d_df.repartition(int(buckets), F.col("bucket"))
+             .write.mode("overwrite").partitionBy("bid", "bucket")
+             .parquet(f"{index_path}/dfreq"))
+            d_stats = (tf.agg(
+                F.countDistinct("id").cast("long").alias("n_docs"),
+                F.sum(F.col("tf").cast("long")).cast("long")
+                .alias("sum_dl"))
                 .withColumn("bid", F.lit(int(bid))))
-        (d_df.repartition(int(buckets), F.col("bucket"))
-         .write.mode("overwrite").partitionBy("bid", "bucket")
-         .parquet(f"{index_path}/dfreq"))
-        d_stats = (tf.agg(
-            F.countDistinct("id").cast("long").alias("n_docs"),
-            F.sum(F.col("tf").cast("long")).cast("long")
-            .alias("sum_dl"))
-            .withColumn("bid", F.lit(int(bid))))
-        d_stats.write.mode("overwrite").partitionBy("bid") \
-            .parquet(f"{index_path}/stats")
-        tf.unpersist()
+            d_stats.write.mode("overwrite").partitionBy("bid") \
+                .parquet(f"{index_path}/stats")
+        finally:
+            tf.unpersist()
     finally:
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

@@ -233,14 +233,25 @@ def _write_manifest(sess: SparkSession, state_path: str, version: int,
 
 def _read_manifest(sess: SparkSession, state_path: str,
                    version: int) -> dict[int, int]:
-    # spark.read.text goes through the same Hadoop FS as the writes
-    # (a py4j readFully into a Python bytearray would NOT copy the
-    # Java-side mutation back); the manifest is one short JSON line.
+    # Read the one-line JSON straight off the Hadoop FS the writes
+    # used, in ONE py4j call (IOUtils.toByteArray returns a Java
+    # byte[], which py4j copies back as Python bytes — unlike a
+    # readFully into a caller-allocated buffer, whose Java-side
+    # mutation would not copy back; and unlike a per-byte read()
+    # loop, which pays one RPC round-trip per byte). The previous
+    # spark.read.text(...).collect() spent a full Spark job per
+    # micro-batch on a manifest of a few hundred bytes (r13,
+    # VERDICT r12 #3: cut per-batch action counts).
     import json
-    txt = "\n".join(
-        r.value for r in sess.read.text(
-            f"{state_path}/versions/{version}/manifest.json").collect())
-    return {int(k): int(v) for k, v in json.loads(txt).items()}
+    fs, jm = _fs(sess, f"{state_path}/versions/{version}/manifest.json")
+    stream = fs.open(jm)
+    try:
+        data = bytes(sess._jvm.org.apache.commons.io.IOUtils
+                     .toByteArray(stream))
+    finally:
+        stream.close()
+    return {int(k): int(v)
+            for k, v in json.loads(data.decode("utf-8")).items()}
 
 
 def init_state_bucketed(base: DataFrame, state_path: str,
@@ -295,18 +306,21 @@ def run_upsert_stream_bucketed(spark: SparkSession, landing: str,
     from pointdatabase_spark.operators.sampling import upsert_latest_wins
 
     def _process(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
         sess = batch.sparkSession
+        # ONE job decides both emptiness and the dirty bucket set
+        # (r13, VERDICT r12 #3: the former isEmpty() probe was a
+        # second Spark job per micro-batch for the same answer)
+        tagged = batch.withColumn("_bucket",
+                                  _bucket_col(key_cols, n_buckets))
+        dirty = sorted(r["_bucket"] for r in
+                       tagged.select("_bucket").distinct().collect())
+        if not dirty:
+            return
         target, commit = _batch_guard(sess, state_path, checkpoint,
                                       bid)
         if target is None:
             return
         manifest = _read_manifest(sess, state_path, target - 1)
-        tagged = batch.withColumn("_bucket",
-                                  _bucket_col(key_cols, n_buckets))
-        dirty = sorted(r["_bucket"] for r in
-                       tagged.select("_bucket").distinct().collect())
         old_paths = [f"{state_path}/data/v{manifest[b]}/_bucket={b}"
                      for b in dirty if b in manifest]
         delta = tagged.drop("_bucket")

@@ -58,21 +58,27 @@ def main() -> None:
         if name not in qs:
             print(f"unknown query: {name}", file=sys.stderr)
             continue
-        sc.setJobDescription(f"profile: {name}")
+        # setJobGroup (not just a description) scopes the job ids the
+        # status tracker reports, so per-run job counts are exact
+        # (ADVICE r12: setJobDescription sets no group, leaving the
+        # j-counts version-dependent)
+        group = f"profile-{name}"
+        sc.setJobGroup(group, f"profile: {name}")
         is_builder = name in builders
 
         def _noop(df):
             df.write.format("noop").mode("overwrite").save()
 
+        def _jobs() -> int:
+            return len(tracker.getJobIdsForGroup(group) or [])
+
         t0 = time.perf_counter()
         df = qs[name](spark, args.sf_dir)
         t_construct = time.perf_counter() - t0
-        jobs_before = len(tracker.getJobIdsForGroup() or [])
 
         times = []
         for i in range(args.runs + 1):
-            jb = max((j for j in (tracker.getJobIdsForGroup() or [-1])),
-                     default=-1)
+            jb = _jobs()
             t0 = time.perf_counter()
             if is_builder and i > 0:
                 df = qs[name](spark, args.sf_dir)
@@ -80,9 +86,7 @@ def main() -> None:
             else:
                 _noop(df)
             dt = time.perf_counter() - t0
-            ja = max((j for j in (tracker.getJobIdsForGroup() or [-1])),
-                     default=-1)
-            times.append((dt, ja - jb))
+            times.append((dt, _jobs() - jb))
         warm = min(t for t, _ in times[1:]) if len(times) > 1 else times[0][0]
         runs_s = " ".join(f"{t:.3f}(j{n})" for t, n in times)
         print(f"{name:36s} construct {t_construct:6.3f}  runs: {runs_s}  "
@@ -98,7 +102,7 @@ def main() -> None:
             with open(p, "w") as f:
                 f.write(buf.getvalue())
             print(f"  plan -> {p}")
-        sc.setJobDescription(None)
+        sc._jsc.clearJobGroup()
     spark.stop()
 
 
